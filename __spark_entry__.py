@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship monitoring pipeline (score → quality + drift →
+long-format metrics) on sf0.001. ``queries``/``oracle_sql`` expose the
+SURVEY §2 operator inventory from the package registry
+(churn_model_evaluation_platform_spark/plans/registry*.py) for the DuckDB differential
+check at sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +12,59 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Importing registry_ext registers the extension entries into the same
+# registry dicts as the core entries.
+from churn_model_evaluation_platform_spark.plans import registry as _registry
+from churn_model_evaluation_platform_spark.plans import registry_ext as _registry_ext  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one scored batch monitored end-to-end on sf0.001.
+
+    events → synthetic scored batch (actual/predicted ints) → quality
+    scores + per-column KS drift vs a reference slice → long metrics
+    (metric_name, value, created_at). Mirrors the reference flow
+    churn_prediction_pipeline.py:813-905 as one lazy Spark plan set.
+    """
+    # nanosAsLong must be set before reading the ns-timestamp parquet; the
+    # driver owns the session, so set it here defensively.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    from churn_model_evaluation_platform_spark.plans.pipeline import monitoring_run
+    from churn_model_evaluation_platform_spark.sources.testdata import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf_dir)
+    scored = ev.select(
+        "value",
+        F.col("user_id").cast("double").alias("user_id"),
+        (F.col("value") > 50).cast("int").alias("churn"),
+        ((F.col("value") + F.col("user_id") % 7) > 50).cast("int").alias(
+            "churn_prediction"
+        ),
+    )
+    reference = ev.where(F.col("event_type") == "click").select(
+        "value", F.col("user_id").cast("double").alias("user_id")
+    )
+    result = monitoring_run(
+        current=scored,
+        reference=reference,
+        feature_cols=["value", "user_id"],
+        alert_sink=lambda s, m: None,
+    )
+    return result.metrics
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY §2 (+ north-star
+    extensions). Each callable takes (spark, sf_dir) → DataFrame with
+    column names matching the oracle exactly."""
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for nondeterministic /
+    streaming-stateful ops → rows-only check)."""
+    return _registry.oracle_sql()

@@ -1,0 +1,117 @@
+"""Distributed statistical primitives.
+
+``partitioned_prefix_sum`` is the scale-critical piece: a global running
+sum ordered by a key WITHOUT a single-partition window. A naive
+``Window.orderBy(col)`` (no partitionBy) collapses all data onto one task —
+fine at 60 k rows, fatal at 100 TB. Instead we do the classic two-phase
+scan: range-partition by the key, local prefix sums per partition, then add
+broadcasted per-partition offsets (P rows collected to the driver, P = a
+few hundred).
+
+``ks_pvalue_expr`` is the asymptotic two-sided Kolmogorov distribution with
+the small-sample correction from Numerical Recipes §14.3 (the same formula
+scipy's ``ks_2samp(mode="asymp")`` historically used):
+
+    en     = sqrt(n*m/(n+m))
+    lambda = (en + 0.12 + 0.11/en) * D
+    p      = 2 * sum_{k=1..inf} (-1)^(k-1) exp(-2 k^2 lambda^2)
+
+truncated at 100 terms (the series converges after a handful), clamped to
+[0, 1]. Implemented as a pure Catalyst expression (``aggregate`` over a
+``sequence``) so it runs JVM-side with no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KS_SERIES_TERMS = 100
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``cum_<c>`` running-total columns ordered globally by
+    ``order_col``, tie-aware (all rows with equal keys get the total
+    through the whole tie group, i.e. RANGE frame semantics — what an ECDF
+    needs), computed scalably:
+
+    1. One approx-quantile pass picks ~balanced key-range boundaries; the
+       bucket id is then a pure expression of the KEY (deterministic and
+       identical in every job — a ``spark_partition_id`` would not be:
+       separate jobs may map rows to physical partitions differently).
+    2. Per-bucket window (partitionBy bucket) running sums — ties are
+       peer-grouped by the default RANGE frame.
+    3. Per-bucket totals → driver (tiny: one row per bucket) → broadcast
+       offset join.
+    """
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    probs = [i / p for i in range(1, p)]
+    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+    bucket: Column = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    bucketed = df.withColumn("__bucket", bucket)
+    w = Window.partitionBy("__bucket").orderBy(order_col)
+    local = bucketed.select(
+        "*", *[F.sum(c).over(w).alias(f"cum_{c}") for c in sum_cols]
+    )
+    totals = (
+        bucketed.groupBy("__bucket")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .orderBy("__bucket")
+        .collect()
+    )
+    offsets: dict[int, list[float]] = {}
+    running = [0.0 for _ in sum_cols]
+    for row in totals:
+        offsets[row["__bucket"]] = list(running)
+        for i, c in enumerate(sum_cols):
+            running[i] += row[c] or 0.0
+    offset_df = df.sparkSession.createDataFrame(
+        [(b, *vals) for b, vals in offsets.items()],
+        ["__bucket"] + [f"off_{c}" for c in sum_cols],
+    )
+    out = local.join(F.broadcast(offset_df), "__bucket")
+    return out.select(
+        *df.columns,
+        *[(F.col(f"cum_{c}") + F.col(f"off_{c}")).alias(f"cum_{c}") for c in sum_cols],
+    )
+
+
+def ks_pvalue_expr(d: Column, n: Column, m: Column) -> Column:
+    """Asymptotic two-sided KS p-value as a Catalyst expression.
+
+    ``d`` = KS statistic, ``n``/``m`` = the two sample sizes. JVM-side
+    (no UDF): ``aggregate(sequence(1, 100), ...)`` sums the Kolmogorov
+    series.
+    """
+    en = F.sqrt(n.cast("double") * m.cast("double") / (n + m).cast("double"))
+    lam = (en + F.lit(0.12) + F.lit(0.11) / en) * d
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(KS_SERIES_TERMS)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.pow(F.lit(-1.0), (k - F.lit(1)).cast("double"))
+        * F.exp(F.lit(-2.0) * k.cast("double") * k.cast("double") * lam * lam),
+    )
+    p = F.lit(2.0) * series
+    return F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+
+
+def ks_pvalue_sql(d_expr: str, n_expr: str, m_expr: str,
+                  terms: int = KS_SERIES_TERMS) -> str:
+    """The same p-value as ANSI-ish SQL (DuckDB-compatible) for oracle
+    differential tests. ``d_expr``/``n_expr``/``m_expr`` are SQL snippets.
+    """
+    en = f"sqrt(({n_expr}) * ({m_expr}) / (({n_expr}) + ({m_expr})))"
+    lam = f"(({en}) + 0.12 + 0.11 / ({en})) * ({d_expr})"
+    series = (
+        f"(SELECT SUM(power(-1.0, k - 1) * exp(-2.0 * k * k * ({lam}) * ({lam}))) "
+        f"FROM generate_series(1, {terms}) AS gs(k))"
+    )
+    return f"least(greatest(2.0 * {series}, 0.0), 1.0)"

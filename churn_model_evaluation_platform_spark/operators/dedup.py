@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data pipelines (north-star
+extensions; SURVEY §7.2 item 7): exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design:
+- Exact dedup is a hash-groupBy — one shuffle on a 128-bit digest, never
+  on the document body (at 100 TB you shuffle 16-byte keys, not text).
+- N-gram Jaccard generates candidates by shingle join — quadratic in
+  bucket size, so it is the VERIFY step; candidate generation at scale is
+  MinHash+LSH (band-bucket join ⇒ near-linear).
+- All hashes are the portable md5-derived ints (functions/hashing.py) so
+  the DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash_int, minhash_perms, perm_expr
+from .text import normalize_text, shingle_hashes
+
+DEFAULT_MINHASH_K = 16
+DEFAULT_BANDS = 4  # 4 bands x 4 rows
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized content: one row per distinct content,
+    keeping the smallest id (deterministic winner) + copy count."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "content_md5", "n_copies")
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle_hash) exploded, distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
+
+    candidates = shingle self-join (docs sharing ≥1 shingle);
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) from exact distinct-shingle
+    counts. Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    At scale: the shingle join is the exact verifier — run it only on
+    LSH candidates (``minhash_lsh_pairs``) when the corpus is large.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= F.lit(threshold))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = DEFAULT_MINHASH_K,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: k columns ``m0..m{k-1}``, each the min of
+    a seeded universal hash over the doc's shingle hashes. One explode +
+    one groupBy — the shuffle carries (id, k ints)."""
+    perms = minhash_perms(k, seed)
+    sh = _doc_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(perm_expr(F.col("sh"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return sh.groupBy("id").agg(*aggs).withColumnRenamed("id", id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: band the k-min signature into ``bands`` groups
+    of k/bands rows; docs colliding on ANY full band are candidates.
+
+    Output: (id_a, id_b, est_jaccard) — est_jaccard = fraction of equal
+    signature components (unbiased Jaccard estimate). The scale path: the
+    only join is on (band_index, band_key) buckets, near-linear for
+    non-degenerate corpora; verify candidates with ``ngram_jaccard_pairs``
+    semantics afterwards.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n, k, seed).cache()
+    r = k // bands
+    sig_cols = [f"m{i}" for i in range(k)]
+    band_rows = []
+    for bi in range(bands):
+        key = F.concat_ws("|", *[F.col(c) for c in sig_cols[bi * r : (bi + 1) * r]])
+        band_rows.append(
+            F.struct(F.lit(bi).alias("band"), key.alias("band_key"))
+        )
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in sig_cols],
+        F.explode(F.array(*band_rows)).alias("b"),
+    ).select("id", *sig_cols, "b.band", "b.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                *[(F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int").alias(f"eq{i}")
+                  for i, c in enumerate(sig_cols)])
+        .distinct()
+    )
+    est = sum(F.col(f"eq{i}") for i in range(k)) / F.lit(float(k))
+    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint per doc from word hashes: bit j of the
+    fingerprint is 1 iff sum over words of (±1 by word-hash bit j) > 0.
+
+    Computed as ``bits`` conditional aggregations over exploded words —
+    one shuffle of (id, bits ints); at 100 TB prefer fewer bits or a
+    pandas-UDF variant packing bits in numpy. 32 bits here keeps every
+    intermediate in exact int64 for oracle parity.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).select("id", md5_hash_int(F.col("w"), 8).alias("h"))  # 8 hex → 32 bits
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = words.groupBy("id").agg(*bit_sums)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col("id").alias(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation by the pigeonhole trick: split the fingerprint
+    into ``chunks`` chunks; any pair within distance < chunks must agree
+    on ≥1 chunk → join per chunk bucket, then verify with ``bit_count``.
+    """
+    sh = simhash(df, text_col, id_col, bits).cache()
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = sh.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftright(F.col("simhash"), ci * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for ci in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.ckey")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

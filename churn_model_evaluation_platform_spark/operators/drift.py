@@ -1,0 +1,221 @@
+"""Drift statistics — the reference's analytical core (SURVEY §2.D).
+
+The reference delegates to Evidently's ``DataDriftPreset``
+(churn_prediction_pipeline.py:322); every downstream consumer treats the
+per-column drift value as a two-sample KS p-value with a 0.05 cutoff
+(churn_prediction_pipeline.py:419; dashboard threshold
+churn-model-evaluation.json:1170). We implement KS-with-p-value natively:
+
+  KS statistic = max over x of |ECDF_ref(x) - ECDF_cur(x)|
+
+as a pure DataFrame aggregation: pool both samples tagged with indicator
+columns, compute tie-aware running counts ordered by value, take the max
+absolute normalized difference. Two physical strategies:
+
+- ``ks_2samp``: single huge column — scalable range-partitioned prefix sum
+  (no single-partition window; see functions/stats.py).
+- ``value_drift``: many modest columns at once (the monitoring batch case)
+  — melt to long ``(column, value)`` and window per column, so all columns
+  are computed in ONE pass over one shuffle, parallel across columns.
+
+p-values use the asymptotic Kolmogorov series (functions/stats.py) since
+scipy is deliberately not a dependency. Unit tests pin values against
+scipy computed offline. Deviation from the reference noted in SURVEY §7.4:
+Evidently switches to Wasserstein above 1000 rows; we keep KS as *the*
+semantic at all sizes (it is what every consumer of the value assumes) and
+keep the stat pluggable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.stats import ks_pvalue_expr, partitioned_prefix_sum
+
+P_VALUE_DRIFT_THRESHOLD = 0.05  # churn_prediction_pipeline.py:419
+DATASET_DRIFT_SHARE = 0.5  # churn_prediction_pipeline.py:415
+
+
+def _pool(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+    r = ref.select(
+        F.col(column).cast("double").alias("v"),
+        F.lit(1).alias("is_ref"),
+        F.lit(0).alias("is_cur"),
+    ).where(F.col("v").isNotNull())
+    c = cur.select(
+        F.col(column).cast("double").alias("v"),
+        F.lit(0).alias("is_ref"),
+        F.lit(1).alias("is_cur"),
+    ).where(F.col("v").isNotNull())
+    return r.unionAll(c)
+
+
+def ks_2samp(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+    """Two-sample KS over one (possibly huge) column.
+
+    Returns a single row ``(ks_stat double, p_value double, n_ref long,
+    n_cur long)``. Scales: the only global ordering is done via
+    range-partitioned prefix sums; everything else is map-side.
+    """
+    pooled = _pool(ref, cur, column)
+    cums = partitioned_prefix_sum(pooled, "v", ["is_ref", "is_cur"])
+    totals = pooled.agg(
+        F.sum("is_ref").alias("n_ref"), F.sum("is_cur").alias("n_cur")
+    )
+    joined = cums.crossJoin(F.broadcast(totals))
+    stat = joined.agg(
+        F.max(
+            F.abs(
+                F.col("cum_is_ref") / F.col("n_ref")
+                - F.col("cum_is_cur") / F.col("n_cur")
+            )
+        ).alias("ks_stat"),
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+    )
+    return stat.select(
+        "ks_stat",
+        ks_pvalue_expr(F.col("ks_stat"), F.col("n_ref"), F.col("n_cur")).alias(
+            "p_value"
+        ),
+        "n_ref",
+        "n_cur",
+    )
+
+
+def value_drift(
+    ref: DataFrame, cur: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Per-column KS drift for a set of columns in ONE pass.
+
+    Returns ``(column string, ks_stat double, p_value double)`` with one
+    row per input column. Implementation: melt both sides to
+    ``(column, v, is_ref, is_cur)`` long format, then a window partitioned
+    by column computes each column's ECDF pair — per-column work is
+    distributed across the cluster by the shuffle on ``column`` (each
+    column sorts independently; for a single pathologically huge column
+    use ``ks_2samp`` instead).
+    """
+
+    def melt(df: DataFrame, is_ref: int) -> DataFrame:
+        long = df.select(
+            *[F.col(c).cast("double").alias(c) for c in columns]
+        ).unpivot([], columns, "column", "v")
+        return long.where(F.col("v").isNotNull()).select(
+            "column",
+            "v",
+            F.lit(is_ref).alias("is_ref"),
+            F.lit(1 - is_ref).alias("is_cur"),
+        )
+
+    pooled = melt(ref, 1).unionAll(melt(cur, 0))
+    w = Window.partitionBy("column").orderBy("v")  # RANGE frame → tie-aware
+    totals_w = Window.partitionBy("column")
+    cums = pooled.select(
+        "column",
+        F.sum("is_ref").over(w).alias("cum_ref"),
+        F.sum("is_cur").over(w).alias("cum_cur"),
+        F.sum("is_ref").over(totals_w).alias("n_ref"),
+        F.sum("is_cur").over(totals_w).alias("n_cur"),
+    )
+    stat = cums.groupBy("column").agg(
+        F.max(
+            F.abs(
+                F.col("cum_ref") / F.col("n_ref")
+                - F.col("cum_cur") / F.col("n_cur")
+            )
+        ).alias("ks_stat"),
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+    )
+    return stat.select(
+        "column",
+        "ks_stat",
+        ks_pvalue_expr(F.col("ks_stat"), F.col("n_ref"), F.col("n_cur")).alias(
+            "p_value"
+        ),
+    )
+
+
+def value_drift_metrics(
+    ref: DataFrame, cur: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Drift result as long metrics rows ``(metric_name, value)`` named
+    ``valuedrift_<column>`` — the simplified-name contract the dashboard
+    SQL depends on (churn_prediction_pipeline.py:533-553).
+    """
+    return value_drift(ref, cur, columns).select(
+        F.concat(F.lit("valuedrift_"), F.col("column")).alias("metric_name"),
+        F.col("p_value").alias("value"),
+    )
+
+
+def drifted_columns_count(
+    drift: DataFrame, p_threshold: float = P_VALUE_DRIFT_THRESHOLD
+) -> DataFrame:
+    """Aggregate per-column drift into the two dataset-level metrics the
+    reference consumes (churn_prediction_pipeline.py:412-416):
+    ``driftedcolumnscount[count]`` and ``driftedcolumnscount[share]``.
+
+    Input: the output of ``value_drift`` (one row per column).
+    """
+    agg = drift.agg(
+        F.sum((F.col("p_value") < F.lit(p_threshold)).cast("int"))
+        .cast("double")
+        .alias("count"),
+        F.count(F.lit(1)).cast("double").alias("n_cols"),
+    )
+    wide = agg.select(
+        F.col("count").alias("driftedcolumnscount[count]"),
+        (F.col("count") / F.col("n_cols")).alias("driftedcolumnscount[share]"),
+    )
+    return wide.unpivot([], wide.columns, "metric_name", "value")
+
+
+def assess_data_drift(
+    metrics: DataFrame, share_threshold: float = DATASET_DRIFT_SHARE
+) -> tuple[bool, int, list[str]]:
+    """Predicate over a metrics DataFrame: (dataset drifted?, n drifted
+    columns, drifted column names) — churn_prediction_pipeline.py:395-431.
+    The metrics frame is tiny (one row per metric); collect is intended.
+    """
+    rows = metrics.where(
+        F.col("metric_name").startswith("driftedcolumnscount")
+        | (
+            F.col("metric_name").startswith("valuedrift_")
+            & (F.col("value") < P_VALUE_DRIFT_THRESHOLD)
+        )
+    ).collect()
+    share = next(
+        (r["value"] for r in rows if r["metric_name"] == "driftedcolumnscount[share]"),
+        0.0,
+    )
+    count = next(
+        (r["value"] for r in rows if r["metric_name"] == "driftedcolumnscount[count]"),
+        0.0,
+    )
+    drifted_cols = sorted(
+        r["metric_name"].removeprefix("valuedrift_")
+        for r in rows
+        if r["metric_name"].startswith("valuedrift_")
+    )
+    return bool(share > share_threshold), int(count), drifted_cols
+
+
+def assess_prediction_scores(
+    metrics: DataFrame, score_threshold: float = 0.70
+) -> tuple[bool, list[tuple[str, float]]]:
+    """Predicate: any of f1score/precision/recall/accuracy below threshold?
+    (churn_prediction_pipeline.py:434-485; default 0.70 per :435,:879).
+    """
+    rows = (
+        metrics.where(
+            F.col("metric_name").isin("f1score", "precision", "recall", "accuracy")
+            & (F.col("value") < F.lit(score_threshold))
+        )
+        .orderBy("metric_name")
+        .collect()
+    )
+    failing = [(r["metric_name"], float(r["value"])) for r in rows]
+    return bool(failing), failing

@@ -1,0 +1,148 @@
+"""Metric reshaping + the metrics-store SQL surface (SURVEY §2.E).
+
+The reference unpivots an Evidently report dict into long rows
+``(metric_name, value, created_at)`` (churn_prediction_pipeline.py:488-530)
+with names simplified by ``simplify_metric_name`` (:533-553), appends them
+to Postgres, and serves two dashboard SQL shapes
+(churn-model-evaluation.json): latest-value-per-metric and per-metric time
+series. Here the store is any Spark-SQL-queryable table (parquet dir by
+default) and both shapes run through ``spark.sql`` verbatim.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_TABLE = "drift_metrics"
+
+
+def metrics_unpivot(
+    wide: DataFrame, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Wide single-row aggregates → long ``(metric_name, value)`` rows.
+
+    ``DataFrame.unpivot`` (Catalyst ``Expand``) — no shuffle; each input
+    row fans out to one row per metric column.
+    """
+    ids = id_cols or []
+    values = [c for c in wide.columns if c not in ids]
+    long = wide.unpivot(ids, values, "metric_name", "value")
+    return long.withColumn("value", F.col("value").cast("double"))
+
+
+def explode_dict_metric(
+    df: DataFrame, name_col: str, map_col: str
+) -> DataFrame:
+    """Dict-valued metric → one row per entry, named ``<name>[<key>]``
+    (flattening at churn_prediction_pipeline.py:513-523).
+    """
+    e = df.select(
+        F.col(name_col).alias("__name"), F.explode(F.map_entries(F.col(map_col)))
+    ).select(
+        F.concat(F.col("__name"), F.lit("["), F.col("col.key"), F.lit("]")).alias(
+            "metric_name"
+        ),
+        F.col("col.value").cast("double").alias("value"),
+    )
+    return e
+
+
+def simplify_metric_name_expr(metric_id: Column) -> Column:
+    """Column expression of the reference's ``simplify_metric_name``
+    (churn_prediction_pipeline.py:533-553):
+
+    ``"F1Score(conf_matrix=True)"``      → ``"f1score"``
+    ``"ValueDrift(column=age_group)"``   → ``"valuedrift_age_group"``
+    ``"Accuracy"``                       → ``"accuracy"``
+    """
+    base = F.lower(F.regexp_extract(metric_id, r"^([A-Za-z0-9_]+)", 1))
+    column = F.regexp_extract(metric_id, r"column=([A-Za-z0-9_]+)", 1)
+    return F.when(column == "", base).otherwise(
+        F.concat(base, F.lit("_"), F.lower(column))
+    )
+
+
+def simplify_metric_name(metric_id: str) -> str:
+    """Driver-side twin of ``simplify_metric_name_expr``."""
+    m = re.match(r"^([A-Za-z0-9_]+)", metric_id)
+    base = m.group(1).lower() if m else metric_id.lower()
+    col = re.search(r"column=([A-Za-z0-9_]+)", metric_id)
+    return f"{base}_{col.group(1).lower()}" if col else base
+
+
+def with_created_at(df: DataFrame, ts: Column | None = None) -> DataFrame:
+    """Stamp the append time (churn_prediction_pipeline.py:509,521 uses
+    ``datetime.utcnow()``). Pass a literal for deterministic tests.
+    """
+    return df.withColumn("created_at", ts if ts is not None else F.current_timestamp())
+
+
+def append_metrics(df: DataFrame, path: str) -> None:
+    """Append metric rows to the store — parquet append (the distributed
+    stand-in for the reference's Postgres INSERT,
+    churn_prediction_pipeline.py:529-530). For a real warehouse use
+    ``df.write.jdbc(url, table, mode="append")`` or a Delta table; the
+    schema is DRIFT_METRICS_SCHEMA either way.
+    """
+    df.write.mode("append").parquet(path)
+
+
+def append_metrics_jdbc(df: DataFrame, url: str, table: str = METRICS_TABLE,
+                        properties: dict | None = None) -> None:
+    """JDBC append sink (churn_prediction_pipeline.py:529-530,628-636).
+    Requires the JDBC driver jar on the classpath; kept thin by design.
+    """
+    df.write.jdbc(url, table, mode="append", properties=properties or {})
+
+
+def register_metrics_view(
+    spark: SparkSession, source: DataFrame | str, name: str = METRICS_TABLE
+) -> None:
+    """Expose the metrics table to Spark SQL so the dashboard queries run
+    verbatim (SURVEY §3.3)."""
+    df = spark.read.parquet(source) if isinstance(source, str) else source
+    df.createOrReplaceTempView(name)
+
+
+def latest_metric_value(
+    spark: SparkSession, metric_name: str, table: str = METRICS_TABLE
+) -> DataFrame:
+    """Dashboard shape A (churn-model-evaluation.json:110):
+    ``SELECT value WHERE metric_name=? ORDER BY created_at DESC LIMIT 1``.
+    Catalyst plans this as TakeOrderedAndProject after a pushed filter —
+    no full sort.
+    """
+    return spark.sql(
+        f"SELECT value FROM {table} WHERE metric_name = ? "
+        "ORDER BY created_at DESC LIMIT 1",
+        args=[metric_name],
+    )
+
+
+def latest_per_metric(metrics: DataFrame) -> DataFrame:
+    """Generalized shape A: latest value for EVERY metric in one pass.
+
+    Uses ``max_by`` (one hash aggregation, map-side partial) instead of a
+    window over a global sort — at a 100 TB metrics table this is a single
+    shuffle of (metric_name → (value, ts)) pairs, not a per-partition sort.
+    """
+    return metrics.groupBy("metric_name").agg(
+        F.max_by("value", "created_at").alias("value"),
+        F.max("created_at").alias("created_at"),
+    )
+
+
+def metric_timeseries(
+    spark: SparkSession, metric_name: str, table: str = METRICS_TABLE
+) -> DataFrame:
+    """Dashboard shape B (churn-model-evaluation.json:479 et al.):
+    ``SELECT created_at, value WHERE metric_name=? ORDER BY created_at``.
+    """
+    return spark.sql(
+        f"SELECT created_at, value FROM {table} WHERE metric_name = ? "
+        "ORDER BY created_at",
+        args=[metric_name],
+    )

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (north-star extensions;
+SURVEY §7.2 item 7): brute-force cosine top-k baseline + LSH-bucketed
+scale path.
+
+The embedding column is ``array<float>``; all arithmetic is done in
+float64 via higher-order array expressions (``zip_with`` + ``aggregate``)
+— JVM-side, no UDF, sequential element-order folds so the DuckDB oracle
+(double-cast ``list_dot_product``) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_perms
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ in float64, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline.
+
+    The query vector is a literal array (broadcast by value into the plan)
+    — the scan is one embarrassingly-parallel projection followed by a
+    global top-k (TakeOrderedAndProject: per-partition heap + driver merge
+    of k rows per partition, no full sort, no shuffle of the data).
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    out = df.select(
+        id_col, cosine_expr(F.col(vec_col), q).alias("cosine_sim")
+    )
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != F.lit(exclude_id))
+    return out.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded ±1 hyperplanes for sign-LSH (portable: plain literals)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = (vec · plane_i) > 0."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(_dot(vec, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH prefilter + exact rescoring.
+
+    Scans only the query's LSH bucket (a pushdown-able equality filter if
+    the table is written partitioned/bucketed by ``lsh_bucket``) then runs
+    the exact cosine on that slice. At 100 TB this turns a full scan into
+    a 1/2^n_planes partition read; recall is tunable via n_planes /
+    multi-probe. The baseline ``cosine_topk`` is the exact reference.
+    """
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q_bucket = 0
+    for i, plane in enumerate(planes):
+        dot = sum(a * b for a, b in zip(query_vec, plane))
+        if dot > 0:
+            q_bucket += 1 << i
+    bucketed = df.withColumn("lsh_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    sliced = bucketed.where(F.col("lsh_bucket") == F.lit(q_bucket))
+    return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
+
+
+__all__ = [
+    "cosine_expr",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "lsh_bucket_expr",
+    "minhash_perms",
+    "random_hyperplanes",
+]

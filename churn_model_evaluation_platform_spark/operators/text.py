@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extensions; SURVEY §7.2 item 7): tokenization, language ID, quality
+scoring, document fingerprinting.
+
+All pure Catalyst expressions (split / higher-order array functions /
+regexp) — JVM-side, whole-stage codegen, no UDFs; embarrassingly parallel
+(per-row), so they scale linearly with executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash_int
+
+# Deliberately DISJOINT stopword sets so the language vote is unambiguous.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "les", "une", "est", "pour", "dans", "qui", "pas"],
+    "es": ["el", "los", "una", "por", "como", "pero", "sus", "muy"],
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """lower → collapse whitespace → trim (the dedup canonical form)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count per document."""
+    return df.select(
+        id_col, F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Array of n-word shingles ('w1 w2 w3' strings) of normalized text.
+    Docs shorter than n words yield one (short) shingle. Pure higher-order
+    array expression — no explode until the consumer asks for it."""
+    toks = tokens(col)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct portable integer hashes of the n-word shingles."""
+    return F.array_distinct(
+        F.transform(word_shingles(col, n), lambda s: md5_hash_int(s))
+    )
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: disjoint-stopword voting with a fixed
+    tie-break order (en > de > fr > es > unknown)."""
+    toks = tokens(F.col(text_col))
+
+    def _hits(sw: list[str]) -> Column:
+        # NB: the lambda must take exactly one arg — a second arg (even a
+        # defaulted one) makes Spark pass the element INDEX into it.
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    hit_cols = {lang: _hits(sw) for lang, sw in LANG_STOPWORDS.items()}
+    en, de, fr, es = (hit_cols[x] for x in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((en > 0) & (en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de > 0) & (de >= fr) & (de >= es), "de")
+        .when((fr > 0) & (fr >= es), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return df.select(id_col, pred.alias("lang_pred"))
+
+
+def text_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality heuristics per doc: length, token count, mean token length,
+    stopword ratio, alpha ratio, and a composite score in [0, 1].
+    All ratios are deterministic arithmetic over exact counts."""
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    toks = tokens(t)
+    n_chars = F.length(t).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    en_sw = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*en_sw))).cast("double")
+    n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", "")).cast("double")
+    mean_token_len = (F.length(norm) - (n_tokens - 1)) / n_tokens
+    stop_ratio = n_stop / n_tokens
+    alpha_ratio = n_alpha / F.length(norm).cast("double")
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + stop_ratio * F.lit(0.3)
+        + alpha_ratio * F.lit(0.3)
+    )
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_token_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Content fingerprint: min shingle hash (winnowing-lite) + shingle
+    count + full-content md5. Equal fingerprints ⇒ candidate duplicates."""
+    hashes = shingle_hashes(F.col(text_col), n)
+    return df.select(
+        id_col,
+        F.array_min(hashes).alias("min_shingle_hash"),
+        F.size(hashes).alias("n_shingles"),
+        F.md5(normalize_text(F.col(text_col))).alias("content_md5"),
+    )

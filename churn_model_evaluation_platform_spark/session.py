@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+One place to set the scale-oriented defaults: AQE on (runtime re-planning,
+skew-join handling, coalescing post-shuffle partitions), Arrow for any
+pandas-UDF boundary, and a shuffle-partition count appropriate for the
+local test harness (on a real cluster this is overridden by config or AQE
+coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "churn_model_evaluation_platform_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults are tuned so the same code runs on ``local[N]`` for tests and
+    unchanged on a multi-executor cluster:
+
+    - ``spark.sql.adaptive.enabled``: runtime plan changes (partition
+      coalescing, skew-join splitting, broadcast conversion) — essential at
+      100 TB where static estimates are wrong.
+    - ``spark.sql.execution.arrow.pyspark.enabled``: Arrow batches for the
+      few pandas-UDF paths (model scoring), ~10-100x over row-at-a-time.
+    - shuffle partitions sized to the local core count; AQE coalesces
+      further when partitions are small.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type — read as long, converted in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
