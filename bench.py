@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no result transfer, no output I/O) so Catalyst cannot prune the measured
+work the way a bare count() would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from churn_model_evaluation_platform_spark.session import get_spark  # noqa: E402
+
+# Representative spread across operator families (SURVEY §2): quality agg,
+# drift (windowed multi-column + scalable single-column KS), metric
+# reshaping + store shapes, relational core, dedup, similarity, text.
+HEADLINE = [
+    "classification_scores",
+    "per_label_scores",
+    "value_drift",
+    "value_drift_ks",
+    "drifted_columns_count",
+    "metrics_unpivot",
+    "latest_per_metric",
+    "metric_timeseries",
+    "agg_groupby_multi",
+    "join_agg_revenue",
+    "topk_per_group",
+    "window_running_total",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "token_count",
+    "text_quality",
+    "describe_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_spark(app_name="churn_model_evaluation_platform_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # JVM/codegen warmup on a tiny query (not timed).
+    qs["metrics_unpivot"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

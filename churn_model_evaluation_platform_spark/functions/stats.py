@@ -100,6 +100,9 @@ def ks_pvalue_expr(d: Column, n: Column, m: Column) -> Column:
         * F.exp(F.lit(-2.0) * k.cast("double") * k.cast("double") * lam * lam),
     )
     p = F.lit(2.0) * series
+    # At lambda == 0 the alternating series oscillates (terms are all ±1)
+    # instead of reaching the limit Q(0) = 1 — guard identical samples.
+    p = F.when(lam < F.lit(1e-8), F.lit(1.0)).otherwise(p)
     return F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
 
 
@@ -114,4 +117,7 @@ def ks_pvalue_sql(d_expr: str, n_expr: str, m_expr: str,
         f"(SELECT SUM(power(-1.0, k - 1) * exp(-2.0 * k * k * ({lam}) * ({lam}))) "
         f"FROM generate_series(1, {terms}) AS gs(k))"
     )
-    return f"least(greatest(2.0 * {series}, 0.0), 1.0)"
+    return (
+        f"(CASE WHEN ({lam}) < 1e-8 THEN 1.0 "
+        f"ELSE least(greatest(2.0 * {series}, 0.0), 1.0) END)"
+    )

@@ -1,0 +1,240 @@
+"""Training-side dataflow (SURVEY §2.C; reference
+churn_model_training.py:199-294,335-376).
+
+Spark-first substitutions for the minimal environment (no
+xgboost/sklearn/mlflow — see SURVEY §7.2 item 5):
+
+- XGBoost               → MLlib ``GBTClassifier`` (distributed tree
+                          boosting; ``xgboost.spark.SparkXGBClassifier``
+                          drop-in when available — gated import)
+- sklearn Platt         → MLlib ``LogisticRegression`` on the raw margin
+  calibration             column (the same sigmoid fit)
+- sklearn StratifiedKFold → ``ntile(k)`` over a seeded shuffle within
+                          each label stratum (window function)
+- sklearn f1_score      → the engine's own confusion-matrix aggregation
+                          (operators/quality.py)
+- Optuna TPE            → threshold grid + (optional) random search on
+                          the driver; trials evaluated as Spark jobs
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.ml import Model
+from pyspark.ml.classification import GBTClassifier, LogisticRegression
+from pyspark.ml.feature import VectorAssembler
+
+from ..operators.quality import classification_scores
+from ..schema import NUMERICAL_COLUMNS, TARGET_COLUMN
+
+SEED = 42  # churn_model_training.py:335-337 / :254-257
+
+
+def train_test_split(
+    df: DataFrame, test_size: float = 0.2, seed: int = SEED
+) -> tuple[DataFrame, DataFrame]:
+    """80/20 random split (churn_model_training.py:335-337)."""
+    train, test = df.randomSplit([1.0 - test_size, test_size], seed=seed)
+    return train, test
+
+
+def stratified_folds(
+    df: DataFrame, k: int = 3, label_col: str = TARGET_COLUMN, seed: int = SEED
+) -> DataFrame:
+    """Stratified k-fold assignment (churn_model_training.py:254-257):
+    ``fold`` in 1..k via ntile over a seeded shuffle per label stratum —
+    preserves label proportions per fold, one window pass."""
+    w = Window.partitionBy(label_col).orderBy(F.rand(seed))
+    return df.withColumn("fold", F.ntile(k).over(w))
+
+
+def assemble(
+    df: DataFrame, feature_cols: list[str] | None = None, out_col: str = "features"
+) -> DataFrame:
+    cols = feature_cols or NUMERICAL_COLUMNS
+    return VectorAssembler(
+        inputCols=cols, outputCol=out_col, handleInvalid="keep"
+    ).transform(df)
+
+
+def train_gbt(
+    train: DataFrame,
+    feature_cols: list[str] | None = None,
+    label_col: str = TARGET_COLUMN,
+    max_iter: int = 40,
+    max_depth: int = 3,
+    step_size: float = 0.1,
+    seed: int = SEED,
+) -> Model:
+    """Gradient-boosted trees — the reference's XGBoost stand-in
+    (churn_model_training.py:102-108; depth 3 mirrors
+    best_params_to_date max_depth=3 at :348-359)."""
+    try:  # drop-in distributed XGBoost when the package is present
+        from xgboost.spark import SparkXGBClassifier  # noqa: PLC0415
+
+        est = SparkXGBClassifier(
+            features_col="features",
+            label_col=label_col,
+            max_depth=max_depth,
+            n_estimators=max_iter,
+            learning_rate=step_size,
+        )
+    except ImportError:
+        est = GBTClassifier(
+            featuresCol="features",
+            labelCol=label_col,
+            maxIter=max_iter,
+            maxDepth=max_depth,
+            stepSize=step_size,
+            seed=seed,
+        )
+    return est.fit(assemble(train, feature_cols))
+
+
+def raw_margin_col(scored: DataFrame, model) -> DataFrame:
+    """Extract the boosted raw margin (log-odds) as a scalar column and
+    drop the model's own output columns (they would collide with the
+    calibrator's downstream)."""
+    from pyspark.ml.functions import vector_to_array
+
+    out = scored.withColumn(
+        "margin", vector_to_array(F.col(model.getRawPredictionCol()))[1]
+    )
+    drops = [
+        getter()
+        for getter in (
+            model.getRawPredictionCol,
+            getattr(model, "getProbabilityCol", lambda: None),
+            model.getPredictionCol,
+        )
+        if getter() is not None
+    ]
+    return out.drop(*drops)
+
+
+def calibrate_sigmoid(
+    scored_train: DataFrame, label_col: str = TARGET_COLUMN
+) -> Model:
+    """Platt calibration (churn_model_training.py:261-264): logistic
+    regression on the frozen model's margin → calibrated P(churn)."""
+    cal_input = VectorAssembler(
+        inputCols=["margin"], outputCol="margin_vec"
+    ).transform(scored_train)
+    lr = LogisticRegression(
+        featuresCol="margin_vec", labelCol=label_col, maxIter=50
+    )
+    return lr.fit(cal_input)
+
+
+def calibrated_proba(df: DataFrame, calibrator: Model) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+
+    cal_input = VectorAssembler(
+        inputCols=["margin"], outputCol="margin_vec"
+    ).transform(df)
+    out = calibrator.transform(cal_input)
+    return out.withColumn(
+        "proba", vector_to_array(F.col(calibrator.getProbabilityCol()))[1]
+    ).drop("margin_vec", calibrator.getRawPredictionCol(),
+           calibrator.getProbabilityCol(), calibrator.getPredictionCol())
+
+
+def tune_threshold(
+    proba_df: DataFrame,
+    label_col: str = TARGET_COLUMN,
+    proba_col: str = "proba",
+    grid: list[float] | None = None,
+) -> tuple[float, float]:
+    """Decision-threshold tuning on F1 (churn_model_training.py:266-273),
+    t ∈ [0.1, 0.9]. ONE aggregation pass evaluates the whole grid: per
+    threshold, conditional-sum tp/fp/fn — no per-trial job storm."""
+    ts = grid or [round(0.1 + 0.02 * i, 2) for i in range(41)]
+    lbl = F.col(label_col)
+    p = F.col(proba_col)
+    aggs = []
+    for i, t in enumerate(ts):
+        pred = (p >= F.lit(t)).cast("int")
+        aggs += [
+            F.sum(((lbl == 1) & (pred == 1)).cast("long")).alias(f"tp{i}"),
+            F.sum(((lbl != 1) & (pred == 1)).cast("long")).alias(f"fp{i}"),
+            F.sum(((lbl == 1) & (pred == 0)).cast("long")).alias(f"fn{i}"),
+        ]
+    row = proba_df.agg(*aggs).first()
+    best_t, best_f1 = ts[0], -1.0
+    for i, t in enumerate(ts):
+        tp, fp, fn = row[f"tp{i}"], row[f"fp{i}"], row[f"fn{i}"]
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        if f1 > best_f1:
+            best_t, best_f1 = t, f1
+    return best_t, best_f1
+
+
+@dataclass
+class TrainedModel:
+    model: Model
+    calibrator: Model
+    threshold: float
+    cv_f1: float
+    feature_cols: list[str]
+
+
+def fit_pipeline(
+    df: DataFrame,
+    feature_cols: list[str] | None = None,
+    label_col: str = TARGET_COLUMN,
+    **gbt_params,
+) -> TrainedModel:
+    """train → margin → calibrate → tune threshold (the reference's
+    tuning inner loop, churn_model_training.py:246-273)."""
+    cols = feature_cols or NUMERICAL_COLUMNS
+    model = train_gbt(df, cols, label_col, **gbt_params)
+    scored = raw_margin_col(model.transform(assemble(df, cols)), model)
+    calibrator = calibrate_sigmoid(scored, label_col)
+    proba = calibrated_proba(scored, calibrator)
+    t, f1 = tune_threshold(proba, label_col)
+    return TrainedModel(model, calibrator, t, f1, cols)
+
+
+def predict(tm: TrainedModel, df: DataFrame) -> DataFrame:
+    """Apply the full trained pipeline → int ``churn_prediction``."""
+    scored = raw_margin_col(
+        tm.model.transform(assemble(df, tm.feature_cols)), tm.model
+    )
+    proba = calibrated_proba(scored, tm.calibrator)
+    return proba.withColumn(
+        "churn_prediction", (F.col("proba") >= F.lit(tm.threshold)).cast("int")
+    )
+
+
+def evaluate(
+    tm: TrainedModel, df: DataFrame, label_col: str = TARGET_COLUMN
+) -> dict[str, float]:
+    """Holdout scores via the engine's confusion-matrix aggregation
+    (mirrors mlflow_eval_suite's core metrics,
+    churn_model_training.py:144-168)."""
+    scored = predict(tm, df)
+    rows = classification_scores(scored, label_col, "churn_prediction").collect()
+    return {r["metric_name"]: r["value"] for r in rows}
+
+
+def cross_validate_f1(
+    df: DataFrame,
+    k: int = 3,
+    feature_cols: list[str] | None = None,
+    label_col: str = TARGET_COLUMN,
+    **gbt_params,
+) -> float:
+    """Mean F1 across stratified folds (churn_model_training.py:271-273)."""
+    folded = stratified_folds(df, k, label_col).cache()
+    f1s = []
+    for fold in range(1, k + 1):
+        tr = folded.where(F.col("fold") != fold).drop("fold")
+        va = folded.where(F.col("fold") == fold).drop("fold")
+        tm = fit_pipeline(tr, feature_cols, label_col, **gbt_params)
+        f1s.append(evaluate(tm, va, label_col)["f1score"])
+    return sum(f1s) / len(f1s)

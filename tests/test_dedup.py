@@ -1,0 +1,112 @@
+"""Dedup operators on planted duplicates/near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from churn_model_evaluation_platform_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+
+@pytest.fixture
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    other = "completely different content about spark engines and parquet files"
+    rows = [
+        (1, base),
+        (2, "  THE   quick brown fox jumps over the lazy dog again and again today "),
+        (3, near),
+        (4, other),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalized(docs):
+    out = exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    # doc 2 is doc 1 modulo case/whitespace → collapsed, min id wins
+    assert by_id == {1: 2, 3: 1, 4: 1}
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after norm
+    assert (1, 3) in pairs and 0.3 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_value(spark):
+    # doc a: tokens w1..w4 → 2 trigram shingles; doc b shares 1 of them
+    a = "w1 w2 w3 w4"
+    b = "w1 w2 w3 zz"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    assert len(pairs) == 1
+    # shingles a: {w1 w2 w3, w2 w3 w4}; b: {w1 w2 w3, w2 w3 zz} → 1/3
+    assert pairs[0]["jaccard"] == pytest.approx(1 / 3)
+
+
+def test_minhash_equal_docs_equal_sigs(docs):
+    sigs = {r["doc_id"]: tuple(r[f"m{i}"] for i in range(16))
+            for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs
+    # near-dup (1,3) should collide on at least one band most of the time;
+    # if present its estimate must be strictly between 0 and 1
+    if (1, 3) in pairs:
+        assert 0.0 < pairs[(1, 3)] < 1.0
+
+
+def test_simhash_and_pairs(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fps[1] == fps[2]  # identical normalized content
+    assert 0 <= fps[1] < (1 << 32)
+    ham_13 = bin(fps[1] ^ fps[3]).count("1")
+    ham_14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated doc
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=ham_13).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == ham_13
+
+
+def test_minhash_matches_pure_python(spark):
+    """Cross-check one signature against an independent Python MinHash."""
+    import hashlib
+
+    from churn_model_evaluation_platform_spark.functions.hashing import (
+        MERSENNE_31,
+        minhash_perms,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = minhash_signatures(df, n=3).first()
+
+    toks = text.split(" ")
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    hs = {int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shingles}
+    for i, (a, b) in enumerate(minhash_perms(16, seed=42)):
+        expected = min((a * h + b) % MERSENNE_31 for h in hs)
+        assert row[f"m{i}"] == expected

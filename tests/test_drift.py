@@ -1,0 +1,123 @@
+"""KS drift statistics: analytic cases, a pure-Python brute-force oracle
+(ties included), and the reference's alert predicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from churn_model_evaluation_platform_spark.operators.drift import (
+    assess_data_drift,
+    assess_prediction_scores,
+    drifted_columns_count,
+    ks_2samp,
+    value_drift,
+)
+
+
+def brute_ks(ref: list[float], cur: list[float]) -> float:
+    """O(n·m) two-sided KS statistic, tie-correct."""
+    xs = sorted(set(ref) | set(cur))
+    n, m = len(ref), len(cur)
+    return max(
+        abs(sum(v <= x for v in ref) / n - sum(v <= x for v in cur) / m)
+        for x in xs
+    )
+
+
+def _df(spark, vals, col="v"):
+    return spark.createDataFrame([(float(v),) for v in vals], [col])
+
+
+def test_identical_samples_no_drift(spark):
+    a = _df(spark, range(100))
+    r = ks_2samp(a, _df(spark, range(100)), "v").first()
+    assert r["ks_stat"] == 0.0
+    assert r["p_value"] == pytest.approx(1.0)
+
+
+def test_disjoint_shift_analytic(spark):
+    # ref 0..99 vs cur 50..149 → D = 0.5 exactly, p ≈ 0
+    r = ks_2samp(_df(spark, range(100)), _df(spark, range(50, 150)), "v").first()
+    assert r["ks_stat"] == pytest.approx(0.5)
+    assert r["p_value"] < 1e-9
+    assert (r["n_ref"], r["n_cur"]) == (100, 100)
+
+
+def test_ks_matches_bruteforce_with_ties(spark):
+    import random
+
+    rng = random.Random(7)
+    ref = [rng.randint(0, 20) / 2 for _ in range(257)]  # heavy ties
+    cur = [rng.randint(3, 23) / 2 for _ in range(199)]
+    r = ks_2samp(_df(spark, ref), _df(spark, cur), "v").first()
+    assert r["ks_stat"] == pytest.approx(brute_ks(ref, cur), abs=1e-12)
+
+
+def test_value_drift_agrees_with_ks_2samp(spark):
+    import random
+
+    rng = random.Random(11)
+    rows_ref = [(rng.gauss(0, 1), rng.gauss(5, 2)) for _ in range(300)]
+    rows_cur = [(rng.gauss(0.8, 1), rng.gauss(5, 2)) for _ in range(250)]
+    ref = spark.createDataFrame(rows_ref, ["a", "b"])
+    cur = spark.createDataFrame(rows_cur, ["a", "b"])
+    vd = {r["column"]: r for r in value_drift(ref, cur, ["a", "b"]).collect()}
+    ka = ks_2samp(ref, cur, "a").first()
+    kb = ks_2samp(ref, cur, "b").first()
+    assert vd["a"]["ks_stat"] == pytest.approx(ka["ks_stat"], abs=1e-12)
+    assert vd["b"]["ks_stat"] == pytest.approx(kb["ks_stat"], abs=1e-12)
+    # shifted column drifts, same-distribution column doesn't
+    assert vd["a"]["p_value"] < 0.05
+    assert vd["b"]["p_value"] > 0.05
+
+
+def test_ks_pvalue_borderline_regime(spark):
+    # Overlapping uniforms: D ≈ 0.152, asymptotic p lands just under the
+    # 0.05 drift threshold — exercises the interesting decision region
+    # (the NR-corrected asymptotic formula scipy's mode="asymp" used).
+    ref = [i / 100 for i in range(200)]
+    cur = [0.3 + i / 100 for i in range(150)]
+    r = ks_2samp(_df(spark, ref), _df(spark, cur), "v").first()
+    assert r["ks_stat"] == pytest.approx(brute_ks(ref, cur), abs=1e-12)
+    assert 0.01 < r["p_value"] < 0.05
+
+
+def test_drifted_columns_count_and_assess(spark):
+    import random
+
+    rng = random.Random(3)
+    ref = spark.createDataFrame(
+        [(rng.gauss(0, 1), rng.gauss(0, 1), rng.gauss(0, 1)) for _ in range(300)],
+        ["a", "b", "c"],
+    )
+    cur = spark.createDataFrame(
+        [(rng.gauss(3, 1), rng.gauss(3, 1), rng.gauss(0, 1)) for _ in range(300)],
+        ["a", "b", "c"],
+    )
+    drift = value_drift(ref, cur, ["a", "b", "c"])
+    dcc = {r["metric_name"]: r["value"] for r in drifted_columns_count(drift).collect()}
+    assert dcc["driftedcolumnscount[count]"] == 2.0
+    assert dcc["driftedcolumnscount[share]"] == pytest.approx(2 / 3)
+
+    metrics = drift.select(
+        F.concat(F.lit("valuedrift_"), F.col("column")).alias("metric_name"),
+        F.col("p_value").alias("value"),
+    ).unionAll(drifted_columns_count(drift))
+    drifted, n, cols = assess_data_drift(metrics)
+    assert drifted is True  # share 2/3 > 0.5
+    assert n == 2
+    assert cols == ["a", "b"]
+
+
+def test_assess_prediction_scores(spark):
+    m = spark.createDataFrame(
+        [("f1score", 0.65), ("precision", 0.9), ("recall", 0.72), ("accuracy", 0.95)],
+        ["metric_name", "value"],
+    )
+    alert, failing = assess_prediction_scores(m, 0.70)
+    assert alert is True
+    assert failing == [("f1score", 0.65)]
+    alert2, failing2 = assess_prediction_scores(m, 0.60)
+    assert alert2 is False and failing2 == []

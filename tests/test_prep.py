@@ -1,0 +1,101 @@
+"""Prep/validation operators vs the reference's exact semantics
+(churn_model_training.py:62-99; churn_prediction_pipeline.py:116-161;
+error-message contract FIXTURES.md F5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from churn_model_evaluation_platform_spark.operators.prep import (
+    append_prediction_cols,
+    clean_column_names,
+    clean_name,
+    derive_output_key,
+    feature_projection,
+    prepare,
+    proba_threshold,
+    target_extract_cast,
+    validate_extension,
+    validate_schema_containment,
+)
+from churn_model_evaluation_platform_spark.schema import NUMERICAL_COLUMNS
+
+
+def test_clean_name_reference_cases():
+    # raw headers from data/customer_churn_0.csv:1
+    assert clean_name("Call  Failure") == "call_failure"
+    assert clean_name("Subscription  Length") == "subscription_length"
+    assert clean_name("Frequency of use") == "frequency_of_use"
+    assert clean_name("  Charge  Amount ") == "charge_amount"
+    assert clean_name("Churn") == "churn"
+
+
+def test_clean_column_names(spark):
+    df = spark.createDataFrame([(1, 2)], ["Call  Failure", "Age Group"])
+    assert clean_column_names(df).columns == ["call_failure", "age_group"]
+
+
+def test_validate_extension_error_message():
+    r = validate_extension("data/input/test-file.asdfasdfadsf")
+    assert not r.ok
+    assert r.error == (
+        "Invalid file type for data/input/test-file.asdfasdfadsf. "
+        "Expected a CSV file."
+    )
+    assert validate_extension("data/input/x.csv").ok
+
+
+def test_validate_containment(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["a", "b", "c"])
+    assert validate_schema_containment(df, ["a", "b"]).ok
+    r = validate_schema_containment(df, ["a", "zz"], source_name="f.csv")
+    assert not r.ok
+    assert r.missing_columns == ["zz"]
+    assert "does not match expected structure" in r.error
+    # containment compares in CLEANED space (reference cleans first)
+    messy = spark.createDataFrame([(1,)], ["Call  Failure"])
+    assert validate_schema_containment(messy, ["call_failure"]).ok
+
+
+def test_prepare_full(spark):
+    # messy headers + extra + excluded columns; label kept as int
+    data = [(1.0,) * 11 + (2, 33, 1)]
+    cols = [c.replace("_", " ").title() for c in NUMERICAL_COLUMNS] + [
+        "Tariff Plan",
+        "Age",
+        "Churn",
+    ]
+    df = spark.createDataFrame(data, cols)
+    out = prepare(df)
+    assert out.columns == NUMERICAL_COLUMNS + ["churn"]
+    types = dict(out.dtypes)
+    assert all(types[c] == "double" for c in NUMERICAL_COLUMNS)
+    assert types["churn"] == "int"
+
+
+def test_feature_projection_and_target(churn_df):
+    proj = feature_projection(churn_df)
+    assert proj.columns == NUMERICAL_COLUMNS
+    x, y = target_extract_cast(churn_df)
+    assert "churn" not in x.columns
+    assert [r["churn"] for r in y.collect()] == [0, 1, 0, 1]
+
+
+def test_proba_threshold(spark):
+    df = spark.createDataFrame([(0.1,), (0.5,), (0.9,)], ["p"])
+    out = proba_threshold(df, "p", 0.5)
+    assert [r["churn_prediction"] for r in out.collect()] == [0, 1, 1]
+
+
+def test_append_prediction_cols(spark):
+    df = spark.createDataFrame([(10.0,), (90.0,)], ["v"])
+    out = append_prediction_cols(df, F.col("v") > 50, F.col("v") > 20)
+    rows = out.collect()
+    assert [(r["churn"], r["churn_prediction"]) for r in rows] == [(0, 0), (1, 1)]
+
+
+def test_derive_output_key(spark):
+    # churn_prediction_pipeline.py:238-246 naming contract
+    df = spark.createDataFrame([("data/input/batch_7.csv",)], ["key"])
+    out = df.select(derive_output_key(F.col("key"), "XGBoostChurnModel", 4).alias("k"))
+    assert out.first()["k"] == "batch_7_predictions_XGBoostChurnModel_v4.csv"

@@ -1,0 +1,58 @@
+"""Similarity search: exact cosine on hand-computable vectors + LSH."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from churn_model_evaluation_platform_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+)
+
+
+@pytest.fixture
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),   # parallel → cos 1
+        (2, [1.0, 1.0, 0.0]),   # 45° → cos √2/2
+        (3, [0.0, 1.0, 0.0]),   # orthogonal → cos 0
+        (4, [-1.0, 0.0, 0.0]),  # opposite → cos -1
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact_values(vecs):
+    out = cosine_topk(vecs, [1.0, 0.0, 0.0], k=4, exclude_id=0).collect()
+    got = [(r["vec_id"], r["cosine_sim"]) for r in out]
+    assert got[0] == (1, pytest.approx(1.0))
+    assert got[1] == (2, pytest.approx(math.sqrt(2) / 2))
+    assert got[2] == (3, pytest.approx(0.0))
+    assert got[3] == (4, pytest.approx(-1.0))
+
+
+def test_cosine_topk_k_limits(vecs):
+    out = cosine_topk(vecs, [1.0, 0.0, 0.0], k=2, exclude_id=0).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+
+
+def test_lsh_results_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(5)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[0][1]
+    exact = {r["vec_id"]: r["cosine_sim"]
+             for r in cosine_topk(df, q, k=200, exclude_id=0).collect()}
+    approx = cosine_topk_lsh(df, q, k=10, n_planes=4, exclude_id=0).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert r["cosine_sim"] == pytest.approx(exact[r["vec_id"]])
+    # bucket sharing ⇒ the returned neighbors skew similar, and the top
+    # LSH hit should be a genuinely close neighbor in the exact ranking
+    top_exact = sorted(exact.values(), reverse=True)[:50]
+    assert approx[0]["cosine_sim"] >= top_exact[-1]

@@ -1,0 +1,61 @@
+"""Text-analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from churn_model_evaluation_platform_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    text_quality,
+    token_count,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "one  two   three"), (2, "single")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n_tokens"] for r in token_count(df).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat and the dog went to the house of friends"),
+        (2, "der hund und die katze sind nicht mit dem mann"),
+        (3, "le chat est dans les maisons pour une souris qui dort"),
+        (4, "el perro come por una casa pero sus amigos muy lejos"),
+        (5, "zzz qqq www rrr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
+
+
+def test_text_quality_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is in the yard"), (2, "x!!! ###")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text_quality(df).collect()}
+    good, bad = rows[1], rows[2]
+    assert good["n_tokens"] == 8.0
+    assert 0.0 <= good["quality_score"] <= 1.0
+    assert good["alpha_ratio"] > bad["alpha_ratio"]
+    assert good["quality_score"] > bad["quality_score"]
+    # hits: the, is, in, the → 4 of 8 tokens
+    assert good["stopword_ratio"] == pytest.approx(4 / 8)
+
+
+def test_doc_fingerprint_stable(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "A  b C d E"), (3, "f g h i j")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in doc_fingerprint(df).collect()}
+    # same normalized content → identical fingerprint fields
+    assert rows[1]["content_md5"] == rows[2]["content_md5"]
+    assert rows[1]["min_shingle_hash"] == rows[2]["min_shingle_hash"]
+    assert rows[1]["n_shingles"] == 3  # 5 tokens → 3 trigram shingles
+    assert rows[1]["content_md5"] != rows[3]["content_md5"]
