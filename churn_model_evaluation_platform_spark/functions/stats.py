@@ -40,18 +40,24 @@ def partitioned_prefix_sum(
     through the whole tie group, i.e. RANGE frame semantics — what an ECDF
     needs), computed scalably:
 
-    1. One approx-quantile pass picks ~balanced key-range boundaries; the
-       bucket id is then a pure expression of the KEY (deterministic and
-       identical in every job — a ``spark_partition_id`` would not be:
-       separate jobs may map rows to physical partitions differently).
-    2. Per-bucket window (partitionBy bucket) running sums — ties are
-       peer-grouped by the default RANGE frame.
-    3. Per-bucket totals → driver (tiny: one row per bucket) → broadcast
-       offset join.
+    1. One ``percentile_approx`` aggregation (codegen, single job) picks
+       ~balanced key-range boundaries; the bucket id is then a pure
+       expression of the KEY (deterministic and identical in every job —
+       a ``spark_partition_id`` would not be: separate jobs may map rows
+       to physical partitions differently).
+    2. ONE lazy plan does the rest: per-bucket window running sums; the
+       per-bucket totals aggregate (one tiny row per bucket) windowed
+       over preceding buckets gives cross-bucket offsets; broadcast-join
+       offsets back. No driver round-trip for offsets, no second action.
     """
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     probs = [i / p for i in range(1, p)]
-    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+    row = df.agg(
+        F.percentile_approx(
+            order_col, F.array(*[F.lit(q) for q in probs]), F.lit(10_000)
+        ).alias("qs")
+    ).first()
+    bounds = sorted(set(row["qs"] or []))
     bucket: Column = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
@@ -60,23 +66,22 @@ def partitioned_prefix_sum(
     local = bucketed.select(
         "*", *[F.sum(c).over(w).alias(f"cum_{c}") for c in sum_cols]
     )
-    totals = (
-        bucketed.groupBy("__bucket")
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
-        .orderBy("__bucket")
-        .collect()
+    totals = bucketed.groupBy("__bucket").agg(
+        *[F.sum(c).alias(f"tot_{c}") for c in sum_cols]
     )
-    offsets: dict[int, list[float]] = {}
-    running = [0.0 for _ in sum_cols]
-    for row in totals:
-        offsets[row["__bucket"]] = list(running)
-        for i, c in enumerate(sum_cols):
-            running[i] += row[c] or 0.0
-    offset_df = df.sparkSession.createDataFrame(
-        [(b, *vals) for b, vals in offsets.items()],
-        ["__bucket"] + [f"off_{c}" for c in sum_cols],
+    # Offsets across buckets: window over the bucket-totals frame — at
+    # most `p` rows, so the single-partition window here is trivial.
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    out = local.join(F.broadcast(offset_df), "__bucket")
+    offsets = totals.select(
+        "__bucket",
+        *[
+            F.coalesce(F.sum(f"tot_{c}").over(w_off), F.lit(0)).alias(f"off_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "__bucket")
     return out.select(
         *df.columns,
         *[(F.col(f"cum_{c}") + F.col(f"off_{c}")).alias(f"cum_{c}") for c in sum_cols],

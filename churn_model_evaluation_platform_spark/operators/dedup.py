@@ -24,6 +24,21 @@ DEFAULT_MINHASH_K = 16
 DEFAULT_BANDS = 4  # 4 bands x 4 rows
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row work across all cores.
+
+    A small parquet file is one row group = one partition, which would
+    serialize the md5/shingle work on a single task. The repartition
+    shuffle moves only the raw rows (cheap) and buys full parallelism for
+    the expensive projection above it. At scale the source already has
+    >= cores partitions and this is a no-op.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -45,7 +60,7 @@ def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
     """(id, shingle_hash) exploded, distinct per doc."""
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
     )
@@ -177,7 +192,7 @@ def simhash(
     pandas-UDF variant packing bits in numpy. 32 bits here keeps every
     intermediate in exact int64 for oracle parity.
     """
-    words = df.select(
+    words = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
     ).select("id", md5_hash_int(F.col("w"), 8).alias("h"))  # 8 hex → 32 bits

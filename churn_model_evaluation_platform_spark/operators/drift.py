@@ -58,7 +58,10 @@ def ks_2samp(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     n_cur long)``. Scales: the only global ordering is done via
     range-partitioned prefix sums; everything else is map-side.
     """
-    pooled = _pool(ref, cur, column)
+    # Cached: consumed by the quantile-boundary pass, the per-bucket
+    # totals pass, and the final max-diff pass — without the cache the
+    # union+scan would run three times.
+    pooled = _pool(ref, cur, column).cache()
     cums = partitioned_prefix_sum(pooled, "v", ["is_ref", "is_cur"])
     totals = pooled.agg(
         F.sum("is_ref").alias("n_ref"), F.sum("is_cur").alias("n_cur")
