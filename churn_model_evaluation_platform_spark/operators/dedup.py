@@ -178,6 +178,49 @@ def minhash_lsh_pairs(
     return cand.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH candidate join +
+    exact cosine verification (north-star dedup family, embedding flavor).
+
+    Returns ``(id_a, id_b, cosine_sim)`` for pairs whose exact cosine is
+    >= ``threshold`` among pairs colliding in the LSH bucket.
+
+    Scale: candidates come from a self-equi-join on the bucket id — a
+    hash-shuffle on a small int key, never an all-pairs product; only
+    colliding pairs pay the O(dim) cosine. Recall/cost is tuned with
+    ``n_planes`` (each plane halves the expected bucket size); at 100 TB
+    write the table bucketed by ``lsh_bucket`` so the self-join is
+    co-located and shuffle-free. Skewed buckets are split by AQE skew-join.
+    """
+    from .similarity import cosine_expr, lsh_bucket_expr, random_hyperplanes
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    b = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bk"),
+    )
+    pairs = b.alias("a").join(
+        b.alias("b"),
+        (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+    )
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+    ).where(F.col("cosine_sim") >= F.lit(threshold))
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -176,6 +176,48 @@ def drifted_columns_count(
     return wide.unpivot([], wide.columns, "metric_name", "value")
 
 
+def assess_data_drift_df(
+    drift: DataFrame,
+    share_threshold: float = DATASET_DRIFT_SHARE,
+    p_threshold: float = P_VALUE_DRIFT_THRESHOLD,
+) -> DataFrame:
+    """Dataset-drift predicate as ONE aggregation row — the distributed
+    form of ``assess_data_drift`` (churn_prediction_pipeline.py:395-431):
+    ``(dataset_drift boolean, n_drifted bigint, drifted_columns string)``.
+
+    Input is ``value_drift`` output (one row per column). No collect —
+    the predicate itself is a Catalyst aggregate, so it composes into a
+    larger plan (e.g. evaluated per monitoring micro-batch at scale).
+    """
+    flag = (F.col("p_value") < F.lit(p_threshold)).cast("int")
+    agg = drift.agg(
+        F.sum(flag).alias("n_drifted"),
+        F.count(F.lit(1)).alias("n_cols"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("p_value") < p_threshold, F.col("column")))
+        ).alias("cols"),
+    )
+    return agg.select(
+        (F.col("n_drifted") / F.col("n_cols") > F.lit(share_threshold)).alias(
+            "dataset_drift"
+        ),
+        F.col("n_drifted").cast("bigint").alias("n_drifted"),
+        F.concat_ws(",", "cols").alias("drifted_columns"),
+    )
+
+
+def assess_prediction_scores_df(
+    scores: DataFrame, score_threshold: float = 0.70
+) -> DataFrame:
+    """Failing-score rows ``(metric_name, value)`` — the distributed form
+    of ``assess_prediction_scores`` (churn_prediction_pipeline.py:434-485;
+    threshold default 0.70 per :435,:879). Input: long metrics rows."""
+    return scores.where(
+        F.col("metric_name").isin("f1score", "precision", "recall", "accuracy")
+        & (F.col("value") < F.lit(score_threshold))
+    ).select("metric_name", "value")
+
+
 def assess_data_drift(
     metrics: DataFrame, share_threshold: float = DATASET_DRIFT_SHARE
 ) -> tuple[bool, int, list[str]]:
