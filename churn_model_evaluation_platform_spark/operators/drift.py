@@ -58,10 +58,19 @@ def ks_2samp(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     n_cur long)``. Scales: the only global ordering is done via
     range-partitioned prefix sums; everything else is map-side.
     """
-    # Cached: consumed by the quantile-boundary pass, the per-bucket
-    # totals pass, and the final max-diff pass — without the cache the
-    # union+scan would run three times.
-    pooled = _pool(ref, cur, column).cache()
+    # Tie pre-aggregation: collapse to one row per distinct value BEFORE
+    # any ordering work. Map-side partial aggregation shrinks the shuffle
+    # to the value's cardinality (continuous columns barely shrink; coded/
+    # discrete columns shrink orders of magnitude), and the downstream
+    # prefix sum sees exactly one row per value so tie semantics are
+    # automatic. Cached: consumed by the quantile-boundary pass, the
+    # totals pass, and the max-diff pass.
+    pooled = (
+        _pool(ref, cur, column)
+        .groupBy("v")
+        .agg(F.sum("is_ref").alias("is_ref"), F.sum("is_cur").alias("is_cur"))
+        .cache()
+    )
     cums = partitioned_prefix_sum(pooled, "v", ["is_ref", "is_cur"])
     totals = pooled.agg(
         F.sum("is_ref").alias("n_ref"), F.sum("is_cur").alias("n_cur")
@@ -113,14 +122,20 @@ def value_drift(
         )
 
     pooled = melt(ref, 1).unionAll(melt(cur, 0))
-    w = Window.partitionBy("column").orderBy("v")  # RANGE frame → tie-aware
+    # Tie pre-aggregation (same rationale as ks_2samp): the window then
+    # sorts one row per distinct (column, value) instead of every sample
+    # row — map-side combine does the heavy lifting before the shuffle.
+    aggd = pooled.groupBy("column", "v").agg(
+        F.sum("is_ref").alias("r"), F.sum("is_cur").alias("c")
+    )
+    w = Window.partitionBy("column").orderBy("v")  # one row per v → tie-safe
     totals_w = Window.partitionBy("column")
-    cums = pooled.select(
+    cums = aggd.select(
         "column",
-        F.sum("is_ref").over(w).alias("cum_ref"),
-        F.sum("is_cur").over(w).alias("cum_cur"),
-        F.sum("is_ref").over(totals_w).alias("n_ref"),
-        F.sum("is_cur").over(totals_w).alias("n_cur"),
+        F.sum("r").over(w).alias("cum_ref"),
+        F.sum("c").over(w).alias("cum_cur"),
+        F.sum("r").over(totals_w).alias("n_ref"),
+        F.sum("c").over(totals_w).alias("n_cur"),
     )
     stat = cums.groupBy("column").agg(
         F.max(
