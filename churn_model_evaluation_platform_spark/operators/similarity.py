@@ -107,10 +107,85 @@ def cosine_topk_lsh(
     return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def fit_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: seeded MLlib KMeans over (a sample of)
+    the corpus. Returns plain centroid lists so downstream assignment is
+    pure Catalyst expressions (no model object in the hot path).
+
+    At 100 TB fit on a sample (``sample_fraction``) — the quantizer only
+    needs the coarse shape of the distribution, and KMeans cost is per
+    training row.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed)
+    vecs = train.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(vecs)
+    return [[float(v) for v in c] for c in model.clusterCenters()]
+
+
+def ivf_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (squared L2) as one JVM expression.
+
+    ``array_position(.., array_min(..))`` over the per-centroid distance
+    array — whole-stage-codegen friendly, no UDF, no shuffle.
+    """
+    dists = []
+    for c in centroids:
+        cl = F.array(*[F.lit(v) for v in c])
+        diff = F.zip_with(
+            vec, cl, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        )
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda a, v: a + v))
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` cells nearest to the
+    query, exact cosine within them.
+
+    The scale path beyond sign-LSH: centroids adapt to the data (no empty
+    buckets), and recall/cost trades off smoothly via ``nprobe``. Write
+    the corpus partitioned by ``ivf_cell`` and the cell filter becomes
+    partition pruning — a ``nprobe/n_cells`` fraction scan of 100 TB.
+    ``nprobe == len(centroids)`` degrades to the exact baseline.
+    """
+    by_dist = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (q - c) * (q - c) for q, c in zip(query_vec, centroids[i])
+        ),
+    )
+    probe = by_dist[: max(1, nprobe)]
+    celled = df.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), centroids))
+    sliced = celled.where(F.col("ivf_cell").isin([int(c) for c in probe]))
+    return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
+
+
 __all__ = [
     "cosine_expr",
     "cosine_topk",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "fit_ivf_centroids",
+    "ivf_cell_expr",
     "lsh_bucket_expr",
     "minhash_perms",
     "random_hyperplanes",

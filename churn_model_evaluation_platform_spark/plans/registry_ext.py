@@ -178,9 +178,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
 
 
-@register("dedup_simhash_pairs")  # rows-only: pair set tested in pytest
+_SIMHASH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, {md5_hash_int_sql('w', 8)} AS h
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents)
+),
+bitsums AS (SELECT doc_id, {_BITSUM_SQL} FROM words GROUP BY doc_id)
+SELECT doc_id, CAST({_FP_SQL} AS BIGINT) AS simhash FROM bitsums
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH sh AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    # max_hamming=3 < chunks=4 → the pigeonhole candidate set is COMPLETE,
+    # so the chunked-join result equals the brute-force pair set and the
+    # O(n²) DuckDB oracle verifies it exactly.
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, chunks=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,12 @@ def norm_cell(v):
 def frame_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
-    keyed = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    # repr-wrap cells for the sort so None/mixed types are orderable; the
+    # multiset equality is unaffected.
+    keyed = sorted(
+        (tuple(norm_cell(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(repr(c) for c in t),
+    )
     return sorted_cols, keyed
 
 
