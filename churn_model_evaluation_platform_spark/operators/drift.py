@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.stats import ks_pvalue_expr, partitioned_prefix_sum
+from ..functions.stats import (
+    ks_pvalue_expr,
+    partitioned_prefix_sum,
+    range_boundaries,
+)
 
 P_VALUE_DRIFT_THRESHOLD = 0.05  # churn_prediction_pipeline.py:419
 DATASET_DRIFT_SHARE = 0.5  # churn_prediction_pipeline.py:415
@@ -63,28 +67,29 @@ def ks_2samp(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     # to the value's cardinality (continuous columns barely shrink; coded/
     # discrete columns shrink orders of magnitude), and the downstream
     # prefix sum sees exactly one row per value so tie semantics are
-    # automatic. Cached: consumed by the quantile-boundary pass, the
-    # totals pass, and the max-diff pass.
-    pooled = (
-        _pool(ref, cur, column)
-        .groupBy("v")
-        .agg(F.sum("is_ref").alias("is_ref"), F.sum("is_cur").alias("is_cur"))
-        .cache()
+    # automatic. No cache anywhere: at 100 TB an intermediate this size
+    # cannot be materialized — instead the boundary pass is a scan-only
+    # aggregation over the raw pool (frequency-weighted quantiles are
+    # balanced enough for bucketing), and the main plan consumes the
+    # grouped pool exactly once (the window and per-bucket-totals
+    # branches share one exchange).
+    raw = _pool(ref, cur, column)
+    pooled = raw.groupBy("v").agg(
+        F.sum("is_ref").alias("is_ref"), F.sum("is_cur").alias("is_cur")
     )
-    cums = partitioned_prefix_sum(pooled, "v", ["is_ref", "is_cur"])
-    totals = pooled.agg(
-        F.sum("is_ref").alias("n_ref"), F.sum("is_cur").alias("n_cur")
+    bounds = range_boundaries(raw, "v")
+    cums = partitioned_prefix_sum(
+        pooled, "v", ["is_ref", "is_cur"], bounds=bounds, with_totals=True
     )
-    joined = cums.crossJoin(F.broadcast(totals))
-    stat = joined.agg(
+    stat = cums.agg(
         F.max(
             F.abs(
-                F.col("cum_is_ref") / F.col("n_ref")
-                - F.col("cum_is_cur") / F.col("n_cur")
+                F.col("cum_is_ref") / F.col("tot_is_ref")
+                - F.col("cum_is_cur") / F.col("tot_is_cur")
             )
         ).alias("ks_stat"),
-        F.first("n_ref").alias("n_ref"),
-        F.first("n_cur").alias("n_cur"),
+        F.first("tot_is_ref").alias("n_ref"),
+        F.first("tot_is_cur").alias("n_cur"),
     )
     return stat.select(
         "ks_stat",
