@@ -222,6 +222,44 @@ def evaluate(
     return {r["metric_name"]: r["value"] for r in rows}
 
 
+def random_search(
+    df: DataFrame,
+    n_trials: int = 10,
+    k: int = 3,
+    feature_cols: list[str] | None = None,
+    label_col: str = TARGET_COLUMN,
+    seed: int = SEED,
+) -> tuple[dict, float, list[tuple[dict, float]]]:
+    """Hyperparameter search on the driver, trials evaluated as Spark
+    jobs — the engine's stand-in for the reference's Optuna TPE study
+    (churn_model_training.py:277-283; space :229-244). Optuna remains a
+    drop-in: its ``study.optimize`` objective can call
+    ``cross_validate_f1`` unchanged; seeded random search is the
+    no-extra-dependency default (and at 50 trials random search is a
+    strong TPE baseline — Bergstra & Bengio 2012).
+
+    Returns (best_params, best_f1, history). The search space mirrors
+    the reference's shape: depth, trees, learning rate.
+    """
+    import random
+
+    rng = random.Random(seed)
+    history: list[tuple[dict, float]] = []
+    best_params: dict = {}
+    best_f1 = -1.0
+    for _ in range(n_trials):
+        params = {
+            "max_depth": rng.randint(2, 6),  # reference: 3-10
+            "max_iter": rng.choice([10, 20, 40, 80]),  # n_estimators
+            "step_size": round(10 ** rng.uniform(-2, -0.5), 4),  # lr
+        }
+        f1 = cross_validate_f1(df, k, feature_cols, label_col, **params)
+        history.append((params, f1))
+        if f1 > best_f1:
+            best_params, best_f1 = params, f1
+    return best_params, best_f1, history
+
+
 def cross_validate_f1(
     df: DataFrame,
     k: int = 3,

@@ -1,0 +1,84 @@
+"""Property-based tier (hypothesis) — the reference has no randomized
+testing (SURVEY §5); we add it for the statistical core, where example
+tests can miss edge shapes. Example counts are small: each case runs
+real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from churn_model_evaluation_platform_spark.functions.stats import partitioned_prefix_sum
+from churn_model_evaluation_platform_spark.operators.dedup import exact_dedup
+from churn_model_evaluation_platform_spark.operators.drift import ks_2samp
+
+SETTINGS = settings(max_examples=5, deadline=None)
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@SETTINGS
+@given(st.lists(finite_doubles, min_size=2, max_size=40))
+def test_ks_identical_samples_no_drift(spark, xs):
+    df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    row = ks_2samp(df, df, "v").first()
+    assert row["ks_stat"] == 0.0
+    assert row["p_value"] == 1.0
+
+
+@SETTINGS
+@given(
+    st.lists(finite_doubles, min_size=2, max_size=30),
+    st.lists(finite_doubles, min_size=2, max_size=30),
+)
+def test_ks_stat_bounds_and_symmetry(spark, xs, ys):
+    a = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    b = spark.createDataFrame([(float(y),) for y in ys], "v double")
+    ab = ks_2samp(a, b, "v").first()
+    ba = ks_2samp(b, a, "v").first()
+    assert 0.0 <= ab["ks_stat"] <= 1.0
+    assert 0.0 <= ab["p_value"] <= 1.0
+    # |ECDF_a - ECDF_b| is symmetric in the samples.
+    assert abs(ab["ks_stat"] - ba["ks_stat"]) < 1e-12
+    assert ab["n_ref"] == ba["n_cur"] and ab["n_cur"] == ba["n_ref"]
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=60))
+def test_prefix_sum_matches_sequential(spark, xs):
+    df = spark.createDataFrame(
+        [(float(i), int(x)) for i, x in enumerate(xs)], "k double, x long"
+    )
+    got = {
+        r["k"]: r["cum_x"]
+        for r in partitioned_prefix_sum(df, "k", ["x"], num_partitions=4).collect()
+    }
+    run = 0
+    for i, x in enumerate(xs):
+        run += x
+        assert got[float(i)] == run
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.sampled_from(["alpha beta", "Alpha  Beta", "gamma", "delta epsilon zeta"]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_exact_dedup_partitions_rows(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = exact_dedup(df).collect()
+    # copies partition the corpus; representatives are distinct survivors
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    ids = [r["doc_id"] for r in out]
+    assert len(set(ids)) == len(ids)
+    # normalization: case/extra-space variants collapse
+    distinct_norm = {" ".join(t.lower().split()) for t in texts}
+    assert len(out) == len(distinct_norm)
