@@ -118,6 +118,34 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.B — schema-containment validation (file-admission predicate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "validate_schema_containment",
+    "SELECT 'ok_case' AS case_name, TRUE AS ok, '' AS missing "
+    "UNION ALL SELECT 'missing_case', FALSE, 'nonexistent_col'",
+)
+def q_validate_schema_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # churn_prediction_pipeline.py:116-161 — accept iff expected ⊆ file
+    # columns, compared in CLEANED name space (messy variants like
+    # "Event  Type" must match event_type); extra columns tolerated.
+    from ..operators.prep import validate_schema_containment
+
+    ev = _t(spark, sf_dir, "events")
+    good = validate_schema_containment(ev, ["Event  Type", "user_id"])
+    bad = validate_schema_containment(ev, ["user_id", "nonexistent_col"])
+    return spark.createDataFrame(
+        [
+            ("ok_case", good.ok, ",".join(good.missing_columns)),
+            ("missing_case", bad.ok, ",".join(bad.missing_columns)),
+        ],
+        "case_name string, ok boolean, missing string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Similarity search: IVF (adaptive coarse quantizer + nprobe)
 # ---------------------------------------------------------------------------
 
