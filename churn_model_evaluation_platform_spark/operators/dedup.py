@@ -117,15 +117,30 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signature per doc: k columns ``m0..m{k-1}``, each the min of
-    a seeded universal hash over the doc's shingle hashes. One explode +
-    one groupBy — the shuffle carries (id, k ints)."""
+    a seeded universal hash over the doc's shingle hashes.
+
+    ZERO shuffle: the per-doc min is a higher-order ``array_min(transform)``
+    over the shingle-hash array — a pure map-side projection (the earlier
+    explode+groupBy shape multiplied rows by shingle count and shuffled
+    them back just to take a min). The array column is bound once per row
+    (``withColumn``) so the k mins don't recompute the hashes."""
     perms = minhash_perms(k, seed)
-    sh = _doc_shingles(df, text_col, id_col, n)
-    aggs = [
-        F.min(perm_expr(F.col("sh"), a, b)).alias(f"m{i}")
-        for i, (a, b) in enumerate(perms)
+    with_sh = (
+        ensure_parallelism(df)
+        .where(F.col(text_col).isNotNull())
+        .withColumn("__sh", shingle_hashes(F.col(text_col), n))
+    )
+    def _perm_min(a: int, b: int):
+        # factory: PySpark derives lambda arity from the signature, so the
+        # callback must take exactly one arg (no default-arg closures)
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda h: perm_expr(h, a, b))
+        )
+
+    sig_cols = [
+        _perm_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(perms)
     ]
-    return sh.groupBy("id").agg(*aggs).withColumnRenamed("id", id_col)
+    return with_sh.select(F.col(id_col), *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -233,24 +248,37 @@ def simhash(
     """SimHash fingerprint per doc from word hashes: bit j of the
     fingerprint is 1 iff sum over words of (±1 by word-hash bit j) > 0.
 
-    Computed as ``bits`` conditional aggregations over exploded words —
-    one shuffle of (id, bits ints); at 100 TB prefer fewer bits or a
-    pandas-UDF variant packing bits in numpy. 32 bits here keeps every
-    intermediate in exact int64 for oracle parity.
+    ZERO shuffle: the per-bit sums are higher-order ``aggregate`` folds
+    over the word-hash array — a pure map-side projection (the earlier
+    explode+groupBy multiplied rows by word count and shuffled them back
+    just to sum ±1s). 8 hex chars → 32-bit hashes; every intermediate
+    stays in exact int64 for oracle parity.
     """
-    words = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
-    ).select("id", md5_hash_int(F.col("w"), 8).alias("h"))  # 8 hex → 32 bits
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    agg = words.groupBy("id").agg(*bit_sums)
+    with_h = (
+        ensure_parallelism(df)
+        .where(F.col(text_col).isNotNull())
+        .withColumn(
+            "__wh",
+            F.transform(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda w: md5_hash_int(w, 8),
+            ),
+        )
+    )
+    def _bit_sum(j: int):
+        # factory, not default-arg closure: the merge lambda must declare
+        # exactly (acc, elem) for PySpark's arity inference
+        return F.aggregate(
+            F.col("__wh"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    bit_sums = [_bit_sum(j).alias(f"s{j}") for j in range(bits)]
+    agg = with_h.select(F.col(id_col).alias("id"), *bit_sums)
     fp = None
     for j in range(bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
