@@ -80,14 +80,24 @@ def with_created_at(df: DataFrame, ts: Column | None = None) -> DataFrame:
     return df.withColumn("created_at", ts if ts is not None else F.current_timestamp())
 
 
-def append_metrics(df: DataFrame, path: str) -> None:
+def append_metrics(df: DataFrame, path: str, partition_by_date: bool = False) -> None:
     """Append metric rows to the store — parquet append (the distributed
     stand-in for the reference's Postgres INSERT,
     churn_prediction_pipeline.py:529-530). For a real warehouse use
     ``df.write.jdbc(url, table, mode="append")`` or a Delta table; the
     schema is DRIFT_METRICS_SCHEMA either way.
+
+    ``partition_by_date=True`` is the 100 TB layout: a ``metric_date``
+    partition column derived from ``created_at`` so the dashboard's
+    time-windowed queries prune to recent partitions instead of scanning
+    the append-forever history.
     """
-    df.write.mode("append").parquet(path)
+    if partition_by_date:
+        df.withColumn(
+            "metric_date", F.to_date("created_at")
+        ).write.mode("append").partitionBy("metric_date").parquet(path)
+    else:
+        df.write.mode("append").parquet(path)
 
 
 def append_metrics_jdbc(df: DataFrame, url: str, table: str = METRICS_TABLE,
