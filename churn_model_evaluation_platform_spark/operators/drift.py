@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.stats import (
+    grouped_prefix_sum,
     ks_pvalue_expr,
     partitioned_prefix_sum,
     range_boundaries,
@@ -102,17 +103,24 @@ def ks_2samp(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
 
 
 def value_drift(
-    ref: DataFrame, cur: DataFrame, columns: list[str]
+    ref: DataFrame, cur: DataFrame, columns: list[str], scalable: bool = False
 ) -> DataFrame:
     """Per-column KS drift for a set of columns in ONE pass.
 
     Returns ``(column string, ks_stat double, p_value double)`` with one
     row per input column. Implementation: melt both sides to
-    ``(column, v, is_ref, is_cur)`` long format, then a window partitioned
-    by column computes each column's ECDF pair — per-column work is
-    distributed across the cluster by the shuffle on ``column`` (each
-    column sorts independently; for a single pathologically huge column
-    use ``ks_2samp`` instead).
+    ``(column, v, is_ref, is_cur)`` long format, tie pre-aggregate (one
+    row per distinct (column, value) — map-side combine does the heavy
+    lifting before any shuffle), then compute each column's ECDF pair:
+
+    - default: window partitioned by column — per-column work lands on
+      one reducer each; right when per-column distinct-value counts are
+      moderate (the monitoring-batch case: ≤ thousands of values).
+    - ``scalable=True``: grouped range-partitioned prefix sum
+      (functions/stats.py) — each column's ordering work spreads over
+      many buckets, so even a single continuous column with billions of
+      distinct values has no serial stage. Same results (both variants
+      are checked against the same DuckDB oracle).
     """
 
     def melt(df: DataFrame, is_ref: int) -> DataFrame:
@@ -127,21 +135,27 @@ def value_drift(
         )
 
     pooled = melt(ref, 1).unionAll(melt(cur, 0))
-    # Tie pre-aggregation (same rationale as ks_2samp): the window then
-    # sorts one row per distinct (column, value) instead of every sample
-    # row — map-side combine does the heavy lifting before the shuffle.
     aggd = pooled.groupBy("column", "v").agg(
         F.sum("is_ref").alias("r"), F.sum("is_cur").alias("c")
     )
-    w = Window.partitionBy("column").orderBy("v")  # one row per v → tie-safe
-    totals_w = Window.partitionBy("column")
-    cums = aggd.select(
-        "column",
-        F.sum("r").over(w).alias("cum_ref"),
-        F.sum("c").over(w).alias("cum_cur"),
-        F.sum("r").over(totals_w).alias("n_ref"),
-        F.sum("c").over(totals_w).alias("n_cur"),
-    )
+    if scalable:
+        cums = grouped_prefix_sum(aggd, "column", "v", ["r", "c"]).select(
+            "column",
+            F.col("cum_r").alias("cum_ref"),
+            F.col("cum_c").alias("cum_cur"),
+            F.col("tot_r").alias("n_ref"),
+            F.col("tot_c").alias("n_cur"),
+        )
+    else:
+        w = Window.partitionBy("column").orderBy("v")  # 1 row/v → tie-safe
+        totals_w = Window.partitionBy("column")
+        cums = aggd.select(
+            "column",
+            F.sum("r").over(w).alias("cum_ref"),
+            F.sum("c").over(w).alias("cum_cur"),
+            F.sum("r").over(totals_w).alias("n_ref"),
+            F.sum("c").over(totals_w).alias("n_cur"),
+        )
     stat = cums.groupBy("column").agg(
         F.max(
             F.abs(

@@ -329,6 +329,19 @@ def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("value_drift_scalable", _VALUE_DRIFT_SQL)
+def q_value_drift_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same semantics/oracle as value_drift, but the grouped
+    # range-partitioned prefix-sum path: no per-column serial reducer —
+    # the 100 TB variant, proven identical by the shared oracle.
+    ref, cur = _drift_inputs(spark, sf_dir)
+    return value_drift(ref, cur, ["value", "user_id"], scalable=True).select(
+        F.col("column").alias("column_name"),
+        "ks_stat",
+        F.round(F.col("p_value"), 6).alias("p_value"),
+    )
+
+
 @register(
     "value_drift_ks",
     f"WITH ref AS ({_DRIFT_REF_SQL}), cur AS ({_DRIFT_CUR_SQL}),"

@@ -64,6 +64,24 @@ def test_prefix_sum_matches_sequential(spark, xs):
 
 @SETTINGS
 @given(
+    st.lists(finite_doubles, min_size=3, max_size=30),
+    st.lists(finite_doubles, min_size=3, max_size=30),
+)
+def test_value_drift_scalable_equals_windowed(spark, xs, ys):
+    from churn_model_evaluation_platform_spark.operators.drift import value_drift
+
+    a = spark.createDataFrame([(float(x), float(x) * 2) for x in xs], "u double, w double")
+    b = spark.createDataFrame([(float(y), float(y) * 2) for y in ys], "u double, w double")
+    cols = ["u", "w"]
+    win = {r["column"]: r for r in value_drift(a, b, cols).collect()}
+    sca = {r["column"]: r for r in value_drift(a, b, cols, scalable=True).collect()}
+    for c in cols:
+        assert abs(win[c]["ks_stat"] - sca[c]["ks_stat"]) < 1e-12
+        assert abs(win[c]["p_value"] - sca[c]["p_value"]) < 1e-12
+
+
+@SETTINGS
+@given(
     st.lists(
         st.sampled_from(["alpha beta", "Alpha  Beta", "gamma", "delta epsilon zeta"]),
         min_size=1,
