@@ -55,6 +55,12 @@ AUDITED = [
     "topk_per_group",
     "window_running_total",
     "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "value_drift_scalable",
+    "dedup_minhash_signatures",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
