@@ -207,6 +207,39 @@ def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch aggregates: HLL approximate distinct (exact-verified bounds)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_distinct_users",
+    # Oracle checks the EXACT count plus the sketch's documented error
+    # envelope: the approx value itself is engine-specific, so both sides
+    # emit exact_users and a flag that approx is within 5% — DuckDB
+    # computes the same flag trivially true for its own exact count.
+    "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+    "TRUE AS approx_within_5pct FROM events",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog++ distinct-count sketch (approx_count_distinct, rsd=2%)
+    # vs the exact count in one aggregation: at 100 TB the sketch is the
+    # only option that doesn't shuffle every distinct key — this query
+    # pins it inside the +/-5% envelope against the exact answer.
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+    return agg.select(
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # File lifecycle: input → processing → processed with audit log
 # ---------------------------------------------------------------------------
 
