@@ -180,20 +180,27 @@ def minhash_lsh_pairs(
     ).select("id", *sig_cols, "b.band", "b.band_key")
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    eq_sum = sum(
+        (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int") for c in sig_cols
+    )
+    # est_jaccard is computed BEFORE the distinct so the dedup shuffle
+    # carries (id_a, id_b, est) — 3 columns, not 2 + k equality flags.
+    # A pair colliding in several bands yields identical rows, so the
+    # distinct is exact.
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                *[(F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int").alias(f"eq{i}")
-                  for i, c in enumerate(sig_cols)])
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (eq_sum / F.lit(float(k))).alias("est_jaccard"),
+        )
         .distinct()
     )
-    est = sum(F.col(f"eq{i}") for i in range(k)) / F.lit(float(k))
-    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
 def embedding_neardup_pairs(

@@ -95,3 +95,23 @@ def histogram_bins(df: DataFrame, column: str, bin_width: float) -> DataFrame:
             "bin_count",
         )
     )
+
+
+def histogram_bins_by_label(
+    df: DataFrame, column: str, bin_width: float, label_col: str
+) -> DataFrame:
+    """Binned counts split by a hue column (notebook cells 8-10 pass
+    ``hue="Churn"`` to the dist plots): same single hash aggregation,
+    keyed on (bin, label)."""
+    bin_expr = F.floor(F.col(column).cast("double") / F.lit(bin_width)).cast("long")
+    return (
+        df.where(F.col(column).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(bin_expr.alias("bin"), F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(bin_width)).alias("bin_start"),
+            "label",
+            "bin_count",
+        )
+    )

@@ -636,3 +636,22 @@ GROUP BY 1, 2
 def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Notebook cells 8-10 — fixed-width binned counts.
     return eda.histogram_bins(_t(spark, sf_dir, "events"), "value", 25.0)
+
+
+@register(
+    "histogram_bins_by_label",
+    """
+SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+       FLOOR(value / 25.0) * 25.0 AS bin_start,
+       event_type AS label,
+       COUNT(*) AS bin_count
+FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+)
+def q_histogram_bins_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Notebook cells 8-10 with hue="Churn" — binned counts per label in
+    # the same single hash aggregation.
+    return eda.histogram_bins_by_label(
+        _t(spark, sf_dir, "events"), "value", 25.0, "event_type"
+    )
