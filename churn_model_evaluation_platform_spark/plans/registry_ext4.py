@@ -207,6 +207,70 @@ def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational capabilities: semi/anti joins, pivot (wide reshaping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_anti",
+    """
+WITH buyers AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_totalprice > 200000)
+SELECT 'big_spenders' AS segment, CAST(count(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM buyers)
+UNION ALL
+SELECT 'no_big_orders', CAST(count(*) AS BIGINT)
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM buyers)
+""",
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEFT SEMI / LEFT ANTI joins — existence predicates without row
+    # multiplication (the build side streams only keys; broadcast when
+    # small). Both legs share the same buyers subplan.
+    cust = _t(spark, sf_dir, "customer")
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .select("o_custkey")
+    )
+    semi = cust.join(
+        buyers, cust.c_custkey == buyers.o_custkey, "left_semi"
+    ).agg(F.lit("big_spenders").alias("segment"), F.count(F.lit(1)).alias("n"))
+    anti = cust.join(
+        buyers, cust.c_custkey == buyers.o_custkey, "left_anti"
+    ).agg(F.lit("no_big_orders").alias("segment"), F.count(F.lit(1)).alias("n"))
+    return semi.unionAll(anti)
+
+
+@register(
+    "metrics_pivot",
+    # Portable CASE-aggregation form of PIVOT (identical result set).
+    """
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS qty_F,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS qty_O
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_metrics_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Long→wide reshaping (the inverse of metrics_unpivot): groupBy().
+    # pivot() with EXPLICIT pivot values — without them Spark needs an
+    # extra distinct-values job before planning; sum(l_quantity) is exact
+    # (integer-valued doubles), so no rounding needed.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.coalesce("F", F.lit(0.0)).alias("qty_F"),
+            F.coalesce("O", F.lit(0.0)).alias("qty_O"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketch aggregates: HLL approximate distinct (exact-verified bounds)
 # ---------------------------------------------------------------------------
 
