@@ -1,0 +1,106 @@
+"""Relational operators Spark lacks as built-ins, composed from
+DataFrame primitives. The headline one is the **as-of join** — the
+canonical time-series operation (match each left row to the latest
+right row at-or-before its timestamp).
+
+Spark has no ASOF JOIN; the naive formulation (range join + per-left-row
+argmax) is a quadratic disaster. The scalable composition:
+
+    union both sides tagged → ONE window per key ordered by
+    (ts, side) → last non-null right payload carried forward → keep
+    left rows
+
+One shuffle on the key, one ordered pass — O(n log n) per key, no row
+multiplication, no range join. Right-before-left ordering at equal
+timestamps gives the standard >= (inclusive) match semantics, identical
+to DuckDB's ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts`` (which the
+driver oracle uses to verify this bit-for-bit).
+
+Scale: per-key work is a window partition — keys distribute across the
+cluster; a single pathologically hot key can be range-bucketed with the
+same grouped-prefix-sum trick as drift (functions/stats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    ts_out: str = "asof_ts",
+) -> DataFrame:
+    """As-of join: each ``left`` row picks up the ``right`` row with the
+    greatest ``right_ts`` <= ``left_ts`` for the same key.
+
+    Output: all ``left`` columns + ``ts_out`` (the matched right
+    timestamp) + ``right_cols``. ``how='inner'`` drops left rows with no
+    prior right row; ``'left'`` keeps them with nulls.
+
+    Right rows should be unique per (key, right_ts); if not, which of
+    the tied rows wins is unspecified (same as DuckDB ASOF JOIN).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports inner/left, got {how!r}")
+    rcols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    # The right payload is carried as ONE struct so the match is atomic —
+    # carrying columns independently would let null payload fields mix
+    # values from different right rows.
+    r_payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast("string").alias("__l_marker"),
+        r_payload.alias("__r"),
+    )
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit("l").alias("__l_marker"),
+        F.lit(None).cast(r_tagged.schema["__r"].dataType).alias("__r"),
+        *[F.col(c).alias(f"__lc_{i}") for i, c in enumerate(left.columns)],
+    )
+    r_tagged = r_tagged.select(
+        "*",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__lc_{i}")
+            for i, c in enumerate(left.columns)
+        ],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__is_left",
+        *[F.col(f"__lc_{i}") for i in range(len(left.columns))],
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
+    ).where(F.col("__is_left") == 1)
+    if how == "inner":
+        carried = carried.where(F.col("__m").isNotNull())
+    return carried.select(
+        *[
+            F.col(f"__lc_{i}").alias(c)
+            for i, c in enumerate(left.columns)
+        ],
+        F.col("__m.__rts").alias(ts_out),
+        *[F.col(f"__m.{c}").alias(c) for c in rcols],
+    )
+
+
+__all__ = ["asof_join"]

@@ -207,6 +207,41 @@ def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join: latest right row at-or-before each left timestamp
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type <> 'click'),
+r AS (SELECT user_id, ts, max(value) AS click_value FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT l.event_id, r.ts AS asof_ts, r.click_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each non-click event picks up the user's most recent click at or
+    # before it — the union+window as-of join (operators/relational.py)
+    # verified against DuckDB's native ASOF JOIN.
+    from ..operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(left, right, ["user_id"], right_cols=["click_value"])
+    return out.select("event_id", "asof_ts", "click_value")
+
+
+# ---------------------------------------------------------------------------
 # Relational capabilities: semi/anti joins, pivot (wide reshaping)
 # ---------------------------------------------------------------------------
 
