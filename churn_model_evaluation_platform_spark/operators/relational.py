@@ -103,4 +103,51 @@ def asof_join(
     )
 
 
-__all__ = ["asof_join"]
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Range (interval) join: left rows whose numeric ``left_point``
+    falls in ``[right_start, right_end)`` for the same key.
+
+    A raw range predicate forces a nested-loop/theta join. The scalable
+    composition buckets the axis: each left point lands in ONE bucket,
+    each right interval explodes into every bucket it covers, and the
+    join becomes an equi-join on (key, bucket) with the exact range
+    predicate as a residual filter. Each matching pair appears exactly
+    once (the left point's bucket occurs once in the right row's bucket
+    list), so no dedup pass is needed.
+
+    ``bucket_width`` should be on the order of typical interval length:
+    replication per right row is ``len/width + 1`` buckets.
+    """
+    lb = left.withColumn(
+        "__bucket", F.floor(F.col(left_point) / F.lit(bucket_width))
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / F.lit(bucket_width)),
+                F.floor(F.col(right_end) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    cond = [lb[c] == rb[c] for c in on] + [
+        lb["__bucket"] == rb["__bucket"],
+        lb[left_point] >= rb[right_start],
+        lb[left_point] < rb[right_end],
+    ]
+    joined = lb.join(rb, cond, "inner")
+    return joined.select(
+        *[lb[c] for c in left.columns],
+        *[rb[c] for c in right.columns if c not in on],
+    )
+
+
+__all__ = ["asof_join", "interval_join"]

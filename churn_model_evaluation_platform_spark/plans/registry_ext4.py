@@ -241,6 +241,44 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "asof_ts", "click_value")
 
 
+@register(
+    "interval_join",
+    """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS p FROM events
+           WHERE event_type <> 'click'),
+r AS (SELECT user_id, epoch_us(ts) AS ws,
+             epoch_us(ts) + 300000000 AS we
+      FROM events WHERE event_type = 'click'),
+ru AS (SELECT DISTINCT user_id, ws, we FROM r)
+SELECT l.event_id, CAST(ru.ws AS BIGINT) AS window_start
+FROM l JOIN ru ON l.user_id = ru.user_id AND l.p >= ru.ws AND l.p < ru.we
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range join: every non-click event inside a 5-minute window opened
+    # by each click of the same user. Bucketed equi-join composition
+    # (operators/relational.py) vs DuckDB's plain range join.
+    from ..operators.relational import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p")
+    )
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ws"),
+            (F.unix_micros("ts") + 300_000_000).alias("we"),
+        )
+        .distinct()
+    )
+    out = interval_join(
+        left, right, ["user_id"], "p", "ws", "we", bucket_width=300_000_000
+    )
+    return out.select("event_id", F.col("ws").alias("window_start"))
+
+
 # ---------------------------------------------------------------------------
 # Relational capabilities: semi/anti joins, pivot (wide reshaping)
 # ---------------------------------------------------------------------------

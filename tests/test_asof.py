@@ -42,6 +42,35 @@ def test_left_asof_keeps_unmatched(spark):
     assert got["c"] is None and got["d"] is None and got["e"] is None
 
 
+def test_interval_join_equals_naive_range_join(spark):
+    import random
+
+    from churn_model_evaluation_platform_spark.operators.relational import interval_join
+
+    rng = random.Random(11)
+    left = spark.createDataFrame(
+        [(i, rng.randint(1, 3), rng.randint(0, 1000)) for i in range(300)],
+        "lid int, k int, p long",
+    )
+    right = spark.createDataFrame(
+        [
+            (j, rng.randint(1, 3), s, s + rng.randint(1, 120))
+            for j, s in ((j, rng.randint(0, 1000)) for j in range(60))
+        ],
+        "rid int, k int, ws long, we long",
+    )
+    naive = left.join(
+        right,
+        (left.k == right.k) & (left.p >= right.ws) & (left.p < right.we),
+    ).select(left.lid, right.rid)
+    bucketed = interval_join(
+        left, right, ["k"], "p", "ws", "we", bucket_width=50
+    ).select("lid", "rid")
+    got = sorted((r["lid"], r["rid"]) for r in bucketed.collect())
+    want = sorted((r["lid"], r["rid"]) for r in naive.collect())
+    assert got == want and len(want) > 0
+
+
 def test_payload_carried_atomically(spark):
     # Right payload with a null field must not inherit the field from an
     # older right row: the struct carry is atomic.
