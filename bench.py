@@ -35,9 +35,15 @@ HEADLINE = [
     "latest_per_metric",
     "metric_timeseries",
     "agg_groupby_multi",
+    "agg_rollup",
     "join_agg_revenue",
+    "join_semi_anti",
     "topk_per_group",
     "window_running_total",
+    "asof_join",
+    "interval_join",
+    "sessionize",
+    "value_drift_scalable",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -150,4 +150,32 @@ def interval_join(
     )
 
 
-__all__ = ["asof_join", "interval_join"]
+def sessionize(
+    df: DataFrame,
+    key: list[str],
+    ts_col: str,
+    gap: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: rows of the same key belong to one
+    session while consecutive timestamps are < ``gap`` apart (numeric
+    axis — convert timestamps with ``unix_micros`` first).
+
+    Classic two-window composition, both over the SAME (key, ts)
+    ordering so Catalyst plans one sort: a new-session flag via ``lag``,
+    then a running sum of flags as the session ordinal. Output: input
+    columns + ``session_col`` (1-based per key).
+    """
+    w = Window.partitionBy(*key).orderBy(ts_col)
+    flag = F.when(
+        F.col(ts_col) - F.lag(ts_col).over(w) >= F.lit(gap), 1
+    ).otherwise(0)
+    run = Window.partitionBy(*key).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("__new", flag).withColumn(
+        session_col, (F.sum("__new").over(run) + 1).cast("long")
+    ).drop("__new")
+
+
+__all__ = ["asof_join", "interval_join", "sessionize"]

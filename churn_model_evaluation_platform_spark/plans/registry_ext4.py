@@ -242,6 +242,35 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize",
+    """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS p FROM events),
+f AS (
+  SELECT event_id, user_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY user_id ORDER BY p)
+                   >= 3600000000 THEN 1 ELSE 0 END AS nf
+  FROM e
+)
+SELECT event_id,
+       CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+            AS BIGINT) AS session_id
+FROM f
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-based sessions (1-hour inactivity): tie rows always land in the
+    # same session, so the result is deterministic without a tiebreaker.
+    from ..operators.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p")
+    )
+    out = sessionize(ev, ["user_id"], "p", gap=3_600_000_000)
+    return out.select("event_id", "session_id")
+
+
+@register(
     "interval_join",
     """
 WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS p FROM events
