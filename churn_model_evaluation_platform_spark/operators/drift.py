@@ -28,7 +28,7 @@ keep the stat pluggable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.stats import (
@@ -173,6 +173,125 @@ def value_drift(
             "p_value"
         ),
     )
+
+
+def _binned_counts(
+    ref: DataFrame, cur: DataFrame, column: str, bin_width: float
+) -> DataFrame:
+    """Shared fixed-width binning for the binned drift family: one row
+    per bin with both sides' counts (full-outer via conditional sums on
+    the pooled frame — a single groupBy, no join)."""
+    pooled = _pool(ref, cur, column)
+    b = F.floor(F.col("v") / F.lit(bin_width)).cast("long")
+    return pooled.groupBy(b.alias("bin")).agg(
+        F.sum("is_ref").alias("n_ref"), F.sum("is_cur").alias("n_cur")
+    )
+
+
+def psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    bin_width: float,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index over fixed-width bins:
+    Σ (p_cur - p_ref) * ln(p_cur / p_ref), zero-count bins floored at
+    ``epsilon`` (industry convention; < 0.1 stable, > 0.25 shifted).
+    One groupBy + one scalar aggregation — same shape at any scale.
+    """
+    counts = _binned_counts(ref, cur, column, bin_width)
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(epsilon))
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(epsilon))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return j.agg(F.sum(term).alias("psi"))
+
+
+def js_divergence(
+    ref: DataFrame, cur: DataFrame, column: str, bin_width: float
+) -> DataFrame:
+    """Jensen–Shannon divergence (base e, in [0, ln 2]) between the two
+    binned distributions: JS = 0.5 KL(p||m) + 0.5 KL(q||m), m=(p+q)/2.
+    Zero-count bins contribute 0 by the 0·log0 = 0 convention."""
+    counts = _binned_counts(ref, cur, column, bin_width)
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("n_ref") / F.col("t_ref")
+    q = F.col("n_cur") / F.col("t_cur")
+    m = (p + q) / F.lit(2.0)
+    kl_p = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    return j.agg((F.lit(0.5) * F.sum(kl_p) + F.lit(0.5) * F.sum(kl_q)).alias("js"))
+
+
+def chi2_drift(
+    ref: DataFrame, cur: DataFrame, column: str, bin_width: float
+) -> DataFrame:
+    """Pearson chi-squared homogeneity test over the binned counts
+    (Evidently's categorical drift method): the statistic from the
+    standard contingency expectation, p-value via the Wilson–Hilferty
+    cube-root normal approximation (pure closed form — identical on any
+    engine; exact chi2 CDF needs the incomplete gamma, out of scope
+    without scipy and documented as approximate here)."""
+    counts = _binned_counts(ref, cur, column, bin_width)
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    row_tot = F.col("n_ref") + F.col("n_cur")
+    grand = F.col("t_ref") + F.col("t_cur")
+    e_ref = row_tot * F.col("t_ref") / grand
+    e_cur = row_tot * F.col("t_cur") / grand
+    term = F.when(
+        row_tot > 0,
+        F.pow(F.col("n_ref") - e_ref, 2) / e_ref
+        + F.pow(F.col("n_cur") - e_cur, 2) / e_cur,
+    ).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.sum(term).alias("chi2"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("double").alias("dof"),
+    )
+    # Wilson–Hilferty: (X/k)^(1/3) ~ N(1 - 2/(9k), 2/(9k)); upper tail
+    # via the complementary error function-free normal approx
+    # 0.5 * erfc(z / sqrt(2)) expressed with exp-based logistic-ish
+    # closed form is NOT portable — use the standard normal tail bound
+    # via erfc available in both engines? Spark lacks erfc; use the
+    # Abramowitz-Stegun 7.1.26 erf polynomial (max err 1.5e-7), exact
+    # same arithmetic on both sides.
+    z = (
+        (F.pow(F.col("chi2") / F.col("dof"), 1.0 / 3.0)
+         - (1 - 2.0 / (9.0 * F.col("dof"))))
+        / F.sqrt(2.0 / (9.0 * F.col("dof")))
+    )
+    p_upper = F.lit(1.0) - _norm_cdf_expr(z)
+    return agg.select(
+        "chi2",
+        F.col("dof").cast("bigint").alias("dof"),
+        F.least(F.greatest(p_upper, F.lit(0.0)), F.lit(1.0)).alias("p_approx"),
+    )
+
+
+def _norm_cdf_expr(z: Column) -> Column:
+    """Standard normal CDF via the Abramowitz–Stegun 7.1.26 erf
+    polynomial (|err| < 1.5e-7) — pure closed form, bit-portable."""
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * F.pow(t, 2)
+        + F.lit(1.421413741) * F.pow(t, 3)
+        - F.lit(1.453152027) * F.pow(t, 4)
+        + F.lit(1.061405429) * F.pow(t, 5)
+    )
+    erf = F.lit(1.0) - poly * F.exp(-x * x)
+    cdf_abs = (F.lit(1.0) + erf) / F.lit(2.0)
+    return F.when(z >= 0, cdf_abs).otherwise(F.lit(1.0) - cdf_abs)
 
 
 def value_drift_metrics(

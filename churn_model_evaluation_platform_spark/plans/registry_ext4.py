@@ -207,6 +207,110 @@ def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Binned drift family: PSI, Jensen–Shannon, chi-squared (SURVEY §7.4:
+# "keep the drift method pluggable")
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB CTE: same pooled→binned→totals arithmetic as
+# drift._binned_counts over the events drift inputs (ref = clicks,
+# cur = non-clicks, value column, bin width 10).
+_BINNED_CTE = """
+WITH pooled AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_ref,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS is_cur
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT CAST(FLOOR(v / 10.0) AS BIGINT) AS bin,
+         SUM(is_ref) AS n_ref, SUM(is_cur) AS n_cur
+  FROM pooled GROUP BY 1
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts),
+j AS (SELECT * FROM counts, tot)
+"""
+
+
+def _drift_binned_inputs(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_type") == "click").select("value")
+    cur = ev.where(F.col("event_type") != "click").select("value")
+    return ref, cur
+
+
+@register(
+    "value_drift_psi",
+    _BINNED_CTE
+    + """
+SELECT round(SUM(
+  (greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6)
+   - greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6))
+  * ln(greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6)
+       / greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6))
+), 6) AS psi FROM j
+""",
+)
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import psi
+
+    ref, cur = _drift_binned_inputs(spark, sf_dir)
+    return psi(ref, cur, "value", 10.0).select(F.round("psi", 6).alias("psi"))
+
+
+@register(
+    "value_drift_js",
+    _BINNED_CTE
+    + """
+SELECT round(
+  0.5 * SUM(CASE WHEN n_ref > 0 THEN (CAST(n_ref AS DOUBLE) / t_ref)
+    * ln((CAST(n_ref AS DOUBLE) / t_ref)
+         / ((CAST(n_ref AS DOUBLE) / t_ref + CAST(n_cur AS DOUBLE) / t_cur) / 2.0))
+    ELSE 0.0 END)
+  + 0.5 * SUM(CASE WHEN n_cur > 0 THEN (CAST(n_cur AS DOUBLE) / t_cur)
+    * ln((CAST(n_cur AS DOUBLE) / t_cur)
+         / ((CAST(n_ref AS DOUBLE) / t_ref + CAST(n_cur AS DOUBLE) / t_cur) / 2.0))
+    ELSE 0.0 END), 6) AS js FROM j
+""",
+)
+def q_value_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import js_divergence
+
+    ref, cur = _drift_binned_inputs(spark, sf_dir)
+    return js_divergence(ref, cur, "value", 10.0).select(
+        F.round("js", 6).alias("js")
+    )
+
+
+@register(
+    "value_drift_chi2",
+    _BINNED_CTE
+    + """
+, stat AS (
+  SELECT SUM(CASE WHEN n_ref + n_cur > 0 THEN
+      power(n_ref - (n_ref + n_cur) * CAST(t_ref AS DOUBLE) / (t_ref + t_cur), 2)
+        / ((n_ref + n_cur) * CAST(t_ref AS DOUBLE) / (t_ref + t_cur))
+      + power(n_cur - (n_ref + n_cur) * CAST(t_cur AS DOUBLE) / (t_ref + t_cur), 2)
+        / ((n_ref + n_cur) * CAST(t_cur AS DOUBLE) / (t_ref + t_cur))
+      ELSE 0.0 END) AS chi2,
+    CAST(COUNT(*) - 1 AS DOUBLE) AS dof
+  FROM j
+)
+SELECT round(chi2, 4) AS chi2, CAST(dof AS BIGINT) AS dof FROM stat
+""",
+)
+def q_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Statistic + dof oracle-checked exactly; the Wilson–Hilferty
+    # p_approx column is dropped here (closed-form approx, pinned in
+    # tests/test_drift_family.py instead).
+    from ..operators.drift import chi2_drift
+
+    ref, cur = _drift_binned_inputs(spark, sf_dir)
+    return chi2_drift(ref, cur, "value", 10.0).select(
+        F.round("chi2", 4).alias("chi2"), "dof"
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join: latest right row at-or-before each left timestamp
 # ---------------------------------------------------------------------------
 

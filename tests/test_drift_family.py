@@ -1,0 +1,70 @@
+"""Binned drift family (PSI / Jensen–Shannon / chi-squared): known-value
+pins and invariances."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from churn_model_evaluation_platform_spark.operators.drift import (
+    chi2_drift,
+    js_divergence,
+    psi,
+)
+
+
+@pytest.fixture(scope="module")
+def shifted(spark):
+    rng = random.Random(21)
+    a = spark.createDataFrame(
+        [(rng.gauss(0, 1),) for _ in range(2000)], "value double"
+    )
+    b = spark.createDataFrame(
+        [(rng.gauss(3, 1),) for _ in range(2000)], "value double"
+    )
+    return a, b
+
+
+def test_identical_samples_scores_zeroish(spark, shifted):
+    a, _ = shifted
+    assert psi(a, a, "value", 0.5).first()["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert js_divergence(a, a, "value", 0.5).first()["js"] == pytest.approx(
+        0.0, abs=1e-12
+    )
+    row = chi2_drift(a, a, "value", 0.5).first()
+    assert row["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert row["p_approx"] > 0.99
+
+
+def test_shifted_samples_score_high(spark, shifted):
+    a, b = shifted
+    assert psi(a, b, "value", 0.5).first()["psi"] > 0.25  # "shifted" band
+    js = js_divergence(a, b, "value", 0.5).first()["js"]
+    assert 0.0 < js <= math.log(2) + 1e-9
+    row = chi2_drift(a, b, "value", 0.5).first()
+    assert row["chi2"] > row["dof"] * 10
+    assert row["p_approx"] < 1e-6
+
+
+def test_js_symmetric(spark, shifted):
+    a, b = shifted
+    ab = js_divergence(a, b, "value", 0.5).first()["js"]
+    ba = js_divergence(b, a, "value", 0.5).first()["js"]
+    assert ab == pytest.approx(ba, abs=1e-12)
+
+
+def test_chi2_pvalue_against_known_value(spark):
+    # chi2=3.84 at dof=1 → p ≈ 0.05 (the classic cutoff); Wilson–Hilferty
+    # + A&S erf is good to ~1e-3 here.
+    one = spark.range(1)
+    from churn_model_evaluation_platform_spark.operators.drift import _norm_cdf_expr
+
+    z = (
+        (F.lit((3.84 / 1.0) ** (1.0 / 3.0)) - F.lit(1 - 2.0 / 9.0))
+        / F.lit(math.sqrt(2.0 / 9.0))
+    )
+    p = 1.0 - one.select(_norm_cdf_expr(z).alias("c")).first()["c"]
+    assert p == pytest.approx(0.05, abs=0.005)
