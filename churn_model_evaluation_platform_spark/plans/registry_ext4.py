@@ -239,6 +239,38 @@ def _drift_binned_inputs(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "value_drift_wasserstein",
+    """
+WITH pooled AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ir,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS ic
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (SELECT v, SUM(ir) AS r, SUM(ic) AS c FROM pooled GROUP BY v),
+t AS (SELECT SUM(r) AS tr, SUM(c) AS tc FROM agg),
+cum AS (
+  SELECT v,
+         SUM(r) OVER (ORDER BY v) AS cr,
+         SUM(c) OVER (ORDER BY v) AS cc,
+         lead(v) OVER (ORDER BY v) AS vn
+  FROM agg
+)
+SELECT round(SUM(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc)
+                 * (vn - v)), 6) AS wasserstein
+FROM cum, t WHERE vn IS NOT NULL
+""",
+)
+def q_value_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import wasserstein
+
+    ref, cur = _drift_binned_inputs(spark, sf_dir)
+    return wasserstein(ref, cur, "value").select(
+        F.round("wasserstein", 6).alias("wasserstein")
+    )
+
+
+@register(
     "value_drift_psi",
     _BINNED_CTE
     + """

@@ -56,6 +56,21 @@ def test_js_symmetric(spark, shifted):
     assert ab == pytest.approx(ba, abs=1e-12)
 
 
+def test_wasserstein_known_shift(spark):
+    # W1 between X and X+c is exactly |c|.
+    from churn_model_evaluation_platform_spark.operators.drift import wasserstein
+
+    rng = random.Random(8)
+    vals = [rng.uniform(0, 10) for _ in range(500)]
+    a = spark.createDataFrame([(v,) for v in vals], "value double")
+    b = spark.createDataFrame([(v + 2.5,) for v in vals], "value double")
+    w = wasserstein(a, b, "value").first()["wasserstein"]
+    assert w == pytest.approx(2.5, abs=1e-9)
+    assert wasserstein(a, a, "value").first()["wasserstein"] == pytest.approx(
+        0.0, abs=1e-12
+    )
+
+
 def test_chi2_pvalue_against_known_value(spark):
     # chi2=3.84 at dof=1 → p ≈ 0.05 (the classic cutoff); Wilson–Hilferty
     # + A&S erf is good to ~1e-3 here.
