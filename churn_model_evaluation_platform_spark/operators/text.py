@@ -116,6 +116,60 @@ def text_quality(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_stopword_ratio: float = 0.05,
+    min_alpha_ratio: float = 0.6,
+    max_mean_token_len: float = 12.0,
+) -> DataFrame:
+    """Gopher-style document admission: keep a doc iff it clears every
+    length/stopword/alpha/token-shape rule (Rae et al. 2021's repetition
+    & quality gates, reduced to the deterministic subset computable from
+    ``text_quality``'s exact counts). Output: (id, keep, reject_reason)
+    — reason names the FIRST failed rule, '' when kept; map-only."""
+    q = text_quality(df, text_col, id_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens"))
+        .when(
+            F.col("stopword_ratio") < min_stopword_ratio,
+            F.lit("low_stopword_ratio"),
+        )
+        .when(F.col("alpha_ratio") < min_alpha_ratio, F.lit("low_alpha_ratio"))
+        .when(
+            F.col("mean_token_len") > max_mean_token_len,
+            F.lit("long_tokens"),
+        )
+        .otherwise(F.lit(""))
+    )
+    return q.select(
+        id_col,
+        reason.alias("reject_reason"),
+    ).withColumn("keep", F.col("reject_reason") == "")
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k n-grams by document frequency (one count per
+    doc per distinct n-gram): explode → distinct per doc → count →
+    TakeOrderedAndProject. Ties broken lexicographically for
+    determinism."""
+    grams = df.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
+            "ngram"
+        ),
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return counts.orderBy(F.desc("doc_freq"), F.asc("ngram")).limit(k)
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -207,6 +207,84 @@ def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text: quality-gate admission + corpus n-gram stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_filter",
+    # Same exact-count arithmetic as the text_quality oracle, thresholded
+    # on the ROUNDED ratios (quality_filter consumes text_quality output).
+    "",  # assembled below — needs registry_ext fragments
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "reject_reason", "keep"
+    )
+
+
+@register(
+    "top_ngrams",
+    "",  # assembled below
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus top-20 bigrams by document frequency; deterministic
+    # (freq desc, ngram asc) tie-break on both engines.
+    from ..operators.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def _install_text_oracles() -> None:
+    from ..functions.hashing import HEX_CHARS  # noqa: F401  (parity note)
+    from .registry import _ORACLES
+    from .registry_ext import _EN_STOP, _NORM_SQL, _TOKENS_SQL, _shingles_sql
+
+    _ORACLES["quality_filter"] = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS tk FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(tk) AS DOUBLE) AS nt,
+         round(CAST(len(list_filter(tk, t -> t IN ({_EN_STOP}))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE), 6) AS stop_r,
+         round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(norm) AS DOUBLE), 6) AS alpha_r,
+         round((CAST(length(norm) AS DOUBLE) - (len(tk) - 1)) / len(tk), 6)
+           AS mtl
+  FROM base
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN nt < 5 THEN 'too_few_tokens'
+              WHEN stop_r < 0.05 THEN 'low_stopword_ratio'
+              WHEN alpha_r < 0.6 THEN 'low_alpha_ratio'
+              WHEN mtl > 12.0 THEN 'long_tokens'
+              ELSE '' END AS reject_reason
+  FROM c
+)
+SELECT doc_id, reject_reason, reject_reason = '' AS keep FROM r
+"""
+    _ORACLES["top_ngrams"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest({_shingles_sql(2)}) AS g FROM tok)
+)
+SELECT g AS ngram, count(*) AS doc_freq
+FROM grams GROUP BY g
+ORDER BY doc_freq DESC, ngram ASC
+LIMIT 20
+"""
+
+
+_install_text_oracles()
+
+
+# ---------------------------------------------------------------------------
 # Binned drift family: PSI, Jensen–Shannon, chi-squared (SURVEY §7.4:
 # "keep the drift method pluggable")
 # ---------------------------------------------------------------------------

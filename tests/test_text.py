@@ -59,3 +59,32 @@ def test_doc_fingerprint_stable(spark):
     assert rows[1]["min_shingle_hash"] == rows[2]["min_shingle_hash"]
     assert rows[1]["n_shingles"] == 3  # 5 tokens → 3 trigram shingles
     assert rows[1]["content_md5"] != rows[3]["content_md5"]
+
+
+def test_quality_filter_reject_reasons(spark):
+    from churn_model_evaluation_platform_spark.operators.text import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a hat and a bat"),  # keeps
+            (2, "one two"),  # too few tokens
+            (3, "zzz qqq xxx www vvv uuu ttt sss"),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reject_reason"]) for r in quality_filter(docs).collect()}
+    assert got[1] == (True, "")
+    assert got[2] == (False, "too_few_tokens")
+    assert got[3] == (False, "low_stopword_ratio")
+
+
+def test_top_ngrams_doc_frequency_not_occurrence(spark):
+    from churn_model_evaluation_platform_spark.operators.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c"), (3, "c d e")],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(docs, n=2, k=3).collect()
+    top = {r["ngram"]: r["doc_freq"] for r in rows}
+    assert top["a b"] == 2  # docs 1 and 2 — repeats within doc 1 not counted
