@@ -107,6 +107,26 @@ def cosine_topk_lsh(
     return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def embedding_mean(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Element-wise mean vector of the corpus — the diagnostic/centroid
+    primitive (IVF init, drift-of-embeddings checks).
+
+    posexplode + groupBy(position): the shuffle carries (pos, partial
+    sums) — ``dim`` rows after map-side combine, never the vectors
+    themselves. Output: one row per position, ``(pos int, mean double)``.
+    """
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    return (
+        exploded.groupBy("pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("mean"))
+        .select(F.col("pos").cast("int").alias("pos"), "mean")
+    )
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     n_cells: int = 16,

@@ -150,6 +150,23 @@ def q_validate_schema_containment(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
+@register(
+    "embedding_mean",
+    """
+SELECT CAST(pos - 1 AS INT) AS pos, round(avg(CAST(x AS DOUBLE)), 6) AS mean
+FROM (SELECT unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY 1
+""",
+)
+def q_embedding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Element-wise corpus mean vector; avg of doubles is order-dependent
+    # → rounded on both sides.
+    out = similarity.embedding_mean(_t(spark, sf_dir, "embeddings"))
+    return out.select("pos", F.round("mean", 6).alias("mean"))
+
+
 @register("similarity_topk_ivf")  # rows-only: recall pinned vs exact in pytest
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN: seeded-KMeans cells, probe the 4 of 8 cells nearest the

@@ -35,6 +35,10 @@ from churn_model_evaluation_platform_spark.session import get_spark  # noqa: E40
 # row (the build side is 1 row by construction).
 SINGLE_ROW_CROSS_OK = {
     "value_drift_ks",
+    "value_drift_wasserstein",
+    "value_drift_psi",
+    "value_drift_js",
+    "value_drift_chi2",
     "drifted_columns_count",
     "assess_data_drift",
     "duplicate_row_count",
@@ -58,6 +62,17 @@ AUDITED = [
     "agg_cube",
     "agg_grouping_sets",
     "value_drift_scalable",
+    "value_drift_wasserstein",
+    "value_drift_psi",
+    "value_drift_js",
+    "value_drift_chi2",
+    "asof_join",
+    "interval_join",
+    "sessionize",
+    "join_semi_anti",
+    "metrics_pivot",
+    "quality_filter",
+    "top_ngrams",
     "dedup_minhash_signatures",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
