@@ -265,14 +265,30 @@ def cross_validate_f1(
     k: int = 3,
     feature_cols: list[str] | None = None,
     label_col: str = TARGET_COLUMN,
+    parallel: bool = False,
     **gbt_params,
 ) -> float:
-    """Mean F1 across stratified folds (churn_model_training.py:271-273)."""
+    """Mean F1 across stratified folds (churn_model_training.py:271-273).
+
+    ``parallel=True`` trains the k folds from concurrent driver threads —
+    Spark's scheduler interleaves their jobs across the cluster, so folds
+    that underutilize the executors overlap (the same trick
+    ``CrossValidator(parallelism=k)`` uses). Each fold's data is a
+    filter of the cached fold assignment, so nothing is recomputed.
+    """
     folded = stratified_folds(df, k, label_col).cache()
-    f1s = []
-    for fold in range(1, k + 1):
+
+    def one(fold: int) -> float:
         tr = folded.where(F.col("fold") != fold).drop("fold")
         va = folded.where(F.col("fold") == fold).drop("fold")
         tm = fit_pipeline(tr, feature_cols, label_col, **gbt_params)
-        f1s.append(evaluate(tm, va, label_col)["f1score"])
+        return evaluate(tm, va, label_col)["f1score"]
+
+    if parallel:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=k) as ex:
+            f1s = list(ex.map(one, range(1, k + 1)))
+    else:
+        f1s = [one(fold) for fold in range(1, k + 1)]
     return sum(f1s) / len(f1s)

@@ -85,3 +85,20 @@ def test_tune_threshold_grid(spark):
     t, f1 = tune_threshold(df)
     assert 0.2 < t <= 0.6
     assert f1 == pytest.approx(1.0)
+
+
+def test_cross_validate_parallel_matches_serial(spark, churn_like_df=None):
+    import random
+
+    from churn_model_evaluation_platform_spark.ml.training import cross_validate_f1
+    from churn_model_evaluation_platform_spark.schema import NUMERICAL_COLUMNS
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(150):
+        feats = [rng.uniform(0, 10) for _ in NUMERICAL_COLUMNS]
+        rows.append(tuple(feats) + (int(feats[0] + feats[1] > 10),))
+    df = spark.createDataFrame(rows, NUMERICAL_COLUMNS + ["churn"])
+    serial = cross_validate_f1(df, k=2, max_iter=5)
+    par = cross_validate_f1(df, k=2, parallel=True, max_iter=5)
+    assert par == pytest.approx(serial, abs=1e-9)
