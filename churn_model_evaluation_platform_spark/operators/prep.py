@@ -52,13 +52,18 @@ class ValidationResult:
 
 
 def validate_schema_containment(
-    df: DataFrame, expected_columns: list[str], source_name: str = "<df>"
+    df: DataFrame | list[str], expected_columns: list[str], source_name: str = "<df>"
 ) -> ValidationResult:
     """Accept iff every expected column ⊆ df columns (compared in cleaned
     space, like the reference which cleans before checking —
     churn_prediction_pipeline.py:149-159). Extra columns are tolerated.
+
+    Also accepts a raw column-name list — needed when a CSV is read
+    through a DECLARED stream schema (the DataFrame then always has the
+    declared columns, so the file's own header must be validated).
     """
-    have = {clean_name(c) for c in df.columns}
+    cols = df if isinstance(df, list) else df.columns
+    have = {clean_name(c) for c in cols}
     missing = [c for c in expected_columns if clean_name(c) not in have]
     if missing:
         return ValidationResult(
