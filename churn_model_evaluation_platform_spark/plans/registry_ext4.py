@@ -224,6 +224,112 @@ def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Capstone: the ENTIRE monitoring-run metrics set, oracle-checked
+# ---------------------------------------------------------------------------
+
+_VIEW_CM_SQL = """
+WITH scored AS (
+  SELECT CAST(value > 50 AS INT) AS churn,
+         CAST(value + (user_id % 7) > 50 AS INT) AS churn_prediction
+  FROM events WHERE event_type = 'view'
+),
+cm AS (
+  SELECT
+    CAST(SUM(CASE WHEN churn = 1 AND churn_prediction = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+    CAST(SUM(CASE WHEN churn <> 1 AND churn_prediction = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+    CAST(SUM(CASE WHEN churn = 1 AND churn_prediction <> 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fn,
+    CAST(SUM(CASE WHEN churn <> 1 AND churn_prediction <> 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tn,
+    CAST(COUNT(*) AS DOUBLE) AS n
+  FROM scored
+)
+"""
+
+
+def _install_monitoring_full_oracle() -> None:
+    from ..functions.stats import ks_pvalue_sql
+    from .registry import _DRIFT_CUR_SQL, _DRIFT_REF_SQL, _ORACLES, _ks_sql_block
+
+    pv = ks_pvalue_sql("ks_stat", "n_ref", "n_cur")
+    _ORACLES["monitoring_metrics_full"] = (
+        _VIEW_CM_SQL
+        + f""",
+ref AS ({_DRIFT_REF_SQL}), cur AS ({_DRIFT_CUR_SQL}),
+{_ks_sql_block('value', 'v')},
+{_ks_sql_block('user_id', 'u')},
+pvals AS (
+  SELECT 'valuedrift_value' AS metric_name, {pv} AS value FROM stat_v
+  UNION ALL SELECT 'valuedrift_user_id', {pv} FROM stat_u
+),
+dcc AS (
+  SELECT SUM(CASE WHEN value < 0.05 THEN 1.0 ELSE 0.0 END) AS cnt,
+         CAST(COUNT(*) AS DOUBLE) AS ncols
+  FROM pvals
+),
+s AS (
+  SELECT (tp + tn) / n AS accuracy,
+         CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS p1,
+         CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS r1,
+         CASE WHEN tn + fn = 0 THEN 0.0 ELSE tn / (tn + fn) END AS p0,
+         CASE WHEN tn + fp = 0 THEN 0.0 ELSE tn / (tn + fp) END AS r0
+  FROM cm
+),
+s2 AS (
+  SELECT accuracy, p1, r1, p0, r0,
+         CASE WHEN p1 + r1 = 0 THEN 0.0 ELSE 2.0 * p1 * r1 / (p1 + r1) END AS f1_1,
+         CASE WHEN p0 + r0 = 0 THEN 0.0 ELSE 2.0 * p0 * r0 / (p0 + r0) END AS f1_0
+  FROM s
+),
+longm AS (
+  SELECT 'accuracy' AS metric_name, accuracy AS value FROM s2
+  UNION ALL SELECT 'precision', p1 FROM s2
+  UNION ALL SELECT 'recall', r1 FROM s2
+  UNION ALL SELECT 'f1score', f1_1 FROM s2
+  UNION ALL SELECT 'precisionbylabel_1', p1 FROM s2
+  UNION ALL SELECT 'recallbylabel_1', r1 FROM s2
+  UNION ALL SELECT 'f1bylabel_1', f1_1 FROM s2
+  UNION ALL SELECT 'precisionbylabel_0', p0 FROM s2
+  UNION ALL SELECT 'recallbylabel_0', r0 FROM s2
+  UNION ALL SELECT 'f1bylabel_0', f1_0 FROM s2
+  UNION ALL SELECT metric_name, value FROM pvals
+  UNION ALL SELECT 'driftedcolumnscount[count]', cnt FROM dcc
+  UNION ALL SELECT 'driftedcolumnscount[share]', cnt / ncols FROM dcc
+)
+SELECT metric_name, round(value, 6) AS value FROM longm
+"""
+    )
+
+
+_install_monitoring_full_oracle()
+
+
+@register("monitoring_metrics_full")  # oracle installed above
+def q_monitoring_metrics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The flagship pipeline's COMPLETE output (14 metric rows: 4 scores,
+    # 6 per-label, 2 per-column KS p-values, drifted count+share) —
+    # monitoring_run end-to-end vs one assembled DuckDB oracle. This is
+    # the whole-engine differential check, not an operator-level one.
+    from ..plans.pipeline import monitoring_run
+    from .registry import _drift_inputs
+
+    ev = _t(spark, sf_dir, "events")
+    ref, _ = _drift_inputs(spark, sf_dir)
+    current = ev.where(F.col("event_type") == "view").select(
+        (F.col("value") * 1.25).alias("value"),
+        F.col("user_id").cast("double").alias("user_id"),
+        (F.col("value") > 50).cast("int").alias("churn"),
+        ((F.col("value") + F.col("user_id") % 7) > 50)
+        .cast("int")
+        .alias("churn_prediction"),
+    )
+    res = monitoring_run(
+        current, ref, ["value", "user_id"], alert_sink=lambda s, m: None
+    )
+    return res.metrics.select(
+        "metric_name", F.round("value", 6).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text: quality-gate admission + corpus n-gram stats
 # ---------------------------------------------------------------------------
 
