@@ -26,6 +26,7 @@ from churn_model_evaluation_platform_spark.session import get_spark  # noqa: E40
 # drift (windowed multi-column + scalable single-column KS), metric
 # reshaping + store shapes, relational core, dedup, similarity, text.
 HEADLINE = [
+    "monitoring_metrics_full",
     "classification_scores",
     "per_label_scores",
     "value_drift",

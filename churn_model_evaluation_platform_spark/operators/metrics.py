@@ -100,6 +100,38 @@ def append_metrics(df: DataFrame, path: str, partition_by_date: bool = False) ->
         df.write.mode("append").parquet(path)
 
 
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int = 1,
+    partition_by_date: bool = False,
+) -> int:
+    """Compact an append-only parquet store in place: every micro-batch
+    append adds small files (the streaming metrics sink produces one+
+    per trigger), and scan cost degrades with file count. Rewrites the
+    store to ``target_partitions`` files (per date partition when
+    ``partition_by_date``) via a temp dir + atomic-ish swap. Returns the
+    row count (callers assert it unchanged).
+
+    At warehouse scale this is OPTIMIZE/bin-packing on a Delta/Iceberg
+    table; on plain parquet the rewrite is the portable equivalent. Run
+    it from maintenance, never concurrently with an appender.
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(target_partitions).write.mode("overwrite")
+    if partition_by_date:
+        writer = writer.partitionBy("metric_date")
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n
+
+
 def append_metrics_jdbc(df: DataFrame, url: str, table: str = METRICS_TABLE,
                         properties: dict | None = None) -> None:
     """JDBC append sink (churn_prediction_pipeline.py:529-530,628-636).

@@ -69,3 +69,27 @@ def test_partitioned_metrics_store(spark, tmp_path):
         "SELECT value FROM dm_part WHERE metric_date = DATE'2026-08-11'"
     ).collect()
     assert [r["value"] for r in got] == [0.8]
+
+
+def test_compact_store_preserves_rows(spark, tmp_path):
+    import glob
+
+    from churn_model_evaluation_platform_spark.operators.metrics import compact_store
+
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        [("f1score", float(i) / 10, f"2026-08-1{i % 2} 10:00:00") for i in range(10)],
+        "metric_name string, value double, created_at string",
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+    # ten appends → many small files
+    for i in range(10):
+        base.where(F.col("value") == i / 10).write.mode("append").parquet(path)
+    before_files = len(glob.glob(f"{path}/*.parquet"))
+    before = spark.read.parquet(path).orderBy("value").collect()
+
+    n = compact_store(spark, path, target_partitions=1)
+
+    after_files = len(glob.glob(f"{path}/*.parquet"))
+    after = spark.read.parquet(path).orderBy("value").collect()
+    assert n == 10 and after == before
+    assert after_files < before_files and after_files == 1
