@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..schema import (
@@ -84,6 +84,35 @@ def validate_extension(path: str, ext: str = ".csv") -> ValidationResult:
             ok=False, error=f"Invalid file type for {path}. Expected a CSV file."
         )
     return ValidationResult(ok=True)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic exact stratified sample: per stratum, keep the first
+    ``ceil(fraction * n)`` rows ordered by a portable content hash of the
+    id — the same rows on every engine and every run (unlike
+    ``sampleBy``, whose Bernoulli draw is per-partition RNG and neither
+    exact nor engine-portable). The hash ordering is an unbiased
+    pseudo-random permutation within each stratum.
+
+    One window pass per stratum; at 100 TB the shuffle key is the
+    stratum, and a hot stratum can be pre-split with the salting helper.
+    """
+    from ..functions.hashing import md5_hash_int
+
+    h = md5_hash_int(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, id_col)
+    cnt_w = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt_w))
+        .where(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn", "__n")
+    )
 
 
 def feature_projection(

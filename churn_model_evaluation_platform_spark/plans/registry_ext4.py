@@ -224,6 +224,41 @@ def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic exact stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _install_sample_oracle() -> None:
+    from ..functions.hashing import md5_hash_int_sql
+    from .registry import _ORACLES
+
+    h = md5_hash_int_sql("CAST(event_id AS VARCHAR)")
+    _ORACLES["stratified_sample"] = f"""
+WITH ranked AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {h}, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_id, event_type FROM ranked WHERE rn <= ceil(n * 0.1)
+"""
+
+
+_install_sample_oracle()
+
+
+@register("stratified_sample")  # oracle installed above
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10% exact per-stratum sample by portable hash order — identical
+    # row set on both engines (sampleBy's RNG would be neither).
+    from ..operators.prep import stratified_sample_exact
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_sample_exact(ev, "event_type", 0.1, "event_id")
+
+
+# ---------------------------------------------------------------------------
 # Capstone: the ENTIRE monitoring-run metrics set, oracle-checked
 # ---------------------------------------------------------------------------
 

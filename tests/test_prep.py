@@ -99,3 +99,24 @@ def test_derive_output_key(spark):
     df = spark.createDataFrame([("data/input/batch_7.csv",)], ["key"])
     out = df.select(derive_output_key(F.col("key"), "XGBoostChurnModel", 4).alias("k"))
     assert out.first()["k"] == "batch_7_predictions_XGBoostChurnModel_v4.csv"
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from churn_model_evaluation_platform_spark.operators.prep import stratified_sample_exact
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(100)], "id long, s string"
+    )
+    out1 = stratified_sample_exact(df, "s", 0.2, "id")
+    out2 = stratified_sample_exact(df, "s", 0.2, "id")
+    rows1 = sorted(r["id"] for r in out1.collect())
+    rows2 = sorted(r["id"] for r in out2.collect())
+    assert rows1 == rows2  # run-to-run deterministic
+    import math
+
+    by_stratum = {
+        r["s"]: r["cnt"]
+        for r in out1.groupBy("s").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # strata sizes: a=66, b=34 → exact ceil(0.2 * n)
+    assert by_stratum == {"a": math.ceil(66 * 0.2), "b": math.ceil(34 * 0.2)}
