@@ -40,6 +40,28 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# GPT-2-ish pre-tokenizer shape, reduced to the portable POSIX subset
+# (no \p classes, no lookahead — identical matches in Spark and DuckDB):
+# contraction suffixes | letter runs | digit runs | punctuation runs.
+BPE_TOKEN_PATTERN = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def token_count_bpe(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish token count per doc: the pre-tokenization split a byte-pair
+    encoder would see (contractions, letter runs, digit runs, punctuation
+    runs) — the count LLM data pipelines budget by, vs the whitespace
+    count ``token_count`` reports. Pure ``regexp_extract_all`` — map-only.
+    """
+    return df.select(
+        id_col,
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Array of n-word shingles ('w1 w2 w3' strings) of normalized text.
     Docs shorter than n words yield one (short) shingle. Pure higher-order

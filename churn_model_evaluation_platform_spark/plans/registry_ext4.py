@@ -370,6 +370,23 @@ def q_monitoring_metrics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_count_bpe",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+            AS INT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_count_bpe
+
+    out = token_count_bpe(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"))
+
+
+@register(
     "quality_filter",
     # Same exact-count arithmetic as the text_quality oracle, thresholded
     # on the ROUNDED ratios (quality_filter consumes text_quality output).

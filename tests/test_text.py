@@ -88,3 +88,14 @@ def test_top_ngrams_doc_frequency_not_occurrence(spark):
     rows = top_ngrams(docs, n=2, k=3).collect()
     top = {r["ngram"]: r["doc_freq"] for r in rows}
     assert top["a b"] == 2  # docs 1 and 2 — repeats within doc 1 not counted
+
+
+def test_token_count_bpe_pinned(spark):
+    from churn_model_evaluation_platform_spark.operators.text import token_count_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "I can't stop, won't stop: 42 times!")],
+        "doc_id long, text string",
+    )
+    # I | can | 't | stop | , | won | 't | stop | : | 42 | times | !
+    assert token_count_bpe(docs).first()["n_bpe_tokens"] == 12
