@@ -20,8 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.stats import ks_pvalue_expr, ks_pvalue_sql
-from ..operators import dedup, eda, quality, similarity, text
+from ..functions.stats import ks_pvalue_sql
+from ..operators import eda, quality
 from ..operators.drift import drifted_columns_count, ks_2samp, value_drift
 from ..operators.metrics import (
     latest_per_metric,
@@ -33,7 +33,6 @@ from ..operators.prep import (
     clean_column_names,
     derive_output_key,
     feature_projection,
-    prepare,
     proba_threshold,
 )
 from ..sources.testdata import load_table

@@ -14,12 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
-    HEX_CHARS,
     MERSENNE_31,
     md5_hash_int_sql,
     minhash_perms,
 )
-from ..operators import dedup, eda, similarity, text
+from ..operators import dedup, similarity, text
 from ..sources.testdata import load_table
 from .registry import register
 
