@@ -7,6 +7,8 @@ All built-ins; exact percentiles via ``percentile`` (matches DuckDB's
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -94,6 +96,34 @@ def histogram_bins(df: DataFrame, column: str, bin_width: float) -> DataFrame:
             (F.col("bin") * F.lit(bin_width)).alias("bin_start"),
             "bin_count",
         )
+    )
+
+
+def mad_by_group(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Median absolute deviation per group — the robust spread statistic,
+    as an Arrow-batched pandas GROUPED-AGGREGATE UDF (the one UDF form
+    the rest of the engine doesn't already exercise: scalar model UDFs in
+    score.py, grouped-map/map-iter in multimodal.py, stateful in
+    streaming/). Medians are not algebraic, so this genuinely needs the
+    UDAF — there is no built-in exact distributed form.
+
+    Scale note: each group's values are gathered to one executor (the
+    UDAF contract); for huge groups prefer ``percentile_approx``-based
+    approximations instead.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
+        med = v.median()
+        return float((v - med).abs().median())
+
+    return (
+        df.groupBy(group_col)
+        .agg(_mad(F.col(value_col)).alias("mad"))
+        .select(group_col, "mad")
     )
 
 

@@ -223,6 +223,22 @@ def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouped_mad_udaf",
+    "SELECT event_type, round(mad(value), 6) AS mad "
+    "FROM events WHERE value IS NOT NULL GROUP BY event_type",
+)
+def q_grouped_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pandas grouped-aggregate UDAF (median absolute deviation) vs
+    # DuckDB's native mad() — both are median(|x - median(x)|) with
+    # linear-interpolated medians.
+    from ..operators.eda import mad_by_group
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    out = mad_by_group(ev, "value", "event_type")
+    return out.select("event_type", F.round("mad", 6).alias("mad"))
+
+
 # ---------------------------------------------------------------------------
 # Deterministic exact stratified sampling
 # ---------------------------------------------------------------------------
