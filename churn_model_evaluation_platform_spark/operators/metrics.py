@@ -164,6 +164,35 @@ def latest_metric_value(
     )
 
 
+def latest_per_metric_scalable(metrics: DataFrame) -> DataFrame:
+    """Latest row per metric via the max-timestamp semi-join rewrite
+    (SURVEY §4 'optional later', now implemented): aggregate
+    ``max(created_at)`` per metric (map-side combinable — one tiny row
+    per metric), broadcast it back, and keep matching rows. At 100 TB of
+    metrics this beats the window form: no per-metric ordered state,
+    just one full-shuffle-free aggregate plus a broadcast hash join.
+
+    Ties on (metric_name, max created_at) keep every tied row — break
+    them upstream if the store can hold duplicates for one timestamp.
+    """
+    latest_ts = (
+        metrics.groupBy("metric_name")
+        .agg(F.max("created_at").alias("__max_ts"))
+        .select(
+            F.col("metric_name").alias("__mname"),  # disambiguate self-join
+            "__max_ts",
+        )
+    )
+    return (
+        metrics.join(
+            F.broadcast(latest_ts),
+            (F.col("metric_name") == F.col("__mname"))
+            & (F.col("created_at") == F.col("__max_ts")),
+        )
+        .select("metric_name", "value", "created_at")
+    )
+
+
 def latest_per_metric(metrics: DataFrame) -> DataFrame:
     """Generalized shape A: latest value for EVERY metric in one pass.
 

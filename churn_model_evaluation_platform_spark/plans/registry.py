@@ -506,6 +506,20 @@ def q_latest_per_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_per_metric_scalable",
+    f"WITH m AS ({_METRICS_VIEW_SQL}) "
+    "SELECT metric_name, arg_max(value, created_at) AS value, "
+    "max(created_at) AS created_at FROM m GROUP BY metric_name",
+)
+def q_latest_per_metric_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURVEY §4's max-timestamp semi-join rewrite: tiny max-ts aggregate
+    # broadcast back — same oracle as latest_per_metric.
+    from ..operators.metrics import latest_per_metric_scalable
+
+    return latest_per_metric_scalable(_metrics_view(spark, sf_dir))
+
+
+@register(
     "metric_timeseries",
     f"WITH m AS ({_METRICS_VIEW_SQL}) "
     "SELECT created_at, value FROM m WHERE metric_name = 'click' "
