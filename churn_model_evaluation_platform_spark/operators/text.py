@@ -192,6 +192,36 @@ def top_ngrams(
     return counts.orderBy(F.desc("doc_freq"), F.asc("ngram")).limit(k)
 
 
+ROLLING_BASE = 131
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1: acc*131 + 255 stays far below 2^63
+
+
+def rolling_hash_expr(col: Column) -> Column:
+    """Rabin–Karp polynomial rolling hash of the normalized text:
+    fold (acc * B + charcode) mod P over the character sequence — one
+    higher-order ``aggregate`` per row, no UDF. Portable: DuckDB's
+    ``list_reduce`` over the same char codes computes the identical fold
+    (its first-element seeding equals our 0-init first step)."""
+    chars = F.split(normalize_text(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(ROLLING_BASE) + F.ascii(c))
+        % F.lit(ROLLING_MOD),
+    )
+
+
+def doc_fingerprint_rolling(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content fingerprint via the polynomial rolling hash (the classic
+    Rabin–Karp form of document fingerprinting; the shingle-based
+    ``doc_fingerprint`` is the winnowing-flavored sibling)."""
+    return df.where(F.col(text_col).isNotNull()).select(
+        id_col, rolling_hash_expr(F.col(text_col)).alias("rolling_hash")
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -385,6 +385,31 @@ def q_monitoring_metrics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _install_rolling_oracle() -> None:
+    from ..operators.text import ROLLING_BASE, ROLLING_MOD
+    from .registry import _ORACLES
+    from .registry_ext import _NORM_SQL
+
+    _ORACLES["doc_fingerprint_rolling"] = f"""
+SELECT doc_id,
+       list_reduce(
+         list_transform(string_split({_NORM_SQL}, ''), c -> CAST(ascii(c) AS BIGINT)),
+         (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD}
+       ) AS rolling_hash
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+_install_rolling_oracle()
+
+
+@register("doc_fingerprint_rolling")  # oracle installed above
+def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import doc_fingerprint_rolling
+
+    return doc_fingerprint_rolling(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "token_count_bpe",
     """
