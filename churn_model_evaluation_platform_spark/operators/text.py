@@ -192,6 +192,29 @@ def top_ngrams(
     return counts.orderBy(F.desc("doc_freq"), F.asc("ngram")).limit(k)
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition signals per doc: fraction of duplicate lines and
+    duplicate tokens (1 - distinct/total). High values flag boilerplate /
+    templated text that the quality gates should drop. Pure array
+    expressions (split + array_distinct) — map-only."""
+    lines = F.split(F.col(text_col), "\n")
+    toks = tokens(F.col(text_col))
+
+    def dup_ratio(arr: Column) -> Column:
+        n = F.size(arr).cast("double")
+        return F.when(
+            n > 0, F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / n
+        ).otherwise(F.lit(0.0))
+
+    return df.where(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.round(dup_ratio(lines), 6).alias("line_dup_ratio"),
+        F.round(dup_ratio(toks), 6).alias("token_dup_ratio"),
+    )
+
+
 ROLLING_BASE = 131
 ROLLING_MOD = 2_147_483_647  # 2^31 - 1: acc*131 + 255 stays far below 2^63
 

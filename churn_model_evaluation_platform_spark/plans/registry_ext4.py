@@ -385,6 +385,35 @@ def q_monitoring_metrics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _install_repetition_oracle() -> None:
+    from .registry import _ORACLES
+    from .registry_ext import _TOKENS_SQL
+
+    def dup(arr: str) -> str:
+        return (
+            f"round(CASE WHEN len({arr}) > 0 THEN "
+            f"1.0 - CAST(len(list_distinct({arr})) AS DOUBLE) / len({arr}) "
+            f"ELSE 0.0 END, 6)"
+        )
+
+    _ORACLES["repetition_stats"] = f"""
+SELECT doc_id,
+       {dup("string_split(text, chr(10))")} AS line_dup_ratio,
+       {dup(_TOKENS_SQL)} AS token_dup_ratio
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+_install_repetition_oracle()
+
+
+@register("repetition_stats")  # oracle installed above
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def _install_rolling_oracle() -> None:
     from ..operators.text import ROLLING_BASE, ROLLING_MOD
     from .registry import _ORACLES

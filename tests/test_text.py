@@ -99,3 +99,17 @@ def test_token_count_bpe_pinned(spark):
     )
     # I | can | 't | stop | , | won | 't | stop | : | 42 | times | !
     assert token_count_bpe(docs).first()["n_bpe_tokens"] == 12
+
+
+def test_repetition_stats_pinned(spark):
+    from churn_model_evaluation_platform_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "x y\nx y\nz"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: 3 lines, 2 distinct → 1/3 dup; 5 tokens [x y x y z], 3 distinct → 2/5
+    assert got[1]["line_dup_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[1]["token_dup_ratio"] == pytest.approx(2 / 5, abs=1e-6)
+    assert got[2]["line_dup_ratio"] == 0.0 and got[2]["token_dup_ratio"] == 0.0
