@@ -88,7 +88,15 @@ def _entropy(content: bytes) -> float:
 
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over media rows (mapInPandas —
-    zero shuffle; each executor streams its partitions' blobs)."""
+    zero shuffle; each executor streams its partitions' blobs).
+
+    NOTE: ``_decode_stub``/``_entropy`` are module-level, so cloudpickle
+    ships them BY REFERENCE — Python workers must be able to import this
+    package. ``sources.testdata.ensure_package_shipped`` (called by every
+    registry query via load_table) addPyFiles a zip of the package so
+    this holds regardless of the driver's cwd/sys.path."""
+    decode = _decode_stub
+    entropy = _entropy
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -100,11 +108,11 @@ def extract_features(df: DataFrame) -> DataFrame:
                         len(c) if c is not None else 0 for c in pdf["content"]
                     ],
                     "byte_entropy": [
-                        _entropy(c) if c is not None else 0.0
+                        entropy(c) if c is not None else 0.0
                         for c in pdf["content"]
                     ],
                     "features": [
-                        _decode_stub(c, t)
+                        decode(c, t)
                         for c, t in zip(pdf["content"], pdf["media_type"])
                     ],
                 }

@@ -25,10 +25,39 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS regardless of the
+    driver's cwd/sys.path: module-level functions crossing the worker
+    boundary (pandas UDFs, applyInPandasWithState) are cloudpickled BY
+    REFERENCE, so workers must import the module. A driver that added
+    /root/repo to sys.path at runtime doesn't propagate that to workers
+    — ship a zip of the package via addPyFile once per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_churnspark_shipped", False):
+        return
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(
+        tempfile.gettempdir(), f"churnspark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    sc._churnspark_shipped = True
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     # The driver owns the session; events.parquet carries TIMESTAMP(NANOS)
     # which Spark rejects unless this runtime SQL conf is set.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Every registry query flows through here — central hook to make the
+    # package importable on Python workers (see ensure_package_shipped).
+    ensure_package_shipped(spark)
     df = spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) read as long (see session.py). Integer DIV —

@@ -45,23 +45,6 @@ _STATE = StructType(
 )
 
 
-def _update_running_stats(
-    key: tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold this trigger's rows for one key into (n, total) state and
-    emit the updated running totals — one output row per key per batch."""
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += int(len(pdf))
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-    )
-
-
 def running_user_stats(stream_df: DataFrame) -> DataFrame:
     """Running per-user (count, sum) across micro-batches.
 
@@ -69,12 +52,34 @@ def running_user_stats(stream_df: DataFrame) -> DataFrame:
     Output stream: ``(user_id, n_events, total_value)`` — the cumulative
     figures as of each trigger. State never expires (NoTimeout): the
     reference's metrics table is likewise append-forever.
+
+    The update function is a CLOSURE on purpose: cloudpickle ships it by
+    value, so Python workers don't need this package importable (a
+    module-level function would pickle by reference and fail on drivers
+    whose cwd isn't the repo).
     """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # fold this trigger's rows for one key into (n, total) state and
+        # emit the updated running totals — one row per key per batch
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
     return (
         stream_df.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_running_stats,
+            update,
             outputStructType=RUNNING_STATS_OUTPUT,
             stateStructType=_STATE,
             outputMode="update",
