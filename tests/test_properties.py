@@ -83,6 +83,43 @@ def test_value_drift_scalable_equals_windowed(spark, xs, ys):
 @SETTINGS
 @given(
     st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+)
+def test_asof_join_matches_python_model(spark, lrows, rrows):
+    from churn_model_evaluation_platform_spark.operators.relational import asof_join
+
+    # unique (k, ts) on the right — ties there are unspecified by contract
+    rmap = {}
+    for k, ts in rrows:
+        rmap[(k, ts)] = float(k * 1000 + ts)
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lrows)], "lid int, k int, p int"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in rmap.items()], "k int, ts int, v double"
+    )
+    got = {
+        r["lid"]: (r["asof_ts"], r["v"])
+        for r in asof_join(
+            left, right, ["k"], left_ts="p", right_ts="ts", right_cols=["v"]
+        ).collect()
+    }
+    for i, (k, p) in enumerate(lrows):
+        cands = [ts for (rk, ts) in rmap if rk == k and ts <= p]
+        if cands:
+            ts = max(cands)
+            assert got[i] == (ts, rmap[(k, ts)])
+        else:
+            assert i not in got  # inner mode drops unmatched
+
+
+@SETTINGS
+@given(
+    st.lists(
         st.sampled_from(["alpha beta", "Alpha  Beta", "gamma", "delta epsilon zeta"]),
         min_size=1,
         max_size=25,
