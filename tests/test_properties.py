@@ -137,3 +137,30 @@ def test_exact_dedup_partitions_rows(spark, texts):
     # normalization: case/extra-space variants collapse
     distinct_norm = {" ".join(t.lower().split()) for t in texts}
     assert len(out) == len(distinct_norm)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 500)), min_size=1, max_size=40
+    )
+)
+def test_sessionize_invariants(spark, rows):
+    from churn_model_evaluation_platform_spark.operators.relational import sessionize
+
+    gap = 60
+    df = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(rows)], "rid int, k int, p long"
+    )
+    out = sessionize(df, ["k"], "p", gap=gap).collect()
+    by_key: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["k"], r["p"], r["rid"])):
+        by_key.setdefault(r["k"], []).append(r)
+    for _, rs in by_key.items():
+        assert rs[0]["session_id"] == 1  # sessions start at 1
+        for a, b in zip(rs, rs[1:]):
+            delta = b["p"] - a["p"]
+            if delta >= gap:
+                assert b["session_id"] == a["session_id"] + 1
+            else:
+                assert b["session_id"] == a["session_id"]
