@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd: ~30% smaller parquet than snappy at similar scan speed —
+        # at 100 TB the storage/IO saving dominates the encode cost.
+        # (Runtime bloom-filter join pruning + parquet filter pushdown
+        # are already on by default in this Spark version.)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         # Testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type — read as long, converted in the loader.
