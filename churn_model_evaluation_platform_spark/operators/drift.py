@@ -345,6 +345,40 @@ def _norm_cdf_expr(z: Column) -> Column:
     return F.when(z >= 0, cdf_abs).otherwise(F.lit(1.0) - cdf_abs)
 
 
+def drift_statistic(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    method: str = "ks",
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """One entry point for the pluggable drift family (SURVEY §7.4):
+
+    - ``ks``           → (ks_stat, p_value, n_ref, n_cur) — the default
+      semantic every reference consumer assumes;
+    - ``wasserstein``  → (wasserstein,) — Evidently's >1000-row branch;
+    - ``psi``          → (psi,) — binned population stability;
+    - ``js``           → (js,) — binned Jensen–Shannon divergence;
+    - ``chi2``         → (chi2, dof, p_approx) — binned homogeneity test.
+
+    Binned methods take ``bin_width``; distribution methods ignore it.
+    """
+    if method == "ks":
+        return ks_2samp(ref, cur, column)
+    if method == "wasserstein":
+        return wasserstein(ref, cur, column)
+    if method == "psi":
+        return psi(ref, cur, column, bin_width)
+    if method == "js":
+        return js_divergence(ref, cur, column, bin_width)
+    if method == "chi2":
+        return chi2_drift(ref, cur, column, bin_width)
+    raise ValueError(
+        f"unknown drift method {method!r}; "
+        "expected ks|wasserstein|psi|js|chi2"
+    )
+
+
 def value_drift_metrics(
     ref: DataFrame, cur: DataFrame, columns: list[str]
 ) -> DataFrame:

@@ -83,3 +83,20 @@ def test_chi2_pvalue_against_known_value(spark):
     )
     p = 1.0 - one.select(_norm_cdf_expr(z).alias("c")).first()["c"]
     assert p == pytest.approx(0.05, abs=0.005)
+
+
+def test_drift_statistic_dispatch(spark, shifted):
+    from churn_model_evaluation_platform_spark.operators.drift import drift_statistic
+
+    a, b = shifted
+    assert drift_statistic(a, b, "value").columns == [
+        "ks_stat", "p_value", "n_ref", "n_cur",
+    ]
+    assert drift_statistic(a, b, "value", "wasserstein").columns == ["wasserstein"]
+    assert drift_statistic(a, b, "value", "psi", 0.5).columns == ["psi"]
+    assert drift_statistic(a, b, "value", "js", 0.5).columns == ["js"]
+    assert drift_statistic(a, b, "value", "chi2", 0.5).columns == [
+        "chi2", "dof", "p_approx",
+    ]
+    with pytest.raises(ValueError):
+        drift_statistic(a, b, "value", "nope")
