@@ -3,18 +3,8 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    IntegerType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
 from churn_model_evaluation_platform_spark.streaming.joins import stream_stream_join
-
-SCHEMA_L = "user_id int, l_ts timestamp, action string"
-SCHEMA_R = "user_id int, r_ts timestamp, page string"
 
 
 def test_stream_stream_join_time_bound(spark, tmp_path):
