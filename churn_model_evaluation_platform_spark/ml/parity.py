@@ -1,0 +1,97 @@
+"""Model-quality parity against the reference's published numbers.
+
+The reference trains an Optuna-tuned, Platt-calibrated XGBoost on
+``data/customer_churn_0.csv`` with an 80/20 split at seed 42
+(churn_model_training.py:317,335-337) and publishes holdout
+precision/recall/F1 = 0.92/0.81/0.86 (churn_model_training.ipynb
+cell 19; BASELINE.md).  This module runs the engine's Spark-native
+training path (``ml/training.py``: GBTClassifier + sigmoid
+calibration + held-out threshold tuning) on the *same file* with the
+*same prep and split shape*, and reports the same three holdout
+scores — the proof that "the Spark training path reproduces the
+reference model" is a number, not a claim.
+
+GBT-vs-XGB and randomSplit-vs-sklearn-split differ, so exact equality
+is impossible; the pinned contract is a floor (see tests/test_parity.py)
+plus the published targets carried alongside the actuals in the query
+output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.prep import clean_column_names
+from ..schema import NUMERICAL_COLUMNS, TARGET_COLUMN
+from .training import SEED, evaluate, fit_pipeline, train_test_split
+
+REFERENCE_CHURN_CSV = "/root/reference/data/customer_churn_0.csv"
+
+# Published holdout scores (churn_model_training.ipynb cell 19).
+PUBLISHED = {"precision": 0.92, "recall": 0.81, "f1score": 0.86}
+
+
+def load_reference_churn(
+    spark: SparkSession, path: str = REFERENCE_CHURN_CSV
+) -> DataFrame:
+    """Read + prepare the reference churn CSV exactly as
+    ``prepare_data`` does (churn_model_training.py:62-84): clean
+    headers, project the 11 ``NUMERICAL_COLUMNS`` as double, target as
+    int."""
+    raw = spark.read.csv(path, header=True, inferSchema=True)
+    df = clean_column_names(raw)
+    return df.select(
+        *[F.col(c).cast("double").alias(c) for c in NUMERICAL_COLUMNS],
+        F.col(TARGET_COLUMN).cast("int").alias(TARGET_COLUMN),
+    )
+
+
+def train_eval_reference(
+    spark: SparkSession,
+    path: str = REFERENCE_CHURN_CSV,
+    seed: int = SEED,
+    **gbt_params,
+) -> dict[str, float]:
+    """Train through the engine's full pipeline on the reference data
+    and score the 20% holdout.
+
+    Mirrors the reference's final-model protocol
+    (churn_model_training.py:290-293,335-376): hyper/threshold
+    selection happens on data the final fit never tunes against (we
+    carve a validation slice from the training 80% — the reference's
+    CV-fold equivalent), then the final model + calibrator are refit on
+    the full training 80% and the holdout is touched exactly once.
+    """
+    df = load_reference_churn(spark, path)
+    train, test = train_test_split(df, test_size=0.2, seed=seed)
+    # Threshold selection on a held-out slice of TRAIN (reference tunes
+    # on the CV validation fold, churn_model_training.py:265-271).
+    fit_df, val_df = train_test_split(train, test_size=0.2, seed=seed)
+    # Defaults picked by a small manual sweep on the validation slice
+    # (never the holdout): F1 0.90 vs the published 0.86.
+    params = gbt_params or dict(max_iter=60, max_depth=6, step_size=0.15)
+    selector = fit_pipeline(fit_df, val_df=val_df, **params)
+    # Final refit on the full training frame, reusing the unbiased
+    # threshold (reference: train_model(data_X_train, best_params),
+    # threshold carried in best_params).
+    final = fit_pipeline(train, **params)
+    final.threshold = selector.threshold
+    scores = evaluate(final, test)
+    scores["threshold"] = selector.threshold
+    return scores
+
+
+def train_eval_frame(spark: SparkSession, path: str = REFERENCE_CHURN_CSV) -> DataFrame:
+    """`queries()` surface: one row per holdout metric, with the
+    published reference target alongside (NaN target for metrics the
+    reference does not publish). Rows-only correctness (model training
+    is not SQL-expressible)."""
+    scores = train_eval_reference(spark, path)
+    rows = [
+        (name, float(round(val, 4)), float(PUBLISHED.get(name, float("nan"))))
+        for name, val in sorted(scores.items())
+    ]
+    return spark.createDataFrame(
+        rows, "metric_name string, value double, reference_value double"
+    )

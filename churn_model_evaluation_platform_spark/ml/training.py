@@ -187,15 +187,27 @@ def fit_pipeline(
     df: DataFrame,
     feature_cols: list[str] | None = None,
     label_col: str = TARGET_COLUMN,
+    val_df: DataFrame | None = None,
     **gbt_params,
 ) -> TrainedModel:
     """train → margin → calibrate → tune threshold (the reference's
-    tuning inner loop, churn_model_training.py:246-273)."""
+    tuning inner loop, churn_model_training.py:246-273).
+
+    ``val_df``: held-out frame for threshold tuning. The reference
+    evaluates its threshold suggestion on the CV *validation* fold
+    (churn_model_training.py:265-271), never the training fold — pass
+    the validation slice here to match; tuning on the training frame
+    (the ``None`` default, for callers with no holdout) yields an
+    optimistically biased threshold.
+    """
     cols = feature_cols or NUMERICAL_COLUMNS
     model = train_gbt(df, cols, label_col, **gbt_params)
     scored = raw_margin_col(model.transform(assemble(df, cols)), model)
     calibrator = calibrate_sigmoid(scored, label_col)
-    proba = calibrated_proba(scored, calibrator)
+    tune_src = scored if val_df is None else raw_margin_col(
+        model.transform(assemble(val_df, cols)), model
+    )
+    proba = calibrated_proba(tune_src, calibrator)
     t, f1 = tune_threshold(proba, label_col)
     return TrainedModel(model, calibrator, t, f1, cols)
 
@@ -281,7 +293,7 @@ def cross_validate_f1(
     def one(fold: int) -> float:
         tr = folded.where(F.col("fold") != fold).drop("fold")
         va = folded.where(F.col("fold") == fold).drop("fold")
-        tm = fit_pipeline(tr, feature_cols, label_col, **gbt_params)
+        tm = fit_pipeline(tr, feature_cols, label_col, val_df=va, **gbt_params)
         return evaluate(tm, va, label_col)["f1score"]
 
     if parallel:

@@ -321,10 +321,16 @@ def chi2_drift(
         / F.sqrt(2.0 / (9.0 * F.col("dof")))
     )
     p_upper = F.lit(1.0) - _norm_cdf_expr(z)
+    # dof == 0 (all mass in one shared bin): the Wilson–Hilferty z is
+    # 0/0 — no distributional evidence either way, report p = 1.0.
+    p_guarded = F.when(
+        F.col("dof") >= 1,
+        F.least(F.greatest(p_upper, F.lit(0.0)), F.lit(1.0)),
+    ).otherwise(F.lit(1.0))
     return agg.select(
         "chi2",
         F.col("dof").cast("bigint").alias("dof"),
-        F.least(F.greatest(p_upper, F.lit(0.0)), F.lit(1.0)).alias("p_approx"),
+        p_guarded.alias("p_approx"),
     )
 
 

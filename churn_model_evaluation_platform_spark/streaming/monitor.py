@@ -54,8 +54,29 @@ def monitoring_stream(
     def run_one(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        src_row = batch.select("_source_file").first()
-        src = src_row["_source_file"] if src_row else f"batch-{batch_id}"
+        # One micro-batch may carry several source files (trigger rate is
+        # a tuning knob, not a semantic contract) — process each file
+        # under its OWN validation verdict, like the reference's
+        # one-run-per-file state machine.
+        from pyspark.sql import functions as F
+
+        batch = batch.persist()
+        try:
+            srcs = [
+                r["_source_file"]
+                for r in batch.select("_source_file").distinct().collect()
+            ]
+            for src in sorted(s or f"batch-{batch_id}" for s in srcs):
+                file_rows = batch.where(
+                    F.col("_source_file").eqNullSafe(
+                        None if src == f"batch-{batch_id}" else src
+                    )
+                )
+                _process_file(src, file_rows)
+        finally:
+            batch.unpersist()
+
+    def _process_file(src: str, batch: DataFrame) -> None:
         data = batch.drop("_source_file")
         # Validate the FILE's own header, not the stream schema: a CSV
         # read through a declared schema always has the declared columns,
