@@ -80,9 +80,14 @@ def ngram_jaccard_pairs(
     counts. Output: (id_a, id_b, jaccard) with id_a < id_b.
 
     At scale: the shingle join is the exact verifier — run it only on
-    LSH candidates (``minhash_lsh_pairs``) when the corpus is large.
+    LSH candidates (``lsh_verified_pairs`` is that composition) when
+    the corpus is large; standalone, the shingle self-join is quadratic
+    in shingle-bucket size.
     """
-    sh = _doc_shingles(df, text_col, id_col, n).cache()
+    # No cache: the sizes/self-join branches are identical subplans and
+    # share one shuffle exchange (ReusedExchange) — materializing the
+    # exploded shingle frame would be data-proportional (SCALE.md).
+    sh = _doc_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -200,6 +205,56 @@ def minhash_lsh_pairs(
             (eq_sum / F.lit(float(k))).alias("est_jaccard"),
         )
         .distinct()
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """The scale-path dedup composition: banded-LSH candidate pairs →
+    EXACT n-gram-Jaccard verification on candidates only.
+
+    Replaces the standalone shingle self-join (quadratic in
+    shingle-bucket size) with: (1) ``minhash_lsh_pairs`` — the only
+    wide join is on (band, band_key) buckets, near-linear; (2) an exact
+    verify that joins the candidate ids back to each doc's distinct
+    shingle-hash ARRAY and computes Jaccard with
+    ``array_intersect``/``size`` — pure JVM expressions, no shingle
+    explode, no self-join.  The candidate side is tiny relative to the
+    corpus, so AQE turns the id joins into broadcasts when it fits.
+
+    Output: (id_a, id_b, jaccard) with jaccard ≥ threshold — identical
+    semantics to ``ngram_jaccard_pairs`` restricted to LSH candidates.
+    """
+    cand = minhash_lsh_pairs(df, text_col, id_col, n, k, bands, seed).select(
+        "id_a", "id_b"
+    )
+    docs = (
+        ensure_parallelism(df)
+        .where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingle_hashes(F.col(text_col), n)).alias("shs"),
+        )
+    )
+    pairs = cand.join(
+        docs.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a"
+    ).join(
+        docs.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= F.lit(threshold)
     )
 
 

@@ -99,15 +99,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PERMS = minhash_perms(dedup.DEFAULT_MINHASH_K, seed=42)
 
-_MINHASH_SQL = (
-    _SHINGLE_HASH_CTE
-    + "SELECT doc_id, "
+# SELECT-only form (no CTE prefix) so composed oracles can splice it
+# into their own WITH chain (registry_ext5 dedup_lsh_verified).
+_MINHASH_SELECT = (
+    "SELECT doc_id, "
     + ", ".join(
         f"min((h * {a} + {b}) % {MERSENNE_31}) AS m{i}"
         for i, (a, b) in enumerate(_PERMS)
     )
     + " FROM sh GROUP BY doc_id"
 )
+
+_MINHASH_SQL = _SHINGLE_HASH_CTE + _MINHASH_SELECT
 
 
 @register("dedup_minhash_signatures", _MINHASH_SQL)

@@ -110,3 +110,25 @@ def test_minhash_matches_pure_python(spark):
     for i, (a, b) in enumerate(minhash_perms(16, seed=42)):
         expected = min((a * h + b) % MERSENNE_31 for h in hs)
         assert row[f"m{i}"] == expected
+
+
+def test_lsh_verified_matches_exact_on_candidates(docs):
+    from churn_model_evaluation_platform_spark.operators.dedup import (
+        lsh_verified_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_verified_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    # every LSH-surfaced pair carries the EXACT jaccard value
+    for pair, j in verified.items():
+        assert pair in exact
+        assert j == pytest.approx(exact[pair])
+    # the planted high-similarity pairs survive the LSH prefilter
+    assert (1, 2) in verified and verified[(1, 2)] == 1.0
+    assert (1, 3) in verified
