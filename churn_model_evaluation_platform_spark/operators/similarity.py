@@ -77,6 +77,27 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def multiprobe_buckets(
+    query_vec: list[float], planes: list[list[float]], n_probes: int
+) -> list[int]:
+    """Multi-probe LSH probe sequence (Lv et al., VLDB 2007): enumerate
+    bit-flip masks of the query's bucket ordered by the total |margin|
+    of the flipped planes — the bucket variants most likely to hold
+    neighbors come first. Driver-side: n_planes is small (≤ ~16), the
+    mask enumeration is 2^n_planes driver integers, never data."""
+    n = len(planes)
+    margins = [sum(a * b for a, b in zip(query_vec, p)) for p in planes]
+    q_bucket = sum(1 << i for i, d in enumerate(margins) if d > 0)
+    masks = sorted(
+        range(1 << n),
+        key=lambda m: (
+            sum(abs(margins[i]) for i in range(n) if m >> i & 1),
+            m,
+        ),
+    )
+    return [q_bucket ^ m for m in masks[:n_probes]]
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query_vec: list[float],
@@ -84,26 +105,26 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    n_probes: int = 1,
     seed: int = 42,
     exclude_id: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: sign-LSH prefilter + exact rescoring.
+    """Approximate top-k: multi-probe sign-LSH prefilter + exact rescoring.
 
-    Scans only the query's LSH bucket (a pushdown-able equality filter if
-    the table is written partitioned/bucketed by ``lsh_bucket``) then runs
-    the exact cosine on that slice. At 100 TB this turns a full scan into
-    a 1/2^n_planes partition read; recall is tunable via n_planes /
-    multi-probe. The baseline ``cosine_topk`` is the exact reference.
+    Scans only the ``n_probes`` most promising LSH buckets (an IN filter
+    — pushdown/partition-prunable if the table is written partitioned or
+    bucketed by ``lsh_bucket``) then runs the exact cosine on that
+    slice. At 100 TB this turns a full scan into an
+    ``n_probes/2^n_planes`` fraction read. Recall/scan tradeoff is set
+    by (n_planes, n_probes); ``cosine_topk`` is the exact reference and
+    the IVF path (``cosine_topk_ivf``) is the stronger ANN when a
+    trained coarse quantizer is acceptable.
     """
     dim = len(query_vec)
     planes = random_hyperplanes(dim, n_planes, seed)
-    q_bucket = 0
-    for i, plane in enumerate(planes):
-        dot = sum(a * b for a, b in zip(query_vec, plane))
-        if dot > 0:
-            q_bucket += 1 << i
+    probes = multiprobe_buckets(query_vec, planes, n_probes)
     bucketed = df.withColumn("lsh_bucket", lsh_bucket_expr(F.col(vec_col), planes))
-    sliced = bucketed.where(F.col("lsh_bucket") == F.lit(q_bucket))
+    sliced = bucketed.where(F.col("lsh_bucket").isin(probes))
     return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
 
 

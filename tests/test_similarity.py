@@ -56,3 +56,45 @@ def test_lsh_results_subset_of_exact(spark):
     # LSH hit should be a genuinely close neighbor in the exact ranking
     top_exact = sorted(exact.values(), reverse=True)[:50]
     assert approx[0]["cosine_sim"] >= top_exact[-1]
+
+
+def test_multiprobe_recall_beats_single_probe(spark):
+    """Recall-pinned multi-probe contract (mirrors tests/test_ivf.py):
+    on clustered data, 4-plane/8-probe sign-LSH recovers >= 0.8 of the
+    exact top-10; single-probe recovers no more than multi-probe."""
+    import random
+
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        multiprobe_buckets,
+        random_hyperplanes,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    # query cluster (40 near-dups of the query) + background noise
+    q = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(i, [v + rng.gauss(0, 0.35) for v in q]) for i in range(1, 41)]
+    rows += [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(41, 400)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
+
+    def recall(n_probes: int) -> float:
+        got = {
+            r["vec_id"]
+            for r in cosine_topk_lsh(
+                df, q, k=10, n_planes=4, n_probes=n_probes, seed=42
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= 0.8
+    assert r8 >= r1
+    # the probe sequence is cost-ordered and starts at the base bucket
+    planes = random_hyperplanes(dim, 4, seed=42)
+    probes = multiprobe_buckets(q, planes, 8)
+    assert len(set(probes)) == 8
+    margins = [sum(a * b for a, b in zip(q, p)) for p in planes]
+    assert probes[0] == sum(1 << i for i, d in enumerate(margins) if d > 0)
