@@ -81,3 +81,121 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_verified_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.1
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.C evaluation artifacts — ROC / PR / confusion / AUC
+# (mlflow_eval_suite's plots as DataFrames, churn_model_training.py:144-168)
+# ---------------------------------------------------------------------------
+
+# Synthetic calibrated score on events: label = value > 50, proba = a
+# clamped affine transform of (value + user noise) — deterministic,
+# pure rational arithmetic (bit-identical across engines, no rounding).
+_PROBA_SQL = """
+SELECT CAST(value > 50 AS INT) AS churn,
+       least(greatest((value + (user_id % 11) - 45.0) / 20.0, 0.0), 1.0) AS proba
+FROM events
+"""
+
+
+def _proba_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("value") > 50).cast("int").alias("churn"),
+        F.least(
+            F.greatest(
+                (F.col("value") + F.col("user_id") % 11 - F.lit(45.0))
+                / F.lit(20.0),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ).alias("proba"),
+    )
+
+
+@register(
+    "roc_curve_points",
+    f"""
+WITH scored AS ({_PROBA_SQL}),
+agg AS (
+  SELECT proba,
+         SUM(CASE WHEN churn = 1 THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN churn <> 1 THEN 1 ELSE 0 END) AS neg
+  FROM scored GROUP BY proba
+),
+cum AS (
+  SELECT proba,
+         SUM(pos) OVER (ORDER BY proba DESC) AS tp,
+         SUM(neg) OVER (ORDER BY proba DESC) AS fp,
+         SUM(pos) OVER () AS p,
+         SUM(neg) OVER () AS nn
+  FROM agg
+)
+SELECT proba AS threshold,
+       tp, fp, (p - tp) AS fn, (nn - fp) AS tn,
+       CAST(tp AS DOUBLE) / p AS tpr,
+       CAST(fp AS DOUBLE) / nn AS fpr,
+       CASE WHEN tp + fp = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS "precision",
+       CAST(tp AS DOUBLE) / p AS recall
+FROM cum
+""",
+)
+def q_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold sweep: groupBy(score) then a range-partitioned prefix
+    # sum — shuffle carries distinct-score cardinality, no global window.
+    from ..operators.evalcurves import roc_pr_points
+
+    return roc_pr_points(_proba_scored(spark, sf_dir))
+
+
+@register(
+    "auc_roc",
+    f"""
+WITH scored AS ({_PROBA_SQL}),
+agg AS (
+  SELECT proba, COUNT(*) AS n_g,
+         SUM(CASE WHEN churn = 1 THEN 1 ELSE 0 END) AS pos
+  FROM scored GROUP BY proba
+),
+cum AS (
+  SELECT pos, n_g, SUM(n_g) OVER (ORDER BY proba) AS cum_n FROM agg
+),
+tot AS (SELECT SUM(n_g) AS nn, SUM(pos) AS p FROM agg),
+u AS (SELECT SUM(pos * (cum_n - (n_g - 1) / 2.0)) AS s FROM cum)
+SELECT (s - p * (p + 1) / 2.0) / (CAST(p AS DOUBLE) * (nn - p)) AS auc
+FROM u, tot
+""",
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mann–Whitney U with midrank ties — algebraically the trapezoid
+    # ROC integral, one prefix sum + one aggregation.
+    from ..operators.evalcurves import auc_roc
+
+    return auc_roc(_proba_scored(spark, sf_dir))
+
+
+@register(
+    "confusion_matrix",
+    """
+WITH scored AS (
+  SELECT event_id, CAST(value > 50 AS INT) AS churn,
+         CAST(value + (user_id % 7) > 50 AS INT) AS churn_prediction
+  FROM events
+)
+SELECT
+  SUM(CASE WHEN churn = 1 AND churn_prediction = 1 THEN 1 ELSE 0 END) AS tp,
+  SUM(CASE WHEN churn <> 1 AND churn_prediction = 1 THEN 1 ELSE 0 END) AS fp,
+  SUM(CASE WHEN churn = 1 AND churn_prediction <> 1 THEN 1 ELSE 0 END) AS fn,
+  SUM(CASE WHEN churn <> 1 AND churn_prediction <> 1 THEN 1 ELSE 0 END) AS tn,
+  COUNT(*) AS n
+FROM scored
+""",
+)
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's confusion-plot artifact as a single-row frame
+    # (churn_model_training.py:153-156) — one conditional-agg pass.
+    from ..operators.quality import confusion_matrix
+    from .registry import _scored
+
+    return confusion_matrix(_scored(spark, sf_dir))
