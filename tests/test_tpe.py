@@ -1,0 +1,123 @@
+"""TPE sampler: deterministic, in-space, and beats seeded random search
+on the same trial budget (VERDICT r1 #6; reference drives Optuna's TPE,
+churn_model_training.py:277-283)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from churn_model_evaluation_platform_spark.ml.tpe import (
+    DEFAULT_SPACE,
+    _sample_random,
+    adaptive_parzen,
+    tpe_search,
+    tune_model_tpe,
+)
+
+# A space with the reference's 13-dim flavor (several continuous dims):
+# random best-of-20 is far from the optimum here, so sampler quality
+# shows. Optimum: x* = 10^-1.5, d = 13, c = 2.
+SPACE_5D = {
+    "x0": ("log", 1e-3, 1.0),
+    "x1": ("log", 1e-3, 1.0),
+    "x2": ("log", 1e-3, 1.0),
+    "d": ("int", 1, 20),
+    "c": ("choice", [0, 1, 2, 3]),
+}
+
+
+def objective_5d(params: dict) -> float:
+    v = 2.0 - sum(
+        (math.log10(params[f"x{i}"]) + 1.5) ** 2 * 0.5 for i in range(3)
+    )
+    v -= 0.01 * (params["d"] - 13) ** 2
+    v += 0.2 if params["c"] == 2 else 0.0
+    return v
+
+
+def random_best(space: dict, objective, n_trials: int, seed: int) -> float:
+    rng = random.Random(seed)
+    return max(
+        objective(_sample_random(rng, space)) for _ in range(n_trials)
+    )
+
+
+def test_tpe_beats_random_on_budget():
+    seeds = range(10)
+    wins = 0
+    tpe_total = rnd_total = 0.0
+    for seed in seeds:
+        _, tpe_best, hist = tpe_search(
+            objective_5d, space=SPACE_5D, n_trials=20, seed=seed
+        )
+        rnd_best = random_best(SPACE_5D, objective_5d, 20, seed)
+        assert len(hist) == 20
+        tpe_total += tpe_best
+        rnd_total += rnd_best
+        if tpe_best >= rnd_best:
+            wins += 1
+    assert wins >= 6  # majority of seeds
+    assert tpe_total > rnd_total  # and better on average
+
+
+def test_tpe_deterministic_and_in_space():
+    def easy(p):
+        return (
+            1.0
+            - 0.08 * (p["max_depth"] - 5) ** 2
+            + (0.3 if p["max_iter"] == 40 else 0.0)
+            - (math.log10(p["step_size"]) + 1.2) ** 2
+        )
+
+    _, _, h1 = tpe_search(easy, n_trials=12, seed=9)
+    _, _, h2 = tpe_search(easy, n_trials=12, seed=9)
+    assert [p for p, _ in h1] == [p for p, _ in h2]
+    for p, _ in h1:
+        assert 2 <= p["max_depth"] <= 6
+        assert p["max_iter"] in (10, 20, 40, 80)
+        assert 1e-2 <= p["step_size"] <= 10 ** -0.5 + 1e-9
+    assert set(h1[0][0]) == set(DEFAULT_SPACE)
+
+
+def test_tpe_concentrates_after_startup():
+    """Post-startup suggestions exploit: late-trial average beats the
+    random startup average."""
+    _, _, hist = tpe_search(objective_5d, space=SPACE_5D, n_trials=30, seed=0)
+    startup = [v for _, v in hist[:5]]
+    late = [v for _, v in hist[15:]]
+    assert sum(late) / len(late) > sum(startup) / len(startup)
+
+
+def test_adaptive_parzen_shapes():
+    comps = adaptive_parzen([0.2, 0.21, 0.8], 0.0, 1.0)
+    # 3 observations + 1 prior
+    assert len(comps) == 4
+    # prior: midpoint with full-span bandwidth
+    assert (0.5, 1.0) in comps
+    by_center = dict(comps)
+    # tight pair gets a narrower bandwidth than the isolated point
+    assert by_center[0.21] <= by_center[0.8]
+    # every bandwidth clipped to [span/min(100, n+1), span]
+    for _, bw in comps:
+        assert 1.0 / min(100.0, 5.0) - 1e-12 <= bw <= 1.0 + 1e-12
+
+
+@pytest.mark.usefixtures("spark")
+def test_tune_model_tpe_spark_smoke(spark):
+    import random as _r
+
+    from churn_model_evaluation_platform_spark.schema import NUMERICAL_COLUMNS
+
+    rng = _r.Random(3)
+    rows = []
+    for _ in range(120):
+        feats = [rng.uniform(0, 10) for _ in NUMERICAL_COLUMNS]
+        rows.append(tuple(feats) + (int(feats[0] + feats[1] > 10),))
+    df = spark.createDataFrame(rows, NUMERICAL_COLUMNS + ["churn"])
+    best, best_f1, hist = tune_model_tpe(df, n_trials=2, k=2)
+    assert len(hist) == 2
+    assert set(best) == {"max_depth", "max_iter", "step_size"}
+    assert 0.0 <= best_f1 <= 1.0
