@@ -132,12 +132,71 @@ def compact_store(
     return n
 
 
-def append_metrics_jdbc(df: DataFrame, url: str, table: str = METRICS_TABLE,
-                        properties: dict | None = None) -> None:
+def jdbc_execute(
+    spark: SparkSession, url: str, sql: str, properties: dict | None = None
+) -> bool:
+    """Run one DDL/DML statement over a plain JDBC connection (the
+    engine's stand-in for the reference's SQLAlchemy session,
+    churn_prediction_pipeline.py:628-636). Returns False instead of
+    raising when the statement fails (e.g. DELETE against a
+    not-yet-created table)."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    except Exception:
+        return False
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+            return True
+        except Exception:
+            return False
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def append_metrics_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str = METRICS_TABLE,
+    properties: dict | None = None,
+    batch_id: int | None = None,
+) -> None:
     """JDBC append sink (churn_prediction_pipeline.py:529-530,628-636).
-    Requires the JDBC driver jar on the classpath; kept thin by design.
+
+    - Create-if-absent DDL comes free from Spark's JDBC relation
+      provider in Append mode (the reference's
+      ``Base.metadata.create_all`` equivalent).
+    - ``batch_id`` makes the append IDEMPOTENT under retry (the
+      reference wraps the DB task in ``@task(retries=3)``): rows are
+      stamped with the batch id and any rows from a previous attempt of
+      the SAME batch are deleted first, so replaying a failed batch
+      never double-writes. Use the streaming micro-batch id or any
+      monotonically-assigned run id.
     """
-    df.write.jdbc(url, table, mode="append", properties=properties or {})
+    props = properties or {}
+    if batch_id is None:
+        df.write.jdbc(url, table, mode="append", properties=props)
+        return
+    stamped = df.withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+    # Delete any partial previous attempt of this batch; failure (table
+    # absent on first ever write) is fine — Append mode will create it.
+    # Spark's JDBC writer passes the TABLE name through verbatim but
+    # ANSI-quotes COLUMN names in its DDL, so the predicate column must
+    # be quoted (unquoted it would case-fold to a different name).
+    jdbc_execute(
+        stamped.sparkSession,
+        url,
+        f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}',
+        props,
+    )
+    stamped.write.jdbc(url, table, mode="append", properties=props)
 
 
 def register_metrics_view(
