@@ -70,3 +70,51 @@ def test_monitoring_stream_routes_and_monitors(spark, tmp_path):
     log = read_log(spark, f"{errored}/_logs/bad.csv.log")
     assert len(log) == 1 and "expected structure" in log[0].lower()
     assert "Invalid input file" in alerts
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill/restart semantics (the reference's move-to-folder state
+    machine equivalence, churn_prediction_pipeline.py:642-680): a
+    restart from the same checkpoint must not re-score already-consumed
+    drops — each file contributes its metric set exactly once."""
+    rng = random.Random(7)
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    _write_good(input_dir / "drop1.csv", rng)
+
+    reference = spark.createDataFrame(
+        [(rng.uniform(0, 10), rng.uniform(0, 10)) for _ in range(120)],
+        "a double, b double",
+    )
+    metrics_path = str(tmp_path / "metrics")
+    kwargs = dict(
+        schema=SCHEMA,
+        reference=reference,
+        feature_cols=COLS,
+        score_fn=lambda b: b.withColumn(
+            "churn_prediction", (F.col("a") + F.col("b") > 10).cast("int")
+        ),
+        metrics_path=metrics_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    q1 = monitoring_stream(spark, str(input_dir), **kwargs)
+    q1.awaitTermination(300)  # availableNow: consumes drop1 then stops
+
+    metrics = spark.read.parquet(metrics_path)
+    assert metrics.where(F.col("metric_name") == "f1score").count() == 1
+
+    # stream is down; a second file drops; restart from the checkpoint
+    _write_good(input_dir / "drop2.csv", rng)
+    q2 = monitoring_stream(spark, str(input_dir), **kwargs)
+    q2.awaitTermination(300)
+
+    metrics = spark.read.parquet(metrics_path)
+    # exactly one metric set per file: drop1 NOT reprocessed after restart
+    assert metrics.where(F.col("metric_name") == "f1score").count() == 2
+
+    # idempotent restart with nothing new: no further appends
+    q3 = monitoring_stream(spark, str(input_dir), **kwargs)
+    q3.awaitTermination(300)
+    metrics = spark.read.parquet(metrics_path)
+    assert metrics.where(F.col("metric_name") == "f1score").count() == 2
