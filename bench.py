@@ -53,7 +53,21 @@ HEADLINE = [
     "token_count",
     "text_quality",
     "describe_stats",
+    "dedup_lsh_verified",
+    "roc_curve_points",
+    "auc_roc",
+    "confusion_matrix",
 ]
+
+# Scale-slope probes: re-run a dedup and a drift query on an in-place
+# 4× synthesis of their input tables (id-offset unions — same value
+# distributions, 4× rows, linear output growth) so every round records a
+# measured runtime-vs-data slope, not just a single-SF point. A healthy
+# distributed plan stays near ratio ≤ factor (linear); super-linear
+# ratios flag a shuffle/skew cliff before it bites at 100 TB.
+SLOPE_FACTOR = 4
+SLOPE_QUERIES = ["dedup_exact", "dedup_minhash_signatures", "value_drift_scalable"]
+SLOPE_TABLES = {"documents": "doc_id", "events": "event_id"}
 
 
 def main() -> None:
@@ -105,6 +119,24 @@ def main() -> None:
         except Exception as e:  # one broken query must not blank the bench
             errors[name] = str(e).splitlines()[0][:200]
 
+    slope = {}
+    try:
+        slope_dir = _build_slope_dir(spark, sf_dir, SLOPE_FACTOR)
+        for name in SLOPE_QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t1 = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            qs[name](spark, slope_dir).write.format("noop").mode("overwrite").save()
+            t4 = round(time.perf_counter() - t0, 4)
+            slope[name] = {
+                "x1": t1,
+                f"x{SLOPE_FACTOR}": t4,
+                "ratio": round(t4 / t1, 2) if t1 > 0 else None,
+            }
+    except Exception as e:  # slope probes must never blank the bench
+        slope = {"error": str(e).splitlines()[0][:200]}
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_total_runtime",
@@ -112,10 +144,35 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "scale_slope": slope,
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+
+def _build_slope_dir(spark, sf_dir: str, factor: int) -> str:
+    """Materialize {documents, events} at ``factor``× rows via id-offset
+    unions (parquet, zstd) under /tmp; everything else is untouched."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from churn_model_evaluation_platform_spark.sources.testdata import load_table
+
+    out = f"/tmp/spark_graft_slope_{factor}x"
+    for table, id_col in SLOPE_TABLES.items():
+        base = load_table(spark, table, sf_dir)
+        copies = [
+            base.withColumn(
+                id_col, (F.col(id_col) + F.lit(i * 1_000_000_000)).cast("long")
+            )
+            for i in range(factor)
+        ]
+        reduce(lambda a, b: a.unionAll(b), copies).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{table}.parquet")
+    return out
 
 
 if __name__ == "__main__":

@@ -170,6 +170,14 @@ def minhash_lsh_pairs(
     # so the physical plan reuses one shuffle exchange (ReusedExchange)
     # — materializing 100 TB of signatures would be the real cost.
     sigs = minhash_signatures(df, text_col, id_col, n, k, seed)
+    return _banded_pairs(sigs, id_col, k, bands)
+
+
+def _banded_pairs(
+    sigs: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """Band a (id, m0..m{k-1}) signature frame and self-join on
+    (band, band_key) buckets → (id_a, id_b, est_jaccard)."""
     r = k // bands
     sig_cols = [f"m{i}" for i in range(k)]
     band_rows = []
@@ -232,11 +240,15 @@ def lsh_verified_pairs(
 
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold — identical
     semantics to ``ngram_jaccard_pairs`` restricted to LSH candidates.
+
+    The shingle-hash projection (the expensive md5 fold over every doc)
+    is computed ONCE into a shared (id, shs) frame: the minhash
+    signatures derive from the distinct-shingle array (min over a
+    distinct set equals min over the multiset), and the verify joins
+    reuse the same subplan — the two id-hashed exchanges share one
+    ReusedExchange rather than re-deriving shingles per branch.
     """
-    cand = minhash_lsh_pairs(df, text_col, id_col, n, k, bands, seed).select(
-        "id_a", "id_b"
-    )
-    docs = (
+    arr = (
         ensure_parallelism(df)
         .where(F.col(text_col).isNotNull())
         .select(
@@ -244,10 +256,19 @@ def lsh_verified_pairs(
             F.array_distinct(shingle_hashes(F.col(text_col), n)).alias("shs"),
         )
     )
+    perms = minhash_perms(k, seed)
+
+    def _perm_min(a: int, b: int):
+        return F.array_min(F.transform(F.col("shs"), lambda h: perm_expr(h, a, b)))
+
+    sigs = arr.select(
+        "id", *[_perm_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(perms)]
+    )
+    cand = _banded_pairs(sigs, "id", k, bands).select("id_a", "id_b")
     pairs = cand.join(
-        docs.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a"
+        arr.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a"
     ).join(
-        docs.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")), "id_b"
+        arr.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (

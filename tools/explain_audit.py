@@ -43,6 +43,7 @@ SINGLE_ROW_CROSS_OK = {
     "assess_data_drift",
     "duplicate_row_count",
     "dedup_ngram_jaccard",  # sizes frame joined back is small but keyed
+    "roc_curve_points",  # single-row grand-totals broadcast (with_totals)
 }
 
 AUDITED = [
@@ -85,6 +86,10 @@ AUDITED = [
     "text_quality",
     "describe_stats",
     "feature_projection",
+    "dedup_lsh_verified",
+    "roc_curve_points",
+    "auc_roc",
+    "confusion_matrix",
 ]
 
 # Full column counts of the testdata tables (documents/embeddings are
