@@ -34,6 +34,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     >= cores partitions and this is a no-op.
     """
     p = df.sparkSession.sparkContext.defaultParallelism
+    # df.rdd here only forces physical planning (no job); at scale the
+    # branch is dead anyway because sources already carry >= p splits.
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
@@ -304,6 +306,9 @@ def embedding_neardup_pairs(
     from .similarity import cosine_expr, lsh_bucket_expr, random_hyperplanes
 
     if dim is None:
+        # Fallback ONLY: one single-row driver action. Callers that know
+        # the embedding width (any production table) should pass ``dim``
+        # — the registry query does.
         dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     b = ensure_parallelism(df).select(

@@ -74,6 +74,94 @@ def roc_pr_points(
     )
 
 
+def calibration_curve(
+    df: DataFrame,
+    label_col: str = "churn",
+    score_col: str = "proba",
+    n_bins: int = 10,
+    positive: int = 1,
+) -> DataFrame:
+    """Reliability-diagram points: scores bucketed into ``n_bins``
+    equal-width bins over [0, 1]; per bin the mean predicted
+    probability vs the observed positive rate. One aggregation pass —
+    the shuffle carries ``n_bins`` partial rows after map-side combine.
+
+    Output: (bin, n, mean_predicted, fraction_positive), bin in
+    [0, n_bins-1] (score 1.0 closes into the top bin)."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(score_col).cast("double")).alias("mean_predicted"),
+            F.avg((F.col(label_col) == positive).cast("double")).alias(
+                "fraction_positive"
+            ),
+        )
+    )
+
+
+def lift_curve(
+    df: DataFrame,
+    label_col: str = "churn",
+    score_col: str = "proba",
+    n_buckets: int = 10,
+    positive: int = 1,
+) -> DataFrame:
+    """Decile lift/gain table: rows ranked by score descending, split
+    into ``n_buckets`` equal-population buckets; per bucket the
+    positive count, cumulative capture rate (gain) and cumulative lift
+    vs the base rate.
+
+    No global sort: ``partitioned_prefix_sum`` over the per-score
+    counts yields each distinct score's cumulative row count, from
+    which the bucket is a pure expression (ceil(B·cum/total)) —
+    tie-groups land in one bucket, exactly like rank-based ntile on
+    distinct scores."""
+    counts = _score_counts(df, label_col, score_col, positive).withColumn(
+        "n_g", F.col("pos") + F.col("neg")
+    )
+    ps = partitioned_prefix_sum(
+        counts.withColumn("__neg_score", -F.col(score_col)),
+        "__neg_score",
+        ["n_g"],
+        with_totals=True,
+    )
+    bucket = F.ceil(F.lit(n_buckets) * F.col("cum_n_g") / F.col("tot_n_g"))
+    per_bucket = (
+        ps.select(
+            bucket.cast("int").alias("bucket"),
+            "pos",
+            "n_g",
+        )
+        .groupBy("bucket")
+        .agg(F.sum("pos").alias("positives"), F.sum("n_g").alias("n"))
+    )
+    # cumulative over buckets: at most n_buckets rows — window is trivial
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_pos = F.sum("positives").over(w)
+    cum_n = F.sum("n").over(w)
+    all_pos = F.sum("positives").over(tot)
+    all_n = F.sum("n").over(tot)
+    return per_bucket.select(
+        "bucket",
+        "n",
+        "positives",
+        (cum_pos.cast("double") / all_pos).alias("gain"),
+        (
+            (cum_pos.cast("double") / cum_n)
+            / (all_pos.cast("double") / all_n)
+        ).alias("lift"),
+    )
+
+
 def auc_roc(
     df: DataFrame,
     label_col: str = "churn",

@@ -176,6 +176,74 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "calibration_curve",
+    f"""
+WITH scored AS ({_PROBA_SQL})
+SELECT least(CAST(floor(proba * 10) AS INT), 9) AS bin,
+       COUNT(*) AS n,
+       round(AVG(proba), 6) AS mean_predicted,
+       AVG(CASE WHEN churn = 1 THEN 1.0 ELSE 0.0 END) AS fraction_positive
+FROM scored GROUP BY 1
+""",
+)
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reliability diagram (the reference's calibration plot artifact):
+    # one agg pass, n_bins partial rows after map-side combine.
+    # mean_predicted is an order-dependent double avg → rounded on both
+    # engines; fraction_positive is a ratio of exact integer sums.
+    from ..operators.evalcurves import calibration_curve
+
+    return calibration_curve(_proba_scored(spark, sf_dir)).select(
+        "bin", "n", F.round("mean_predicted", 6).alias("mean_predicted"),
+        "fraction_positive",
+    )
+
+
+@register(
+    "lift_curve",
+    f"""
+WITH scored AS ({_PROBA_SQL}),
+agg AS (
+  SELECT proba, COUNT(*) AS n_g,
+         SUM(CASE WHEN churn = 1 THEN 1 ELSE 0 END) AS pos
+  FROM scored GROUP BY proba
+),
+cum AS (
+  SELECT pos, n_g,
+         SUM(n_g) OVER (ORDER BY proba DESC) AS cum_n,
+         SUM(n_g) OVER () AS tot
+  FROM agg
+),
+pb AS (
+  SELECT CAST(ceil(10 * cum_n / CAST(tot AS DOUBLE)) AS INT) AS bucket,
+         SUM(pos) AS positives, SUM(n_g) AS n
+  FROM cum GROUP BY 1
+),
+fin AS (
+  SELECT bucket, n, positives,
+         SUM(positives) OVER (ORDER BY bucket) AS cum_pos,
+         SUM(n) OVER (ORDER BY bucket) AS cum_n,
+         SUM(positives) OVER () AS all_pos,
+         SUM(n) OVER () AS all_n
+  FROM pb
+)
+SELECT bucket, n, positives,
+       CAST(cum_pos AS DOUBLE) / all_pos AS gain,
+       (CAST(cum_pos AS DOUBLE) / cum_n)
+         / (CAST(all_pos AS DOUBLE) / all_n) AS lift
+FROM fin
+""",
+)
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decile gains/lift (the reference's lift-chart artifact): bucket =
+    # ceil(B*cum/total) from the per-score prefix sum — no global sort,
+    # the only windows run over <= n_buckets rows.
+    from ..operators.evalcurves import lift_curve
+
+    return lift_curve(_proba_scored(spark, sf_dir))
+
+
+@register(
     "confusion_matrix",
     """
 WITH scored AS (
