@@ -48,9 +48,7 @@ def q_train_eval_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_lsh_verified",
-    f"""
+_LSH_VERIFIED_SQL = f"""
 {_SHINGLE_HASH_CTE},
 sigs AS ({_MINHASH_SELECT}),
 banded AS (SELECT sigs.*, {_BAND_KEYS_SQL} FROM sigs),
@@ -73,13 +71,51 @@ FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.1
-""",
-)
+"""
+
+
+@register("dedup_lsh_verified", _LSH_VERIFIED_SQL)
 def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Banded-LSH candidates → exact array_intersect Jaccard on the
     # candidates only — the near-linear 100 TB dedup path.
     return dedup.lsh_verified_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.1
+    )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE pairs AS ({_LSH_VERIFIED_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairs → CLUSTERS: connected components (min-label propagation)
+    # over the LSH-verified near-dup graph; cluster_id = min doc id of
+    # the component, so `doc_id == cluster_id` marks the canonical doc
+    # a dedup job keeps. Oracle: DuckDB recursive-CTE reachability.
+    from ..operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(docs, n=3, threshold=0.1)
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
 
