@@ -257,3 +257,56 @@ def doc_fingerprint(
         F.size(hashes).alias("n_shingles"),
         F.md5(normalize_text(F.col(text_col))).alias("content_md5"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn convention: idf = ln((N+1)/(df+1)) + 1).
+
+    Scale shape: term frequencies from one explode+groupBy on
+    (doc, token); document frequencies are a count over that frame
+    (rows are already distinct doc-token pairs — no second pass over
+    text); the corpus size N is a single broadcast row; ranking is a
+    per-document window (each doc's term list is small by construction).
+    The score is rounded BEFORE ranking on both engines so libm-vs-JVM
+    ln noise can never flip an order (ties then break on the token).
+    """
+    from pyspark.sql import Window
+
+    base = df.where(F.col(text_col).isNotNull())
+    tf = (
+        base.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df_cnt") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "token", "tfidf")
+    )

@@ -119,6 +119,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token AS t2, COUNT(*) AS df_cnt FROM tf GROUP BY token),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf * (ln((n_docs + 1.0) / (df_cnt + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf, dfq, nd WHERE dfq.t2 = tf.token
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tfidf FROM ranked WHERE rk <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-doc characteristic terms: one explode+groupBy, df from the tf
+    # frame, broadcast N, per-doc window ranking on the pre-rounded
+    # score (libm-vs-JVM ln noise can't flip an order).
+    from ..operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 # ---------------------------------------------------------------------------
 # §2.C evaluation artifacts — ROC / PR / confusion / AUC
 # (mlflow_eval_suite's plots as DataFrames, churn_model_training.py:144-168)

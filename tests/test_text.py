@@ -113,3 +113,28 @@ def test_repetition_stats_pinned(spark):
     assert got[1]["line_dup_ratio"] == pytest.approx(1 / 3, abs=1e-6)
     assert got[1]["token_dup_ratio"] == pytest.approx(2 / 5, abs=1e-6)
     assert got[2]["line_dup_ratio"] == 0.0 and got[2]["token_dup_ratio"] == 0.0
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from churn_model_evaluation_platform_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "cherry shared shared"),
+        (3, "durian shared"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(df, k=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["token"])
+    # doc 1: 'apple' (tf=2, rare) must outrank the corpus-wide 'shared'
+    assert got[1][0] == "apple"
+    # doc 2: 'shared' tf=2 * idf(ln(4/4)+1)=2.0 beats 'cherry'
+    # tf=1 * idf(ln(4/2)+1)=1.69; cherry is second
+    assert got[2] == ["shared", "cherry"]
+    assert got[3][0] == "durian"
+    # k bounds every doc's list
+    assert all(len(v) <= 2 for v in got.values())
