@@ -152,6 +152,84 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def _curation_sql() -> str:
+    """Whole-pipeline LLM-curation oracle, assembled from the already-
+    verified fragments: quality gates → LSH+verify near-dup graph on the
+    kept docs → connected components (recursive CTE) → canonical docs →
+    token accounting."""
+    from .registry import _ORACLES
+    from .registry_ext import _TOKENS_SQL
+
+    qual = _ORACLES["quality_filter"]
+    lshv = _LSH_VERIFIED_SQL.replace("FROM documents", "FROM keptdocs")
+    return f"""
+WITH RECURSIVE qual AS ({qual}),
+keptdocs AS (
+  SELECT d.* FROM documents d JOIN qual ON qual.doc_id = d.doc_id AND qual.keep
+),
+pairs AS ({lshv}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM keptdocs
+  UNION
+  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id
+),
+comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+canon AS (SELECT id FROM comp WHERE id = cluster),
+tok2 AS (SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens FROM keptdocs)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM keptdocs) AS BIGINT) AS n_quality,
+       CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS n_canonical,
+       CAST((SELECT SUM(n_tokens) FROM tok2 JOIN canon ON canon.id = tok2.doc_id)
+            AS BIGINT) AS total_tokens
+"""
+
+
+@register("corpus_curation", _curation_sql())
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-side whole-pipeline differential (the curation analog of
+    monitoring_metrics_full): Gopher-style quality gates → LSH-verified
+    near-dup graph → connected components → keep canonical docs → token
+    accounting. One summary row, every count exact."""
+    from ..operators.graph import connected_components
+    from ..operators.text import quality_filter, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        quality_filter(docs)
+        .where("keep")
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    pairs = dedup.lsh_verified_pairs(kept, n=3, threshold=0.1)
+    comp = connected_components(
+        kept.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    canon = comp.where(F.col("id") == F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    canon_tokens = kept.join(canon, "doc_id").select(
+        F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_quality = kept.agg(F.count(F.lit(1)).alias("n_quality"))
+    n_canonical = canon.agg(F.count(F.lit(1)).alias("n_canonical"))
+    total = canon_tokens.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_quality))
+        .crossJoin(F.broadcast(n_canonical))
+        .crossJoin(F.broadcast(total))
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.C evaluation artifacts — ROC / PR / confusion / AUC
 # (mlflow_eval_suite's plots as DataFrames, churn_model_training.py:144-168)
