@@ -44,6 +44,8 @@ SINGLE_ROW_CROSS_OK = {
     "duplicate_row_count",
     "dedup_ngram_jaccard",  # sizes frame joined back is small but keyed
     "roc_curve_points",  # single-row grand-totals broadcast (with_totals)
+    "lift_curve",  # same single-row totals broadcast via prefix sum
+    "tfidf_top_terms",  # single-row corpus-size broadcast
 }
 
 AUDITED = [
@@ -90,6 +92,13 @@ AUDITED = [
     "roc_curve_points",
     "auc_roc",
     "confusion_matrix",
+    "calibration_curve",
+    "lift_curve",
+    "tfidf_top_terms",
+    # dedup_clusters / corpus_curation are iterative (connected
+    # components materializes per round) — explain would execute them;
+    # their physical shape is covered by dedup_lsh_verified + the
+    # per-round join/agg plans.
 ]
 
 # Full column counts of the testdata tables (documents/embeddings are
