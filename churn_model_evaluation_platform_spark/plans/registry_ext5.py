@@ -231,6 +231,43 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming: exactly-once de-duplication over a file-drop stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming dropDuplicates: state keyed by the dedup key emits each
+    # key's first arrival (append mode). The state store holds KEYS,
+    # never rows; at 100 TB use dropDuplicatesWithinWatermark so event-
+    # time expiry bounds the key set (tests/test_streaming_ext.py).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dedup_stream = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = "stream_dedup_result"
+    q = (
+        dedup_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # §2.C evaluation artifacts — ROC / PR / confusion / AUC
 # (mlflow_eval_suite's plots as DataFrames, churn_model_training.py:144-168)
 # ---------------------------------------------------------------------------
