@@ -231,6 +231,38 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSONL source/sink — the de-facto LLM corpus interchange format
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_scan",
+    "SELECT doc_id, lang, text FROM documents",
+)
+def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL roundtrip: write the documents table as newline-delimited
+    JSON (Spark's native `json` format IS jsonl — one object per line,
+    splittable, multi-part) and read it back with an EXPLICIT schema (no
+    inference pass over 100 TB). String/integer columns only, so the
+    text roundtrip is exact by construction."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out = f"/tmp/spark_graft_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs.write.mode("overwrite").json(out)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    return spark.read.schema(schema).json(out)
+
+
+# ---------------------------------------------------------------------------
 # Streaming: exactly-once de-duplication over a file-drop stream
 # ---------------------------------------------------------------------------
 
