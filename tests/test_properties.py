@@ -164,3 +164,56 @@ def test_sessionize_invariants(spark, rows):
                 assert b["session_id"] == a["session_id"] + 1
             else:
                 assert b["session_id"] == a["session_id"]
+
+
+labels_scores = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=1),
+              st.floats(min_value=0.0, max_value=1.0,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=4, max_size=40,
+).filter(lambda xs: len({l for l, _ in xs}) == 2)  # both classes present
+
+
+@SETTINGS
+@given(labels_scores)
+def test_roc_points_monotone_and_bounded(spark, xs):
+    from churn_model_evaluation_platform_spark.operators.evalcurves import (
+        roc_pr_points,
+    )
+
+    df = spark.createDataFrame(
+        [(int(l), float(s)) for l, s in xs], "churn int, proba double"
+    )
+    pts = (
+        roc_pr_points(df, "churn", "proba")
+        .orderBy(F.desc("threshold"))
+        .collect()
+    )
+    prev_tpr = prev_fpr = 0.0
+    for r in pts:
+        # cumulative counts are monotone as the threshold lowers
+        assert r["tpr"] >= prev_tpr - 1e-12
+        assert r["fpr"] >= prev_fpr - 1e-12
+        prev_tpr, prev_fpr = r["tpr"], r["fpr"]
+        assert 0.0 <= r["tpr"] <= 1.0 and 0.0 <= r["fpr"] <= 1.0
+        assert r["tp"] + r["fn"] == sum(1 for l, _ in xs if l == 1)
+        assert r["fp"] + r["tn"] == sum(1 for l, _ in xs if l == 0)
+    # the lowest threshold classifies everything positive
+    assert pts[-1]["tpr"] == 1.0 and pts[-1]["fpr"] == 1.0
+
+
+@SETTINGS
+@given(labels_scores)
+def test_auc_matches_pairwise_definition(spark, xs):
+    from churn_model_evaluation_platform_spark.operators.evalcurves import auc_roc
+
+    df = spark.createDataFrame(
+        [(int(l), float(s)) for l, s in xs], "churn int, proba double"
+    )
+    auc = auc_roc(df, "churn", "proba").first()["auc"]
+    pos = [s for l, s in xs if l == 1]
+    neg = [s for l, s in xs if l == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    assert abs(auc - wins / (len(pos) * len(neg))) < 1e-9
