@@ -148,6 +148,42 @@ def embedding_mean(
     )
 
 
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-column drift: cosine similarity between the two
+    corpora's centroid vectors (1.0 = no shift). The embedding-space
+    analog of the per-column KS drift — catches a model/encoder change
+    or a topic shift that scalar columns can't see.
+
+    Scale shape: each side is one ``posexplode`` + groupBy(pos) mean
+    (the shuffle carries (pos, partial sums) after map-side combine —
+    ``dim`` rows total), then a dim-row join computes the cosine.
+    Means are rounded to 6 before the dot product on both engines
+    (order-dependent double averages).
+    """
+    def mean_by_pos(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias(out))
+        )
+
+    joined = mean_by_pos(ref, "mr").join(mean_by_pos(cur, "mc"), "pos")
+    agg = joined.agg(
+        F.sum(F.col("mr") * F.col("mc")).alias("dot"),
+        F.sum(F.col("mr") * F.col("mr")).alias("nr"),
+        F.sum(F.col("mc") * F.col("mc")).alias("nc"),
+    )
+    return agg.select(
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("nr")) * F.sqrt(F.col("nc"))), 6
+        ).alias("centroid_cosine")
+    )
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     n_cells: int = 16,

@@ -230,6 +230,41 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_drift",
+    """
+WITH r AS (
+  SELECT pos, round(AVG(CAST(v AS DOUBLE)), 6) AS mr
+  FROM (SELECT unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) - 1 AS pos
+        FROM embeddings WHERE vec_id % 2 = 0)
+  GROUP BY pos
+),
+c AS (
+  SELECT pos, round(AVG(CAST(v AS DOUBLE)), 6) AS mc
+  FROM (SELECT unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) - 1 AS pos
+        FROM embeddings WHERE vec_id % 2 = 1)
+  GROUP BY pos
+)
+SELECT round(SUM(mr*mc) / (sqrt(SUM(mr*mr)) * sqrt(SUM(mc*mc))), 6)
+       AS centroid_cosine
+FROM r JOIN c USING (pos)
+""",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-space drift: centroid cosine between an even/odd split
+    # of the corpus (near-random vectors → centroids near-orthogonal,
+    # so the metric visibly separates from the no-shift value 1.0).
+    from ..operators.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )
+
+
 # ---------------------------------------------------------------------------
 # JSONL source/sink — the de-facto LLM corpus interchange format
 # ---------------------------------------------------------------------------

@@ -98,3 +98,21 @@ def test_multiprobe_recall_beats_single_probe(spark):
     assert len(set(probes)) == 8
     margins = [sum(a * b for a, b in zip(q, p)) for p in planes]
     assert probes[0] == sum(1 << i for i, d in enumerate(margins) if d > 0)
+
+
+def test_embedding_drift_identity_and_shift(spark):
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.2])], ["vec_id", "embedding"]
+    )
+    # identical corpora → centroids coincide → cosine 1.0
+    assert embedding_drift(a, a).first()["centroid_cosine"] == pytest.approx(1.0)
+    # orthogonal shift → cosine ~0
+    b = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [-0.2, 1.0])], ["vec_id", "embedding"]
+    )
+    shifted = embedding_drift(a, b).first()["centroid_cosine"]
+    assert abs(shifted) < 0.15
