@@ -138,12 +138,16 @@ def main() -> None:
         slope = {"error": str(e).splitlines()[0][:200]}
 
     total = round(sum(timings.values()), 4)
+    # apples-to-apples vs the round-1 bench: subtotal over the original
+    # 27-query headline set (new queries extend HEADLINE at the end)
+    r1_subset = round(sum(timings.get(n, 0.0) for n in HEADLINE[:27]), 4)
     out = {
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "r1_subset_total": r1_subset,
         "scale_slope": slope,
     }
     if errors:
