@@ -310,3 +310,82 @@ def tfidf_top_terms(
         .where(F.col("rk") <= k)
         .select(id_col, "token", "tfidf")
     )
+
+
+# Portable PII patterns (POSIX subset — identical matches in Spark's
+# Java regex and DuckDB's RE2). Replacement order is fixed:
+# email → ipv4 → phone (later patterns can never match earlier tokens).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect + redact PII (emails, IPv4s, phone-shaped numbers) — the
+    standard pre-training scrub pass. Counts are taken on the ORIGINAL
+    text; redaction applies the replacements in the fixed pattern order.
+    Pure ``regexp_count``/``regexp_replace`` expressions — map-only,
+    whole-stage codegen, zero shuffle.
+
+    Output: (id, n_email, n_ipv4, n_phone, scrubbed) with the redacted
+    text in ``scrubbed``.
+    """
+    src = F.col(text_col)
+    counts = [
+        F.regexp_count(src, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = src
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.where(src.isNotNull()).select(
+        F.col(id_col), *counts, scrubbed.alias("scrubbed")
+    )
+
+
+def doc_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    training-sample chunking pass. starts = 0, stride, 2*stride, …
+    (stride = chunk_tokens - overlap); each chunk is a ``slice`` of the
+    token array. Pure sequence+explode+slice Catalyst expressions —
+    no UDF, the explode is the only row multiplication (by ~n/stride).
+
+    Output: (id, chunk_index, n_tokens, chunk_text).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+        .withColumn(
+            "__starts",
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("__tk") - 1, F.lit(0)),
+                F.lit(stride),
+            ),
+        )
+    )
+    exploded = base.select(
+        id_col,
+        "__tk",
+        F.posexplode("__starts").alias("chunk_index", "__start"),
+    )
+    chunk = F.expr(f"slice(__tk, __start + 1, {chunk_tokens})")
+    return exploded.select(
+        F.col(id_col),
+        "chunk_index",
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -230,6 +230,103 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII injection applied identically on both engines so the scrub regexes
+# exercise real matches (the synthetic corpus carries no natural PII):
+# every 5th doc gains an email + IP, every 3rd a phone number.
+_PII_AUG_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               ELSE '' END
+       || CASE WHEN doc_id % 3 = 0 THEN ' call +1 (555) 123-4567' ELSE '' END
+       AS text
+FROM documents WHERE text IS NOT NULL
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+@register(
+    "pii_scrub",
+    f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM aug
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII detect+redact over deterministically-injected emails/IPs/
+    # phones; the scrubbed text is md5-compared so the full replacement
+    # pipeline must match byte-for-byte.
+    from ..operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com at 192.168."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" call +1 (555) 123-4567")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(aug).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "doc_chunks",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (
+  SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 40)) AS start
+  FROM tok
+)
+SELECT doc_id,
+       CAST(start // 40 AS INT) AS chunk_index,
+       CAST(len(tk[start + 1 : start + 50]) AS INT) AS n_tokens,
+       array_to_string(tk[start + 1 : start + 50], ' ') AS chunk_text
+FROM st
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overlapping token windows (50 tokens, stride 40): the training-
+    # sample chunking pass as pure sequence+explode+slice expressions.
+    from ..operators.text import doc_chunks
+
+    return doc_chunks(_t(spark, sf_dir, "documents"), 50, 10)
+
+
 @register(
     "embedding_drift",
     """

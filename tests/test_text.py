@@ -138,3 +138,44 @@ def test_tfidf_top_terms_ranking(spark):
     assert got[3][0] == "durian"
     # k bounds every doc's list
     assert all(len(v) <= 2 for v in got.values())
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from churn_model_evaluation_platform_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith+x@corp.co.uk or 10.0.0.1 call +1 (555) 123-4567"),
+        (2, "no pii here at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert set(out) == {1, 2}  # null text dropped
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (1, 1, 1)
+    assert "<EMAIL>" in r1["scrubbed"]
+    assert "<IP>" in r1["scrubbed"]
+    assert "<PHONE>" in r1["scrubbed"]
+    assert "corp.co.uk" not in r1["scrubbed"]
+    assert out[2]["scrubbed"] == "no pii here at all"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+
+
+def test_doc_chunks_windows(spark):
+    from churn_model_evaluation_platform_spark.operators.text import doc_chunks
+
+    words = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame([(1, words), (2, "short text")], ["doc_id", "text"])
+    out = doc_chunks(df, chunk_tokens=5, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 12 tokens, stride 3 -> starts 0,3,6,9 -> 4 chunks
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    assert [r["chunk_index"] for r in chunks] == [0, 1, 2, 3]
+    assert chunks[0]["chunk_text"] == "w0 w1 w2 w3 w4"
+    assert chunks[1]["chunk_text"] == "w3 w4 w5 w6 w7"  # 2-token overlap
+    assert chunks[3]["chunk_text"] == "w9 w10 w11"  # short tail
+    assert chunks[3]["n_tokens"] == 3
+    # doc 2: 2 tokens -> one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short text"
