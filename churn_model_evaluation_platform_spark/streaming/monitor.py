@@ -40,6 +40,9 @@ def monitoring_stream(
     alert_sink: AlertSink | None = None,
     available_now: bool = True,
     partition_metrics_by_date: bool = False,
+    metrics_jdbc_url: str | None = None,
+    metrics_jdbc_table: str = "drift_metrics",
+    metrics_jdbc_properties: dict | None = None,
 ) -> StreamingQuery:
     """Run the reference's per-file scoring+monitoring pipeline over a
     file-drop stream. ``score_fn`` maps a prepared batch to a scored one
@@ -48,6 +51,13 @@ def monitoring_stream(
     Every arriving file becomes one run: validate (cleaned-space
     containment) → prepare → score → [predictions sink] → quality +
     drift vs ``reference`` → metrics append → alert predicates.
+
+    ``metrics_jdbc_url`` additionally lands each micro-batch's metrics
+    in a JDBC table EXACTLY-ONCE: the append is keyed by the streaming
+    batch id (delete-any-previous-attempt, then insert — see
+    ``append_metrics_jdbc``), so a batch replayed after a crash between
+    sink write and checkpoint commit never double-writes the database.
+    The parquet store remains the primary append-only log.
     """
     expected = expected_columns or feature_cols
 
@@ -66,17 +76,39 @@ def monitoring_stream(
                 r["_source_file"]
                 for r in batch.select("_source_file").distinct().collect()
             ]
+            metric_frames = []
             for src in sorted(s or f"batch-{batch_id}" for s in srcs):
                 file_rows = batch.where(
                     F.col("_source_file").eqNullSafe(
                         None if src == f"batch-{batch_id}" else src
                     )
                 )
-                _process_file(src, file_rows)
+                m = _process_file(src, file_rows)
+                if m is not None:
+                    metric_frames.append(m)
+            if metric_frames:
+                from functools import reduce
+
+                all_metrics = reduce(lambda a, b: a.unionAll(b), metric_frames)
+                append_metrics(
+                    all_metrics,
+                    metrics_path,
+                    partition_by_date=partition_metrics_by_date,
+                )
+                if metrics_jdbc_url is not None:
+                    from ..operators.metrics import append_metrics_jdbc
+
+                    append_metrics_jdbc(
+                        all_metrics,
+                        metrics_jdbc_url,
+                        metrics_jdbc_table,
+                        metrics_jdbc_properties,
+                        batch_id=batch_id,
+                    )
         finally:
             batch.unpersist()
 
-    def _process_file(src: str, batch: DataFrame) -> None:
+    def _process_file(src: str, batch: DataFrame):
         data = batch.drop("_source_file")
         # Validate the FILE's own header, not the stream schema: a CSV
         # read through a declared schema always has the declared columns,
@@ -101,7 +133,7 @@ def monitoring_stream(
                 )
             if alert_sink is not None:
                 alert_sink("Invalid input file", v.error or src)
-            return
+            return None
         scored = score_fn(prepare(data, feature_cols))
         if predictions_path is not None:
             scored.write.mode("append").parquet(predictions_path)
@@ -111,9 +143,7 @@ def monitoring_stream(
             feature_cols,
             alert_sink=alert_sink,
         )
-        append_metrics(
-            res.metrics, metrics_path, partition_by_date=partition_metrics_by_date
-        )
+        return res.metrics
 
     stream = read_file_stream(spark, input_dir, schema)
     writer = stream.writeStream.foreachBatch(run_one).option(

@@ -86,3 +86,68 @@ def test_partial_batch_replaced_on_retry(spark, derby):
         "f1score",
         "recall",
     }
+
+
+def test_streaming_metrics_to_jdbc_exactly_once(spark, derby, tmp_path):
+    """monitoring_stream -> JDBC: metrics land keyed by micro-batch id;
+    restarting from the checkpoint (and re-running an already-committed
+    batch id) never duplicates database rows."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    from churn_model_evaluation_platform_spark.streaming.monitor import (
+        monitoring_stream,
+    )
+
+    url, props = derby
+    rng = random.Random(3)
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    lines = ["a,b,churn"]
+    for _ in range(60):
+        x, y = rng.uniform(0, 10), rng.uniform(0, 10)
+        lines.append(f"{x},{y},{int(x + y > 10)}")
+    (input_dir / "d1.csv").write_text("\n".join(lines))
+
+    schema = StructType(
+        [StructField(c, DoubleType()) for c in ("a", "b")]
+        + [StructField("churn", IntegerType())]
+    )
+    reference = spark.createDataFrame(
+        [(rng.uniform(0, 10), rng.uniform(0, 10)) for _ in range(60)],
+        "a double, b double",
+    )
+    kwargs = dict(
+        schema=schema,
+        reference=reference,
+        feature_cols=["a", "b"],
+        score_fn=lambda b: b.withColumn(
+            "churn_prediction", (F.col("a") + F.col("b") > 10).cast("int")
+        ),
+        metrics_path=str(tmp_path / "metrics"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        metrics_jdbc_url=url,
+        metrics_jdbc_table="stream_metrics",
+        metrics_jdbc_properties=props,
+    )
+
+    q = monitoring_stream(spark, str(input_dir), **kwargs)
+    q.awaitTermination(300)
+    back = spark.read.jdbc(url, "stream_metrics", properties=props)
+    n_first = back.count()
+    assert n_first > 0
+
+    # restart with nothing new: no duplicate rows
+    q2 = monitoring_stream(spark, str(input_dir), **kwargs)
+    q2.awaitTermination(300)
+    assert spark.read.jdbc(url, "stream_metrics", properties=props).count() == n_first
+
+    # second drop appends under a new batch id
+    (input_dir / "d2.csv").write_text("\n".join(lines))
+    q3 = monitoring_stream(spark, str(input_dir), **kwargs)
+    q3.awaitTermination(300)
+    back = spark.read.jdbc(url, "stream_metrics", properties=props)
+    assert back.count() == 2 * n_first
+    assert back.select("batch_id").distinct().count() == 2
