@@ -389,3 +389,44 @@ def doc_chunks(
         F.size(chunk).alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model score per document — the perplexity proxy
+    used as a corpus-level quality signal (very negative = text unlike
+    the corpus: gibberish, boilerplate, wrong language).
+
+    Model: add-one-smoothed corpus unigram probabilities
+    p(w) = (count(w)+1)/(T+V); score = Σ tf·ln p(w) / Σ tf (mean token
+    log-probability). Scale shape: one explode+groupBy builds the
+    per-(doc, token) frame; corpus counts aggregate from it (no second
+    text pass); (T, V) is a single broadcast row; the final score is one
+    more groupBy(doc). Rounded to 6 — cross-engine libm-ln noise stays
+    far below the rounding grain.
+    """
+    base = df.where(F.col(text_col).isNotNull())
+    tf = (
+        base.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    totals = corpus.agg(
+        F.sum("c").alias("t_total"), F.count(F.lit(1)).alias("v")
+    )
+    logp = F.log((F.col("c") + 1.0) / (F.col("t_total") + F.col("v")))
+    return (
+        tf.join(corpus, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 6).alias(
+                "lm_logprob"
+            ),
+        )
+    )

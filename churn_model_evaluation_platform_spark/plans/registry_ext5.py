@@ -230,6 +230,33 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lm_score",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+cnt AS (SELECT token AS t2, SUM(tf) AS c FROM tf GROUP BY token),
+tot AS (SELECT SUM(c) AS t_total, COUNT(*) AS v FROM cnt)
+SELECT tf.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(SUM(tf * ln((c + 1.0) / (t_total + v))) / SUM(tf), 6) AS lm_logprob
+FROM tf JOIN cnt ON cnt.t2 = tf.token, tot
+GROUP BY tf.doc_id
+""",
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unigram-LM mean token log-prob per doc (perplexity-proxy quality
+    # signal): corpus counts derive from the tf frame, single broadcast
+    # (T, V) row, one final groupBy(doc).
+    from ..operators.text import lm_score
+
+    return lm_score(_t(spark, sf_dir, "documents"))
+
+
 # PII injection applied identically on both engines so the scrub regexes
 # exercise real matches (the synthetic corpus carries no natural PII):
 # every 5th doc gains an email + IP, every 3rd a phone number.

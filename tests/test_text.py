@@ -179,3 +179,19 @@ def test_doc_chunks_windows(spark):
     assert chunks[3]["n_tokens"] == 3
     # doc 2: 2 tokens -> one chunk
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short text"
+
+
+def test_lm_score_flags_unusual_text(spark):
+    from churn_model_evaluation_platform_spark.operators.text import lm_score
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(1, 9)]
+    rows.append((9, "zzz qqq vvv www uuu ttt"))  # tokens seen once each
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lm_score(df).collect()}
+    # the gibberish doc scores strictly worse than every common doc
+    for i in range(1, 9):
+        assert got[9]["lm_logprob"] < got[i]["lm_logprob"]
+    assert got[1]["n_tokens"] == 6
+    # all common docs share one score (identical token multisets)
+    assert len({got[i]["lm_logprob"] for i in range(1, 9)}) == 1
