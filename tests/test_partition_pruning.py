@@ -39,3 +39,37 @@ def test_ivf_partitioned_corpus_prunes(spark, tmp_path):
     total = spark.read.parquet(path).count()
     cell0 = probed.count()
     assert 0 < cell0 < total
+
+
+def test_lsh_bucketed_corpus_prunes_multiprobe(spark, tmp_path):
+    """The multi-probe LSH scale contract: a corpus written partitioned
+    by lsh_bucket serves the probe set as an IN partition filter —
+    probing b buckets scans only those directories."""
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        lsh_bucket_expr,
+        multiprobe_buckets,
+        random_hyperplanes,
+    )
+
+    rng = random.Random(4)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(DIM)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = random_hyperplanes(DIM, 3, seed=42)
+
+    path = str(tmp_path / "lsh_corpus")
+    emb.withColumn(
+        "lsh_bucket", lsh_bucket_expr(F.col("embedding"), planes)
+    ).write.partitionBy("lsh_bucket").parquet(path)
+
+    q = rows[0][1]
+    probes = multiprobe_buckets(q, planes, n_probes=3)
+    probed = spark.read.parquet(path).where(F.col("lsh_bucket").isin(probes))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    total = spark.read.parquet(path).count()
+    scanned = probed.count()
+    assert 0 < scanned < total
