@@ -281,6 +281,40 @@ def lsh_verified_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_edit: int = 20,
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Typo-class near-dup pairs: SimHash pigeonhole candidates verified
+    by Levenshtein distance on the normalized text.
+
+    Edit distance is O(len²) per pair — never run it all-pairs. The
+    pigeonhole chunk join bounds the verifier to pairs already within
+    ``max_hamming`` SimHash bits (complete for hamming < chunks), so the
+    expensive DP touches only genuine candidates. Output:
+    (id_a, id_b, hamming, edit_distance) with edit_distance ≤ max_edit.
+    """
+    cand = simhash_pairs(df, text_col, id_col, bits, max_hamming, chunks)
+    norm = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm")
+    )
+    joined = cand.join(
+        norm.select(F.col("id").alias("id_a"), F.col("norm").alias("na")), "id_a"
+    ).join(
+        norm.select(F.col("id").alias("id_b"), F.col("norm").alias("nb")), "id_b"
+    )
+    return (
+        joined.withColumn("edit_distance", F.levenshtein("na", "nb"))
+        .where(F.col("edit_distance") <= max_edit)
+        .select("id_a", "id_b", "hamming", "edit_distance")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -230,6 +230,43 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edit_distance_sql() -> str:
+    """SimHash candidates (bit-exact shared SQL) → Levenshtein verify,
+    restricted exactly like the Spark composition: the expensive DP runs
+    only on pairs within max_hamming bits."""
+    from .registry_ext import _SIMHASH_SQL
+
+    return f"""
+WITH sh AS ({_SIMHASH_SQL}),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE text IS NOT NULL
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+SELECT id_a, id_b, hamming,
+       CAST(levenshtein(na.norm, nb.norm) AS INT) AS edit_distance
+FROM cand
+JOIN norm na ON na.doc_id = id_a
+JOIN norm nb ON nb.doc_id = id_b
+WHERE levenshtein(na.norm, nb.norm) <= 20
+"""
+
+
+@register("dedup_edit_distance", _edit_distance_sql())
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Typo-class near-dups: SimHash pigeonhole candidates verified by
+    # Levenshtein on normalized text — the O(len^2) DP never runs
+    # all-pairs.
+    return dedup.edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), max_edit=20, max_hamming=3, chunks=4
+    )
+
+
 @register(
     "lm_score",
     """

@@ -132,3 +132,22 @@ def test_lsh_verified_matches_exact_on_candidates(docs):
     # the planted high-similarity pairs survive the LSH prefilter
     assert (1, 2) in verified and verified[(1, 2)] == 1.0
     assert (1, 3) in verified
+
+
+def test_edit_distance_pairs_typo_class(spark):
+    from churn_model_evaluation_platform_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    typo = base.replace("dog", "dgo")  # 2-char transposition
+    other = "completely different content about engines and files today okay"
+    docs = spark.createDataFrame(
+        [(1, base), (2, typo), (3, other)], ["doc_id", "text"]
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(docs, max_edit=5).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] == 2
+    assert (1, 3) not in out and (2, 3) not in out
