@@ -46,6 +46,7 @@ SINGLE_ROW_CROSS_OK = {
     "roc_curve_points",  # single-row grand-totals broadcast (with_totals)
     "lift_curve",  # same single-row totals broadcast via prefix sum
     "tfidf_top_terms",  # single-row corpus-size broadcast
+    "lm_score",  # single-row (T, V) totals broadcast
 }
 
 AUDITED = [
@@ -95,6 +96,11 @@ AUDITED = [
     "calibration_curve",
     "lift_curve",
     "tfidf_top_terms",
+    "pii_scrub",
+    "doc_chunks",
+    "lm_score",
+    "embedding_drift",
+    "dedup_edit_distance",
     # dedup_clusters / corpus_curation are iterative (connected
     # components materializes per round) — explain would execute them;
     # their physical shape is covered by dedup_lsh_verified + the
