@@ -156,3 +156,149 @@ def sample_frames(
         )
         .withColumn("ts_ms", F.col("frame_idx") * F.lit(every_ms))
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL header probing — no codecs needed (pure byte parsing)
+# ---------------------------------------------------------------------------
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+
+def parse_media_header(content: bytes | None) -> dict:
+    """Container-header metadata from raw bytes — REAL parsing (PNG /
+    GIF / BMP / JPEG dimensions, WAV sample rate + duration), no codec
+    libraries: every field comes straight from the documented header
+    layouts. Pixel/sample DECODING remains the stubbed step; probing
+    does not require it. Unknown/garbage bytes → format None."""
+    out = {
+        "format": None,
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "duration_ms": None,
+    }
+    if not content or len(content) < 12:
+        return out
+    b = bytes(content)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        out["format"] = "png"
+        out["width"] = int.from_bytes(b[16:20], "big")
+        out["height"] = int.from_bytes(b[20:24], "big")
+    elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        out["format"] = "gif"
+        out["width"] = int.from_bytes(b[6:8], "little")
+        out["height"] = int.from_bytes(b[8:10], "little")
+    elif b[:2] == b"BM" and len(b) >= 26:
+        out["format"] = "bmp"
+        out["width"] = int.from_bytes(b[18:22], "little", signed=True)
+        out["height"] = abs(int.from_bytes(b[22:26], "little", signed=True))
+    elif b[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF segment
+        out["format"] = "jpeg"
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                out["height"] = int.from_bytes(b[i + 5 : i + 7], "big")
+                out["width"] = int.from_bytes(b[i + 7 : i + 9], "big")
+                break
+            i += 2 + seg_len
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out["format"] = "wav"
+        i = 12
+        byte_rate = data_size = None
+        while i + 8 <= len(b):
+            chunk_id = b[i : i + 4]
+            chunk_size = int.from_bytes(b[i + 4 : i + 8], "little")
+            if chunk_id == b"fmt " and i + 24 <= len(b):
+                out["sample_rate"] = int.from_bytes(b[i + 12 : i + 16], "little")
+                byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            elif chunk_id == b"data":
+                data_size = chunk_size
+            i += 8 + chunk_size + (chunk_size % 2)
+        if byte_rate and data_size is not None:
+            out["duration_ms"] = data_size * 1000 // byte_rate
+    return out
+
+
+def probe_media(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched header probe over binary blobs (mapInPandas, zero
+    shuffle) — the real, codec-free part of multimodal ingestion."""
+    parse = parse_media_header
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "format": [p["format"] for p in parsed],
+                    "width": pd.array(
+                        [p["width"] for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p["height"] for p in parsed], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [p["sample_rate"] for p in parsed], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [p["duration_ms"] for p in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, PROBE_SCHEMA)
+
+
+def synth_media_bytes(media_id: int) -> bytes:
+    """Deterministic VALID container bytes per id (test/differential
+    input): PNG (id%3==0), GIF (id%3==1), WAV (id%3==2) with
+    dimensions/duration derived arithmetically from the id — an oracle
+    can predict the probe output without parsing anything."""
+    import struct
+
+    m = int(media_id)
+    if m % 3 == 0:
+        w, h = 16 + m % 640, 16 + m % 480
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"
+        )
+    if m % 3 == 1:
+        w, h = 8 + m % 100, 8 + m % 80
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+    data_size = 17640 * (1 + m % 5)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_size)
+    )

@@ -268,6 +268,48 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_probe",
+    """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
+       CASE doc_id % 3 WHEN 0 THEN CAST(16 + doc_id % 640 AS INT)
+                       WHEN 1 THEN CAST(8 + doc_id % 100 AS INT) END AS width,
+       CASE doc_id % 3 WHEN 0 THEN CAST(16 + doc_id % 480 AS INT)
+                       WHEN 1 THEN CAST(8 + doc_id % 80 AS INT) END AS height,
+       CASE doc_id % 3 WHEN 2 THEN CAST(44100 AS INT) END AS sample_rate,
+       CASE doc_id % 3 WHEN 2 THEN CAST(100 * (1 + doc_id % 5) AS INT) END AS duration_ms
+FROM documents
+""",
+)
+def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal metadata extraction: valid PNG/GIF/WAV container
+    bytes are synthesized per id, then ``probe_media`` parses the
+    headers back (pure byte parsing, mapInPandas, zero shuffle). The
+    oracle predicts every field arithmetically — if either the builder
+    or the parser is wrong, the hashes diverge. Pixel/sample decode
+    remains the (stubbed) step that needs codec libraries."""
+    import pandas as _pd
+
+    from ..operators.multimodal import probe_media, synth_media_bytes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        synth_media_bytes(int(m)) for m in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return probe_media(media)
+
+
+@register(
     "lm_score",
     """
 WITH tok AS (

@@ -48,3 +48,57 @@ def test_sample_frames(media):
     assert len(frames) == 4
     assert [r["ts_ms"] for r in frames] == [0, 2500, 5000, 7500]
     assert {r["media_id"] for r in frames} == {3}
+
+
+def test_parse_media_header_formats():
+    import struct
+
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        parse_media_header,
+        synth_media_bytes,
+    )
+
+    png = parse_media_header(synth_media_bytes(0))
+    assert (png["format"], png["width"], png["height"]) == ("png", 16, 16)
+    gif = parse_media_header(synth_media_bytes(1))
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 9, 9)
+    wav = parse_media_header(synth_media_bytes(2))
+    assert wav["format"] == "wav"
+    assert wav["sample_rate"] == 44100
+    assert wav["duration_ms"] == 300  # 17640*3 bytes / 176400 B/s
+    # hand-built JPEG with APP0 + SOF0 240x320
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 240, 320) + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+    j = parse_media_header(jpeg)
+    assert (j["format"], j["width"], j["height"]) == ("jpeg", 320, 240)
+    # BMP 64x48 (top-down negative height is normalized)
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + struct.pack("<i", 64) + struct.pack("<i", -48) + b"\x00" * 4
+    )
+    bm = parse_media_header(bmp)
+    assert (bm["format"], bm["width"], bm["height"]) == ("bmp", 64, 48)
+    # garbage → unknown
+    assert parse_media_header(b"not a media file at all")["format"] is None
+    assert parse_media_header(None)["format"] is None
+
+
+def test_probe_media_spark_roundtrip(spark):
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        probe_media,
+        synth_media_bytes,
+    )
+
+    rows = [(i, synth_media_bytes(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in probe_media(df).collect()}
+    assert got[0]["format"] == "png" and got[0]["width"] == 16
+    assert got[1]["format"] == "gif"
+    assert got[2]["format"] == "wav" and got[2]["duration_ms"] == 300
+    assert got[3]["format"] == "png" and got[3]["width"] == 19
+    assert got[5]["format"] == "wav" and got[5]["sample_rate"] == 44100
