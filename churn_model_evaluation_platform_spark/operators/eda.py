@@ -145,3 +145,33 @@ def histogram_bins_by_label(
             "bin_count",
         )
     )
+
+
+def corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregation pass: every
+    upper-triangle pair is a ``corr(a, b)`` aggregate in the same job
+    (the shuffle carries one partial-moment row per partition, never the
+    data). Output: (col_a, col_b, corr) long form, rounded — the
+    co-moment accumulation order differs across engines."""
+    pairs = [
+        (a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]
+    ]
+    wide = df.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"{a}|{b}")
+            for a, b in pairs
+        ]
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"{a}|{b}").alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )

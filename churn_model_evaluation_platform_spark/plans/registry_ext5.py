@@ -152,6 +152,28 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+]
+
+
+@register(
+    "corr_matrix",
+    "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f'round(corr({a}, {b}), 6) AS "corr" FROM lineitem'
+        for a, b in _CORR_PAIRS
+    ),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise Pearson over the feature columns — all 6 pairs in ONE
+    # aggregation pass (partial co-moments per partition).
+    from ..operators.eda import corr_matrix
+
+    return corr_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
 def _curation_sql() -> str:
     """Whole-pipeline LLM-curation oracle, assembled from the already-
     verified fragments: quality gates → LSH+verify near-dup graph on the

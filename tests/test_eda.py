@@ -50,3 +50,18 @@ def test_histogram_bins(spark):
     df = spark.createDataFrame([(1.0,), (9.0,), (11.0,), (25.0,)], ["v"])
     out = {r["bin"]: r["bin_count"] for r in histogram_bins(df, "v", 10.0).collect()}
     assert out == {0: 2, 1: 1, 2: 1}
+
+
+def test_corr_matrix_known_values(spark):
+    from churn_model_evaluation_platform_spark.operators.eda import corr_matrix
+
+    rows = [(float(i), float(2 * i), float(-i), 1.0 if i % 2 else 2.0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert got[("a", "b")] == pytest.approx(1.0)   # perfectly linear
+    assert got[("a", "c")] == pytest.approx(-1.0)  # perfectly anti-linear
+    assert abs(got[("a", "d")]) < 0.3              # alternating, ~uncorrelated
+    assert len(got) == 6                           # upper triangle only
