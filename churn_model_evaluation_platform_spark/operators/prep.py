@@ -205,3 +205,34 @@ def derive_output_key(
     return F.concat(
         stem, F.lit(f"_predictions_{model_name}_v{model_version}.csv")
     )
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Data-mixing sampler: a DIFFERENT exact fraction per stratum (the
+    per-source/per-language mixture weights of a training-data recipe).
+    Same determinism contract as ``stratified_sample_exact``: per
+    stratum, the first ceil(frac_s * n_s) rows in portable-hash order —
+    identical row sets on every engine/run. Strata absent from
+    ``fractions`` keep ``default_fraction``."""
+    from ..functions.hashing import md5_hash_int
+
+    frac = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(float(f))
+        ).otherwise(frac)
+    h = md5_hash_int(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, id_col)
+    cnt_w = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt_w))
+        .where(F.col("__rn") <= F.ceil(F.col("__n") * frac))
+        .drop("__rn", "__n")
+    )

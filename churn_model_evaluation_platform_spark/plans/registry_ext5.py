@@ -152,6 +152,38 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
+
+
+def _weighted_sample_sql() -> str:
+    from ..functions.hashing import md5_hash_int_sql
+
+    h = md5_hash_int_sql("CAST(doc_id AS VARCHAR)")
+    frac = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items())
+    ) + " ELSE 0.0 END"
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= ceil(n * ({frac}))
+"""
+
+
+@register("weighted_sample", _weighted_sample_sql())
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-mixing sampler: per-language mixture weights as exact
+    # per-stratum fractions in portable-hash order — the training-data
+    # recipe step, identical row sets on both engines.
+    from ..operators.prep import weighted_sample_exact
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return weighted_sample_exact(docs, "lang", _MIX_WEIGHTS, "doc_id")
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _CORR_PAIRS = [
     (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]

@@ -120,3 +120,27 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     }
     # strata sizes: a=66, b=34 → exact ceil(0.2 * n)
     assert by_stratum == {"a": math.ceil(66 * 0.2), "b": math.ceil(34 * 0.2)}
+
+
+def test_weighted_sample_exact_mixture(spark):
+    from churn_model_evaluation_platform_spark.operators.prep import (
+        weighted_sample_exact,
+    )
+
+    rows = [(i, "en" if i < 100 else "de") for i in range(150)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = weighted_sample_exact(
+        df, "lang", {"en": 0.5, "de": 0.2}, "doc_id"
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"en": 50, "de": 10}  # exact ceil(frac * n) per stratum
+    # deterministic: same rows on a second run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in weighted_sample_exact(
+        df, "lang", {"en": 0.5, "de": 0.2}, "doc_id").collect())
+    assert a == b
+    # absent stratum default: fraction 0 drops it
+    out2 = weighted_sample_exact(df, "lang", {"en": 0.1}, "doc_id")
+    assert {r["lang"] for r in out2.collect()} == {"en"}
