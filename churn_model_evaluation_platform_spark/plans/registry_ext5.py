@@ -152,6 +152,33 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+@register(
+    "percentile_exact",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentiles per group (Spark `percentile` ==
+    # SQL-standard quantile_cont linear interpolation). Exact ordering
+    # statistics shuffle per-group sorted values — use
+    # percentile_approx/t-digest at 100 TB when 0.1% error is fine;
+    # this is the exact-answer path.
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(value, {q})"), 6
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
 _MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
 
 
