@@ -236,3 +236,26 @@ def weighted_sample_exact(
         .where(F.col("__rn") <= F.ceil(F.col("__n") * frac))
         .drop("__rn", "__n")
     )
+
+
+def impute_median(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Median imputation for null feature values — the training-prep
+    step between validation and casting. ONE aggregation computes every
+    column's exact interpolated median over its non-null values; the
+    single-row result is broadcast and coalesced in — no per-column
+    jobs, no second scan of the data."""
+    med = df.agg(
+        *[
+            F.expr(f"percentile({c}, 0.5)").alias(f"__med_{c}")
+            for c in cols
+        ]
+    )
+    out = df.crossJoin(F.broadcast(med))
+    return out.select(
+        *[
+            F.coalesce(F.col(c), F.col(f"__med_{c}")).alias(c)
+            if c in cols
+            else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -153,6 +153,34 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "impute_median",
+    """
+WITH holed AS (
+  SELECT event_id, CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS value
+  FROM events
+),
+med AS (SELECT quantile_cont(value, 0.5) AS m FROM holed)
+SELECT event_id, round(COALESCE(value, m), 6) AS value
+FROM holed, med
+""",
+)
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Median imputation over deterministically-injected nulls (testdata
+    # carries none): one agg for the median, broadcast, coalesce.
+    from ..operators.prep import impute_median
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    return impute_median(ev, ["value"]).select(
+        "event_id", F.round("value", 6).alias("value")
+    )
+
+
+@register(
     "percentile_exact",
     """
 SELECT event_type,

@@ -144,3 +144,13 @@ def test_weighted_sample_exact_mixture(spark):
     # absent stratum default: fraction 0 drops it
     out2 = weighted_sample_exact(df, "lang", {"en": 0.1}, "doc_id")
     assert {r["lang"] for r in out2.collect()} == {"en"}
+
+
+def test_impute_median_fills_only_nulls(spark):
+    from churn_model_evaluation_platform_spark.operators.prep import impute_median
+
+    rows = [(1, 10.0), (2, None), (3, 30.0), (4, 20.0), (5, None)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {r["id"]: r["v"] for r in impute_median(df, ["v"]).collect()}
+    assert got[1] == 10.0 and got[3] == 30.0 and got[4] == 20.0  # untouched
+    assert got[2] == got[5] == 20.0  # median of {10, 20, 30}
