@@ -36,9 +36,54 @@ SEED = 42  # churn_model_training.py:335-337 / :254-257
 def train_test_split(
     df: DataFrame, test_size: float = 0.2, seed: int = SEED
 ) -> tuple[DataFrame, DataFrame]:
-    """80/20 random split (churn_model_training.py:335-337)."""
+    """80/20 random split (churn_model_training.py:335-337).
+
+    NOTE ``randomSplit``'s row assignment depends on partition layout: a
+    recomputed lineage (executor loss, different file split at 100× data)
+    can land rows on the other side. Prefer ``hash_split`` — the
+    deterministic, layout-independent scale path."""
     train, test = df.randomSplit([1.0 - test_size, test_size], seed=seed)
     return train, test
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    test_size: float = 0.2,
+    seed: int = SEED,
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic 80/20 split by portable content hash of the row id
+    (churn_model_training.py:335-337 re-expressed for scale): row goes to
+    train iff ``md5(id || salt||seed) % 100 < 80``.
+
+    Unlike ``randomSplit`` this is a pure map-side predicate — zero
+    shuffle, independent of partition layout, bit-reproducible across
+    engines (the md5-int convention of functions/hashing.py), and stable
+    under recomputation: the same row lands on the same side on every
+    run, every engine, every cluster size."""
+    from ..functions.hashing import md5_hash_int
+
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}{seed}"))
+    bucket = md5_hash_int(key) % 100
+    cut = int(round((1.0 - test_size) * 100))
+    return df.where(bucket < cut), df.where(bucket >= cut)
+
+
+def hash_folds(
+    df: DataFrame, id_col: str, k: int = 3, seed: int = SEED, salt: str = "fold"
+) -> DataFrame:
+    """Deterministic k-fold assignment by portable hash: ``fold`` in 1..k
+    = ``md5(id || salt||seed) % k + 1``. Zero-shuffle map-side expression;
+    approximately stratified for any non-tiny stratum (the hash is an
+    unbiased pseudo-random draw), and — unlike ``F.rand`` ordering —
+    identical on every engine/run/partition-layout. The scale path for
+    CV folds; ``stratified_folds`` remains the exact-proportion variant
+    for small frames."""
+    from ..functions.hashing import md5_hash_int
+
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}{seed}"))
+    return df.withColumn("fold", (md5_hash_int(key) % k + 1).cast("int"))
 
 
 def stratified_folds(
@@ -46,7 +91,9 @@ def stratified_folds(
 ) -> DataFrame:
     """Stratified k-fold assignment (churn_model_training.py:254-257):
     ``fold`` in 1..k via ntile over a seeded shuffle per label stratum —
-    preserves label proportions per fold, one window pass."""
+    preserves label proportions per fold, one window pass. At scale the
+    per-stratum sort concentrates on few partitions (binary label → two
+    tasks); prefer ``hash_folds`` there."""
     w = Window.partitionBy(label_col).orderBy(F.rand(seed))
     return df.withColumn("fold", F.ntile(k).over(w))
 
