@@ -26,6 +26,7 @@ from ..operators.drift import (
     value_drift,
 )
 from ..sources.csv_source import read_csv, write_csv
+from ..sources import testdata
 from ..sources.testdata import load_table
 from .registry import (
     _CM_SQL,
@@ -290,10 +291,7 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(stream.schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+    stream = testdata.normalize_event_ts(stream)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"))

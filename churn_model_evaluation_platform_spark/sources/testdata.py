@@ -7,7 +7,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = [
     "region",
@@ -59,11 +59,28 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # package importable on Python workers (see ensure_package_shipped).
     ensure_package_shipped(spark)
     df = spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to session-tz TIMESTAMP
+    regardless of the parquet physical type the generator emitted.
+    Used by both batch `load_table` and the streaming readers (which
+    bypass load_table)."""
+    ts_type = df.schema[col].dataType
+    if isinstance(ts_type, LongType):
         # TIMESTAMP(NANOS) read as long (see session.py). Integer DIV —
         # double division would lose precision at epoch-nanos magnitude.
         # DuckDB's native TIMESTAMP is µs too, so oracle comparisons agree.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # parquet timestamp[us] (no tz) arrives as TIMESTAMP_NTZ, which
+        # unix_micros and streaming event-time reject. The session runs
+        # in UTC, so the cast is a pure re-tag — wall-clock values (and
+        # DuckDB-µs oracle parity) are unchanged.
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
