@@ -61,13 +61,26 @@ def hash_split(
     shuffle, independent of partition layout, bit-reproducible across
     engines (the md5-int convention of functions/hashing.py), and stable
     under recomputation: the same row lands on the same side on every
-    run, every engine, every cluster size."""
+    run, every engine, every cluster size.
+
+    NULL ids coalesce to '' before hashing so every row lands on exactly
+    one side (a NULL key would fail both predicates and silently drop
+    the row). 10_000 buckets keep quantization error < 0.01%."""
+    if not 0.0 < test_size < 1.0:
+        raise ValueError(f"test_size must be in (0, 1), got {test_size}")
+    bucket = _hash_bucket(id_col, salt, seed, 10_000)
+    cut = round((1.0 - test_size) * 10_000)
+    return df.where(bucket < cut), df.where(bucket >= cut)
+
+
+def _hash_bucket(id_col: str, salt: str, seed: int, mod: int):
     from ..functions.hashing import md5_hash_int
 
-    key = F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}{seed}"))
-    bucket = md5_hash_int(key) % 100
-    cut = int(round((1.0 - test_size) * 100))
-    return df.where(bucket < cut), df.where(bucket >= cut)
+    key = F.concat(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        F.lit(f"|{salt}{seed}"),
+    )
+    return md5_hash_int(key) % mod
 
 
 def hash_folds(
@@ -79,11 +92,12 @@ def hash_folds(
     unbiased pseudo-random draw), and — unlike ``F.rand`` ordering —
     identical on every engine/run/partition-layout. The scale path for
     CV folds; ``stratified_folds`` remains the exact-proportion variant
-    for small frames."""
-    from ..functions.hashing import md5_hash_int
-
-    key = F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}{seed}"))
-    return df.withColumn("fold", (md5_hash_int(key) % k + 1).cast("int"))
+    for small frames. NULL ids coalesce to '' (see hash_split)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        "fold", (_hash_bucket(id_col, salt, seed, k) + 1).cast("int")
+    )
 
 
 def stratified_folds(

@@ -614,6 +614,48 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(COALESCE(CAST(event_id AS VARCHAR), '') "
+    "|| '|{salt}42'), 1, 7) AS BIGINT) % {mod}"
+)
+
+
+@register(
+    "train_test_split_hash",
+    "SELECT event_id, CASE WHEN "
+    + _SPLIT_BUCKET_SQL.format(salt="split", mod=10_000)
+    + " < 8000 THEN 'train' ELSE 'test' END AS side FROM events",
+)
+def q_train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # churn_model_training.py:335-337 re-expressed as the deterministic
+    # scale path: portable md5-bucket split (ml/training.py:hash_split).
+    # Per-row side assignment is oracle-reproducible bit-for-bit, unlike
+    # randomSplit whose assignment depends on partition layout.
+    from ..ml.training import hash_split
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    train, test = hash_split(ev, "event_id", test_size=0.2, seed=42)
+    return train.withColumn("side", F.lit("train")).unionByName(
+        test.withColumn("side", F.lit("test"))
+    )
+
+
+@register(
+    "stratified_kfold_hash",
+    "SELECT event_id, CAST("
+    + _SPLIT_BUCKET_SQL.format(salt="fold", mod=3)
+    + " + 1 AS INT) AS fold FROM events",
+)
+def q_stratified_kfold_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # churn_model_training.py:254-257 scale path: deterministic per-row
+    # fold via portable hash (ml/training.py:hash_folds) — zero shuffle,
+    # engine-portable, stable under repartition/recomputation.
+    from ..ml.training import hash_folds
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    return hash_folds(ev, "event_id", k=3, seed=42)
+
+
 @register("stratified_kfold")  # rows-only: F.rand ordering is Spark-specific
 def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # churn_model_training.py:254-257 — stratified 3-fold assignment via
