@@ -53,6 +53,34 @@ def score_with_ml_model(
     )
 
 
+def score_with_logistic_weights(
+    df: DataFrame,
+    weights: dict[str, float],
+    intercept: float = 0.0,
+    out_col: str = TARGET_PREDICTION_COLUMN,
+    proba_col: str = "churn_probability",
+    proba_decimals: int = 6,
+) -> DataFrame:
+    """Score with PINNED logistic-regression weights as a pure Catalyst
+    expression: ``p = sigmoid(intercept + Σ w_i * x_i)``, prediction =
+    ``margin > 0`` (exact — no transcendental on the decision path).
+
+    This is the closed-form analog of the reference's registry-model
+    scoring (churn_prediction_pipeline.py:182-199): at serving time a
+    trained linear model IS just its coefficient vector, so applying it
+    is a column expression — JVM-side, codegen'd, zero Python, and
+    bit-reproducible by any SQL engine (the oracle path). The rounded
+    probability keeps float parity across libm implementations.
+    """
+    margin = F.lit(float(intercept))
+    for c, w in weights.items():
+        margin = margin + F.lit(float(w)) * F.col(c)
+    return df.withColumn(
+        proba_col,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), proba_decimals),
+    ).withColumn(out_col, (margin > 0).cast("int"))
+
+
 def mlflow_model_udf(spark, model_uri: str):
     """``mlflow.pyfunc.spark_udf`` scorer — Arrow-vectorized. Available
     only when mlflow is installed (it is not in the minimal environment);

@@ -173,6 +173,34 @@ def q_batch_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIN_W = {"value": 0.03, "u7": -0.25}
+_PIN_B = -1.2
+_PIN_MARGIN_SQL = "((-1.2 + 0.03 * value) + -0.25 * (user_id % 7))"
+
+
+@register(
+    "batch_score_pinned",
+    f"""
+SELECT event_id,
+       round(1.0 / (1.0 + exp(-{_PIN_MARGIN_SQL})), 6) AS churn_probability,
+       CAST({_PIN_MARGIN_SQL} > 0 AS INT) AS churn_prediction
+FROM events
+""",
+)
+def q_batch_score_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # churn_prediction_pipeline.py:182-199 with the model PINNED to fixed
+    # logistic weights: serving a linear model is a column expression, so
+    # the oracle reproduces predictions bit-for-bit. The trained-model
+    # variant stays as the rows-only `batch_score` entry above.
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        (F.col("user_id") % 7).cast("double").alias("u7"),
+    )
+    scored = score.score_with_logistic_weights(ev, _PIN_W, _PIN_B)
+    return scored.select("event_id", "churn_probability", "churn_prediction")
+
+
 # ---------------------------------------------------------------------------
 # North-star: embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
