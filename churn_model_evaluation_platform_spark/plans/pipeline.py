@@ -91,8 +91,17 @@ def monitoring_run(
     )
     metrics = with_created_at(metrics, created_at).cache()
 
-    drifted, n_drifted, drifted_cols = assess_data_drift(metrics)
-    scores_alert, failing = assess_prediction_scores(metrics, score_threshold)
+    try:
+        # The first assessment materializes `metrics` (small, long-format),
+        # which is the last consumer of the data-proportional `current` and
+        # `drift` caches — release them immediately after so a monitoring
+        # run never keeps a full input batch pinned in executor memory
+        # (streaming/monitor.py does the same).
+        drifted, n_drifted, drifted_cols = assess_data_drift(metrics)
+        scores_alert, failing = assess_prediction_scores(metrics, score_threshold)
+    finally:
+        current.unpersist()
+        drift.unpersist()
     sink = alert_sink or console_alert_sink
     if drifted:
         sink(
