@@ -59,15 +59,36 @@ HEADLINE = [
     "confusion_matrix",
 ]
 
-# Scale-slope probes: re-run a dedup and a drift query on an in-place
+# Scale-slope probes: re-run representative queries on an in-place
 # 4× synthesis of their input tables (id-offset unions — same value
-# distributions, 4× rows, linear output growth) so every round records a
-# measured runtime-vs-data slope, not just a single-SF point. A healthy
+# distributions, 4× rows) so every round records a measured
+# runtime-vs-data slope, not just a single-SF point. A healthy
 # distributed plan stays near ratio ≤ factor (linear); super-linear
 # ratios flag a shuffle/skew cliff before it bites at 100 TB.
+#
+# Copied document TEXT is vowel-rotated per copy: a plain 4× copy makes
+# every doc an exact duplicate of its 3 clones, so pair-producing dedup
+# queries would grow ~16× BY CONSTRUCTION (bucket sizes ×4 → pairs ×16)
+# and the probe, not the operator, would read super-linear. Rotation
+# scrambles nearly every shingle across copies while preserving length
+# distributions and within-copy near-dup structure → linear output.
+#
+# Each probe is warmed once untimed, then timed best-of-2 at each scale:
+# r03 recorded a 5.57 minhash ratio that steady-state reruns measure at
+# ~1.7 — single-shot timings on a shared box are contention-dominated.
 SLOPE_FACTOR = 4
-SLOPE_QUERIES = ["dedup_exact", "dedup_minhash_signatures", "value_drift_scalable"]
-SLOPE_TABLES = {"documents": "doc_id", "events": "event_id"}
+SLOPE_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "value_drift_scalable",
+    "dedup_simhash",
+    "dedup_lsh_verified",
+    "similarity_topk",
+    "monitoring_metrics_full",
+    "tfidf_top_terms",
+]
+SLOPE_TABLES = {"documents": "doc_id", "events": "event_id", "embeddings": "vec_id"}
+_VOWEL_ROTATIONS = ["aeiou", "eioua", "iouae", "ouaei"]
 
 
 def main() -> None:
@@ -119,21 +140,30 @@ def main() -> None:
         except Exception as e:  # one broken query must not blank the bench
             errors[name] = str(e).splitlines()[0][:200]
 
+    def _timed(name: str, d: str, runs: int = 2) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
     slope = {}
     try:
         slope_dir = _build_slope_dir(spark, sf_dir, SLOPE_FACTOR)
         for name in SLOPE_QUERIES:
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            t1 = round(time.perf_counter() - t0, 4)
-            t0 = time.perf_counter()
-            qs[name](spark, slope_dir).write.format("noop").mode("overwrite").save()
-            t4 = round(time.perf_counter() - t0, 4)
-            slope[name] = {
-                "x1": t1,
-                f"x{SLOPE_FACTOR}": t4,
-                "ratio": round(t4 / t1, 2) if t1 > 0 else None,
-            }
+            try:
+                # untimed warm at x1: codegen compile + file-index listing
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t1 = _timed(name, sf_dir)
+                t4 = _timed(name, slope_dir)
+                slope[name] = {
+                    "x1": t1,
+                    f"x{SLOPE_FACTOR}": t4,
+                    "ratio": round(t4 / t1, 2) if t1 > 0 else None,
+                }
+            except Exception as e:
+                slope[name] = {"error": str(e).splitlines()[0][:200]}
     except Exception as e:  # slope probes must never blank the bench
         slope = {"error": str(e).splitlines()[0][:200]}
 
@@ -167,12 +197,23 @@ def _build_slope_dir(spark, sf_dir: str, factor: int) -> str:
     out = f"/tmp/spark_graft_slope_{factor}x"
     for table, id_col in SLOPE_TABLES.items():
         base = load_table(spark, table, sf_dir)
-        copies = [
-            base.withColumn(
+        copies = []
+        for i in range(factor):
+            c = base.withColumn(
                 id_col, (F.col(id_col) + F.lit(i * 1_000_000_000)).cast("long")
             )
-            for i in range(factor)
-        ]
+            if table == "documents":
+                # vowel-rotate per copy so clones are NOT near-duplicates
+                # of each other (see SLOPE_QUERIES comment).
+                c = c.withColumn(
+                    "text",
+                    F.translate(
+                        F.col("text"),
+                        _VOWEL_ROTATIONS[0],
+                        _VOWEL_ROTATIONS[i % len(_VOWEL_ROTATIONS)],
+                    ),
+                )
+            copies.append(c)
         reduce(lambda a, b: a.unionAll(b), copies).write.mode(
             "overwrite"
         ).parquet(f"{out}/{table}.parquet")
