@@ -102,8 +102,32 @@ def ks_2samp(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     )
 
 
+WINDOWED_MAX_DISTINCT = 250_000  # per-column single-reducer comfort zone
+
+
+def estimate_distinct_counts(
+    ref: DataFrame, cur: DataFrame, columns: list[str]
+) -> dict[str, int]:
+    """Approximate per-column distinct counts over the pooled sample in
+    ONE map-side HLL pass (no shuffle of data, one-row result)."""
+
+    def proj(df: DataFrame) -> DataFrame:
+        return df.select(*[F.col(c).cast("double").alias(c) for c in columns])
+
+    row = (
+        proj(ref)
+        .unionAll(proj(cur))
+        .agg(*[F.approx_count_distinct(c).alias(c) for c in columns])
+        .first()
+    )
+    return {c: int(row[c]) for c in columns}
+
+
 def value_drift(
-    ref: DataFrame, cur: DataFrame, columns: list[str], scalable: bool = False
+    ref: DataFrame,
+    cur: DataFrame,
+    columns: list[str],
+    scalable: bool | str = False,
 ) -> DataFrame:
     """Per-column KS drift for a set of columns in ONE pass.
 
@@ -121,7 +145,26 @@ def value_drift(
       many buckets, so even a single continuous column with billions of
       distinct values has no serial stage. Same results (both variants
       are checked against the same DuckDB oracle).
+    - ``scalable="auto"``: estimate each column's distinct count with one
+      HLL pass and route it to the right branch — windowed below
+      ``WINDOWED_MAX_DISTINCT`` (skips the prefix-sum machinery's fixed
+      boundary pass: ~1 s that dominates monitoring-sized batches),
+      prefix-sum above it (no single-reducer cliff at scale). The two
+      branches produce identical rows, so routing never changes results.
     """
+    if scalable == "auto":
+        est = estimate_distinct_counts(ref, cur, columns)
+        small = [c for c in columns if est[c] <= WINDOWED_MAX_DISTINCT]
+        large = [c for c in columns if est[c] > WINDOWED_MAX_DISTINCT]
+        parts = []
+        if small:
+            parts.append(value_drift(ref, cur, small, scalable=False))
+        if large:
+            parts.append(value_drift(ref, cur, large, scalable=True))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
 
     def melt(df: DataFrame, is_ref: int) -> DataFrame:
         long = df.select(

@@ -76,9 +76,12 @@ def monitoring_run(
     current = current.cache()  # consumed by quality AND per-column drift
     scores = classification_scores(current, actual_col, predicted_col)
     per_label = per_label_scores(current, actual_col, predicted_col)
-    # scalable=True: grouped range-partitioned prefix sum — no
-    # single-reducer per-column window in the flagship path (VERDICT r1).
-    drift = value_drift(reference, current, feature_cols, scalable=True).cache()
+    # scalable="auto": per-column HLL cardinality estimate routes each
+    # column to the windowed path (moderate cardinality — skips the
+    # prefix-sum boundary pass that dominates monitoring-sized batches)
+    # or the range-partitioned prefix sum (no single-reducer cliff when
+    # a column has millions of distinct values). Identical results.
+    drift = value_drift(reference, current, feature_cols, scalable="auto").cache()
     metrics = (
         scores.unionAll(per_label)
         .unionAll(

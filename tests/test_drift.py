@@ -121,3 +121,50 @@ def test_assess_prediction_scores(spark):
     assert failing == [("f1score", 0.65)]
     alert2, failing2 = assess_prediction_scores(m, 0.60)
     assert alert2 is False and failing2 == []
+
+
+def test_value_drift_auto_routes_and_matches(spark):
+    # "auto" must produce exactly the rows of both fixed strategies
+    # regardless of which branch each column lands in.
+    import random
+
+    rng = random.Random(7)
+    ref = spark.createDataFrame(
+        [(rng.gauss(0, 1), float(rng.randrange(5))) for _ in range(400)],
+        ["cont", "disc"],
+    )
+    cur = spark.createDataFrame(
+        [(rng.gauss(0.5, 1), float(rng.randrange(5))) for _ in range(300)],
+        ["cont", "disc"],
+    )
+    cols = ["cont", "disc"]
+    rows = lambda df: sorted(
+        (r["column"], round(r["ks_stat"], 9), round(r["p_value"], 9))
+        for r in df.collect()
+    )
+    expect = rows(value_drift(ref, cur, cols, scalable=False))
+    assert rows(value_drift(ref, cur, cols, scalable=True)) == expect
+    assert rows(value_drift(ref, cur, cols, scalable="auto")) == expect
+
+
+def test_value_drift_auto_mixed_cardinality(spark, monkeypatch):
+    # Force the two columns into DIFFERENT branches by lowering the
+    # threshold between their cardinalities: results still identical.
+    from churn_model_evaluation_platform_spark.operators import drift as dmod
+
+    ref = spark.range(0, 500).selectExpr(
+        "CAST(id AS DOUBLE) AS wide", "CAST(id % 3 AS DOUBLE) AS narrow"
+    )
+    cur = spark.range(0, 400).selectExpr(
+        "CAST(id * 2 AS DOUBLE) AS wide", "CAST(id % 3 AS DOUBLE) AS narrow"
+    )
+    monkeypatch.setattr(dmod, "WINDOWED_MAX_DISTINCT", 10)
+    auto = {
+        r["column"]: round(r["ks_stat"], 9)
+        for r in dmod.value_drift(ref, cur, ["wide", "narrow"], "auto").collect()
+    }
+    fixed = {
+        r["column"]: round(r["ks_stat"], 9)
+        for r in dmod.value_drift(ref, cur, ["wide", "narrow"], False).collect()
+    }
+    assert auto == fixed
