@@ -2,11 +2,13 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` UDFs.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features, clearly marked); everything Spark-side —
-schema, partitioning, UDF signatures, Arrow batch shapes — is real and
-tested. Swap ``_decode_stub`` for a real decoder (PIL/librosa/ffmpeg) in
-an environment that has them; nothing else changes.
+Decode is REAL for the stdlib-decodable formats — PNG (zlib inflate +
+scanline unfilter, all five filter types), BMP (24-bit BI_RGB rows) and
+WAV (PCM16) via ``decode_media`` — no codec libraries involved. Only
+formats that genuinely need an external codec (JPEG/GIF pixel data) keep
+the clearly-marked ``_decode_stub`` (deterministic byte histogram) in
+``extract_features``; swap it for PIL/librosa/ffmpeg where available and
+nothing else changes.
 
 Scale notes: binary payloads ride the shuffle only when explicitly
 repartitioned; feature extraction is mapInPandas (no shuffle at all);
@@ -267,6 +269,263 @@ def probe_media(
             )
 
     return df.select(id_col, content_col).mapInPandas(run, PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel/sample decode — stdlib-decodable formats (PNG/BMP/WAV).
+# No codec libraries: PNG is zlib inflate + scanline unfilter (all five
+# filter types), BMP is raw BGR rows (stride-padded, bottom-up), WAV is
+# PCM16 struct unpacking. JPEG/GIF pixel decode still needs a codec and
+# stays behind the documented stub.
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("n_values", LongType(), True),
+        StructField("mean_value", DoubleType(), True),
+        StructField("min_value", DoubleType(), True),
+        StructField("max_value", DoubleType(), True),
+    ]
+)
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (RFC 2083 §6) — all five filter
+    types (None/Sub/Up/Average/Paeth). ``raw`` is the inflated IDAT
+    stream: height rows of 1 filter byte + width*bpp data bytes."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    prior = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for j in range(bpp, stride):
+                line[j] = (line[j] + line[j - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for j in range(stride):
+                line[j] = (line[j] + prior[j]) & 0xFF
+        elif ftype == 3:  # Average
+            for j in range(stride):
+                left = line[j - bpp] if j >= bpp else 0
+                line[j] = (line[j] + ((left + prior[j]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for j in range(stride):
+                a = line[j - bpp] if j >= bpp else 0
+                b_ = prior[j]
+                c = prior[j - bpp] if j >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                line[j] = (line[j] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prior = line
+    return out
+
+
+def decode_media_bytes(content: bytes | None) -> dict:
+    """REAL pixel/sample decode for PNG (8-bit RGB), BMP (24-bit BI_RGB)
+    and WAV (PCM16) from raw bytes — returns summary statistics over the
+    decoded values (pixel channel bytes / audio samples). Formats that
+    need an external codec (JPEG, GIF) return format-only."""
+    import struct
+    import zlib
+
+    out = {
+        "format": None,
+        "n_values": None,
+        "mean_value": None,
+        "min_value": None,
+        "max_value": None,
+    }
+    if not content or len(content) < 12:
+        return out
+    b = bytes(content)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        out["format"] = "png"
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        bit_depth, color_type = b[24], b[25]
+        if bit_depth != 8 or color_type != 2:
+            return out  # only 8-bit RGB handled without a codec
+        idat = bytearray()
+        i = 8
+        while i + 8 <= len(b):
+            clen = int.from_bytes(b[i : i + 4], "big")
+            ctype = b[i + 4 : i + 8]
+            if ctype == b"IDAT":
+                idat += b[i + 8 : i + 8 + clen]
+            if ctype == b"IEND":
+                break
+            i += 12 + clen  # len + type + data + crc
+        vals = _png_unfilter(zlib.decompress(bytes(idat)), w, h, 3)
+    elif b[:2] == b"BM":
+        out["format"] = "bmp"
+        data_off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h_signed = int.from_bytes(b[22:26], "little", signed=True)
+        bpp_bits = int.from_bytes(b[28:30], "little")
+        if bpp_bits != 24:
+            return out
+        h = abs(h_signed)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        vals = bytearray()
+        for row in range(h):
+            # positive height → rows stored bottom-up
+            src = h - 1 - row if h_signed > 0 else row
+            start = data_off + src * stride
+            vals += b[start : start + w * 3]
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out["format"] = "wav"
+        i = 12
+        bits = None
+        vals = None
+        while i + 8 <= len(b):
+            chunk_id = b[i : i + 4]
+            clen = int.from_bytes(b[i + 4 : i + 8], "little")
+            if chunk_id == b"fmt ":
+                bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            elif chunk_id == b"data":
+                if bits != 16:
+                    return out  # only PCM16 handled
+                n = clen // 2
+                vals = struct.unpack(f"<{n}h", b[i + 8 : i + 8 + n * 2])
+            i += 8 + clen + (clen % 2)
+        if vals is None:
+            return out
+    else:
+        return out
+    n = len(vals)
+    out["n_values"] = n
+    if n:
+        out["mean_value"] = round(sum(vals) / n, 6)
+        out["min_value"] = float(min(vals))
+        out["max_value"] = float(max(vals))
+    return out
+
+
+def decode_media(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched REAL decode over binary blobs (mapInPandas, zero
+    shuffle): PNG/BMP/WAV pixels/samples parsed with the stdlib only."""
+    decode = decode_media_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [decode(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "format": [p["format"] for p in parsed],
+                    "n_values": pd.array(
+                        [p["n_values"] for p in parsed], dtype="Int64"
+                    ),
+                    "mean_value": pd.array(
+                        [p["mean_value"] for p in parsed], dtype="Float64"
+                    ),
+                    "min_value": pd.array(
+                        [p["min_value"] for p in parsed], dtype="Float64"
+                    ),
+                    "max_value": pd.array(
+                        [p["max_value"] for p in parsed], dtype="Float64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, DECODE_SCHEMA)
+
+
+def synth_decodable_media_bytes(media_id: int) -> bytes:
+    """Deterministic COMPLETE media files per id (valid CRCs, real
+    payloads) whose decoded values follow closed-form formulas an oracle
+    reproduces arithmetically:
+
+    - PNG  (id%3==0): 8-bit RGB, w=4+id%13, h=4+id%11; raw byte j of row
+      y = (id + 11*y + j) % 256; rows filtered with type y%3 (None/Sub/Up)
+      so the decoder's unfilter paths are genuinely exercised.
+    - BMP  (id%3==1): 24-bit BI_RGB, w=4+id%9, h=4+id%7 stored bottom-up
+      with 4-byte row padding; visual row y byte j = (id + 5*y + j) % 256.
+    - WAV  (id%3==2): PCM16 mono 8 kHz, n=256+id%200 samples; sample i =
+      ((id*31 + i*7) % 4096) - 2048.
+    """
+    import struct
+    import zlib
+
+    m = int(media_id)
+    if m % 3 == 0:
+        w, h = 4 + m % 13, 4 + m % 11
+        stride = 3 * w
+        raw = bytearray()
+        prior = bytes(stride)
+        for y in range(h):
+            line = bytes((m + 11 * y + j) % 256 for j in range(stride))
+            ftype = y % 3
+            if ftype == 0:
+                enc = line
+            elif ftype == 1:  # Sub
+                enc = bytes(
+                    (line[j] - (line[j - 3] if j >= 3 else 0)) & 0xFF
+                    for j in range(stride)
+                )
+            else:  # Up
+                enc = bytes(
+                    (line[j] - prior[j]) & 0xFF for j in range(stride)
+                )
+            raw += bytes([ftype]) + enc
+            prior = line
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+    if m % 3 == 1:
+        w, h = 4 + m % 9, 4 + m % 7
+        stride = (w * 3 + 3) & ~3
+        pix = bytearray()
+        for row in range(h):  # stored bottom-up
+            y = h - 1 - row
+            line = bytes((m + 5 * y + j) % 256 for j in range(3 * w))
+            pix += line + bytes(stride - 3 * w)
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+        )
+        return header + bytes(pix)
+    n = 256 + m % 200
+    samples = struct.pack(
+        "<" + "h" * n, *(((m * 31 + i * 7) % 4096) - 2048 for i in range(n))
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(samples))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
 
 
 def synth_media_bytes(media_id: int) -> bytes:

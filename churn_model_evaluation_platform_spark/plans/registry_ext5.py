@@ -419,6 +419,87 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode",
+    """
+WITH png AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+png_s AS (
+  SELECT media_id, 'png' AS format, CAST(w * h * 3 AS BIGINT) AS n_values,
+         round(avg((media_id + 11 * y + j) % 256), 6) AS mean_value,
+         CAST(min((media_id + 11 * y + j) % 256) AS DOUBLE) AS min_value,
+         CAST(max((media_id + 11 * y + j) % 256) AS DOUBLE) AS max_value
+  FROM png
+  CROSS JOIN generate_series(0, 13) ys(y)
+  CROSS JOIN generate_series(0, 47) js(j)
+  WHERE y < h AND j < 3 * w
+  GROUP BY media_id, w, h
+),
+bmp AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 3 = 1
+),
+bmp_s AS (
+  SELECT media_id, 'bmp' AS format, CAST(w * h * 3 AS BIGINT) AS n_values,
+         round(avg((media_id + 5 * y + j) % 256), 6) AS mean_value,
+         CAST(min((media_id + 5 * y + j) % 256) AS DOUBLE) AS min_value,
+         CAST(max((media_id + 5 * y + j) % 256) AS DOUBLE) AS max_value
+  FROM bmp
+  CROSS JOIN generate_series(0, 9) ys(y)
+  CROSS JOIN generate_series(0, 35) js(j)
+  WHERE y < h AND j < 3 * w
+  GROUP BY media_id, w, h
+),
+wav AS (
+  SELECT doc_id AS media_id, 256 + doc_id % 200 AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+wav_s AS (
+  SELECT media_id, 'wav' AS format, CAST(n AS BIGINT) AS n_values,
+         round(avg(((media_id * 31 + i * 7) % 4096) - 2048), 6) AS mean_value,
+         CAST(min(((media_id * 31 + i * 7) % 4096) - 2048) AS DOUBLE) AS min_value,
+         CAST(max(((media_id * 31 + i * 7) % 4096) - 2048) AS DOUBLE) AS max_value
+  FROM wav
+  CROSS JOIN generate_series(0, 455) iss(i)
+  WHERE i < n
+  GROUP BY media_id, n
+)
+SELECT * FROM png_s UNION ALL SELECT * FROM bmp_s UNION ALL SELECT * FROM wav_s
+""",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel/sample decode (no codec libraries): complete PNG / BMP
+    / WAV files are synthesized per doc id — valid CRCs, zlib-compressed
+    filtered PNG scanlines, stride-padded bottom-up BMP rows, PCM16 WAV
+    frames — then ``decode_media`` inflates/unfilters/unpacks them back
+    to raw values with the stdlib. The oracle predicts every decoded
+    statistic arithmetically from the generator formulas, so an error in
+    EITHER the encoder or the decoder breaks the hash. JPEG/GIF pixel
+    decode still requires a codec and remains behind the documented
+    stub (extract_features)."""
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_media, synth_decodable_media_bytes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        synth_decodable_media_bytes(int(m)) for m in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return decode_media(media)
+
+
+@register(
     "lm_score",
     """
 WITH tok AS (

@@ -102,3 +102,102 @@ def test_probe_media_spark_roundtrip(spark):
     assert got[2]["format"] == "wav" and got[2]["duration_ms"] == 300
     assert got[3]["format"] == "png" and got[3]["width"] == 19
     assert got[5]["format"] == "wav" and got[5]["sample_rate"] == 44100
+
+
+def test_decode_roundtrip_all_formats():
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        decode_media_bytes,
+        synth_decodable_media_bytes,
+    )
+
+    for m in range(9):
+        d = decode_media_bytes(synth_decodable_media_bytes(m))
+        fmt = ["png", "bmp", "wav"][m % 3]
+        assert d["format"] == fmt
+        if fmt == "png":
+            w, h = 4 + m % 13, 4 + m % 11
+            vals = [(m + 11 * y + j) % 256 for y in range(h) for j in range(3 * w)]
+        elif fmt == "bmp":
+            w, h = 4 + m % 9, 4 + m % 7
+            vals = [(m + 5 * y + j) % 256 for y in range(h) for j in range(3 * w)]
+        else:
+            n = 256 + m % 200
+            vals = [((m * 31 + i * 7) % 4096) - 2048 for i in range(n)]
+        assert d["n_values"] == len(vals)
+        assert d["mean_value"] == round(sum(vals) / len(vals), 6)
+        assert d["min_value"] == float(min(vals))
+        assert d["max_value"] == float(max(vals))
+
+
+def test_png_unfilter_average_and_paeth():
+    # The synth generator only emits filters 0-2; build a PNG whose rows
+    # use Average (3) and Paeth (4) so those reconstruction paths are
+    # exercised against a hand-computed forward filter.
+    import struct
+    import zlib
+
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        decode_media_bytes,
+    )
+
+    w, h, bpp = 4, 2, 3
+    stride = w * bpp
+    rows = [
+        bytes((7 * j + 3) % 256 for j in range(stride)),
+        bytes((13 * j + 1) % 256 for j in range(stride)),
+    ]
+    # forward-filter row 0 with Average (prior = zeros), row 1 with Paeth
+    enc0 = bytearray()
+    for j in range(stride):
+        left = rows[0][j - bpp] if j >= bpp else 0
+        enc0.append((rows[0][j] - (left >> 1)) & 0xFF)
+    enc1 = bytearray()
+    for j in range(stride):
+        a = rows[1][j - bpp] if j >= bpp else 0
+        b_ = rows[0][j]
+        c = rows[0][j - bpp] if j >= bpp else 0
+        p = a + b_ - c
+        pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+        pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+        enc1.append((rows[1][j] - pred) & 0xFF)
+    raw = bytes([3]) + bytes(enc0) + bytes([4]) + bytes(enc1)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_media_bytes(png)
+    vals = [v for row in rows for v in row]
+    assert d["n_values"] == len(vals)
+    assert d["mean_value"] == round(sum(vals) / len(vals), 6)
+    assert d["min_value"] == float(min(vals))
+    assert d["max_value"] == float(max(vals))
+
+
+def test_decode_media_spark(spark):
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        decode_media,
+        synth_decodable_media_bytes,
+    )
+
+    rows = [(i, synth_decodable_media_bytes(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[0]["format"] == "png" and got[0]["n_values"] == 4 * 4 * 3
+    assert got[2]["format"] == "wav" and got[2]["n_values"] == 258
+    # unknown bytes → format-only nulls
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        decode_media_bytes,
+    )
+
+    assert decode_media_bytes(b"garbage bytes here")["format"] is None
