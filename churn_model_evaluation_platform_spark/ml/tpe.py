@@ -88,11 +88,12 @@ def _to_unit(spec: Spec, v) -> float:
 def _from_unit(spec: Spec, u: float):
     lo, hi = _bounds(spec)
     u = min(max(u, lo), hi)
-    if spec[0] == "log":
-        return round(10 ** u, 6)
     if spec[0] == "int":
         return int(round(u))
-    return round(u, 6)
+    v = round(10 ** u, 6) if spec[0] == "log" else round(u, 6)
+    # the 6-decimal round can step just past a bound (e.g. hi=10^-0.5 →
+    # 0.316228); clamp back to the exact bound values
+    return min(max(v, spec[1]), spec[2])
 
 
 def adaptive_parzen(
@@ -175,6 +176,58 @@ def tpe_suggest(
     return out
 
 
+def _save_trials(study_path: str, history: list[tuple[dict, float]]) -> None:
+    """Atomically persist the trial log as one small parquet file.
+
+    The history is trial-count-sized (tens of rows), so a full rewrite
+    per trial is cheap; write-to-temp + rename keeps a kill mid-write
+    from corrupting the study (the Optuna-RDB durability analog,
+    churn_model_training.py:277-283)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "trial": pa.array(range(len(history)), type=pa.int64()),
+            "params_json": pa.array(
+                [json.dumps(p, sort_keys=True) for p, _ in history]
+            ),
+            "value": pa.array([float(v) for _, v in history], type=pa.float64()),
+        }
+    )
+    tmp = f"{study_path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, study_path)
+
+
+def _load_trials(study_path: str) -> list[tuple[dict, float]]:
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(study_path):
+        return []
+    t = pq.read_table(study_path).sort_by("trial")
+    return [
+        (json.loads(p), float(v))
+        for p, v in zip(
+            t.column("params_json").to_pylist(), t.column("value").to_pylist()
+        )
+    ]
+
+
+def _trial_rng(seed: int, trial: int) -> random.Random:
+    """Per-trial RNG derived from (seed, trial index) so a resumed study
+    reproduces exactly the suggestions a never-killed run would make:
+    the suggestion at trial i depends only on (seed, i, history[:i]),
+    never on how many trials this PROCESS has run."""
+    return random.Random(f"tpe|{seed}|{trial}")
+
+
 def tpe_search(
     objective: Callable[[dict], float],
     space: Space | None = None,
@@ -183,19 +236,32 @@ def tpe_search(
     gamma: float = 0.25,
     n_candidates: int = 24,
     n_startup: int = 5,
+    study_path: str | None = None,
 ) -> tuple[dict, float, list[tuple[dict, float]]]:
     """Maximize ``objective`` over ``space`` with TPE.  Returns
     (best_params, best_value, history) — same shape as
-    ``training.random_search``."""
+    ``training.random_search``.
+
+    ``study_path`` makes the study PERSISTENT and RESUMABLE (the
+    engine's analog of the reference's RDB-backed Optuna study): every
+    completed trial is atomically appended to a parquet trial log, and a
+    restarted search reloads it and continues at trial k with exactly
+    the suggestions the uninterrupted run would have produced (per-trial
+    derived RNG). ``n_trials`` counts TOTAL trials in the study, so a
+    finished study returns immediately."""
     space = space or DEFAULT_SPACE
-    rng = random.Random(seed)
-    history: list[tuple[dict, float]] = []
-    best_params: dict = {}
-    best_val = -math.inf
-    for _ in range(n_trials):
+    history: list[tuple[dict, float]] = (
+        _load_trials(study_path) if study_path else []
+    )
+    for i in range(len(history), n_trials):
+        rng = _trial_rng(seed, i)
         params = tpe_suggest(history, space, rng, gamma, n_candidates, n_startup)
         val = objective(params)
         history.append((params, val))
+        if study_path:
+            _save_trials(study_path, history)
+    best_params, best_val = {}, -math.inf
+    for params, val in history:
         if val > best_val:
             best_params, best_val = params, val
     return best_params, best_val, history
@@ -209,13 +275,15 @@ def tune_model_tpe(
     label_col: str = TARGET_COLUMN,
     seed: int = 42,
     space: Space | None = None,
+    study_path: str | None = None,
 ) -> tuple[dict, float, list[tuple[dict, float]]]:
     """The reference's ``tune_model_with_cv`` with the engine's TPE:
     trials are CV F1 evaluations run as Spark jobs
-    (churn_model_training.py:222-294)."""
+    (churn_model_training.py:222-294). ``study_path`` persists the study
+    across restarts (the RDB-backed Optuna analog)."""
     from .training import cross_validate_f1
 
     def objective(params: dict) -> float:
         return cross_validate_f1(df, k, feature_cols, label_col, **params)
 
-    return tpe_search(objective, space, n_trials, seed)
+    return tpe_search(objective, space, n_trials, seed, study_path=study_path)

@@ -121,3 +121,29 @@ def test_tune_model_tpe_spark_smoke(spark):
     assert len(hist) == 2
     assert set(best) == {"max_depth", "max_iter", "step_size"}
     assert 0.0 <= best_f1 <= 1.0
+
+
+def test_persistent_study_resumes_identically(tmp_path):
+    # Kill/restart analog: run 20 trials straight vs 8 + resume to 20 on
+    # a parquet-backed study — identical history and best.
+    study = str(tmp_path / "study.parquet")
+    full = tpe_search(objective_5d, space=SPACE_5D, n_trials=20, seed=3)
+    tpe_search(
+        objective_5d, space=SPACE_5D, n_trials=8, seed=3, study_path=study
+    )
+    bp, bv, hist = tpe_search(
+        objective_5d, space=SPACE_5D, n_trials=20, seed=3, study_path=study
+    )
+    assert hist == full[2]
+    assert (bp, bv) == (full[0], full[1])
+    # a finished study returns immediately without new evaluations
+    calls = []
+
+    def counting(params):
+        calls.append(params)
+        return objective_5d(params)
+
+    bp2, bv2, hist2 = tpe_search(
+        counting, space=SPACE_5D, n_trials=20, seed=3, study_path=study
+    )
+    assert calls == [] and hist2 == hist and (bp2, bv2) == (bp, bv)
