@@ -101,6 +101,10 @@ AUDITED = [
     "lm_score",
     "embedding_drift",
     "dedup_edit_distance",
+    "batch_score_pinned",
+    "train_test_split_hash",
+    "stratified_kfold_hash",
+    "multimodal_decode",
     # dedup_clusters / corpus_curation are iterative (connected
     # components materializes per round) — explain would execute them;
     # their physical shape is covered by dedup_lsh_verified + the
