@@ -276,3 +276,39 @@ def metric_timeseries(
         "ORDER BY created_at",
         args=[metric_name],
     )
+
+
+_IDENTIFIER = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+
+def grant_select_ddl(table: str = METRICS_TABLE, principal: str = "grafana") -> str:
+    """The dashboard-reader grant (SURVEY §2.E `grant_select_ddl`;
+    churn_prediction_pipeline.py:782-810): ``GRANT SELECT ON TABLE t TO
+    user`` as a DDL string for whatever catalog fronts the metrics store
+    (Hive/Unity/a JDBC warehouse — OSS Spark's default in-memory catalog
+    has no ACLs, so generation and execution are deliberately separate).
+
+    Unlike the reference's f-string interpolation, identifiers are
+    validated so a principal name can never smuggle extra SQL."""
+    for ident in (table, principal):
+        if not _IDENTIFIER.match(ident):
+            raise ValueError(f"invalid SQL identifier: {ident!r}")
+    return f"GRANT SELECT ON TABLE {table} TO {principal};"
+
+
+def grant_select(
+    spark: SparkSession, table: str = METRICS_TABLE, principal: str = "grafana"
+) -> str:
+    """Execute the grant against the session catalog (rolls the
+    reference's session.execute+commit into one call — Spark DDL is
+    auto-committed). Raises on catalogs without GRANT support instead of
+    silently skipping, mirroring the reference's RuntimeError path."""
+    ddl = grant_select_ddl(table, principal)
+    try:
+        spark.sql(ddl.rstrip(";"))
+    except Exception as e:
+        raise RuntimeError(
+            f"catalog rejected {ddl!r} (OSS Spark's built-in catalog has "
+            "no ACL support; use a Hive/Unity/JDBC-backed catalog)"
+        ) from e
+    return ddl

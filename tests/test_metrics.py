@@ -102,3 +102,33 @@ def test_append_and_reload_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2
     assert set(back.columns) == {"metric_name", "value", "created_at"}
+
+
+def test_grant_select_ddl_shape_and_validation():
+    from churn_model_evaluation_platform_spark.operators.metrics import (
+        grant_select_ddl,
+    )
+
+    # the reference's exact statement shape (churn_prediction_pipeline.py:796-798)
+    assert (
+        grant_select_ddl("drift_metrics", "grafana_admin")
+        == "GRANT SELECT ON TABLE drift_metrics TO grafana_admin;"
+    )
+    assert grant_select_ddl("db.drift_metrics").startswith(
+        "GRANT SELECT ON TABLE db.drift_metrics"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grant_select_ddl("drift_metrics", "user; DROP TABLE x")
+    with _pytest.raises(ValueError):
+        grant_select_ddl("bad-table", "grafana")
+
+
+def test_grant_select_raises_on_aclless_catalog(spark):
+    from churn_model_evaluation_platform_spark.operators.metrics import grant_select
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no ACL support"):
+        grant_select(spark, "drift_metrics", "grafana")
