@@ -56,13 +56,56 @@ def _pool(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     return r.unionAll(c)
 
 
-def ks_2samp(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+def ks_2samp(
+    ref: DataFrame, cur: DataFrame, column: str, strategy: str = "auto"
+) -> DataFrame:
     """Two-sample KS over one (possibly huge) column.
 
     Returns a single row ``(ks_stat double, p_value double, n_ref long,
     n_cur long)``. Scales: the only global ordering is done via
     range-partitioned prefix sums; everything else is map-side.
+
+    ``strategy``: ``"prefix"`` always uses the range-partitioned prefix
+    sum; ``"windowed"`` uses a plain ordered window over the tie-grouped
+    values (single reducer — fine at moderate cardinality, skips the
+    boundary pass); ``"auto"`` (default) picks by a one-pass HLL distinct
+    estimate, same rule as ``value_drift``. All strategies produce
+    identical rows.
     """
+    if strategy == "auto":
+        est = estimate_distinct_counts(ref, cur, [column])[column]
+        strategy = "windowed" if est <= WINDOWED_MAX_DISTINCT else "prefix"
+    if strategy == "windowed":
+        raw = _pool(ref, cur, column)
+        pooled = raw.groupBy("v").agg(
+            F.sum("is_ref").alias("is_ref"), F.sum("is_cur").alias("is_cur")
+        )
+        w = Window.orderBy("v")  # 1 row per distinct v → tie-safe
+        tot = Window.partitionBy()
+        cums = pooled.select(
+            F.sum("is_ref").over(w).alias("cum_is_ref"),
+            F.sum("is_cur").over(w).alias("cum_is_cur"),
+            F.sum("is_ref").over(tot).alias("tot_is_ref"),
+            F.sum("is_cur").over(tot).alias("tot_is_cur"),
+        )
+        stat = cums.agg(
+            F.max(
+                F.abs(
+                    F.col("cum_is_ref") / F.col("tot_is_ref")
+                    - F.col("cum_is_cur") / F.col("tot_is_cur")
+                )
+            ).alias("ks_stat"),
+            F.first("tot_is_ref").alias("n_ref"),
+            F.first("tot_is_cur").alias("n_cur"),
+        )
+        return stat.select(
+            "ks_stat",
+            ks_pvalue_expr(
+                F.col("ks_stat"), F.col("n_ref"), F.col("n_cur")
+            ).alias("p_value"),
+            "n_ref",
+            "n_cur",
+        )
     # Tie pre-aggregation: collapse to one row per distinct value BEFORE
     # any ordering work. Map-side partial aggregation shrinks the shuffle
     # to the value's cardinality (continuous columns barely shrink; coded/

@@ -168,3 +168,13 @@ def test_value_drift_auto_mixed_cardinality(spark, monkeypatch):
         for r in dmod.value_drift(ref, cur, ["wide", "narrow"], False).collect()
     }
     assert auto == fixed
+
+
+def test_ks_2samp_strategies_identical(spark):
+    ref = _df(spark, [1, 2, 2, 3, 5, 8])
+    cur = _df(spark, [2, 3, 3, 4, 9])
+    rows = {}
+    for s in ("prefix", "windowed", "auto"):
+        r = ks_2samp(ref, cur, "v", strategy=s).first()
+        rows[s] = (round(r["ks_stat"], 9), round(r["p_value"], 9), r["n_ref"], r["n_cur"])
+    assert rows["prefix"] == rows["windowed"] == rows["auto"]
