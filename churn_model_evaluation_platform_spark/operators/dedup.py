@@ -115,6 +115,53 @@ def ngram_jaccard_pairs(
     return jac.where(F.col("jaccard") >= F.lit(threshold))
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 3,
+    min_common: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ ``min_common``
+    distinct n-gram shingles with a benchmark/eval doc (the GPT-3
+    appendix-C / Llama n-gram-collision check a training pipeline runs
+    before every release; 13-grams there, parameterized here).
+
+    Output ``(doc_id, bench_id, common, containment)`` — containment =
+    |shingles(doc) ∩ shingles(bench)| / |shingles(doc)|, the standard
+    decontamination score (directional: how much of the TRAINING doc is
+    benchmark material).
+
+    Scale: the benchmark side is eval-set-sized by construction, so its
+    shingle table is broadcast — the corpus side streams map-side
+    through the hash join with zero shuffle of corpus text; only
+    (doc_id, bench_id) partial counts shuffle for the final aggregate.
+    """
+    c_sh = _doc_shingles(corpus, text_col, id_col, n).select(
+        F.col("id").alias(id_col), "sh"
+    )
+    b_sh = _doc_shingles(benchmark, text_col, bench_id_col, n).select(
+        F.col("id").alias(bench_id_col), "sh"
+    )
+    sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        c_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    return common.join(sizes, id_col).select(
+        id_col,
+        bench_id_col,
+        "common",
+        F.round(
+            F.col("common").cast("double") / F.col("n_sh").cast("double"), 6
+        ).alias("containment"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -97,6 +97,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contamination_check",
+    _SHINGLE_HASH_CTE
+    + """,
+bsh AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 97 = 0),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s.doc_id, b.bench_id, count(*) AS common
+  FROM sh s JOIN bsh b ON s.h = b.h
+  GROUP BY s.doc_id, b.bench_id
+)
+SELECT c.doc_id, c.bench_id, c.common,
+       round(CAST(c.common AS DOUBLE) / CAST(z.n_sh AS DOUBLE), 6) AS containment
+FROM common c JOIN sizes z ON z.doc_id = c.doc_id
+WHERE c.common >= 5
+""",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination (GPT-3 appendix-C style n-gram collision
+    # check): every 97th doc plays the eval set; its shingle table is
+    # broadcast so corpus text never shuffles.
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return dedup.contamination_pairs(docs, bench, n=3, min_common=5)
+
+
 _PERMS = minhash_perms(dedup.DEFAULT_MINHASH_K, seed=42)
 
 # SELECT-only form (no CTE prefix) so composed oracles can splice it

@@ -151,3 +151,29 @@ def test_edit_distance_pairs_typo_class(spark):
     }
     assert (1, 2) in out and out[(1, 2)] == 2
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_contamination_pairs_broadcast_and_detection(spark):
+    from churn_model_evaluation_platform_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark shuffles and joins"),
+            (3, "the quick brown fox jumps over the lazy dog yesterday"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        ["bench_id", "text"],
+    )
+    out = D.contamination_pairs(corpus, bench, n=3, min_common=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 1 in rows and rows[1]["containment"] == 1.0  # exact bench copy
+    assert 3 in rows and rows[3]["common"] >= 3  # near-copy detected
+    assert 2 not in rows  # clean doc untouched
+    # the benchmark side must broadcast (corpus text never shuffles)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
