@@ -40,6 +40,42 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def sequence_pack(
+    df: DataFrame,
+    ctx_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the standard pretraining data
+    layout: the corpus token stream (docs in ``id_col`` order) is cut
+    into fixed ``ctx_len`` windows, and each doc is mapped to the packs
+    it lands in. Output per doc: ``(id, n_tokens, start_offset,
+    pack_first, pack_last)`` — ``pack_last > pack_first`` means the doc
+    straddles a window boundary.
+
+    Scale: the only global ordering is the token-count running total,
+    computed with the range-partitioned prefix sum
+    (functions/stats.py) — no single-reducer window; everything else is
+    per-row integer arithmetic in codegen.
+    """
+    from ..functions.stats import partitioned_prefix_sum
+
+    counts = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    cum = partitioned_prefix_sum(counts, id_col, ["n_tokens"])
+    start = (F.col("cum_n_tokens") - F.col("n_tokens")).cast("bigint")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / ctx_len).cast("bigint").alias("pack_first"),
+        F.floor((F.col("cum_n_tokens") - 1) / ctx_len)
+        .cast("bigint")
+        .alias("pack_last"),
+    )
+
+
 # GPT-2-ish pre-tokenizer shape, reduced to the portable POSIX subset
 # (no \p classes, no lookahead — identical matches in Spark and DuckDB):
 # contraction suffixes | letter runs | digit runs | punctuation runs.

@@ -370,6 +370,25 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "sequence_pack",
+    f"""
+WITH t AS (SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+SELECT doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_first,
+       CAST((cum - 1) // 512 AS BIGINT) AS pack_last
+FROM c
+""",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Concat-then-chunk packing into 512-token windows; running total via
+    # the range-partitioned prefix sum (no single-reducer window).
+    return text.sequence_pack(_t(spark, sf_dir, "documents"), ctx_len=512)
+
+
 def _in_list(items: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in items)
 

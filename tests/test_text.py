@@ -195,3 +195,28 @@ def test_lm_score_flags_unusual_text(spark):
     assert got[1]["n_tokens"] == 6
     # all common docs share one score (identical token multisets)
     assert len({got[i]["lm_logprob"] for i in range(1, 9)}) == 1
+
+
+def test_sequence_pack_semantics(spark):
+    from churn_model_evaluation_platform_spark.operators.text import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g"), (3, "h i j k l"), (4, "m")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in sequence_pack(docs, ctx_len=5).collect()}
+    # stream: d1 tokens 0-3, d2 4-6, d3 7-11, d4 12
+    assert rows[1]["start_offset"] == 0 and rows[1]["pack_first"] == 0
+    assert rows[1]["pack_last"] == 0
+    assert rows[2]["start_offset"] == 4  # straddles packs 0 and 1
+    assert (rows[2]["pack_first"], rows[2]["pack_last"]) == (0, 1)
+    assert (rows[3]["pack_first"], rows[3]["pack_last"]) == (1, 2)
+    assert (rows[4]["pack_first"], rows[4]["pack_last"]) == (2, 2)
+    # stable under repartition (prefix sum is layout-independent)
+    rows2 = {
+        r["doc_id"]: r
+        for r in sequence_pack(docs.repartition(3), ctx_len=5).collect()
+    }
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in rows2.items()
+    }
