@@ -65,7 +65,12 @@ def hash_split(
 
     NULL ids coalesce to '' before hashing so every row lands on exactly
     one side (a NULL key would fail both predicates and silently drop
-    the row). 10_000 buckets keep quantization error < 0.01%."""
+    the row) — note this clumps ALL null-id rows onto one side; assert
+    non-null ids upstream if that matters. 10_000 buckets keep
+    quantization error < 0.01%. The bucket layout (salt format, modulus)
+    is part of this function's split contract: changing either
+    reassigns rows, so persisted models must be re-split — pin ``salt``
+    per experiment to version splits explicitly."""
     if not 0.0 < test_size < 1.0:
         raise ValueError(f"test_size must be in (0, 1), got {test_size}")
     bucket = _hash_bucket(id_col, salt, seed, 10_000)

@@ -57,7 +57,7 @@ def _pool(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
 
 
 def ks_2samp(
-    ref: DataFrame, cur: DataFrame, column: str, strategy: str = "auto"
+    ref: DataFrame, cur: DataFrame, column: str, strategy: str = "prefix"
 ) -> DataFrame:
     """Two-sample KS over one (possibly huge) column.
 
@@ -65,12 +65,15 @@ def ks_2samp(
     n_cur long)``. Scales: the only global ordering is done via
     range-partitioned prefix sums; everything else is map-side.
 
-    ``strategy``: ``"prefix"`` always uses the range-partitioned prefix
-    sum; ``"windowed"`` uses a plain ordered window over the tie-grouped
-    values (single reducer — fine at moderate cardinality, skips the
-    boundary pass); ``"auto"`` (default) picks by a one-pass HLL distinct
-    estimate, same rule as ``value_drift``. All strategies produce
-    identical rows.
+    ``strategy``: ``"prefix"`` (default — keeps plan construction fully
+    lazy and the plan single-reducer-free at ANY cardinality) uses the
+    range-partitioned prefix sum; ``"windowed"`` uses a plain ordered
+    window over the tie-grouped values (single reducer — fine at
+    moderate cardinality, skips the boundary pass); ``"auto"`` picks by
+    a one-pass HLL distinct estimate — NOTE: auto runs that estimate as
+    an eager Spark job at plan-construction time, so opt in only where
+    the caller executes immediately (the monitoring pipeline does). All
+    strategies produce identical rows.
     """
     if strategy == "auto":
         est = estimate_distinct_counts(ref, cur, [column])[column]
@@ -194,7 +197,12 @@ def value_drift(
       boundary pass: ~1 s that dominates monitoring-sized batches),
       prefix-sum above it (no single-reducer cliff at scale). The two
       branches produce identical rows, so routing never changes results.
+      NOTE: the estimate is an eager Spark job at plan-construction
+      time — opt in where the caller executes immediately (the
+      monitoring pipeline does); use a fixed strategy to stay lazy.
     """
+    if not columns:
+        raise ValueError("columns must be non-empty")
     if scalable == "auto":
         est = estimate_distinct_counts(ref, cur, columns)
         small = [c for c in columns if est[c] <= WINDOWED_MAX_DISTINCT]

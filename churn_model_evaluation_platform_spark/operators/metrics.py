@@ -303,10 +303,15 @@ def grant_select(
     reference's session.execute+commit into one call — Spark DDL is
     auto-committed). Raises on catalogs without GRANT support instead of
     silently skipping, mirroring the reference's RuntimeError path."""
+    from pyspark.errors import ParseException
+
     ddl = grant_select_ddl(table, principal)
     try:
         spark.sql(ddl.rstrip(";"))
-    except Exception as e:
+    except ParseException as e:
+        # only a parser rejection means "this catalog has no GRANT" —
+        # real errors from ACL-capable catalogs (missing table,
+        # insufficient privilege) propagate untouched.
         raise RuntimeError(
             f"catalog rejected {ddl!r} (OSS Spark's built-in catalog has "
             "no ACL support; use a Hive/Unity/JDBC-backed catalog)"

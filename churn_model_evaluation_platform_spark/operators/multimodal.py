@@ -330,10 +330,13 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
 
 
 def decode_media_bytes(content: bytes | None) -> dict:
-    """REAL pixel/sample decode for PNG (8-bit RGB), BMP (24-bit BI_RGB)
-    and WAV (PCM16) from raw bytes — returns summary statistics over the
-    decoded values (pixel channel bytes / audio samples). Formats that
-    need an external codec (JPEG, GIF) return format-only."""
+    """REAL pixel/sample decode for PNG (8-bit RGB, non-interlaced), BMP
+    (24-bit BI_RGB) and WAV (PCM16) from raw bytes — returns summary
+    statistics over the decoded values (pixel channel bytes / audio
+    samples). Formats that need an external codec (JPEG, GIF) return
+    format-only, and — like ``parse_media_header`` — a malformed or
+    truncated payload NEVER raises: it degrades to format-only nulls so
+    one bad blob in 100 TB cannot fail the Spark job."""
     import struct
     import zlib
 
@@ -347,60 +350,68 @@ def decode_media_bytes(content: bytes | None) -> dict:
     if not content or len(content) < 12:
         return out
     b = bytes(content)
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
-        out["format"] = "png"
-        w = int.from_bytes(b[16:20], "big")
-        h = int.from_bytes(b[20:24], "big")
-        bit_depth, color_type = b[24], b[25]
-        if bit_depth != 8 or color_type != 2:
-            return out  # only 8-bit RGB handled without a codec
-        idat = bytearray()
-        i = 8
-        while i + 8 <= len(b):
-            clen = int.from_bytes(b[i : i + 4], "big")
-            ctype = b[i + 4 : i + 8]
-            if ctype == b"IDAT":
-                idat += b[i + 8 : i + 8 + clen]
-            if ctype == b"IEND":
-                break
-            i += 12 + clen  # len + type + data + crc
-        vals = _png_unfilter(zlib.decompress(bytes(idat)), w, h, 3)
-    elif b[:2] == b"BM":
-        out["format"] = "bmp"
-        data_off = int.from_bytes(b[10:14], "little")
-        w = int.from_bytes(b[18:22], "little", signed=True)
-        h_signed = int.from_bytes(b[22:26], "little", signed=True)
-        bpp_bits = int.from_bytes(b[28:30], "little")
-        if bpp_bits != 24:
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            out["format"] = "png"
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            # IHDR: bit depth, color type, interlace (Adam7 needs a
+            # different pass order — codec territory, not handled)
+            if b[24] != 8 or b[25] != 2 or b[28] != 0:
+                return out  # only 8-bit RGB non-interlaced
+            idat = bytearray()
+            i = 8
+            while i + 8 <= len(b):
+                clen = int.from_bytes(b[i : i + 4], "big")
+                ctype = b[i + 4 : i + 8]
+                if ctype == b"IDAT":
+                    idat += b[i + 8 : i + 8 + clen]
+                if ctype == b"IEND":
+                    break
+                i += 12 + clen  # len + type + data + crc
+            raw = zlib.decompress(bytes(idat))
+            if len(raw) != h * (1 + w * 3):
+                return out  # truncated / inconsistent with IHDR dims
+            vals = _png_unfilter(raw, w, h, 3)
+        elif b[:2] == b"BM":
+            out["format"] = "bmp"
+            data_off = int.from_bytes(b[10:14], "little")
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h_signed = int.from_bytes(b[22:26], "little", signed=True)
+            bpp_bits = int.from_bytes(b[28:30], "little")
+            h = abs(h_signed)
+            stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            if bpp_bits != 24 or w <= 0 or data_off + h * stride > len(b):
+                return out
+            vals = bytearray()
+            for row in range(h):
+                # positive height → rows stored bottom-up
+                src = h - 1 - row if h_signed > 0 else row
+                start = data_off + src * stride
+                vals += b[start : start + w * 3]
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            out["format"] = "wav"
+            i = 12
+            bits = None
+            data = None
+            while i + 8 <= len(b):
+                chunk_id = b[i : i + 4]
+                clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                if chunk_id == b"fmt ":
+                    bits = int.from_bytes(b[i + 22 : i + 24], "little")
+                elif chunk_id == b"data":
+                    data = b[i + 8 : i + 8 + clen]  # decode after the
+                    # scan so a data chunk BEFORE fmt still works
+                i += 8 + clen + (clen % 2)
+            if bits != 16 or data is None or len(data) < 2:
+                return out  # only PCM16 handled
+            n = len(data) // 2
+            vals = struct.unpack(f"<{n}h", data[: n * 2])
+        else:
             return out
-        h = abs(h_signed)
-        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
-        vals = bytearray()
-        for row in range(h):
-            # positive height → rows stored bottom-up
-            src = h - 1 - row if h_signed > 0 else row
-            start = data_off + src * stride
-            vals += b[start : start + w * 3]
-    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        out["format"] = "wav"
-        i = 12
-        bits = None
-        vals = None
-        while i + 8 <= len(b):
-            chunk_id = b[i : i + 4]
-            clen = int.from_bytes(b[i + 4 : i + 8], "little")
-            if chunk_id == b"fmt ":
-                bits = int.from_bytes(b[i + 22 : i + 24], "little")
-            elif chunk_id == b"data":
-                if bits != 16:
-                    return out  # only PCM16 handled
-                n = clen // 2
-                vals = struct.unpack(f"<{n}h", b[i + 8 : i + 8 + n * 2])
-            i += 8 + clen + (clen % 2)
-        if vals is None:
-            return out
-    else:
-        return out
+    except Exception:
+        return {**out, "n_values": None, "mean_value": None,
+                "min_value": None, "max_value": None}
     n = len(vals)
     out["n_values"] = n
     if n:

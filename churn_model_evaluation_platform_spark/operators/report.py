@@ -181,6 +181,8 @@ def render_dashboard_html(
     rows = metrics.select("metric_name", "value", "created_at").collect()
     series: dict[str, list[tuple]] = {}
     for r in sorted(rows, key=lambda r: (r["metric_name"], r["created_at"])):
+        if r["value"] is None:  # degenerate batch (0/0 score, all-null
+            continue  # column) — skip the point, never fail the report
         series.setdefault(r["metric_name"], []).append(
             (r["created_at"], float(r["value"]))
         )

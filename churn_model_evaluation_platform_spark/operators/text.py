@@ -56,7 +56,9 @@ def sequence_pack(
     Scale: the only global ordering is the token-count running total,
     computed with the range-partitioned prefix sum
     (functions/stats.py) — no single-reducer window; everything else is
-    per-row integer arithmetic in codegen.
+    per-row integer arithmetic in codegen (``DIV``, never double
+    division — exact beyond 2^53 token streams). A zero-token doc gets
+    ``pack_last == pack_first`` (it sits at its offset's window).
     """
     from ..functions.stats import partitioned_prefix_sum
 
@@ -65,14 +67,17 @@ def sequence_pack(
     )
     cum = partitioned_prefix_sum(counts, id_col, ["n_tokens"])
     start = (F.col("cum_n_tokens") - F.col("n_tokens")).cast("bigint")
+    pack_first = F.expr(
+        f"CAST((cum_n_tokens - n_tokens) DIV {ctx_len} AS BIGINT)"
+    )
     return cum.select(
         id_col,
         "n_tokens",
         start.alias("start_offset"),
-        F.floor(start / ctx_len).cast("bigint").alias("pack_first"),
-        F.floor((F.col("cum_n_tokens") - 1) / ctx_len)
-        .cast("bigint")
-        .alias("pack_last"),
+        pack_first.alias("pack_first"),
+        F.greatest(
+            pack_first, F.expr(f"CAST((cum_n_tokens - 1) DIV {ctx_len} AS BIGINT)")
+        ).alias("pack_last"),
     )
 
 

@@ -73,7 +73,11 @@ def monitoring_run(
     (the output of scoring). Returns the long-format metrics DataFrame
     (metric_name, value, created_at) ready for the append sink.
     """
-    current = current.cache()  # consumed by quality AND per-column drift
+    # consumed by quality AND per-column drift; if the CALLER already
+    # cached the batch, cache() is a no-op and the unpersist below must
+    # not drop their persisted data — only release what we acquired.
+    owns_current_cache = not current.is_cached
+    current = current.cache()
     scores = classification_scores(current, actual_col, predicted_col)
     per_label = per_label_scores(current, actual_col, predicted_col)
     # scalable="auto": per-column HLL cardinality estimate routes each
@@ -103,7 +107,8 @@ def monitoring_run(
         drifted, n_drifted, drifted_cols = assess_data_drift(metrics)
         scores_alert, failing = assess_prediction_scores(metrics, score_threshold)
     finally:
-        current.unpersist()
+        if owns_current_cache:
+            current.unpersist()
         drift.unpersist()
     sink = alert_sink or console_alert_sink
     if drifted:

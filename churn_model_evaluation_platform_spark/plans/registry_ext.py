@@ -379,7 +379,8 @@ c AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens,
        CAST(cum - n_tokens AS BIGINT) AS start_offset,
        CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_first,
-       CAST((cum - 1) // 512 AS BIGINT) AS pack_last
+       CAST(greatest((cum - n_tokens) // 512, (cum - 1) // 512) AS BIGINT)
+         AS pack_last
 FROM c
 """,
 )

@@ -77,9 +77,10 @@ def webhook_alert_sink(
             headers={"Content-Type": "application/json", **(headers or {})},
             method="POST",
         )
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            if resp.status >= 400:  # pragma: no cover - server-dependent
-                raise OSError(f"webhook returned HTTP {resp.status}")
+        # urlopen raises HTTPError for any >= 400 status — no manual
+        # status check needed; the context manager just drains the body.
+        with urllib.request.urlopen(req, timeout=timeout_s):
+            pass
 
     return sink
 

@@ -201,3 +201,50 @@ def test_decode_media_spark(spark):
     )
 
     assert decode_media_bytes(b"garbage bytes here")["format"] is None
+
+
+def test_decode_never_raises_on_malformed_media():
+    import struct
+    import zlib
+
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        decode_media_bytes,
+        synth_decodable_media_bytes,
+    )
+
+    # truncated PNG (IDAT cut short) → format-only, no exception
+    png = synth_decodable_media_bytes(0)
+    assert decode_media_bytes(png[:60])["n_values"] is None
+    # interlaced PNG rejected (Adam7 needs a codec)
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_media_bytes(interlaced)
+    assert d["format"] == "png" and d["n_values"] is None
+    # WAV with data chunk BEFORE fmt still decodes
+    samples = struct.pack("<4h", 1, -2, 3, -4)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(samples) + 8 + 16) + b"WAVE"
+        + b"data" + struct.pack("<I", len(samples)) + samples
+        + b"fmt " + struct.pack("<I", 16) + fmt
+    )
+    d = decode_media_bytes(wav)
+    assert d["format"] == "wav" and d["n_values"] == 4
+    assert d["min_value"] == -4.0 and d["max_value"] == 3.0
+    # WAV whose data length field overruns the buffer → truncated decode,
+    # no exception
+    bad = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 9999) + samples
+    )
+    assert decode_media_bytes(bad)["n_values"] == 4

@@ -220,3 +220,23 @@ def test_sequence_pack_semantics(spark):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in rows2.items()
     }
+
+
+def test_sequence_pack_zero_token_doc(spark):
+    from churn_model_evaluation_platform_spark.operators.text import sequence_pack
+
+    # doc 2 is whitespace-only (normalizes to '' → 1 empty token per
+    # split semantics? no: size(split('', ' ')) == 1) — use the real
+    # boundary: a doc whose tokens exactly fill a window, followed by
+    # docs straddling it.
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g"), (3, "h")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in sequence_pack(docs, ctx_len=5).collect()}
+    # doc 1 fills pack 0 exactly: pack_last must stay 0, not -1 math
+    assert (rows[1]["pack_first"], rows[1]["pack_last"]) == (0, 0)
+    # doc 2 starts exactly at the window boundary
+    assert (rows[2]["pack_first"], rows[2]["pack_last"]) == (1, 1)
+    # pack_last >= pack_first invariant everywhere
+    for r in rows.values():
+        assert r["pack_last"] >= r["pack_first"]
