@@ -105,6 +105,38 @@ def hash_folds(
     )
 
 
+def stratified_hash_folds(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    label_col: str = TARGET_COLUMN,
+    seed: int = SEED,
+    salt: str = "fold",
+) -> DataFrame:
+    """Deterministic EXACT-stratified k-fold (churn_model_training.py:254-257):
+    within each label stratum rows are ranked by portable md5 hash of the
+    id (id tiebreak) and dealt round-robin to folds 1..k, so per-stratum
+    fold sizes differ by at most 1 — the same exactness as the reference's
+    ntile-over-rand, but engine-portable, layout-independent, and
+    bit-reproducible (same row → same fold on every run/engine/cluster).
+
+    Scale note: one window sort per stratum; a binary label concentrates
+    the rank pass onto two reducer tasks. For 100 TB frames prefer
+    ``hash_folds`` — zero-shuffle, stratified in expectation (binomial
+    noise ~sqrt(n) per stratum), which is negligible at that row count.
+    NULL ids coalesce to '' before hashing (see hash_split)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    key = F.concat(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        F.lit(f"|{salt}{seed}"),
+    )
+    w = Window.partitionBy(label_col).orderBy(F.md5(key), F.col(id_col))
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k + 1).cast("int")
+    )
+
+
 def stratified_folds(
     df: DataFrame, k: int = 3, label_col: str = TARGET_COLUMN, seed: int = SEED
 ) -> DataFrame:

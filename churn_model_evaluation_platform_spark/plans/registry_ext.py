@@ -651,21 +651,38 @@ def q_file_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("train_test_split")  # rows-only: Spark rand ≠ DuckDB rand
-def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # churn_model_training.py:335-337 — 80/20 seed-42 split.
-    ev = _t(spark, sf_dir, "events")
-    train, test = ev.randomSplit([0.8, 0.2], seed=42)
-    return spark.createDataFrame(
-        [(train.count(), test.count(), ev.count())],
-        ["train_rows", "test_rows", "total_rows"],
-    )
-
-
 _SPLIT_BUCKET_SQL = (
     "CAST('0x' || substr(md5(COALESCE(CAST(event_id AS VARCHAR), '') "
     "|| '|{salt}42'), 1, 7) AS BIGINT) % {mod}"
 )
+
+
+@register(
+    "train_test_split",
+    "SELECT COUNT(CASE WHEN bucket < 8000 THEN 1 END) AS train_rows, "
+    "COUNT(CASE WHEN bucket >= 8000 THEN 1 END) AS test_rows, "
+    "COUNT(*) AS total_rows FROM (SELECT "
+    + _SPLIT_BUCKET_SQL.format(salt="split", mod=10_000)
+    + " AS bucket FROM events)",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # churn_model_training.py:335-337 — 80/20 seed-42 split, via the
+    # deterministic hash_split scale path (ml/training.py:hash_split) so
+    # the split is oracle-reproducible. randomSplit stays lib-only
+    # (ml/training.py:train_test_split, unit-tested): its assignment
+    # depends on partition layout and has no cross-engine oracle.
+    from ..ml.training import hash_split
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    train, test = hash_split(ev, "event_id", test_size=0.2, seed=42)
+    sides = train.select(F.lit(1).alias("is_train")).unionByName(
+        test.select(F.lit(0).alias("is_train"))
+    )
+    return sides.agg(
+        F.count(F.when(F.col("is_train") == 1, 1)).alias("train_rows"),
+        F.count(F.when(F.col("is_train") == 0, 1)).alias("test_rows"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
 
 
 @register(
@@ -689,28 +706,42 @@ def q_train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stratified_kfold_hash",
+    "kfold_hash",
     "SELECT event_id, CAST("
     + _SPLIT_BUCKET_SQL.format(salt="fold", mod=3)
     + " + 1 AS INT) AS fold FROM events",
 )
-def q_stratified_kfold_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kfold_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # churn_model_training.py:254-257 scale path: deterministic per-row
     # fold via portable hash (ml/training.py:hash_folds) — zero shuffle,
-    # engine-portable, stable under repartition/recomputation.
+    # engine-portable, stable under repartition/recomputation. Folds are
+    # pseudo-random (stratified in expectation only); the exact-stratified
+    # deterministic variant is `stratified_kfold` below.
     from ..ml.training import hash_folds
 
     ev = _t(spark, sf_dir, "events").select("event_id")
     return hash_folds(ev, "event_id", k=3, seed=42)
 
 
-@register("stratified_kfold")  # rows-only: F.rand ordering is Spark-specific
+@register(
+    "stratified_kfold",
+    "SELECT label, fold, COUNT(*) AS n FROM ("
+    "SELECT label, CAST((ROW_NUMBER() OVER (PARTITION BY label "
+    "ORDER BY md5(COALESCE(CAST(event_id AS VARCHAR), '') || '|fold42'), "
+    "event_id) - 1) % 3 + 1 AS INT) AS fold "
+    "FROM (SELECT event_id, CAST(value > 50 AS INT) AS label FROM events)"
+    ") GROUP BY label, fold",
+)
 def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # churn_model_training.py:254-257 — stratified 3-fold assignment via
-    # ntile over rand within each label stratum.
+    # churn_model_training.py:254-257 — EXACT-stratified 3-fold via the
+    # deterministic hash-rank round-robin (ml/training.py:
+    # stratified_hash_folds): per-stratum fold sizes within 1, and —
+    # unlike the lib-only ntile-over-rand variant (stratified_folds) —
+    # bit-reproducible across engines, so fully oracle-backed.
+    from ..ml.training import stratified_hash_folds
+
     ev = _t(spark, sf_dir, "events").select(
-        (F.col("value") > 50).cast("int").alias("label")
+        "event_id", (F.col("value") > 50).cast("int").alias("label")
     )
-    w = Window.partitionBy("label").orderBy(F.rand(42))
-    folded = ev.withColumn("fold", F.ntile(3).over(w))
+    folded = stratified_hash_folds(ev, "event_id", k=3, label_col="label")
     return folded.groupBy("label", "fold").agg(F.count(F.lit(1)).alias("n"))

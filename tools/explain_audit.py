@@ -103,7 +103,7 @@ AUDITED = [
     "dedup_edit_distance",
     "batch_score_pinned",
     "train_test_split_hash",
-    "stratified_kfold_hash",
+    "kfold_hash",
     "multimodal_decode",
     # dedup_clusters / corpus_curation are iterative (connected
     # components materializes per round) — explain would execute them;
