@@ -60,11 +60,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return result.metrics
 
 
+def _coverage_order(names: list[str], oracles: dict[str, str]) -> list[str]:
+    """Order queries so the driver's bounded CORRECTNESS window cycles
+    through the whole registry across rounds instead of re-checking the
+    same prefix every time.
+
+    Priority (registration order preserved within each tier):
+      1. oracled queries whose latest driver row errored (prove the fix),
+      2. oracled queries never checked by any prior round,
+      3. oracled queries already green, least-recently-checked first,
+      4. no-oracle (rows-only) queries dead last — they can only ever
+         produce weaker rows-only rows, so they shouldn't occupy window
+         slots ahead of hash-checkable entries.
+    Reads the driver's own CORRECTNESS_r*.json artifacts; with none
+    present the order degrades to plain registration order.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    last_round: dict[str, int] = {}
+    last_err: dict[str, bool] = {}
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rows = _json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        rnd = len(last_round) + 1  # only relative recency matters
+        for name, row in rows.items():
+            last_round[name] = max(last_round.get(name, 0), rnd)
+            last_err[name] = bool(row.get("err"))
+
+    def tier(name: str) -> tuple:
+        if name not in oracles:
+            return (3, 0)
+        if last_err.get(name):
+            return (0, 0)
+        if name not in last_round:
+            return (1, 0)
+        return (2, last_round[name])
+
+    return sorted(names, key=lambda n: (tier(n), names.index(n)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY §2 (+ north-star
     extensions). Each callable takes (spark, sf_dir) → DataFrame with
-    column names matching the oracle exactly."""
-    return _registry.queries()
+    column names matching the oracle exactly. Ordered so the driver's
+    bounded correctness window rotates through all registered queries
+    across rounds (see _coverage_order)."""
+    qs = _registry.queries()
+    order = _coverage_order(list(qs), _registry.oracle_sql())
+    return {name: qs[name] for name in order}
 
 
 def oracle_sql() -> dict[str, str]:
