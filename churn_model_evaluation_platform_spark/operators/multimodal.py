@@ -3,12 +3,12 @@
 ``mapInPandas`` UDFs.
 
 Decode is REAL for the stdlib-decodable formats — PNG (zlib inflate +
-scanline unfilter, all five filter types), BMP (24-bit BI_RGB rows) and
-WAV (PCM16) via ``decode_media`` — no codec libraries involved. Only
-formats that genuinely need an external codec (JPEG/GIF pixel data) keep
-the clearly-marked ``_decode_stub`` (deterministic byte histogram) in
-``extract_features``; swap it for PIL/librosa/ffmpeg where available and
-nothing else changes.
+scanline unfilter, all five filter types), BMP (24-bit BI_RGB rows),
+GIF (full LZW decode + palette lookup) and WAV (PCM16) via
+``decode_media`` — no codec libraries involved. Only JPEG pixel data
+genuinely needs an external codec and keeps the clearly-marked
+``_decode_stub`` (deterministic byte histogram) in ``extract_features``;
+swap it for PIL/librosa/ffmpeg where available and nothing else changes.
 
 Scale notes: binary payloads ride the shuffle only when explicitly
 repartitioned; feature extraction is mapInPandas (no shuffle at all);
@@ -329,14 +329,128 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, max_pixels: int
+) -> bytes | None:
+    """Pure-stdlib GIF LZW decoder (GIF89a spec appendix F): LSB-first
+    bit unpacking, code width growing min+1..12, clear/EOI handling,
+    the KwKwK (code == next free slot) case, and the 4096-entry table
+    cap. Returns the color-index string, or None on a malformed stream.
+    Output is capped at ``max_pixels`` so a crafted stream cannot
+    allocate unboundedly; a stream that ends without EOI returns what
+    was decoded (caller checks the pixel count)."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    buf = nbits = pos = 0
+    prev: int | None = None
+    out = bytearray()
+    while len(out) < max_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # no EOI: tolerate, caller validates
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK: cSc where c = prev string
+            entry = table[prev] + table[prev][:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Real GIF LZW encoder — the synth twin of ``_gif_lzw_decode``,
+    kept in lockstep with the decoder's table/width rules (the encoder
+    bumps code width at next_code == 2^w + 1 because the decoder's
+    table runs one entry behind; phantom-bump before EOI mirrors the
+    decoder's append-after-final-code)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int]:
+        return {(i,): i for i in range(clear)}, eoi + 1
+
+    emit(clear)
+    dict_, next_code = fresh()
+    data_codes = 0
+    w: tuple = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in dict_:
+            w = wk
+            continue
+        emit(dict_[w])
+        data_codes += 1
+        dict_[wk] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:  # table full: clear and restart
+            emit(clear)
+            dict_, next_code = fresh()
+            code_size = min_code_size + 1
+            data_codes = 0
+        w = (int(k),)
+    if w:
+        emit(dict_[w])
+        if data_codes:  # decoder appends after this code too
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
 def decode_media_bytes(content: bytes | None) -> dict:
     """REAL pixel/sample decode for PNG (8-bit RGB, non-interlaced), BMP
-    (24-bit BI_RGB) and WAV (PCM16) from raw bytes — returns summary
-    statistics over the decoded values (pixel channel bytes / audio
-    samples). Formats that need an external codec (JPEG, GIF) return
-    format-only, and — like ``parse_media_header`` — a malformed or
-    truncated payload NEVER raises: it degrades to format-only nulls so
-    one bad blob in 100 TB cannot fail the Spark job."""
+    (24-bit BI_RGB), GIF (LZW → palette RGB, non-interlaced) and WAV
+    (PCM16) from raw bytes — returns summary statistics over the decoded
+    values (pixel channel bytes / audio samples). Only JPEG still needs
+    an external codec and returns format-only, and — like
+    ``parse_media_header`` — a malformed or truncated payload NEVER
+    raises: it degrades to format-only nulls so one bad blob in 100 TB
+    cannot fail the Spark job."""
     import struct
     import zlib
 
@@ -359,6 +473,14 @@ def decode_media_bytes(content: bytes | None) -> dict:
             # different pass order — codec territory, not handled)
             if b[24] != 8 or b[25] != 2 or b[28] != 0:
                 return out  # only 8-bit RGB non-interlaced
+            # Inflation is BOUNDED by the IHDR-declared size: cap w*h
+            # before touching zlib (a crafted huge-IHDR blob must not
+            # allocate), then inflate at most expected+1 bytes via
+            # decompressobj so a zip bomb in 100 TB of untrusted media
+            # costs O(expected) memory, never gigabytes.
+            if w <= 0 or h <= 0 or w * h > 16_777_216:  # 4096x4096 cap
+                return out
+            expected = h * (1 + w * 3)
             idat = bytearray()
             i = 8
             while i + 8 <= len(b):
@@ -369,9 +491,9 @@ def decode_media_bytes(content: bytes | None) -> dict:
                 if ctype == b"IEND":
                     break
                 i += 12 + clen  # len + type + data + crc
-            raw = zlib.decompress(bytes(idat))
-            if len(raw) != h * (1 + w * 3):
-                return out  # truncated / inconsistent with IHDR dims
+            raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+            if len(raw) != expected:
+                return out  # truncated or over-long vs IHDR dims
             vals = _png_unfilter(raw, w, h, 3)
         elif b[:2] == b"BM":
             out["format"] = "bmp"
@@ -379,9 +501,17 @@ def decode_media_bytes(content: bytes | None) -> dict:
             w = int.from_bytes(b[18:22], "little", signed=True)
             h_signed = int.from_bytes(b[22:26], "little", signed=True)
             bpp_bits = int.from_bytes(b[28:30], "little")
+            compression = int.from_bytes(b[30:34], "little")
             h = abs(h_signed)
             stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
-            if bpp_bits != 24 or w <= 0 or data_off + h * stride > len(b):
+            # compression 0 = BI_RGB (raw rows); RLE/BITFIELDS variants
+            # would be silently mis-decoded as raw BGR → format-only.
+            if (
+                bpp_bits != 24
+                or compression != 0
+                or w <= 0
+                or data_off + h * stride > len(b)
+            ):
                 return out
             vals = bytearray()
             for row in range(h):
@@ -407,6 +537,61 @@ def decode_media_bytes(content: bytes | None) -> dict:
                 return out  # only PCM16 handled
             n = len(data) // 2
             vals = struct.unpack(f"<{n}h", data[: n * 2])
+        elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 13:
+            out["format"] = "gif"
+            flags = b[10]
+            i = 13
+            gct = None
+            if flags & 0x80:
+                gct = b[i : i + 3 * (2 << (flags & 0x07))]
+                i += len(gct)
+            vals = None
+            while i < len(b):
+                block = b[i]
+                if block == 0x21:  # extension: label byte + sub-blocks
+                    i += 2
+                    while i < len(b) and b[i] != 0:
+                        i += 1 + b[i]
+                    i += 1
+                elif block == 0x2C:  # image descriptor (first frame)
+                    iw = int.from_bytes(b[i + 5 : i + 7], "little")
+                    ih = int.from_bytes(b[i + 7 : i + 9], "little")
+                    iflags = b[i + 9]
+                    i += 10
+                    pal = gct
+                    if iflags & 0x80:  # local color table wins
+                        pal = b[i : i + 3 * (2 << (iflags & 0x07))]
+                        i += len(pal)
+                    # interlaced needs the 4-pass row order; palette is
+                    # mandatory for pixel semantics; cap alloc as PNG.
+                    if (
+                        iflags & 0x40
+                        or not pal
+                        or iw <= 0
+                        or ih <= 0
+                        or iw * ih > 16_777_216
+                    ):
+                        return out
+                    min_code = b[i]
+                    i += 1
+                    lzw = bytearray()
+                    while i < len(b) and b[i] != 0:
+                        lzw += b[i + 1 : i + 1 + b[i]]
+                        i += 1 + b[i]
+                    idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
+                    if idx is None or len(idx) < iw * ih:
+                        return out
+                    npal = len(pal) // 3
+                    vals = bytearray()
+                    for p in idx[: iw * ih]:
+                        if p >= npal:
+                            return out  # index past palette: malformed
+                        vals += pal[3 * p : 3 * p + 3]
+                    break
+                else:  # trailer (0x3B) or garbage before any image
+                    break
+            if vals is None:
+                return out
         else:
             return out
     except Exception:
@@ -425,7 +610,8 @@ def decode_media(
     df: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
     """Arrow-batched REAL decode over binary blobs (mapInPandas, zero
-    shuffle): PNG/BMP/WAV pixels/samples parsed with the stdlib only."""
+    shuffle): PNG/BMP/GIF/WAV pixels/samples parsed with the stdlib
+    only."""
     decode = decode_media_bytes
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -458,19 +644,23 @@ def synth_decodable_media_bytes(media_id: int) -> bytes:
     payloads) whose decoded values follow closed-form formulas an oracle
     reproduces arithmetically:
 
-    - PNG  (id%3==0): 8-bit RGB, w=4+id%13, h=4+id%11; raw byte j of row
+    - PNG  (id%4==0): 8-bit RGB, w=4+id%13, h=4+id%11; raw byte j of row
       y = (id + 11*y + j) % 256; rows filtered with type y%3 (None/Sub/Up)
       so the decoder's unfilter paths are genuinely exercised.
-    - BMP  (id%3==1): 24-bit BI_RGB, w=4+id%9, h=4+id%7 stored bottom-up
+    - BMP  (id%4==1): 24-bit BI_RGB, w=4+id%9, h=4+id%7 stored bottom-up
       with 4-byte row padding; visual row y byte j = (id + 5*y + j) % 256.
-    - WAV  (id%3==2): PCM16 mono 8 kHz, n=256+id%200 samples; sample i =
+    - WAV  (id%4==2): PCM16 mono 8 kHz, n=256+id%200 samples; sample i =
       ((id*31 + i*7) % 4096) - 2048.
+    - GIF  (id%4==3): GIF89a, w=4+id%11, h=4+id%13, 8-color global
+      palette where color c channel k = (id + 3*c + k) % 256; pixel
+      (y,x) has index (id + 3*y + x) % 8; pixels really LZW-compressed
+      (_gif_lzw_encode) so the decoder's dictionary/width paths run.
     """
     import struct
     import zlib
 
     m = int(media_id)
-    if m % 3 == 0:
+    if m % 4 == 0:
         w, h = 4 + m % 13, 4 + m % 11
         stride = 3 * w
         raw = bytearray()
@@ -507,7 +697,7 @@ def synth_decodable_media_bytes(media_id: int) -> bytes:
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b"")
         )
-    if m % 3 == 1:
+    if m % 4 == 1:
         w, h = 4 + m % 9, 4 + m % 7
         stride = (w * 3 + 3) & ~3
         pix = bytearray()
@@ -521,6 +711,27 @@ def synth_decodable_media_bytes(media_id: int) -> bytes:
             + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
         )
         return header + bytes(pix)
+    if m % 4 == 3:
+        w, h = 4 + m % 11, 4 + m % 13
+        pal = bytes((m + 3 * c + k) % 256 for c in range(8) for k in range(3))
+        indices = [(m + 3 * y + x) % 8 for y in range(h) for x in range(w)]
+        lzw = _gif_lzw_encode(indices, 3)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            part = lzw[i : i + 255]
+            blocks += bytes([len(part)]) + part
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", w, h)
+            + bytes([0x82, 0, 0])  # GCT present, 2^(2+1)=8 colors
+            + pal
+            + b"\x2c"
+            + struct.pack("<HHHH", 0, 0, w, h)
+            + b"\x00"  # no LCT, not interlaced
+            + bytes([3])  # LZW min code size
+            + bytes(blocks)
+            + b"\x00\x3b"  # block terminator + trailer
+        )
     n = 256 + m % 200
     samples = struct.pack(
         "<" + "h" * n, *(((m * 31 + i * 7) % 4096) - 2048 for i in range(n))

@@ -423,7 +423,7 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH png AS (
   SELECT doc_id AS media_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 4 = 0
 ),
 png_s AS (
   SELECT media_id, 'png' AS format, CAST(w * h * 3 AS BIGINT) AS n_values,
@@ -438,7 +438,7 @@ png_s AS (
 ),
 bmp AS (
   SELECT doc_id AS media_id, 4 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
-  FROM documents WHERE doc_id % 3 = 1
+  FROM documents WHERE doc_id % 4 = 1
 ),
 bmp_s AS (
   SELECT media_id, 'bmp' AS format, CAST(w * h * 3 AS BIGINT) AS n_values,
@@ -453,7 +453,7 @@ bmp_s AS (
 ),
 wav AS (
   SELECT doc_id AS media_id, 256 + doc_id % 200 AS n
-  FROM documents WHERE doc_id % 3 = 2
+  FROM documents WHERE doc_id % 4 = 2
 ),
 wav_s AS (
   SELECT media_id, 'wav' AS format, CAST(n AS BIGINT) AS n_values,
@@ -464,20 +464,38 @@ wav_s AS (
   CROSS JOIN generate_series(0, 455) iss(i)
   WHERE i < n
   GROUP BY media_id, n
+),
+gif AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 11 AS w, 4 + doc_id % 13 AS h
+  FROM documents WHERE doc_id % 4 = 3
+),
+gif_s AS (
+  SELECT media_id, 'gif' AS format, CAST(w * h * 3 AS BIGINT) AS n_values,
+         round(avg((media_id + 3 * ((media_id + 3 * y + x) % 8) + k) % 256), 6) AS mean_value,
+         CAST(min((media_id + 3 * ((media_id + 3 * y + x) % 8) + k) % 256) AS DOUBLE) AS min_value,
+         CAST(max((media_id + 3 * ((media_id + 3 * y + x) % 8) + k) % 256) AS DOUBLE) AS max_value
+  FROM gif
+  CROSS JOIN generate_series(0, 16) ys(y)
+  CROSS JOIN generate_series(0, 14) xs(x)
+  CROSS JOIN generate_series(0, 2) ks(k)
+  WHERE y < h AND x < w
+  GROUP BY media_id, w, h
 )
-SELECT * FROM png_s UNION ALL SELECT * FROM bmp_s UNION ALL SELECT * FROM wav_s
+SELECT * FROM png_s UNION ALL SELECT * FROM bmp_s
+UNION ALL SELECT * FROM wav_s UNION ALL SELECT * FROM gif_s
 """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel/sample decode (no codec libraries): complete PNG / BMP
-    / WAV files are synthesized per doc id — valid CRCs, zlib-compressed
-    filtered PNG scanlines, stride-padded bottom-up BMP rows, PCM16 WAV
-    frames — then ``decode_media`` inflates/unfilters/unpacks them back
-    to raw values with the stdlib. The oracle predicts every decoded
-    statistic arithmetically from the generator formulas, so an error in
-    EITHER the encoder or the decoder breaks the hash. JPEG/GIF pixel
-    decode still requires a codec and remains behind the documented
-    stub (extract_features)."""
+    / WAV / GIF files are synthesized per doc id — valid CRCs,
+    zlib-compressed filtered PNG scanlines, stride-padded bottom-up BMP
+    rows, PCM16 WAV frames, genuinely LZW-compressed GIF frames — then
+    ``decode_media`` inflates/unfilters/unpacks them back to raw values
+    with the stdlib. The oracle predicts every decoded statistic
+    arithmetically from the generator formulas, so an error in EITHER
+    the encoder or the decoder breaks the hash. Only JPEG pixel decode
+    still requires a codec and remains behind the documented stub
+    (extract_features)."""
     import pandas as _pd
 
     from ..operators.multimodal import decode_media, synth_decodable_media_bytes

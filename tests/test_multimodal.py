@@ -110,9 +110,9 @@ def test_decode_roundtrip_all_formats():
         synth_decodable_media_bytes,
     )
 
-    for m in range(9):
+    for m in range(16):
         d = decode_media_bytes(synth_decodable_media_bytes(m))
-        fmt = ["png", "bmp", "wav"][m % 3]
+        fmt = ["png", "bmp", "wav", "gif"][m % 4]
         assert d["format"] == fmt
         if fmt == "png":
             w, h = 4 + m % 13, 4 + m % 11
@@ -120,6 +120,14 @@ def test_decode_roundtrip_all_formats():
         elif fmt == "bmp":
             w, h = 4 + m % 9, 4 + m % 7
             vals = [(m + 5 * y + j) % 256 for y in range(h) for j in range(3 * w)]
+        elif fmt == "gif":
+            w, h = 4 + m % 11, 4 + m % 13
+            vals = [
+                (m + 3 * ((m + 3 * y + x) % 8) + k) % 256
+                for y in range(h)
+                for x in range(w)
+                for k in range(3)
+            ]
         else:
             n = 256 + m % 200
             vals = [((m * 31 + i * 7) % 4096) - 2048 for i in range(n)]
@@ -127,6 +135,86 @@ def test_decode_roundtrip_all_formats():
         assert d["mean_value"] == round(sum(vals) / len(vals), 6)
         assert d["min_value"] == float(min(vals))
         assert d["max_value"] == float(max(vals))
+
+
+def test_gif_lzw_roundtrip():
+    # Real LZW both ways: dictionary growth, width increases, KwKwK
+    # (aaa... runs), and the 4096-entry clear/reset path.
+    import random
+
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(11)
+    for mcs in (2, 3, 8):
+        ncol = 1 << mcs
+        cases = [
+            [rng.randrange(ncol) for _ in range(997)],  # random
+            [0] * 400,  # max-run → KwKwK chains
+            [(i * 7 + 3) % ncol for i in range(2048)],  # periodic
+            [rng.randrange(ncol) for _ in range(1)],  # single pixel
+        ]
+        for idx in cases:
+            enc = _gif_lzw_encode(idx, mcs)
+            assert list(_gif_lzw_decode(enc, mcs, len(idx))) == idx
+    # long low-entropy stream crosses the 4096 table reset
+    idx = [rng.randrange(4) for _ in range(120_000)]
+    enc = _gif_lzw_encode(idx, 2)
+    assert list(_gif_lzw_decode(enc, 2, len(idx))) == idx
+    assert len(enc) < len(idx)  # genuinely compressed
+
+
+def test_decode_hardening_bomb_and_compression_fields():
+    import struct
+    import zlib
+
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        decode_media_bytes,
+        synth_decodable_media_bytes,
+    )
+
+    # huge-IHDR PNG must not allocate: format-only, instantly
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+        + b"\x00" * 4
+    )
+    assert decode_media_bytes(bomb)["n_values"] is None
+    # stream inflating past the IHDR-declared size is rejected, and the
+    # inflation itself is bounded (decompressobj max_length)
+    over = zlib.compress(b"\x00" * 10_000)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        + b"\x00" * 4
+        + struct.pack(">I", len(over))
+        + b"IDAT"
+        + over
+        + b"\x00" * 4
+        + struct.pack(">I", 0)
+        + b"IEND"
+        + b"\x00" * 4
+    )
+    assert decode_media_bytes(blob)["n_values"] is None
+    # BMP with biCompression != BI_RGB degrades instead of mis-decoding
+    bmp = bytearray(synth_decodable_media_bytes(1))
+    bmp[30] = 3  # BI_BITFIELDS
+    d = decode_media_bytes(bytes(bmp))
+    assert d["format"] == "bmp" and d["n_values"] is None
+    # interlaced GIF degrades (4-pass row order unsupported)
+    gif = bytearray(synth_decodable_media_bytes(3))
+    assert gif[37] == 0x2C
+    gif[37 + 9] |= 0x40
+    d = decode_media_bytes(bytes(gif))
+    assert d["format"] == "gif" and d["n_values"] is None
+    # truncated GIF degrades, never raises
+    assert decode_media_bytes(synth_decodable_media_bytes(7)[:50])["format"] == "gif"
 
 
 def test_png_unfilter_average_and_paeth():
