@@ -223,6 +223,34 @@ def latest_metric_value(
     )
 
 
+def latest_metric_value_scalable(
+    metrics: DataFrame, metric_name: str
+) -> DataFrame:
+    """Single-metric dashboard shape A via the max-timestamp semi-join
+    rewrite (SURVEY §4's optional 100 TB rule, single-metric form of
+    ``latest_per_metric_scalable``): filter to the metric (pushed,
+    partition-prunable predicate), aggregate ``max(created_at)`` —
+    map-side combinable down to ONE row — broadcast it back and keep
+    the matching row(s). No ordering operator anywhere in the plan:
+    the ``ORDER BY created_at DESC LIMIT 1`` form plans a
+    TakeOrderedAndProject whose heap still examines every surviving
+    row's sort key per partition plus a single-partition final merge.
+
+    Ties on the max timestamp return every tied row (the LIMIT-1 form
+    silently picks one); dedupe upstream if the store can hold
+    duplicate timestamps for a metric.
+    """
+    filtered = metrics.where(F.col("metric_name") == metric_name)
+    latest_ts = filtered.agg(F.max("created_at").alias("__max_ts"))
+    return (
+        filtered.join(
+            F.broadcast(latest_ts),
+            F.col("created_at") == F.col("__max_ts"),
+        )
+        .select("value")
+    )
+
+
 def latest_per_metric_scalable(metrics: DataFrame) -> DataFrame:
     """Latest row per metric via the max-timestamp semi-join rewrite
     (SURVEY §4 'optional later', now implemented): aggregate

@@ -520,6 +520,23 @@ def q_latest_per_metric_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_metric_value_scalable",
+    f"WITH m AS ({_METRICS_VIEW_SQL}) "
+    "SELECT value FROM m WHERE metric_name = 'click' AND created_at = "
+    "(SELECT max(created_at) FROM m WHERE metric_name = 'click')",
+)
+def q_latest_metric_value_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-metric shape A via the max-timestamp semi-join rewrite —
+    # tie-safe twin of latest_metric_value's ORDER BY ... LIMIT 1 (on a
+    # unique max timestamp the two are identical; on ties this keeps all
+    # tied rows on BOTH sides, so the hashes still match). No ordering
+    # operator in the plan (asserted by tests/test_metrics.py).
+    from ..operators.metrics import latest_metric_value_scalable
+
+    return latest_metric_value_scalable(_metrics_view(spark, sf_dir), "click")
+
+
+@register(
     "metric_timeseries",
     f"WITH m AS ({_METRICS_VIEW_SQL}) "
     "SELECT created_at, value FROM m WHERE metric_name = 'click' "

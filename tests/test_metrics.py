@@ -85,6 +85,20 @@ def test_latest_per_metric(metrics_df):
     assert rows == {"f1score": 0.9, "accuracy": 0.7}
 
 
+def test_latest_metric_value_scalable(metrics_df):
+    from churn_model_evaluation_platform_spark.operators.metrics import (
+        latest_metric_value_scalable,
+    )
+
+    got = latest_metric_value_scalable(metrics_df, "f1score")
+    assert [r["value"] for r in got.collect()] == [0.9]
+    # SURVEY §4's 100 TB rule: the semi-join rewrite must not plan ANY
+    # ordering operator — no Sort, no TakeOrderedAndProject.
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "TakeOrdered" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_metric_timeseries(spark, metrics_df):
     register_metrics_view(spark, metrics_df)
     vals = [r["value"] for r in metric_timeseries(spark, "f1score").collect()]

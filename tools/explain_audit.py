@@ -105,6 +105,7 @@ AUDITED = [
     "train_test_split_hash",
     "kfold_hash",
     "multimodal_decode",
+    "latest_metric_value_scalable",
     # dedup_clusters / corpus_curation are iterative (connected
     # components materializes per round) — explain would execute them;
     # their physical shape is covered by dedup_lsh_verified + the
