@@ -57,7 +57,11 @@ def _pool(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
 
 
 def ks_2samp(
-    ref: DataFrame, cur: DataFrame, column: str, strategy: str = "prefix"
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    strategy: str = "prefix",
+    distinct_estimate: int | None = None,
 ) -> DataFrame:
     """Two-sample KS over one (possibly huge) column.
 
@@ -70,13 +74,19 @@ def ks_2samp(
     range-partitioned prefix sum; ``"windowed"`` uses a plain ordered
     window over the tie-grouped values (single reducer — fine at
     moderate cardinality, skips the boundary pass); ``"auto"`` picks by
-    a one-pass HLL distinct estimate — NOTE: auto runs that estimate as
-    an eager Spark job at plan-construction time, so opt in only where
-    the caller executes immediately (the monitoring pipeline does). All
-    strategies produce identical rows.
+    the column's distinct count. Pass ``distinct_estimate`` (e.g. from a
+    pass the caller already runs — ``estimate_distinct_counts`` — or
+    table statistics) and auto routing stays FULLY LAZY: no job at
+    plan-construction. Without it auto falls back to running the
+    one-pass HLL estimate eagerly — opt in only where the caller
+    executes immediately. All strategies produce identical rows.
     """
     if strategy == "auto":
-        est = estimate_distinct_counts(ref, cur, [column])[column]
+        est = (
+            distinct_estimate
+            if distinct_estimate is not None
+            else estimate_distinct_counts(ref, cur, [column])[column]
+        )
         strategy = "windowed" if est <= WINDOWED_MAX_DISTINCT else "prefix"
     if strategy == "windowed":
         raw = _pool(ref, cur, column)
@@ -174,6 +184,7 @@ def value_drift(
     cur: DataFrame,
     columns: list[str],
     scalable: bool | str = False,
+    distinct_estimates: dict[str, int] | None = None,
 ) -> DataFrame:
     """Per-column KS drift for a set of columns in ONE pass.
 
@@ -197,14 +208,25 @@ def value_drift(
       boundary pass: ~1 s that dominates monitoring-sized batches),
       prefix-sum above it (no single-reducer cliff at scale). The two
       branches produce identical rows, so routing never changes results.
-      NOTE: the estimate is an eager Spark job at plan-construction
-      time — opt in where the caller executes immediately (the
-      monitoring pipeline does); use a fixed strategy to stay lazy.
+      Pass ``distinct_estimates`` (per-column counts the caller already
+      has — one ``estimate_distinct_counts`` pass, or catalog column
+      stats) and routing stays FULLY LAZY: no job at plan-construction
+      (columns missing from the dict conservatively take the prefix-sum
+      path). Without it, auto falls back to running the HLL estimate
+      eagerly — opt in where the caller executes immediately (the
+      monitoring pipeline passes estimates); fixed strategies are
+      always lazy.
     """
     if not columns:
         raise ValueError("columns must be non-empty")
     if scalable == "auto":
-        est = estimate_distinct_counts(ref, cur, columns)
+        if distinct_estimates is not None:
+            est = {
+                c: distinct_estimates.get(c, WINDOWED_MAX_DISTINCT + 1)
+                for c in columns
+            }
+        else:
+            est = estimate_distinct_counts(ref, cur, columns)
         small = [c for c in columns if est[c] <= WINDOWED_MAX_DISTINCT]
         large = [c for c in columns if est[c] > WINDOWED_MAX_DISTINCT]
         parts = []

@@ -170,6 +170,45 @@ def test_value_drift_auto_mixed_cardinality(spark, monkeypatch):
     assert auto == fixed
 
 
+def test_value_drift_auto_with_estimates_is_lazy(spark):
+    # With precomputed estimates, auto routing must not run ANY Spark
+    # job at plan-construction time — and the routing must match what
+    # the eager estimate would have chosen.
+    from churn_model_evaluation_platform_spark.operators import drift as dmod
+
+    ref = spark.range(0, 300).selectExpr(
+        "CAST(id AS DOUBLE) AS a", "CAST(id % 4 AS DOUBLE) AS b"
+    )
+    cur = spark.range(0, 200).selectExpr(
+        "CAST(id * 3 AS DOUBLE) AS a", "CAST(id % 4 AS DOUBLE) AS b"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    lazy = dmod.value_drift(
+        ref,
+        cur,
+        ["a", "b"],
+        scalable="auto",
+        distinct_estimates={"a": dmod.WINDOWED_MAX_DISTINCT + 5, "b": 4},
+    )
+    ks = dmod.ks_2samp(
+        ref, cur, "a", strategy="auto", distinct_estimate=7
+    )
+    assert len(tracker.getJobIdsForGroup(None)) == before  # no job ran
+    rows = lambda df: sorted(
+        (r["column"], round(r["ks_stat"], 9)) for r in df.collect()
+    )
+    assert rows(lazy) == rows(dmod.value_drift(ref, cur, ["a", "b"], False))
+    eager = dmod.ks_2samp(ref, cur, "a", strategy="windowed").first()
+    got = ks.first()
+    assert round(got["ks_stat"], 9) == round(eager["ks_stat"], 9)
+    # column missing from the estimates dict takes the safe prefix path
+    missing = dmod.value_drift(
+        ref, cur, ["a"], scalable="auto", distinct_estimates={}
+    )
+    assert rows(missing) == rows(dmod.value_drift(ref, cur, ["a"], True))
+
+
 def test_ks_2samp_strategies_identical(spark):
     ref = _df(spark, [1, 2, 2, 3, 5, 8])
     cur = _df(spark, [2, 3, 3, 4, 9])
