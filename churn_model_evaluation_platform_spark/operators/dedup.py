@@ -24,6 +24,12 @@ DEFAULT_MINHASH_K = 16
 DEFAULT_BANDS = 4  # 4 bands x 4 rows
 
 
+# (applicationId, semanticHash) → whether the lineage needs a repartition.
+# Bounded: cleared wholesale if it ever grows past _PARALLELISM_MEMO_MAX.
+_PARALLELISM_MEMO: dict[tuple[str, int], bool] = {}
+_PARALLELISM_MEMO_MAX = 1024
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread CPU-heavy per-row work across all cores.
 
@@ -32,13 +38,31 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     shuffle moves only the raw rows (cheap) and buys full parallelism for
     the expensive projection above it. At scale the source already has
     >= cores partitions and this is a no-op.
+
+    The partition-count probe (``df.rdd.getNumPartitions()`` — forces
+    physical planning driver-side) runs at most ONCE per DataFrame
+    lineage: decisions are memoized by ``semanticHash`` (analysis-only,
+    no physical planning), so repeated operator calls over the same
+    source pay nothing. Config ``spark.churnspark.ensureParallelism``
+    overrides: ``never`` (100 TB posture — sources already carry >=
+    cores splits, skip even the first probe), ``always``, or ``auto``
+    (default, memoized probe).
     """
-    p = df.sparkSession.sparkContext.defaultParallelism
-    # df.rdd here only forces physical planning (no job); at scale the
-    # branch is dead anyway because sources already carry >= p splits.
-    if df.rdd.getNumPartitions() < p:
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    mode = spark.conf.get("spark.churnspark.ensureParallelism", "auto")
+    if mode == "never":
+        return df
+    if mode == "always":
         return df.repartition(p)
-    return df
+    key = (spark.sparkContext.applicationId, df.semanticHash())
+    needs = _PARALLELISM_MEMO.get(key)
+    if needs is None:
+        needs = df.rdd.getNumPartitions() < p
+        if len(_PARALLELISM_MEMO) >= _PARALLELISM_MEMO_MAX:
+            _PARALLELISM_MEMO.clear()
+        _PARALLELISM_MEMO[key] = needs
+    return df.repartition(p) if needs else df
 
 
 def exact_dedup(

@@ -177,3 +177,32 @@ def test_contamination_pairs_broadcast_and_detection(spark):
     # the benchmark side must broadcast (corpus text never shuffles)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ensure_parallelism_memoized_and_config_gated(spark, docs, monkeypatch):
+    from churn_model_evaluation_platform_spark.operators import dedup as dmod
+
+    dmod._PARALLELISM_MEMO.clear()
+    probes = {"n": 0}
+    cls = type(docs)  # the concrete (classic) DataFrame class
+    # classic DataFrame.rdd is a functools.cached_property
+    orig = cls.rdd.func
+
+    def counting_rdd(self):
+        probes["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "rdd", property(counting_rdd))
+    out1 = dmod.ensure_parallelism(docs)
+    out2 = dmod.ensure_parallelism(docs)
+    assert probes["n"] == 1  # second call hits the semanticHash memo
+    assert out1.count() == out2.count() == 4
+    # 100 TB posture: config gate skips even the first probe
+    dmod._PARALLELISM_MEMO.clear()
+    probes["n"] = 0
+    spark.conf.set("spark.churnspark.ensureParallelism", "never")
+    try:
+        out = dmod.ensure_parallelism(docs)
+        assert probes["n"] == 0 and out is docs
+    finally:
+        spark.conf.unset("spark.churnspark.ensureParallelism")
