@@ -60,6 +60,11 @@ HEADLINE = [
     # round-4 additions (r1_subset stays HEADLINE[:27] — apples-to-apples)
     "batch_score_pinned",
     "multimodal_decode",
+    # round-5 additions: the two heaviest previously-unbenched pipeline
+    # queries (judge ADVICE r4) + the r4 packing operator
+    "contamination_check",
+    "corpus_curation",
+    "sequence_pack",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
@@ -89,6 +94,8 @@ SLOPE_QUERIES = [
     "similarity_topk",
     "monitoring_metrics_full",
     "tfidf_top_terms",
+    "contamination_check",
+    "corpus_curation",
 ]
 SLOPE_TABLES = {"documents": "doc_id", "events": "event_id", "embeddings": "vec_id"}
 _VOWEL_ROTATIONS = ["aeiou", "eioua", "iouae", "ouaei"]
@@ -188,6 +195,11 @@ def main() -> None:
         "sf": sf,
         "r1_subset_total": r1_subset,
         "scale_slope": slope,
+        # Timing methodology, recorded so rounds are comparable:
+        # r01-r03 were single-shot; r04+ are untimed-warm + best-of-2
+        # (see SCALE.md "Bench methodology") — cross-round deltas that
+        # span r03→r04 are NOT like-for-like.
+        "method": "best_of_2_warmed",
     }
     if errors:
         out["errors"] = errors
