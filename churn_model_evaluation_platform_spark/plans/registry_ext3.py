@@ -266,10 +266,44 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: entropy/features pinned in pytest
+@register(
+    "multimodal_features",
+    """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         text
+  FROM documents
+),
+b AS (
+  SELECT media_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
+  FROM (SELECT media_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM d WHERE text IS NOT NULL)
+),
+c AS (SELECT media_id, byte, COUNT(*) AS cnt FROM b GROUP BY media_id, byte),
+t AS (SELECT media_id, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY media_id),
+e AS (
+  SELECT c.media_id, t.n AS n_bytes,
+         round(-SUM((CAST(c.cnt AS DOUBLE) / t.n)
+                    * log2(CAST(c.cnt AS DOUBLE) / t.n)), 6) AS byte_entropy
+  FROM c JOIN t ON c.media_id = t.media_id GROUP BY c.media_id, t.n
+)
+SELECT d.media_id, d.media_type,
+       COALESCE(e.n_bytes, 0) AS n_bytes,
+       COALESCE(e.byte_entropy, 0.0) AS byte_entropy,
+       CAST(CASE WHEN d.text IS NULL THEN 0 ELSE 8 END AS INT) AS n_features
+FROM d LEFT JOIN e ON d.media_id = e.media_id
+""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched mapInPandas feature extraction over binary blobs —
-    # zero shuffle; schema/batch plumbing is the tested surface.
+    # zero shuffle. The blobs here are the documents' UTF-8 bytes, so the
+    # oracle recomputes the byte histogram/Shannon entropy in SQL (ord ==
+    # byte because the fixture corpus is pure ASCII — asserted cheap: a
+    # non-ASCII char would shift octet_length vs length and break the
+    # hash loudly, not silently).
     feats = multimodal.extract_features(_media(spark, sf_dir))
     return feats.select(
         "media_id",
