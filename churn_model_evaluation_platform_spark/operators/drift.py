@@ -291,6 +291,99 @@ def value_drift(
     )
 
 
+def value_drift_by_window(
+    ref: DataFrame,
+    cur: DataFrame,
+    columns: list[str],
+    ts_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Drift TIMESERIES in one pass: per-column two-sample KS of every
+    event-time window of ``cur`` against the (static) reference —
+    rows ``(window_start, column, ks_stat, p_value)``. This is the
+    dashboard's drift-over-time panel computed as ONE lazy plan over the
+    whole history, instead of re-running per-batch ``value_drift`` N
+    times (churn_prediction_pipeline.py:322 ran once per pipeline
+    invocation; Grafana then plotted the stored points —
+    churn-model-evaluation.json's drift timeseries panels).
+
+    ``unit`` is a ``date_trunc`` unit ('day'/'week'/'month') so the
+    window key is reproducible across engines.
+
+    Scale: ``ref`` is a training snapshot — broadcast-sized by platform
+    design — so it is replicated once per distinct window via a
+    broadcast cross join (n_windows is the dashboard x-axis grain:
+    small). The 100 TB side (``cur``) is read ONCE, melted, and tie
+    pre-aggregated map-side; each (window, column) pair then forms its
+    own ECDF partition — strictly MORE parallelism than single-batch
+    drift, with no serial stage. A (window, column) group with no
+    current values yields a null ks_stat (0/0), never an error.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    wstart = F.date_trunc(unit, F.col(ts_col)).alias("window_start")
+
+    cur_long = (
+        cur.select(
+            wstart, *[F.col(c).cast("double").alias(c) for c in columns]
+        )
+        .unpivot(["window_start"], columns, "column", "v")
+        .where(F.col("v").isNotNull())
+        .select(
+            "window_start",
+            "column",
+            "v",
+            F.lit(0).alias("is_ref"),
+            F.lit(1).alias("is_cur"),
+        )
+    )
+    windows = cur.select(wstart).distinct()
+    ref_long = (
+        ref.select(*[F.col(c).cast("double").alias(c) for c in columns])
+        .unpivot([], columns, "column", "v")
+        .where(F.col("v").isNotNull())
+        .crossJoin(F.broadcast(windows))
+        .select(
+            "window_start",
+            "column",
+            "v",
+            F.lit(1).alias("is_ref"),
+            F.lit(0).alias("is_cur"),
+        )
+    )
+    aggd = cur_long.unionByName(ref_long).groupBy(
+        "window_start", "column", "v"
+    ).agg(F.sum("is_ref").alias("r"), F.sum("is_cur").alias("c"))
+    w = Window.partitionBy("window_start", "column").orderBy("v")
+    tw = Window.partitionBy("window_start", "column")
+    cums = aggd.select(
+        "window_start",
+        "column",
+        F.sum("r").over(w).alias("cum_ref"),
+        F.sum("c").over(w).alias("cum_cur"),
+        F.sum("r").over(tw).alias("n_ref"),
+        F.sum("c").over(tw).alias("n_cur"),
+    )
+    stat = cums.groupBy("window_start", "column").agg(
+        F.max(
+            F.abs(
+                F.col("cum_ref") / F.col("n_ref")
+                - F.col("cum_cur") / F.col("n_cur")
+            )
+        ).alias("ks_stat"),
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+    )
+    return stat.select(
+        "window_start",
+        "column",
+        "ks_stat",
+        ks_pvalue_expr(F.col("ks_stat"), F.col("n_ref"), F.col("n_cur")).alias(
+            "p_value"
+        ),
+    )
+
+
 def wasserstein(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     """1-Wasserstein (earth mover's) distance between the two samples —
     Evidently's drift method above 1000 rows (closing the deviation

@@ -360,6 +360,71 @@ def q_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_WINDOW_SQL = (
+    f"WITH ref AS ({_DRIFT_REF_SQL}), "
+    "cur AS (SELECT date_trunc('week', ts) AS window_start, "
+    "value * 1.25 AS value, CAST(user_id AS DOUBLE) AS user_id "
+    "FROM events WHERE event_type = 'view'), "
+    "wins AS (SELECT DISTINCT window_start FROM cur), "
+    "pooled AS ("
+    "  SELECT w.window_start, 'value' AS col, r.value AS v, 1 AS is_ref, 0 AS is_cur"
+    "  FROM ref r CROSS JOIN wins w WHERE r.value IS NOT NULL"
+    "  UNION ALL"
+    "  SELECT window_start, 'value', value, 0, 1 FROM cur WHERE value IS NOT NULL"
+    "  UNION ALL"
+    "  SELECT w.window_start, 'user_id', r.user_id, 1, 0"
+    "  FROM ref r CROSS JOIN wins w WHERE r.user_id IS NOT NULL"
+    "  UNION ALL"
+    "  SELECT window_start, 'user_id', user_id, 0, 1 FROM cur WHERE user_id IS NOT NULL"
+    "), "
+    "cums AS ("
+    "  SELECT window_start, col,"
+    "    SUM(is_ref) OVER (PARTITION BY window_start, col ORDER BY v) AS cr,"
+    "    SUM(is_cur) OVER (PARTITION BY window_start, col ORDER BY v) AS cc,"
+    "    SUM(is_ref) OVER (PARTITION BY window_start, col) AS nr,"
+    "    SUM(is_cur) OVER (PARTITION BY window_start, col) AS nc"
+    "  FROM pooled"
+    "), "
+    "stat AS ("
+    "  SELECT window_start, col AS column_name,"
+    "    MAX(ABS(CAST(cr AS DOUBLE) / nr - CAST(cc AS DOUBLE) / nc)) AS ks_stat,"
+    "    MAX(nr) AS n_ref, MAX(nc) AS n_cur"
+    "  FROM cums GROUP BY window_start, col"
+    ") "
+    "SELECT CAST(window_start AS DATE) AS window_start, column_name, ks_stat, "
+    f"round({ks_pvalue_sql('ks_stat', 'n_ref', 'n_cur')}, 6) AS p_value "
+    "FROM stat"
+)
+
+
+@register("value_drift_by_window", _DRIFT_WINDOW_SQL)
+def q_value_drift_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The dashboard's drift timeseries as ONE lazy plan: weekly windows
+    # of the drifted 'view' slice, each KS-compared against the full
+    # reference (operators/drift.py:value_drift_by_window). Every
+    # (window, column) pair is its own ECDF partition — more parallelism
+    # than single-batch drift, no serial stage.
+    from ..operators.drift import value_drift_by_window
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.select("value", F.col("user_id").cast("double").alias("user_id"))
+    cur = ev.where(F.col("event_type") == "view").select(
+        "ts",
+        (F.col("value") * F.lit(1.25)).alias("value"),
+        F.col("user_id").cast("double").alias("user_id"),
+    )
+    out = value_drift_by_window(
+        ref, cur, ["value", "user_id"], ts_col="ts", unit="week"
+    )
+    return out.select(
+        # DuckDB's date_trunc('week') is DATE-typed; align the key type
+        F.col("window_start").cast("date").alias("window_start"),
+        F.col("column").alias("column_name"),
+        "ks_stat",
+        F.round(F.col("p_value"), 6).alias("p_value"),
+    )
+
+
 @register(
     "drifted_columns_count",
     f"WITH ref AS ({_DRIFT_REF_SQL}), cur AS ({_DRIFT_CUR_SQL}),"

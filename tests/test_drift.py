@@ -217,3 +217,43 @@ def test_ks_2samp_strategies_identical(spark):
         r = ks_2samp(ref, cur, "v", strategy=s).first()
         rows[s] = (round(r["ks_stat"], 9), round(r["p_value"], 9), r["n_ref"], r["n_cur"])
     assert rows["prefix"] == rows["windowed"] == rows["auto"]
+
+
+def test_value_drift_by_window_matches_per_window_runs(spark):
+    # One-pass windowed drift must equal running value_drift separately
+    # on each window's slice.
+    from pyspark.sql import functions as F
+
+    from churn_model_evaluation_platform_spark.operators.drift import (
+        value_drift,
+        value_drift_by_window,
+    )
+
+    ref = spark.range(0, 400).select(
+        (F.col("id") % 97).cast("double").alias("a"),
+        (F.col("id") % 11).cast("double").alias("b"),
+    )
+    cur = spark.range(0, 600).select(
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 3) * 7 + 1, 2, "0"))
+        ).alias("ts"),
+        ((F.col("id") % 97) * 1.3).cast("double").alias("a"),
+        (F.col("id") % 11).cast("double").alias("b"),
+    )
+    got = {
+        (str(r["window_start"]), r["column"]): round(r["ks_stat"], 9)
+        for r in value_drift_by_window(
+            ref, cur, ["a", "b"], "ts", unit="week"
+        ).collect()
+    }
+    assert len(got) == 6  # 3 weeks x 2 columns
+    for wk in [r["w"] for r in cur.select(
+        F.date_trunc("week", "ts").alias("w")
+    ).distinct().collect()]:
+        piece = cur.where(F.date_trunc("week", "ts") == wk)
+        expect = {
+            r["column"]: round(r["ks_stat"], 9)
+            for r in value_drift(ref, piece, ["a", "b"]).collect()
+        }
+        for col, ks in expect.items():
+            assert got[(str(wk), col)] == ks
