@@ -57,6 +57,10 @@ def connected_components(
             .agg(F.min("b_label").alias("nbr_label"))
             .select(F.col("a").alias("id"), "nbr_label")
         )
+        # The old label is already on the row here, so the convergence
+        # flag rides along in the SAME select — no extra self-join +
+        # rescan per iteration (labels are min-monotone: changed iff a
+        # neighbor label is strictly smaller).
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -64,16 +68,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "changed"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("changed").count()  # checkpointed scan
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
