@@ -47,6 +47,11 @@ SINGLE_ROW_CROSS_OK = {
     "lift_curve",  # same single-row totals broadcast via prefix sum
     "tfidf_top_terms",  # single-row corpus-size broadcast
     "lm_score",  # single-row (T, V) totals broadcast
+    # deliberate replicate-small-dim cross: the broadcast build side is
+    # the distinct window-start frame (dashboard x-axis grain — tens to
+    # hundreds of rows) crossed into the broadcast-sized reference
+    # snapshot, so the 100 TB current side is read exactly once.
+    "value_drift_by_window",
 }
 
 AUDITED = [
@@ -106,6 +111,7 @@ AUDITED = [
     "kfold_hash",
     "multimodal_decode",
     "latest_metric_value_scalable",
+    "value_drift_by_window",
     # dedup_clusters / corpus_curation are iterative (connected
     # components materializes per round) — explain would execute them;
     # their physical shape is covered by dedup_lsh_verified + the
