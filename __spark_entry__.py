@@ -60,7 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return result.metrics
 
 
-def _coverage_order(names: list[str], oracles: dict[str, str]) -> list[str]:
+def _coverage_order(
+    names: list[str], oracles: dict[str, str], artifacts_dir: str | None = None
+) -> list[str]:
     """Order queries so the driver's bounded CORRECTNESS window cycles
     through the whole registry across rounds instead of re-checking the
     same prefix every time.
@@ -79,15 +81,18 @@ def _coverage_order(names: list[str], oracles: dict[str, str]) -> list[str]:
     import json as _json
     import os as _os
 
-    here = _os.path.dirname(_os.path.abspath(__file__))
+    here = artifacts_dir or _os.path.dirname(_os.path.abspath(__file__))
     last_round: dict[str, int] = {}
     last_err: dict[str, bool] = {}
-    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+    paths = sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")))
+    for rnd, path in enumerate(paths, 1):
+        # rnd is the file's position in round order — strictly increasing
+        # per file, so recency tiers never tie even when a round re-checks
+        # only already-seen names.
         try:
             rows = _json.load(open(path))
         except (OSError, ValueError):
             continue
-        rnd = len(last_round) + 1  # only relative recency matters
         for name, row in rows.items():
             last_round[name] = max(last_round.get(name, 0), rnd)
             last_err[name] = bool(row.get("err"))

@@ -47,6 +47,15 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     overrides: ``never`` (100 TB posture — sources already carry >=
     cores splits, skip even the first probe), ``always``, or ``auto``
     (default, memoized probe).
+
+    Caveat: the memo key is ``(applicationId, semanticHash)`` — the
+    LOGICAL plan, not physical source state. It assumes a source's
+    partition count is stable within one application; a path-based
+    source that gains files mid-application (e.g. a drop directory
+    re-read across batches) keeps serving the first verdict, and a
+    32-bit semanticHash collision could skip a needed repartition.
+    Both are accepted trade-offs: set ``always``/``never`` to bypass
+    the memo where source growth matters.
     """
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism

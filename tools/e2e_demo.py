@@ -124,14 +124,20 @@ def run_demo(spark, sf_dir: str, out_dir: str, drops: int = 3) -> dict:
     html = render_dashboard_html(metrics, path=dashboard_path)
 
     # --- 5. self-check: every leg of the walkthrough actually happened.
+    def check(ok: bool, msg: str) -> None:
+        # RuntimeError, not assert: the CLI's self-validation must survive
+        # `python -O` (asserts are stripped under optimization).
+        if not ok:
+            raise RuntimeError(f"e2e demo self-check failed: {msg}")
+
     names = {r["metric_name"] for r in metrics.select("metric_name").distinct().collect()}
     expected = {"f1score", "valuedrift_value", "driftedcolumnscount[share]"}
-    assert expected <= names, f"metrics store missing {expected - names}"
+    check(expected <= names, f"metrics store missing {expected - names}")
     audit = read_log(spark, f"{errored_dir}/_logs/bad_drop.csv.log")
-    assert audit, "bad drop produced no audit line"
-    assert os.path.exists(alert_log), "alert transport never fired"
+    check(bool(audit), "bad drop produced no audit line")
+    check(os.path.exists(alert_log), "alert transport never fired")
     for marker in ("Latest Prediction Scores", "F1 Score", "Drift"):
-        assert marker in html, f"dashboard missing panel marker {marker!r}"
+        check(marker in html, f"dashboard missing panel marker {marker!r}")
 
     return {
         "drops": drops,
