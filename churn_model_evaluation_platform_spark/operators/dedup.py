@@ -361,6 +361,52 @@ def lsh_verified_pairs(
     )
 
 
+def lsh_candidate_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Measured quality of the approximate dedup path: what fraction of
+    the TRUE near-dup pairs (exact n-gram Jaccard ≥ threshold) does the
+    banded-LSH candidate generator recover?
+
+    One summary row ``(n_true_pairs, n_recalled, recall)``. The exact
+    side is ``ngram_jaccard_pairs`` (shingle self-join — the ground
+    truth LSH exists to avoid), so this is a QA/audit operator: run it
+    on a sample or a small SF to certify a (k, bands) configuration,
+    not on the full 100 TB corpus. Candidate pairs are distinct by
+    construction (``minhash_lsh_pairs`` dedups band collisions), so the
+    left join keeps exactly one row per true pair.
+    """
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
+    cand = (
+        minhash_lsh_pairs(df, text_col, id_col, n=n, k=k, bands=bands, seed=seed)
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(cand, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.count("__hit").alias("n_recalled"),
+        )
+        .select(
+            "n_true_pairs",
+            "n_recalled",
+            F.round(
+                F.col("n_recalled").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -206,3 +206,23 @@ def test_ensure_parallelism_memoized_and_config_gated(spark, docs, monkeypatch):
         assert probes["n"] == 0 and out is docs
     finally:
         spark.conf.unset("spark.churnspark.ensureParallelism")
+
+
+def test_lsh_candidate_recall_summary(spark):
+    from churn_model_evaluation_platform_spark.operators.dedup import (
+        lsh_candidate_recall,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("dog", "cat")),  # high-Jaccard near-dup of 1
+        (3, "completely different content about spark engines and parquet files"),
+        (4, "yet another unrelated body of text with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = lsh_candidate_recall(docs, threshold=0.1).collect()[0]
+    # exact side finds the (1,2) near-dup; banded LSH must recover it
+    assert row["n_true_pairs"] >= 1
+    assert row["n_recalled"] == row["n_true_pairs"]
+    assert row["recall"] == 1.0

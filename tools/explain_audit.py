@@ -52,75 +52,46 @@ SINGLE_ROW_CROSS_OK = {
     # hundreds of rows) crossed into the broadcast-sized reference
     # snapshot, so the 100 TB current side is read exactly once.
     "value_drift_by_window",
+    "impute_median",  # single-row per-column-medians aggregate broadcast in
+    # corpus_curation: three keyless count(1) one-row aggregates
+    # (n_quality / n_kept / token totals) crossed into the summary row.
+    "corpus_curation",
 }
 
-AUDITED = [
-    "classification_scores",
-    "per_label_scores",
-    "value_drift",
-    "value_drift_ks",
-    "drifted_columns_count",
-    "metrics_unpivot",
-    "latest_per_metric",
-    "metric_timeseries",
-    "agg_groupby_multi",
-    "join_agg_revenue",
-    "topk_per_group",
-    "window_running_total",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "value_drift_scalable",
-    "value_drift_wasserstein",
-    "value_drift_psi",
-    "value_drift_js",
-    "value_drift_chi2",
-    "asof_join",
-    "interval_join",
-    "sessionize",
-    "join_semi_anti",
-    "metrics_pivot",
-    "quality_filter",
-    "top_ngrams",
-    "dedup_minhash_signatures",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "similarity_topk",
-    "similarity_topk_lsh",
-    "token_count",
-    "text_quality",
-    "describe_stats",
-    "feature_projection",
-    "dedup_lsh_verified",
-    "roc_curve_points",
-    "auc_roc",
-    "confusion_matrix",
-    "calibration_curve",
-    "lift_curve",
-    "tfidf_top_terms",
-    "pii_scrub",
-    "doc_chunks",
-    "lm_score",
-    "embedding_drift",
-    "dedup_edit_distance",
-    "batch_score_pinned",
-    "train_test_split_hash",
-    "kfold_hash",
-    "multimodal_decode",
-    "latest_metric_value_scalable",
-    "value_drift_by_window",
-    # dedup_clusters / corpus_curation are iterative (connected
-    # components materializes per round) — explain would execute them;
-    # their physical shape is covered by dedup_lsh_verified + the
-    # per-round join/agg plans.
-]
+# Every oracled query is audited. The only exclusions are the three
+# rows-only registry entries (no oracle → no CORRECTNESS hash either):
+# they train models / run KMeans during CONSTRUCTION, so building the
+# DataFrame is minutes of work before explain even runs, and their final
+# plans are the same score-projection shapes already audited via
+# batch_score_pinned / similarity_topk_lsh.
+EXCLUDED = {
+    "batch_score": "trains a GBT model at construction; plan shape == batch_score_pinned",
+    "similarity_topk_ivf": "KMeans fit at construction; probe-side plan shape == similarity_topk_lsh",
+    "train_eval_churn": "full train+eval at construction; metric plan shape == classification_scores",
+}
+
+
+def audited_names() -> list[str]:
+    """All registry queries except EXCLUDED (== exactly the oracled 106;
+    iterative ones included — their construction materializes
+    intermediate rounds at sf0.01 cost, and the audit asserts the FINAL
+    plan, which is the shape that repeats per round at scale)."""
+    return [n for n in entrymod.queries() if n not in EXCLUDED]
 
 # Full column counts of the testdata tables (documents/embeddings are
 # narrow by design; lineitem is the wide one worth pruning).
 TABLE_WIDTHS = {"lineitem": 16, "events": 5, "orders": 9}
+
+# Operators whose presence means the plan should have at least one
+# whole-stage-codegen span. Matched against the formatted plan's
+# numbered node lines ("(12) Project [codegen id : 2]") so scan detail
+# text like "PushedFilters:" can't false-positive.
+_COMPUTE_OPS_RE = re.compile(
+    r"^\(\d+\) (Project|Filter|HashAggregate|SortAggregate"
+    r"|ObjectHashAggregate|SortMergeJoin|BroadcastHashJoin"
+    r"|ShuffledHashJoin|Window|Generate|Expand)\b",
+    re.M,
+)
 
 
 def audit_one(name: str, plan: str) -> list[str]:
@@ -152,7 +123,7 @@ def main() -> int:
     qs = entrymod.queries()
     os.makedirs("/tmp/spark_graft_plans", exist_ok=True)
     bad = 0
-    for name in AUDITED:
+    for name in audited_names():
         if only and name not in only:
             continue
         df = qs[name](spark, sf_dir)
@@ -165,12 +136,17 @@ def main() -> int:
         problems = audit_one(name, plan)
         # Codegen coverage: formatted AQE plans omit codegen ids until the
         # final plan, so probe mode="codegen" (plan-only, not executed).
-        cg = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "codegen"
-        )
-        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
-        if not m or int(m.group(1)) < 1:
-            problems.append("no WholeStageCodegen subtree")
+        # Codegen is only expected when the plan actually computes
+        # something: a bare file scan (csv_scan/jsonl_scan roundtrips)
+        # or a LocalTableScan of an already-materialized streaming
+        # result has nothing to fuse, and its absence is not a perf bug.
+        if _COMPUTE_OPS_RE.search(plan):
+            cg = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "codegen"
+            )
+            m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+            if not m or int(m.group(1)) < 1:
+                problems.append("no WholeStageCodegen subtree")
         if problems:
             bad += 1
             print(f"WARN {name}: " + "; ".join(problems))
