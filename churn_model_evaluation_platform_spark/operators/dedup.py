@@ -171,27 +171,47 @@ def contamination_pairs(
     shingle table is broadcast — the corpus side streams map-side
     through the hash join with zero shuffle of corpus text; only
     (doc_id, bench_id) partial counts shuffle for the final aggregate.
+    The per-doc shingle count rides THROUGH the explode as a constant
+    column (``size`` of the already-distinct shingle array is a pure
+    map-side projection), so there is no separate sizes branch, no
+    second pass over the corpus, and no rejoin — the candidate
+    aggregate is the plan's only shuffle.
     """
-    c_sh = _doc_shingles(corpus, text_col, id_col, n).select(
-        F.col("id").alias(id_col), "sh"
+    # explode_OUTER, deliberately: a plain explode of a projected
+    # attribute lets InferFiltersFromGenerate add `size(__shs) > 0`,
+    # which pushdown rewrites to the full md5-fold expression below the
+    # repartition exchange — the whole shingle pipeline then runs a
+    # second time at raw-source parallelism (measured 10x slower on a
+    # single-file parquet input). Outer explode admits empty arrays so
+    # no filter can be inferred; the inner join on `sh` drops the null
+    # rows anyway. n_sh is projected before the explode so Generate
+    # retains only the scalar, not the array.
+    c_sh = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias(id_col),
+            shingle_hashes(F.col(text_col), n).alias("__shs"),
+        )
+        .select(id_col, F.size("__shs").alias("n_sh"), "__shs")
+        .select(id_col, "n_sh", F.explode_outer("__shs").alias("sh"))
     )
     b_sh = _doc_shingles(benchmark, text_col, bench_id_col, n).select(
         F.col("id").alias(bench_id_col), "sh"
     )
-    sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
+    return (
         c_sh.join(F.broadcast(b_sh), "sh")
-        .groupBy(id_col, bench_id_col)
+        .groupBy(id_col, "n_sh", bench_id_col)
         .agg(F.count(F.lit(1)).alias("common"))
         .where(F.col("common") >= min_common)
-    )
-    return common.join(sizes, id_col).select(
-        id_col,
-        bench_id_col,
-        "common",
-        F.round(
-            F.col("common").cast("double") / F.col("n_sh").cast("double"), 6
-        ).alias("containment"),
+        .select(
+            id_col,
+            bench_id_col,
+            "common",
+            F.round(
+                F.col("common").cast("double") / F.col("n_sh").cast("double"),
+                6,
+            ).alias("containment"),
+        )
     )
 
 
