@@ -172,22 +172,76 @@ PROBE_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("sample_rate", IntegerType(), True),
         StructField("duration_ms", IntegerType(), True),
+        # ISO-BMFF (mp4/mov) only; None for single-stream formats.
+        StructField("track_count", IntegerType(), True),
+        StructField("codec", StringType(), True),
     ]
 )
 
 
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, box_end) for each ISO-BMFF box in
+    b[start:end] (ISO/IEC 14496-12 §4.2). Handles 64-bit largesize
+    (size==1) and to-end-of-file (size==0); stops on malformed sizes."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            payload = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, payload, i + size
+        i += size
+
+
+def _bmff_first_codec(b: bytes, start: int, end: int) -> str | None:
+    """First sample-entry fourcc under trak > mdia > minf > stbl > stsd."""
+    path = (b"mdia", b"minf", b"stbl")
+    lo, hi = start, end
+    for want in path:
+        nxt = None
+        for btype, p, e in _walk_boxes(b, lo, hi):
+            if btype == want:
+                nxt = (p, e)
+                break
+        if nxt is None:
+            return None
+        lo, hi = nxt
+    for btype, p, e in _walk_boxes(b, lo, hi):
+        if btype == b"stsd" and p + 16 <= e:
+            # payload: version/flags(4) + entry_count(4) + first sample
+            # entry box (size(4) + fourcc(4) + ...)
+            fourcc = b[p + 12 : p + 16]
+            try:
+                return fourcc.decode("ascii")
+            except UnicodeDecodeError:
+                return None
+    return None
+
+
 def parse_media_header(content: bytes | None) -> dict:
     """Container-header metadata from raw bytes — REAL parsing (PNG /
-    GIF / BMP / JPEG dimensions, WAV sample rate + duration), no codec
+    GIF / BMP / JPEG dimensions, WAV sample rate + duration, MP4 /
+    ISO-BMFF duration + track count + first codec fourcc), no codec
     libraries: every field comes straight from the documented header
-    layouts. Pixel/sample DECODING remains the stubbed step; probing
-    does not require it. Unknown/garbage bytes → format None."""
+    layouts (ISO/IEC 14496-12 for the box walk). Pixel/sample DECODING
+    remains the stubbed step; probing does not require it.
+    Unknown/garbage bytes → format None."""
     out = {
         "format": None,
         "width": None,
         "height": None,
         "sample_rate": None,
         "duration_ms": None,
+        "track_count": None,
+        "codec": None,
     }
     if not content or len(content) < 12:
         return out
@@ -221,6 +275,34 @@ def parse_media_header(content: bytes | None) -> dict:
                 out["width"] = int.from_bytes(b[i + 7 : i + 9], "big")
                 break
             i += 2 + seg_len
+    elif b[4:8] == b"ftyp":  # ISO-BMFF (mp4/mov/3gp…)
+        out["format"] = "mp4"
+        n_traks = 0
+        for btype, p, e in _walk_boxes(b, 0, len(b)):
+            if btype != b"moov":
+                continue
+            for t2, p2, e2 in _walk_boxes(b, p, e):
+                if t2 == b"mvhd" and p2 + 20 <= e2:
+                    # v0 payload: ver/flags(4) creation(4) modification(4)
+                    # timescale(4) duration(4)
+                    timescale = int.from_bytes(b[p2 + 12 : p2 + 16], "big")
+                    duration = int.from_bytes(b[p2 + 16 : p2 + 20], "big")
+                    if timescale:
+                        out["duration_ms"] = duration * 1000 // timescale
+                elif t2 == b"trak":
+                    n_traks += 1
+                    if out["codec"] is None:
+                        out["codec"] = _bmff_first_codec(b, p2, e2)
+                    if out["width"] is None:
+                        for t3, p3, e3 in _walk_boxes(b, p2, e2):
+                            # tkhd v0: width/height are 16.16 fixed at
+                            # payload offsets 76/80 (after matrix)
+                            if t3 == b"tkhd" and p3 + 84 <= e3:
+                                w = int.from_bytes(b[p3 + 76 : p3 + 80], "big") >> 16
+                                h = int.from_bytes(b[p3 + 80 : p3 + 84], "big") >> 16
+                                if w and h:  # audio tracks carry 0x0
+                                    out["width"], out["height"] = w, h
+        out["track_count"] = n_traks if n_traks else None
     elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         out["format"] = "wav"
         i = 12
@@ -265,6 +347,10 @@ def probe_media(
                     "duration_ms": pd.array(
                         [p["duration_ms"] for p in parsed], dtype="Int32"
                     ),
+                    "track_count": pd.array(
+                        [p["track_count"] for p in parsed], dtype="Int32"
+                    ),
+                    "codec": [p["codec"] for p in parsed],
                 }
             )
 
@@ -750,15 +836,81 @@ def synth_decodable_media_bytes(media_id: int) -> bytes:
     )
 
 
-def synth_media_bytes(media_id: int) -> bytes:
-    """Deterministic VALID container bytes per id (test/differential
-    input): PNG (id%3==0), GIF (id%3==1), WAV (id%3==2) with
-    dimensions/duration derived arithmetically from the id — an oracle
-    can predict the probe output without parsing anything."""
+_BMFF_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 12 + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x40\x00\x00\x00"
+)  # unity transform matrix (ISO 14496-12 §8.2.2.2)
+
+_BMFF_CODECS = ["avc1", "mp4a", "hvc1", "av01", "vp09"]
+
+
+def _bmff_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def synth_mp4_bytes(media_id: int) -> bytes:
+    """Deterministic VALID minimal ISO-BMFF bytes per id: ftyp + moov
+    (mvhd + N trak(tkhd + mdia/minf/stbl/stsd)) + mdat. Every probed
+    field is an arithmetic function of the id so an oracle can predict
+    the probe output without parsing: duration_ms = 250*(1+id%8),
+    track_count = 1+id%3, codec = _BMFF_CODECS[id%5], first-track
+    width/height = 16+id%320 / 16+id%240 (16.16 fixed in tkhd)."""
     import struct
 
     m = int(media_id)
-    if m % 3 == 0:
+    timescale, duration_ms = 1000, 250 * (1 + m % 8)
+    n_tracks = 1 + m % 3
+    codec = _BMFF_CODECS[m % 5].encode("ascii")
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp41")
+    mvhd = _bmff_box(
+        b"mvhd",
+        b"\x00" * 4  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration_ms)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + _BMFF_MATRIX
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", n_tracks + 1),  # next_track_ID
+    )
+    w, h = 16 + m % 320, 16 + m % 240
+    traks = b""
+    for t in range(n_tracks):
+        tw, th = (w, h) if t == 0 else (0, 0)  # only track 1 is "video"
+        tkhd = _bmff_box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"  # v0, enabled|in-movie|in-preview
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", t + 1)  # track_ID
+            + b"\x00" * 4
+            + struct.pack(">I", duration_ms)
+            + b"\x00" * 8
+            + struct.pack(">hhHh", 0, 0, 0 if tw else 0x0100, 0)
+            + _BMFF_MATRIX
+            + struct.pack(">II", tw << 16, th << 16),
+        )
+        entry_cc = codec if t == 0 else b"mp4a"
+        entry = struct.pack(">I", 16) + entry_cc + b"\x00" * 6 + struct.pack(">H", 1)
+        stsd = _bmff_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        mdia = _bmff_box(b"mdia", _bmff_box(b"minf", _bmff_box(b"stbl", stsd)))
+        traks += _bmff_box(b"trak", tkhd + mdia)
+    return ftyp + _bmff_box(b"moov", mvhd + traks) + _bmff_box(b"mdat", b"\x00" * 4)
+
+
+def synth_media_bytes(media_id: int) -> bytes:
+    """Deterministic VALID container bytes per id (test/differential
+    input): PNG (id%4==0), GIF (id%4==1), WAV (id%4==2), MP4 (id%4==3)
+    with dimensions/duration/tracks derived arithmetically from the id
+    — an oracle can predict the probe output without parsing anything."""
+    import struct
+
+    m = int(media_id)
+    if m % 4 == 3:
+        return synth_mp4_bytes(m)
+    if m % 4 == 0:
         w, h = 16 + m % 640, 16 + m % 480
         ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
         return (
@@ -768,7 +920,7 @@ def synth_media_bytes(media_id: int) -> bytes:
             + ihdr
             + b"\x00\x00\x00\x00"
         )
-    if m % 3 == 1:
+    if m % 4 == 1:
         w, h = 8 + m % 100, 8 + m % 80
         return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
     data_size = 17640 * (1 + m % 5)

@@ -380,23 +380,34 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_probe",
     """
 SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
-       CASE doc_id % 3 WHEN 0 THEN CAST(16 + doc_id % 640 AS INT)
-                       WHEN 1 THEN CAST(8 + doc_id % 100 AS INT) END AS width,
-       CASE doc_id % 3 WHEN 0 THEN CAST(16 + doc_id % 480 AS INT)
-                       WHEN 1 THEN CAST(8 + doc_id % 80 AS INT) END AS height,
-       CASE doc_id % 3 WHEN 2 THEN CAST(44100 AS INT) END AS sample_rate,
-       CASE doc_id % 3 WHEN 2 THEN CAST(100 * (1 + doc_id % 5) AS INT) END AS duration_ms
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+       CASE doc_id % 4 WHEN 0 THEN CAST(16 + doc_id % 640 AS INT)
+                       WHEN 1 THEN CAST(8 + doc_id % 100 AS INT)
+                       WHEN 3 THEN CAST(16 + doc_id % 320 AS INT) END AS width,
+       CASE doc_id % 4 WHEN 0 THEN CAST(16 + doc_id % 480 AS INT)
+                       WHEN 1 THEN CAST(8 + doc_id % 80 AS INT)
+                       WHEN 3 THEN CAST(16 + doc_id % 240 AS INT) END AS height,
+       CASE doc_id % 4 WHEN 2 THEN CAST(44100 AS INT) END AS sample_rate,
+       CASE doc_id % 4 WHEN 2 THEN CAST(100 * (1 + doc_id % 5) AS INT)
+                       WHEN 3 THEN CAST(250 * (1 + doc_id % 8) AS INT) END AS duration_ms,
+       CASE doc_id % 4 WHEN 3 THEN CAST(1 + doc_id % 3 AS INT) END AS track_count,
+       CASE WHEN doc_id % 4 = 3 THEN
+         CASE doc_id % 5 WHEN 0 THEN 'avc1' WHEN 1 THEN 'mp4a'
+              WHEN 2 THEN 'hvc1' WHEN 3 THEN 'av01' ELSE 'vp09' END
+       END AS codec
 FROM documents
 """,
 )
 def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal metadata extraction: valid PNG/GIF/WAV container
-    bytes are synthesized per id, then ``probe_media`` parses the
-    headers back (pure byte parsing, mapInPandas, zero shuffle). The
-    oracle predicts every field arithmetically — if either the builder
-    or the parser is wrong, the hashes diverge. Pixel/sample decode
-    remains the (stubbed) step that needs codec libraries."""
+    """REAL multimodal metadata extraction: valid PNG/GIF/WAV/MP4
+    container bytes are synthesized per id, then ``probe_media`` parses
+    the headers back (pure byte parsing — incl. the ISO-BMFF box walk
+    for mvhd duration / trak count / stsd codec fourcc — mapInPandas,
+    zero shuffle). The oracle predicts every field arithmetically — if
+    either the builder or the parser is wrong, the hashes diverge.
+    Pixel/sample decode remains the (stubbed) step that needs codec
+    libraries."""
     import pandas as _pd
 
     from ..operators.multimodal import probe_media, synth_media_bytes

@@ -94,14 +94,44 @@ def test_probe_media_spark_roundtrip(spark):
         synth_media_bytes,
     )
 
-    rows = [(i, synth_media_bytes(i)) for i in range(6)]
+    rows = [(i, synth_media_bytes(i)) for i in range(8)]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r["media_id"]: r for r in probe_media(df).collect()}
     assert got[0]["format"] == "png" and got[0]["width"] == 16
     assert got[1]["format"] == "gif"
     assert got[2]["format"] == "wav" and got[2]["duration_ms"] == 300
-    assert got[3]["format"] == "png" and got[3]["width"] == 19
-    assert got[5]["format"] == "wav" and got[5]["sample_rate"] == 44100
+    assert got[3]["format"] == "mp4" and got[3]["track_count"] == 1
+    assert got[4]["format"] == "png" and got[4]["width"] == 20
+    assert got[6]["format"] == "wav" and got[6]["sample_rate"] == 44100
+    assert got[7]["format"] == "mp4" and got[7]["codec"] == "hvc1"
+    # single-stream formats carry no track/codec fields
+    assert got[0]["track_count"] is None and got[2]["codec"] is None
+
+
+def test_parse_mp4_bmff_boxes():
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        parse_media_header,
+        synth_mp4_bytes,
+    )
+
+    # id 3: duration 250*(1+3%8)=1000ms, 1 track, codec av01, 19x19
+    p = parse_media_header(synth_mp4_bytes(3))
+    assert p["format"] == "mp4"
+    assert p["duration_ms"] == 1000
+    assert p["track_count"] == 1
+    assert p["codec"] == "av01"
+    assert (p["width"], p["height"]) == (19, 19)
+    # id 7: duration 250*(1+7%8)=2000ms, 1+7%3=2 tracks, codec 7%5->hvc1;
+    # second track is audio (0x0 tkhd) so dims come from track 1 only
+    p = parse_media_header(synth_mp4_bytes(7))
+    assert p["track_count"] == 2
+    assert p["codec"] == "hvc1"
+    assert p["duration_ms"] == 2000
+    assert (p["width"], p["height"]) == (16 + 7 % 320, 16 + 7 % 240)
+    # truncated/garbage boxes must not crash and must not claim fields
+    trunc = synth_mp4_bytes(3)[:40]
+    t = parse_media_header(trunc)
+    assert t["format"] == "mp4" and t["track_count"] is None
 
 
 def test_decode_roundtrip_all_formats():
