@@ -528,15 +528,255 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline-sequential decode (ITU-T T.81): marker parse → Huffman
+# entropy decode → dequantize → dezigzag → 8x8 IDCT → level shift.
+# Pure Python + numpy for the IDCT matrix product; no codec libraries.
+# Supported: 8-bit baseline SOF0, grayscale or 4:4:4 YCbCr, no restart
+# intervals, no progressive/arithmetic coding — unsupported features
+# degrade to format-only, never raise.
+# ---------------------------------------------------------------------------
+
+# Zigzag index -> natural (row-major) position, ITU-T T.81 Figure A.6.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_M = None  # lazy 8x8 DCT basis matrix (per-process, tiny)
+
+
+def _idct8(coeffs):
+    """2-D inverse DCT of one dequantized 8x8 block (natural order) →
+    8x8 int array of level-shifted, clamped samples."""
+    import numpy as np
+
+    global _IDCT_M
+    if _IDCT_M is None:
+        x = np.arange(8)
+        u = np.arange(8)
+        cu = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+        _IDCT_M = 0.5 * cu[:, None] * np.cos(
+            (2 * x[None, :] + 1) * u[:, None] * np.pi / 16.0
+        )
+    f = np.asarray(coeffs, dtype=np.float64).reshape(8, 8)
+    spatial = _IDCT_M.T @ f @ _IDCT_M
+    return np.clip(np.round(spatial + 128.0), 0, 255).astype(np.int64)
+
+
+def _jpeg_build_huff(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman table (T.81 Annex C): {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; any real marker in the stream is an error (restart
+    intervals are unsupported → caller degrades to format-only)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.i >= len(self.d):
+                raise ValueError("jpeg: eof in entropy stream")
+            byte = self.d[self.i]
+            self.i += 1
+            if byte == 0xFF:
+                nxt = self.d[self.i] if self.i < len(self.d) else None
+                if nxt != 0x00:
+                    raise ValueError("jpeg: marker in entropy stream")
+                self.i += 1
+            self.cur = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_decode(r: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to a signed amplitude."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode(b: bytes):
+    """Baseline-sequential JPEG → (values, width, height) where values
+    are grayscale bytes (1 component) or interleaved RGB (3 components,
+    4:4:4, JFIF YCbCr→RGB). None for any unsupported variant."""
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI before any scan
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0 or j + 65 > len(seg):
+                    return None  # 16-bit tables: out of baseline scope
+                qt[tq] = list(seg[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            if seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc not in (1, 3) or w <= 0 or h <= 0 or w * h > 16_777_216:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                if hv != 0x11:
+                    return None  # subsampling: out of scope (4:4:4 only)
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                if j + 17 + n > len(seg):
+                    return None
+                vals = list(seg[j + 17 : j + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_build_huff(
+                    bits, vals
+                )
+                j += 17 + n
+        elif marker == 0xDD:  # DRI: restart intervals unsupported
+            if int.from_bytes(seg[:2], "big") != 0:
+                return None
+        elif marker == 0xDA:  # SOS → decode the (single) scan
+            if frame is None:
+                return None
+            ns = seg[0]
+            sel = []
+            for c in range(ns):
+                sel.append((seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15))
+            return _jpeg_scan(b, i + 2 + seg_len, frame, sel, qt, huff_dc, huff_ac)
+        i += 2 + seg_len
+    return None
+
+
+def _jpeg_scan(b, pos, frame, sel, qt, huff_dc, huff_ac):
+    import numpy as np
+
+    w, h, comps = frame
+    if len(sel) != len(comps):
+        return None  # multi-scan files: out of scope
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    plan = []
+    for cs, td, ta in sel:
+        match = [q for cid, q in comps if cid == cs]
+        if not match or match[0] not in qt or td not in huff_dc or ta not in huff_ac:
+            return None
+        plan.append((qt[match[0]], huff_dc[td], huff_ac[ta]))
+    r = _JpegBits(b, pos)
+    preds = [0] * len(plan)
+    planes = np.zeros((len(plan), by * 8, bx * 8), dtype=np.int64)
+    for mby in range(by):
+        for mbx in range(bx):
+            for ci, (q, hdc, hac) in enumerate(plan):
+                coeffs = [0] * 64
+                s = _jpeg_huff_decode(r, hdc)
+                preds[ci] += _jpeg_extend(r.read_bits(s), s)
+                coeffs[0] = preds[ci] * q[0]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_huff_decode(r, hac)
+                    rlen, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if rlen == 15:  # ZRL: skip 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rlen
+                    if k > 63:
+                        return None
+                    # DQT/stream are zigzag-ordered; place naturally
+                    coeffs[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                        r.read_bits(size), size
+                    ) * q[k]
+                    k += 1
+                blk = _idct8(coeffs)
+                planes[ci, mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = blk
+    planes = planes[:, :h, :w]
+    if len(plan) == 1:
+        return [int(v) for v in planes[0].ravel()], w, h
+    # JFIF YCbCr → RGB (T.871), rounded + clamped per channel
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.int64)
+    return [int(v) for v in rgb.ravel()], w, h
+
+
 def decode_media_bytes(content: bytes | None) -> dict:
     """REAL pixel/sample decode for PNG (8-bit RGB, non-interlaced), BMP
-    (24-bit BI_RGB), GIF (LZW → palette RGB, non-interlaced) and WAV
-    (PCM16) from raw bytes — returns summary statistics over the decoded
-    values (pixel channel bytes / audio samples). Only JPEG still needs
-    an external codec and returns format-only, and — like
-    ``parse_media_header`` — a malformed or truncated payload NEVER
-    raises: it degrades to format-only nulls so one bad blob in 100 TB
-    cannot fail the Spark job."""
+    (24-bit BI_RGB), GIF (LZW → palette RGB, non-interlaced), WAV
+    (PCM16) and JPEG (baseline sequential, grayscale / 4:4:4 — Huffman +
+    dequant + IDCT, no codec libraries) from raw bytes — returns summary
+    statistics over the decoded values (pixel channel bytes / audio
+    samples). Progressive / subsampled / restart-interval JPEGs are out
+    of scope and return format-only, and — like ``parse_media_header``
+    — a malformed or truncated payload NEVER raises: it degrades to
+    format-only nulls so one bad blob in 100 TB cannot fail the Spark
+    job."""
     import struct
     import zlib
 
@@ -623,6 +863,12 @@ def decode_media_bytes(content: bytes | None) -> dict:
                 return out  # only PCM16 handled
             n = len(data) // 2
             vals = struct.unpack(f"<{n}h", data[: n * 2])
+        elif b[:2] == b"\xff\xd8":
+            out["format"] = "jpeg"
+            decoded = _jpeg_decode(b)
+            if decoded is None:
+                return out  # unsupported variant → format-only
+            vals, _, _ = decoded
         elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 13:
             out["format"] = "gif"
             flags = b[10]
@@ -696,8 +942,8 @@ def decode_media(
     df: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
     """Arrow-batched REAL decode over binary blobs (mapInPandas, zero
-    shuffle): PNG/BMP/GIF/WAV pixels/samples parsed with the stdlib
-    only."""
+    shuffle): PNG/BMP/GIF/WAV/JPEG pixels/samples parsed with the
+    stdlib (+ numpy for the JPEG IDCT) only."""
     decode = decode_media_bytes
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -723,6 +969,91 @@ def decode_media(
             )
 
     return df.select(id_col, content_col).mapInPandas(run, DECODE_SCHEMA)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte-stuffing and 1-bit padding
+    (T.81 F.1.2.3) — the encoder half of the lockstep fixture pair."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)
+                self.buf = 0
+                self.nbits = 0
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.buf = (self.buf << pad) | ((1 << pad) - 1)
+            self.out.append(self.buf)
+            if self.buf == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def synth_jpeg_bytes(media_id: int) -> bytes:
+    """Deterministic VALID baseline-sequential grayscale JPEG per id,
+    built for arithmetic oracle prediction: uniform quant table of 8s
+    and DC-only blocks (all AC = EOB), so block ``bi`` decodes to a flat
+    8x8 of exactly ``((id + 7*bi) % 128) + 64`` (IDCT of a DC-only block
+    is uniform DC*q/8 = DC, level-shifted +128). Dimensions
+    w = 8*(1+id%4), h = 8*(1+id%3). Custom minimal Huffman tables are
+    DECLARED in DHT (canonical: DC sizes 0-7 as 4-bit codes, AC EOB as a
+    1-bit code) — the decoder builds whatever the file declares, so the
+    pair exercises the real DHT/entropy path end to end."""
+    import struct
+
+    m = int(media_id)
+    bx, by = 1 + m % 4, 1 + m % 3
+    w, h = 8 * bx, 8 * by
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01"
+        + bytes([1, 0x11, 0])
+    )
+    dc_bits = bytes([0, 0, 0, 8] + [0] * 12)  # 8 symbols, all 4-bit codes
+    dc_vals = bytes(range(8))  # size categories 0..7 (|diff| <= 127)
+    ac_bits = bytes([1] + [0] * 15)  # single 1-bit code
+    ac_vals = bytes([0x00])  # EOB
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(dc_vals)) + b"\x00"
+        + dc_bits + dc_vals
+        + b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(ac_vals)) + b"\x10"
+        + ac_bits + ac_vals
+    )
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">H", 8)
+        + b"\x01"
+        + bytes([1, 0x00])
+        + bytes([0, 63, 0])
+    )
+    bw = _JpegBitWriter()
+    pred = 0
+    for bi in range(bx * by):
+        dc = ((m + 7 * bi) % 128) - 64
+        diff = dc - pred
+        pred = dc
+        s = abs(diff).bit_length()
+        bw.write(s, 4)  # canonical: symbol s <-> 4-bit code s
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.write(0, 1)  # EOB
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.finish() + b"\xff\xd9"
 
 
 def synth_decodable_media_bytes(media_id: int) -> bytes:

@@ -504,9 +504,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decode_media`` inflates/unfilters/unpacks them back to raw values
     with the stdlib. The oracle predicts every decoded statistic
     arithmetically from the generator formulas, so an error in EITHER
-    the encoder or the decoder breaks the hash. Only JPEG pixel decode
-    still requires a codec and remains behind the documented stub
-    (extract_features)."""
+    the encoder or the decoder breaks the hash. JPEG pixel decode is
+    covered by its own query (`multimodal_decode_jpeg`, registry_ext6)
+    with a real baseline-sequential Huffman+IDCT decoder."""
     import pandas as _pd
 
     from ..operators.multimodal import decode_media, synth_decodable_media_bytes

@@ -71,3 +71,55 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_recall(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.1
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_jpeg — REAL baseline-sequential JPEG pixel decode
+# (Huffman + dequant + IDCT, operators/multimodal.py:_jpeg_decode).
+# Fixtures are DC-only grayscale JPEGs with a uniform quant table of 8s,
+# so block bi of media m decodes to a flat 8x8 of ((m + 7*bi) % 128) + 64
+# exactly — every statistic the decoder produces is predicted
+# arithmetically by the oracle. An error in the marker writer, Huffman
+# tables, entropy coding, dequantization OR the IDCT breaks the hash.
+# ---------------------------------------------------------------------------
+
+_JPEG_DECODE_SQL = """
+WITH g AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 4 AS INT) AS bx,
+         CAST(1 + doc_id % 3 AS INT) AS by
+  FROM documents
+),
+px AS (
+  SELECT media_id, bx, by, ((media_id + 7 * bi) % 128) + 64 AS v
+  FROM g CROSS JOIN generate_series(0, 11) bis(bi)
+  WHERE bi < bx * by
+)
+SELECT media_id, 'jpeg' AS format,
+       CAST(bx * 8 * by * 8 AS BIGINT) AS n_values,
+       round(avg(v), 6) AS mean_value,
+       CAST(min(v) AS DOUBLE) AS min_value,
+       CAST(max(v) AS DOUBLE) AS max_value
+FROM px GROUP BY media_id, bx, by
+"""
+
+
+@register("multimodal_decode_jpeg", _JPEG_DECODE_SQL)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_media, synth_jpeg_bytes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [synth_jpeg_bytes(int(m)) for m in pdf["doc_id"]],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return decode_media(media)

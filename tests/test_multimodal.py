@@ -366,3 +366,121 @@ def test_decode_never_raises_on_malformed_media():
         + b"data" + struct.pack("<I", 9999) + samples
     )
     assert decode_media_bytes(bad)["n_values"] == 4
+
+
+def _jpeg_headers(w, h, comps, quant, dc_tables, ac_tables):
+    """Test-side JPEG assembler: comps = [(cid, tq)], tables =
+    {tid: (bits, vals)}. Returns everything up to and incl. SOS."""
+    import struct
+
+    out = b"\xff\xd8"
+    for tq, q in quant.items():
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(q)
+    out += (
+        b"\xff\xc0" + struct.pack(">H", 8 + 3 * len(comps)) + b"\x08"
+        + struct.pack(">HH", h, w) + bytes([len(comps)])
+    )
+    for cid, tq in comps:
+        out += bytes([cid, 0x11, tq])
+    for tc, tables in ((0, dc_tables), (1, ac_tables)):
+        for tid, (bits, vals) in tables.items():
+            out += (
+                b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(vals))
+                + bytes([(tc << 4) | tid]) + bytes(bits) + bytes(vals)
+            )
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comps)) + bytes([len(comps)])
+    for cid, _tq in comps:
+        out += bytes([cid, 0x00])
+    out += bytes([0, 63, 0])
+    return out
+
+
+def test_jpeg_ac_coefficient_against_reference_idct():
+    """Non-flat block: DC + one AC coefficient, checked against an
+    independent textbook IDCT (explicit double loop, not the module's
+    matrix product)."""
+    import math
+
+    import numpy as np
+
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        _JpegBitWriter,
+        _jpeg_decode,
+    )
+
+    dc_tbl = ([0, 0, 0, 8] + [0] * 12, list(range(8)))
+    # AC: two 2-bit codes: 00 -> EOB (0x00), 01 -> run0/size2 (0x02)
+    ac_tbl = ([0, 2] + [0] * 14, [0x00, 0x02])
+    head = _jpeg_headers(8, 8, [(1, 0)], {0: [16] * 64}, {0: dc_tbl}, {0: ac_tbl})
+    bw = _JpegBitWriter()
+    bw.write(4, 4)       # DC size 4
+    bw.write(0b1010, 4)  # DC = +10
+    bw.write(0b01, 2)    # AC symbol run0/size2
+    bw.write(0b11, 2)    # AC value = +3 (zigzag k=1 -> natural (0,1))
+    bw.write(0b00, 2)    # EOB
+    blob = head + bw.finish() + b"\xff\xd9"
+    vals, w, h = _jpeg_decode(blob)
+    assert (w, h) == (8, 8)
+    # independent reference: F[0,0]=160, F[0,1]=48 dequantized
+    ref = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u, v, f in ((0, 0, 160.0), (0, 1, 48.0)):
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                acc += (
+                    0.25 * cu * cv * f
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    * math.cos((2 * y + 1) * v * math.pi / 16)
+                )
+            ref[x, y] = min(255, max(0, round(acc + 128)))
+    assert vals == [int(r) for r in ref.ravel()]
+
+
+def test_jpeg_color_444_ycbcr_to_rgb():
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        _JpegBitWriter,
+        _jpeg_decode,
+    )
+
+    dc_tbl = ([0, 0, 0, 8] + [0] * 12, list(range(8)))
+    ac_tbl = ([1] + [0] * 15, [0x00])
+    head = _jpeg_headers(
+        8, 8, [(1, 0), (2, 0), (3, 0)], {0: [8] * 64}, {0: dc_tbl}, {0: ac_tbl}
+    )
+    bw = _JpegBitWriter()
+    for dc in (0, 8, -8):  # Y=128, Cb=136, Cr=120 flat planes
+        s = abs(dc).bit_length()
+        bw.write(s, 4)
+        if s:
+            bw.write(dc if dc > 0 else dc + (1 << s) - 1, s)
+        bw.write(0, 1)  # EOB
+    blob = head + bw.finish() + b"\xff\xd9"
+    vals, w, h = _jpeg_decode(blob)
+    # JFIF: R=Y+1.402(Cr-128), G=Y-0.344136(Cb-128)-0.714136(Cr-128),
+    # B=Y+1.772(Cb-128) with Y=128, Cb=136, Cr=120
+    exp = [round(128 + 1.402 * -8), round(128 - 0.344136 * 8 + 0.714136 * 8),
+           round(128 + 1.772 * 8)]
+    assert vals == exp * 64
+
+
+def test_jpeg_fixture_roundtrip_and_degradation():
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        decode_media_bytes,
+        synth_jpeg_bytes,
+    )
+
+    for m in (0, 5, 11, 42):
+        out = decode_media_bytes(synth_jpeg_bytes(m))
+        bx, by = 1 + m % 4, 1 + m % 3
+        dcs = [((m + 7 * bi) % 128) + 64 for bi in range(bx * by)]
+        assert out["format"] == "jpeg"
+        assert out["n_values"] == 64 * bx * by
+        assert out["mean_value"] == round(sum(dcs) / len(dcs), 6)
+        assert out["min_value"] == float(min(dcs))
+        assert out["max_value"] == float(max(dcs))
+    # truncated entropy stream degrades to format-only, never raises
+    blob = synth_jpeg_bytes(5)
+    out = decode_media_bytes(blob[: len(blob) - 4])
+    assert out["format"] == "jpeg" and out["n_values"] is None
