@@ -1,5 +1,7 @@
 """Round-6 registry extensions: measured quality for the approximate
-dedup path (VERDICT r5 #5) and multimodal breadth.
+dedup path (VERDICT r5 #5), multimodal breadth, and the scale-technique
+flagships (salted skew join, bucketed co-located join, stream-stream
+join) plus monitoring-domain analytics (metric trend / anomaly / SCD2).
 
 Same conventions as registry.py: every computed column aliased
 identically on both engines; order-dependent float aggregates rounded
@@ -9,6 +11,7 @@ on both sides.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..sources.testdata import load_table
@@ -123,3 +126,328 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, "media_id long, content binary")
     return decode_media(media)
+
+
+# ---------------------------------------------------------------------------
+# Scale-technique flagships — the shuffle strategies the 100 TB posture
+# leans on, each proven RESULT-IDENTICAL to its naive form by the oracle.
+# ---------------------------------------------------------------------------
+
+# Deterministic per-event-type weights — a broadcast-shaped dim made
+# non-broadcast on purpose (hint) so salting has something to fix.
+_EVENT_WEIGHTS = [
+    ("click", 1.0),
+    ("error", 0.0),
+    ("purchase", 5.0),
+    ("signup", 2.0),
+    ("view", 0.2),
+]
+
+_SALTED_JOIN_SQL = (
+    "WITH dim(event_type, weight) AS (VALUES "
+    + ", ".join(f"('{k}', {w})" for k, w in _EVENT_WEIGHTS)
+    + """)
+SELECT e.event_type, count(*) AS n_events,
+       round(sum(e.value * d.weight), 6) AS weighted_value
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY e.event_type
+"""
+)
+
+
+@register("skew_join_salted", _SALTED_JOIN_SQL)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈dim join: events carries only ~5 distinct
+    event_type values, so an unsalted shuffle join lands each hot key on
+    ONE reducer (5 active tasks out of 32; at 100 TB, 5 tasks out of
+    16k). ``salted_join`` spreads every hot key over 16 reducers with a
+    deterministic (task-retry-safe) xxhash64 salt; the oracle is the
+    plain unsalted join — bit-identical output is the whole point.
+
+    The dim side is hinted SHUFFLE_HASH to keep Catalyst from
+    broadcasting it (a 5-row dim would otherwise be broadcast and no
+    salting would be needed — the demo models a dim too big to
+    broadcast, the only case salting exists for)."""
+    from ..functions.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        _EVENT_WEIGHTS, "event_type string, weight double"
+    ).hint("shuffle_hash")
+    joined = salted_join(ev, dim, on=["event_type"], salt=16)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 6).alias(
+            "weighted_value"
+        ),
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("join_bucketed", _BUCKETED_JOIN_SQL)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: both sides are written
+    ``bucketBy(8, custkey).sortBy(custkey)`` (one file per bucket — the
+    pre-write repartition makes each bucket a single task's output), so
+    the subsequent sort-merge join reads matching buckets pairwise with
+    NO Exchange and NO Sort (tests/test_ext6_queries.py asserts the
+    plan). This is the 100 TB fact⋈fact strategy: pay the shuffle once
+    at ingest, then every custkey-keyed join of any size is
+    exchange-free. Oracle = the same join unbucketed."""
+    import os
+    import tempfile
+
+    from ..sources.bucketed import read_bucketed, write_bucketed
+
+    sfname = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{sfname}")
+    tables = {
+        f"bkt_orders_{sfname}": (_t(spark, sf_dir, "orders"), "o_custkey"),
+        f"bkt_customer_{sfname}": (
+            _t(spark, sf_dir, "customer"),
+            "c_custkey",
+        ),
+    }
+    for tbl, (df, key) in tables.items():
+        write_bucketed(
+            df.repartition(8, F.col(key)),
+            tbl,
+            os.path.join(base, tbl),
+            key,
+            8,
+        )
+    o = read_bucketed(spark, f"bkt_orders_{sfname}")
+    c = read_bucketed(spark, f"bkt_customer_{sfname}")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming: watermarked stream-stream interval join (click -> purchase
+# attribution). The batch oracle is the same interval join — availableNow
+# over a finite source makes streaming and batch semantics coincide.
+# ---------------------------------------------------------------------------
+
+_STREAM_STREAM_SQL = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("stream_stream_join", _STREAM_STREAM_SQL)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to a click by the same user within the
+    preceding hour, as a watermarked stream-stream inner join
+    (streaming/joins.py): both sides buffer state bounded by
+    watermark + the time-range condition — without the range bound
+    Spark rightly rejects the join as unbounded-state. At 100 TB the
+    state store holds only rows inside the watermark horizon."""
+    from ..sources.testdata import normalize_event_ts
+    from ..streaming.joins import stream_stream_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    # left = purchases so the right-in-[left - within, left] window reads
+    # "click within the hour BEFORE the purchase".
+    joined = stream_stream_join(
+        purchases.withColumnRenamed("p_user_id", "user_id"),
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        watermark="2 hours",
+        within="1 hour",
+    ).select(F.col("l.user_id").alias("user_id"), "click_id", "purchase_id")
+    name = "stream_stream_join_result"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Monitoring-domain analytics: metric trend (per-group OLS), robust
+# anomaly flags, and SCD2 validity intervals — the dashboard-side
+# operations a model-evaluation platform runs on its metric store
+# (reference dashboards plot exactly these trends/thresholds).
+# ---------------------------------------------------------------------------
+
+_METRIC_TREND_SQL = """
+SELECT event_type, count(*) AS n,
+       round(regr_slope(value, x), 6) AS slope,
+       round(regr_intercept(value, x), 6) AS intercept,
+       round(regr_r2(value, x), 6) AS r2
+FROM (
+  SELECT event_type, value,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x
+  FROM events
+) GROUP BY event_type
+"""
+
+
+@register("metric_trend", _METRIC_TREND_SQL)
+def q_metric_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric linear trend (is this metric drifting UP over the
+    month?) as single-pass OLS: regr_slope/intercept/r2 are one
+    partial-aggregable co-moment sweep — no per-group sort, no second
+    pass, the exact shape a 100 TB metric store needs (contrast with
+    collecting a timeseries driver-side and fitting there)."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).cast(
+        "double"
+    )
+    return (
+        ev.select("event_type", "value", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("regr_slope(value, x)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(value, x)"), 6).alias(
+                "intercept"
+            ),
+            F.round(F.expr("regr_r2(value, x)"), 6).alias("r2"),
+        )
+    )
+
+
+_METRIC_ANOMALY_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.dev / (1.4826 * m.mad), 4) AS robust_z
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+WHERE round(d.dev / (1.4826 * m.mad), 4) >= 6.0
+"""
+
+
+@register("metric_anomaly", _METRIC_ANOMALY_SQL)
+def q_metric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags per metric: |value - median| / (1.4826 *
+    MAD) >= 6 — the standard robust z-score (median/MAD shrug off the
+    very outliers mean/stddev would absorb). Two grouped exact-median
+    passes + two BROADCAST joins of the 5-row stats frames back onto
+    the fact: the fact table never shuffles, so the plan scales as two
+    scans regardless of row count."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    z = F.round(F.col("dev") / (F.lit(1.4826) * F.col("mad")), 4)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id", "event_type", "value", z.alias("robust_z")
+        )
+        .where(F.col("robust_z") >= 6.0)
+    )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type AS status, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_status
+  FROM events
+),
+changes AS (
+  SELECT user_id, status, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_status IS NULL OR prev_status <> status
+)
+SELECT user_id, status, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+         AS valid_to,
+       CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+            IS NULL AS INT) AS is_current
+FROM changes
+"""
+
+
+@register("scd2_intervals", _SCD2_SQL)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build: collapse each user's
+    event stream to status CHANGE points and assign [valid_from,
+    valid_to) validity intervals (open-ended current row flagged). Both
+    window passes share the user_id partitioning, so the whole build is
+    ONE shuffle of (user, ts) pairs — the standard CDC->warehouse
+    history-table materialization."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_status"),
+    )
+    changes = ordered.where(
+        F.col("prev_status").isNull()
+        | (F.col("prev_status") != F.col("status"))
+    ).select("user_id", "status", F.col("ts").alias("valid_from"), "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "status",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )

@@ -1,0 +1,167 @@
+"""Round-6 registry queries: scale-technique flagships (salted join,
+bucketed co-located join, stream-stream join) and monitoring analytics
+(trend / anomaly / SCD2). The DuckDB differential (tools/diffcheck.py)
+proves engine parity; these tests pin the PLAN shapes and the
+semantics against independent in-process recomputations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from churn_model_evaluation_platform_spark.plans.registry_ext6 import (
+    q_join_bucketed,
+    q_metric_anomaly,
+    q_metric_trend,
+    q_scd2_intervals,
+    q_skew_join_salted,
+    q_stream_stream_join,
+)
+from churn_model_evaluation_platform_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_join_bucketed_single_exchange_and_matches_plain(spark):
+    # Force the sort-merge path: a broadcastable dim would hide the
+    # bucketing (and at 100 TB neither side broadcasts).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = q_join_bucketed(spark, SF)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the ONLY exchange is the final 5-group aggregation; the join
+        # itself reads co-located buckets
+        assert plan.count("Exchange") == 1, plan
+        got = {
+            (r["c_mktsegment"], r["n_orders"]): r["revenue"]
+            for r in out.collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    o = load_table(spark, "orders", SF)
+    c = load_table(spark, "customer", SF)
+    want = {
+        (r["c_mktsegment"], r["n_orders"]): r["revenue"]
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_skew_join_salted_matches_plain_and_drops_salt(spark):
+    out = q_skew_join_salted(spark, SF)
+    assert out.columns == ["event_type", "n_events", "weighted_value"]
+    got = {tuple(r) for r in out.collect()}
+    ev = load_table(spark, "events", SF)
+    weights = {
+        "click": 1.0,
+        "error": 0.0,
+        "purchase": 5.0,
+        "signup": 2.0,
+        "view": 0.2,
+    }
+    rows = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {
+        (r["event_type"], r["n"], round(r["s"] * weights[r["event_type"]], 6))
+        for r in rows
+    }
+    assert got == want
+
+
+def test_metric_trend_matches_numpy_ols(spark):
+    import numpy as np
+
+    out = {r["event_type"]: r for r in q_metric_trend(spark, SF).collect()}
+    ev = load_table(spark, "events", SF)
+    pdf = (
+        ev.select(
+            "event_type",
+            "value",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("double")
+            .alias("x"),
+        )
+        .toPandas()
+    )
+    for etype, grp in pdf.groupby("event_type"):
+        slope, intercept = np.polyfit(grp["x"], grp["value"], 1)
+        r = np.corrcoef(grp["x"], grp["value"])[0, 1]
+        row = out[etype]
+        assert row["n"] == len(grp)
+        assert math.isclose(row["slope"], slope, abs_tol=1e-4)
+        assert math.isclose(row["intercept"], intercept, abs_tol=1e-4)
+        assert math.isclose(row["r2"], r * r, abs_tol=1e-4)
+
+
+def test_metric_anomaly_matches_pandas_robust_z(spark):
+    out = {r["event_id"]: r["robust_z"] for r in q_metric_anomaly(spark, SF).collect()}
+    pdf = load_table(spark, "events", SF).select(
+        "event_id", "event_type", "value"
+    ).toPandas()
+    med = pdf.groupby("event_type")["value"].median()
+    pdf["dev"] = (pdf["value"] - pdf["event_type"].map(med)).abs()
+    mad = pdf.groupby("event_type")["dev"].median()
+    pdf["z"] = (pdf["dev"] / (1.4826 * pdf["event_type"].map(mad))).round(4)
+    want = pdf[pdf["z"] >= 6.0].set_index("event_id")["z"].to_dict()
+    assert out == pytest.approx(want)
+
+
+def test_scd2_intervals_contiguous_per_user(spark):
+    rows = q_scd2_intervals(spark, SF).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, "events", SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(by_user) == set(ev_counts)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        # exactly one open-ended current interval, at the end
+        assert [r["is_current"] for r in ivs] == [0] * (len(ivs) - 1) + [1]
+        for prev, nxt in zip(ivs, ivs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]  # contiguous
+            assert prev["status"] != nxt["status"]  # true change points
+        assert ivs[-1]["valid_to"] is None
+        assert len(ivs) <= ev_counts[uid]
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in q_stream_stream_join(spark, SF).collect()
+    }
+    ev = load_table(spark, "events", SF)
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour")),
+        ).collect()
+    }
+    assert got == want
