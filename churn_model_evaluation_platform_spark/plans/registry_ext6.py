@@ -451,3 +451,181 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics family: cohort retention, ordered funnel, column
+# entropy. A churn-evaluation platform's business-side counterpart —
+# churn IS (1 - retention); these are the queries its analysts run next
+# to the model metrics.
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cw, date_trunc('week', e.ts) AS aw
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+)
+SELECT CAST(cw AS DATE) AS cohort_week,
+       CAST(date_diff('day', cw, aw) // 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM activity GROUP BY cw, aw
+"""
+
+
+@register("cohort_retention", _COHORT_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly purchase-retention triangle: users grouped by the week of
+    their FIRST purchase, counted in every later week they purchased
+    again — the denominator of churn itself. Two user_id-keyed hash
+    aggregations and one user_id join share co-partitioned shuffles;
+    the final (cohort, offset) aggregate is dashboard-sized. Week
+    truncation is Monday-based on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    firsts = purchases.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    activity = (
+        purchases.join(firsts, "user_id")
+        .select("user_id", "cw", F.date_trunc("week", F.col("ts")).alias("aw"))
+        .distinct()
+    )
+    return (
+        activity.groupBy("cw", "aw")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("cw").cast("date").alias("cohort_week"),
+            F.expr("CAST(datediff(aw, cw) DIV 7 AS INT)").alias(
+                "week_offset"
+            ),
+            "n_users",
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+)
+SELECT '1_signup' AS stage, (SELECT count(*) FROM s1) AS n_users
+UNION ALL
+SELECT '2_click_24h', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT '3_purchase_24h', (SELECT count(*) FROM s3)
+"""
+
+
+@register("funnel_conversion", _FUNNEL_SQL)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with per-stage 24 h windows: first
+    signup -> first click within 24 h -> first purchase within 24 h of
+    that click (each stage's timestamp must STRICTLY follow the
+    previous stage's). Every stage is a user_id-keyed aggregate joined
+    to the previous stage on user_id — all shuffles co-partitioned on
+    the same key; stage counts are single-row aggregates unioned at
+    the end (no cross joins)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(prev: DataFrame, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(
+                (F.col("ts") > F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + F.expr("interval 24 hours"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage(s1, "click", "t1", "t2")
+    s3 = stage(s2, "purchase", "t2", "t3")
+    rows = [
+        (s1, "1_signup"),
+        (s2, "2_click_24h"),
+        (s3, "3_purchase_24h"),
+    ]
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        for df, name in rows
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+_ENTROPY_SQL = """
+SELECT 'documents.lang' AS column_name, round(entropy(lang), 6) AS entropy
+FROM documents
+UNION ALL
+SELECT 'documents.source', round(entropy(source), 6) FROM documents
+UNION ALL
+SELECT 'events.event_type', round(entropy(event_type), 6) FROM events
+"""
+
+
+@register("column_entropy", _ENTROPY_SQL)
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of categorical columns — the profiling
+    stat that catches collapsed distributions (a lang column suddenly
+    90% one value) before they poison a training mix. Computed as
+    log2(N) - sum(n*log2(n))/N over the per-value counts, one grouped
+    aggregate + one single-row aggregate per column; the DuckDB oracle
+    uses its native entropy() — two independent formulations must meet
+    at 6 decimals."""
+
+    def entropy_of(df: DataFrame, col: str, label: str) -> DataFrame:
+        counts = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return counts.agg(
+            F.round(
+                F.log2(F.sum("n"))
+                - F.sum(F.col("n") * F.log2("n")) / F.sum("n"),
+                6,
+            ).alias("entropy")
+        ).select(F.lit(label).alias("column_name"), "entropy")
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    parts = [
+        entropy_of(docs, "lang", "documents.lang"),
+        entropy_of(docs, "source", "documents.source"),
+        entropy_of(ev, "event_type", "events.event_type"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

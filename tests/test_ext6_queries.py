@@ -165,3 +165,83 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_cohort_retention_matches_pandas(spark):
+    from churn_model_evaluation_platform_spark.plans.registry_ext6 import (
+        q_cohort_retention,
+    )
+
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in q_cohort_retention(spark, SF).collect()
+    }
+    pdf = (
+        load_table(spark, "events", SF)
+        .where("event_type = 'purchase'")
+        .select("user_id", "ts")
+        .toPandas()
+    )
+    wk = pdf["ts"].dt.to_period("W").dt.start_time  # Monday-based
+    pdf = pdf.assign(aw=wk)
+    cohort = pdf.groupby("user_id")["aw"].min().rename("cw")
+    act = pdf.merge(cohort, on="user_id")[["user_id", "cw", "aw"]].drop_duplicates()
+    act["off"] = ((act["aw"] - act["cw"]).dt.days // 7).astype(int)
+    want = {
+        (str(cw.date()), off): n
+        for (cw, off), n in act.groupby(["cw", "off"]).size().items()
+    }
+    assert got == want
+
+
+def test_funnel_conversion_monotone_and_matches_pandas(spark):
+    from churn_model_evaluation_platform_spark.plans.registry_ext6 import (
+        q_funnel_conversion,
+    )
+    import pandas as pd
+
+    got = {r["stage"]: r["n_users"] for r in q_funnel_conversion(spark, SF).collect()}
+    assert (
+        got["1_signup"] >= got["2_click_24h"] >= got["3_purchase_24h"]
+    )
+    pdf = load_table(spark, "events", SF).select(
+        "user_id", "event_type", "ts"
+    ).toPandas()
+    day = pd.Timedelta(hours=24)
+    t1 = pdf[pdf.event_type == "signup"].groupby("user_id")["ts"].min()
+    clicks = pdf[pdf.event_type == "click"].merge(t1.rename("t1"), on="user_id")
+    t2 = (
+        clicks[(clicks.ts > clicks.t1) & (clicks.ts <= clicks.t1 + day)]
+        .groupby("user_id")["ts"]
+        .min()
+    )
+    buys = pdf[pdf.event_type == "purchase"].merge(t2.rename("t2"), on="user_id")
+    t3 = (
+        buys[(buys.ts > buys.t2) & (buys.ts <= buys.t2 + day)]
+        .groupby("user_id")["ts"]
+        .min()
+    )
+    assert got == {
+        "1_signup": len(t1),
+        "2_click_24h": len(t2),
+        "3_purchase_24h": len(t3),
+    }
+
+
+def test_column_entropy_matches_scipy_free_formula(spark):
+    from churn_model_evaluation_platform_spark.plans.registry_ext6 import (
+        q_column_entropy,
+    )
+    import numpy as np
+
+    got = {r["column_name"]: r["entropy"] for r in q_column_entropy(spark, SF).collect()}
+    docs = load_table(spark, "documents", SF).select("lang", "source").toPandas()
+    ev = load_table(spark, "events", SF).select("event_type").toPandas()
+    for label, series in [
+        ("documents.lang", docs["lang"]),
+        ("documents.source", docs["source"]),
+        ("events.event_type", ev["event_type"]),
+    ]:
+        p = series.value_counts(normalize=True).to_numpy()
+        want = float(-(p * np.log2(p)).sum())
+        assert math.isclose(got[label], want, abs_tol=1e-5), label
