@@ -65,6 +65,12 @@ HEADLINE = [
     "contamination_check",
     "corpus_curation",
     "sequence_pack",
+    # round-6 additions: scale-technique flagships (salting, bucketed
+    # co-located join) + the window-heavy SCD2 build and retention triangle
+    "skew_join_salted",
+    "join_bucketed",
+    "scd2_intervals",
+    "cohort_retention",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
@@ -96,6 +102,7 @@ SLOPE_QUERIES = [
     "tfidf_top_terms",
     "contamination_check",
     "corpus_curation",
+    "scd2_intervals",
 ]
 SLOPE_TABLES = {"documents": "doc_id", "events": "event_id", "embeddings": "vec_id"}
 _VOWEL_ROTATIONS = ["aeiou", "eioua", "iouae", "ouaei"]

@@ -629,3 +629,287 @@ def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Evaluation-suite depth: ranking quality (NDCG@k) and a deterministic
+# Bayesian-bootstrap confidence interval — "the AUC moved 0.01, is that
+# real?" is THE question a model-evaluation platform answers.
+# ---------------------------------------------------------------------------
+
+# Hash-noised score: monotone-in-value plus a deterministic +-20 md5
+# swing, so the ranking is imperfect (NDCG spreads 0.78..1.0) and every
+# discordant pair is reproduced bit-identically on both engines.
+_NDCG_SCORED_SQL = """
+SELECT user_id, event_id, CAST(value > 50 AS INT) AS rel,
+       least(greatest((value
+         + (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7) AS BIGINT) % 41)
+         - 65.0) / 20.0, 0.0), 1.0) AS proba
+FROM events
+"""
+
+_NDCG_SQL = f"""
+WITH scored AS ({_NDCG_SCORED_SQL}),
+ranked AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id ORDER BY proba DESC, event_id) AS rk
+  FROM scored
+),
+agg AS (
+  SELECT user_id,
+         sum(CASE WHEN rk <= 10 THEN rel / log2(rk + 1.0) ELSE 0 END) AS dcg,
+         sum(rel) AS n_pos
+  FROM ranked GROUP BY user_id
+),
+ideal AS (
+  SELECT a.user_id, sum(1.0 / log2(i + 1.0)) AS idcg
+  FROM agg a JOIN generate_series(1, 10) t(i) ON i <= least(a.n_pos, 10)
+  GROUP BY a.user_id
+)
+SELECT a.user_id, round(a.dcg / i.idcg, 6) AS ndcg
+FROM agg a JOIN ideal i ON i.user_id = a.user_id
+WHERE a.n_pos > 0
+"""
+
+
+@register("ranking_ndcg", _NDCG_SQL)
+def q_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per user (binary gains, rel/log2(rank+1)): ranking
+    quality for recommender-style scores. One user_id window ranks by
+    score; the ideal DCG is the closed-form prefix sum evaluated with a
+    higher-order `aggregate` over `sequence(1, min(n_pos, 10))` — a
+    per-row JVM expression, no second ranking pass and no join against
+    a positions table (the oracle uses that join; two formulations must
+    agree)."""
+    from ..functions.hashing import md5_hash_int
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") > 50).cast("int").alias("rel"),
+        F.least(
+            F.greatest(
+                (
+                    F.col("value")
+                    + md5_hash_int(F.col("event_id").cast("string")) % 41
+                    - F.lit(65.0)
+                )
+                / 20.0,
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ).alias("proba"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("proba").desc(), "event_id"
+    )
+    ranked = scored.select("user_id", "rel", F.row_number().over(w).alias("rk"))
+    agg = ranked.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("rk") <= 10,
+                F.col("rel") / F.log2(F.col("rk") + F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg"),
+        F.sum("rel").alias("n_pos"),
+    )
+    idcg = F.expr(
+        "aggregate(sequence(1, CAST(least(n_pos, 10) AS INT)),"
+        " CAST(0 AS DOUBLE), (acc, i) -> acc + 1.0 / log2(CAST(i AS DOUBLE) + 1.0))"
+    )
+    return (
+        agg.where(F.col("n_pos") > 0)
+        .select("user_id", F.round(F.col("dcg") / idcg, 6).alias("ndcg"))
+    )
+
+
+_BOOTSTRAP_B = 100
+_BOOTSTRAP_SQL = f"""
+WITH reps AS (SELECT i AS b FROM generate_series(0, {_BOOTSTRAP_B - 1}) t(i)),
+w AS (
+  SELECT b, value,
+         -ln((CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 7) AS BIGINT) + 0.5) / 268435456.0) AS wt
+  FROM events CROSS JOIN reps
+),
+means AS (SELECT b, sum(wt * value) / sum(wt) AS m FROM w GROUP BY b)
+SELECT round((SELECT avg(value) FROM events), 6) AS point_mean,
+       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+       round(quantile_cont(m, 0.975), 6) AS ci_hi,
+       count(*) AS n_replicates
+FROM means
+"""
+
+
+@register("metric_bootstrap_ci", _BOOTSTRAP_SQL)
+def q_metric_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Bayesian-bootstrap CI for a metric mean (Rubin 1981): each
+    replicate reweights every row with an Exponential(1) draw
+    -ln(U) where U is a DETERMINISTIC md5 uniform of (row id,
+    replicate id) — fully reproducible across engines, retries, and
+    cluster sizes, where rand() is none of those. The replicate
+    explode is a map-side `explode(sequence(...))` and partial
+    aggregation folds each partition's B x (sum(w*v), sum(w)) pairs
+    BEFORE the shuffle — only B rows per partition move, so 100
+    replicates cost 100x compute but shuffle stays tiny. The question
+    this answers — 'f1 dropped 0.01, is that noise?' — is the
+    evaluation platform's reason to exist."""
+    from ..functions.hashing import md5_hash_int
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    w = ev.select(
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOTSTRAP_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "value",
+        (
+            -F.log(
+                (
+                    md5_hash_int(
+                        F.concat_ws(
+                            ":",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    )
+                    + F.lit(0.5)
+                )
+                / F.lit(268435456.0)
+            )
+        ).alias("wt"),
+    )
+    means = w.groupBy("b").agg(
+        (F.sum(F.col("wt") * F.col("value")) / F.sum("wt")).alias("m")
+    )
+    ci = means.agg(
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_replicates"),
+    )
+    point = ev.agg(F.round(F.avg("value"), 6).alias("point_mean"))
+    return point.crossJoin(F.broadcast(ci)).select(
+        "point_mean", "ci_lo", "ci_hi", "n_replicates"
+    )
+
+
+_QUANTIZE_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base
+)
+SELECT vec_id, len(v) AS n_dims, round(scale, 6) AS scale,
+       round(list_max(list_transform(v, x -> abs(round(x / scale) * scale - x))), 6)
+         AS max_abs_err
+FROM sc WHERE scale > 0
+"""
+
+
+@register("embedding_quantize", _QUANTIZE_SQL)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit for the ANN index: per-vector
+    scale = max|v|/127 and the worst-case reconstruction error of
+    round(v/scale)*scale — the number that says whether the quantized
+    index can stand in for full-precision vectors. All JVM-side
+    higher-order array expressions (`transform`/`array_max`): 4x
+    memory/bandwidth reduction decided without a single Python row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    base = emb.select("vec_id", v.alias("v"))
+    sc = base.select(
+        "vec_id",
+        "v",
+        (F.array_max(F.expr("transform(v, x -> abs(x))")) / 127.0).alias(
+            "scale"
+        ),
+    )
+    return sc.where(F.col("scale") > 0).select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.round("scale", 6).alias("scale"),
+        F.round(
+            F.array_max(
+                F.expr("transform(v, x -> abs(round(x / scale) * scale - x))")
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming: native session_window aggregation (gap-merged sessions as a
+# STATEFUL streaming operator, vs the batch `sessionize` which derives
+# sessions with window functions). Oracle derives the same sessions by
+# hand: new session iff the event is >= gap after its predecessor.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP = "30 minutes"
+
+_STREAM_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTES AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("stream_session_window", _STREAM_SESSION_SQL)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregation with Spark's NATIVE
+    ``session_window`` (dynamic gap-merged windows held in the state
+    store — the operator the manual batch `sessionize` composition
+    replaces in streaming). State is keyed (user, open session) and
+    sessions merge as events arrive; with a watermark, closed sessions
+    are evicted, bounding state by the gap + lateness horizon at any
+    input rate. Complete output mode here so the finite-source drain
+    emits every session for the oracle."""
+    from ..sources import testdata
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = testdata.normalize_event_ts(
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", _SESSION_GAP), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = "stream_session_window_result"
+    q = (
+        agg.select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -245,3 +245,115 @@ def test_column_entropy_matches_scipy_free_formula(spark):
         p = series.value_counts(normalize=True).to_numpy()
         want = float(-(p * np.log2(p)).sum())
         assert math.isclose(got[label], want, abs_tol=1e-5), label
+
+
+def test_ranking_ndcg_matches_pure_python(spark):
+    from churn_model_evaluation_platform_spark.functions.hashing import (
+        md5_hash_int,
+    )
+    from churn_model_evaluation_platform_spark.plans.registry_ext6 import (
+        q_ranking_ndcg,
+    )
+
+    got = {r["user_id"]: r["ndcg"] for r in q_ranking_ndcg(spark, SF).collect()}
+    pdf = (
+        load_table(spark, "events", SF)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            md5_hash_int(F.col("event_id").cast("string")).alias("h"),
+        )
+        .toPandas()
+    )
+    pdf["rel"] = (pdf["value"] > 50).astype(int)
+    pdf["proba"] = ((pdf["value"] + pdf["h"] % 41 - 65.0) / 20.0).clip(0.0, 1.0)
+    import math as m
+
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values(["proba", "event_id"], ascending=[False, True])
+        rels = grp["rel"].tolist()
+        n_pos = sum(rels)
+        if n_pos == 0:
+            continue
+        dcg = sum(r / m.log2(i + 2) for i, r in enumerate(rels[:10]))
+        idcg = sum(1 / m.log2(i + 2) for i in range(min(n_pos, 10)))
+        want[uid] = round(dcg / idcg, 6)
+    assert set(got) == set(want)
+    for uid in want:
+        assert math.isclose(got[uid], want[uid], abs_tol=1e-6), uid
+
+
+def test_metric_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from churn_model_evaluation_platform_spark.plans.registry_ext6 import (
+        q_metric_bootstrap_ci,
+    )
+
+    r1 = q_metric_bootstrap_ci(spark, SF).collect()[0]
+    r2 = q_metric_bootstrap_ci(spark, SF).collect()[0]
+    assert tuple(r1) == tuple(r2)  # hash weights, not rand(): reproducible
+    assert r1["n_replicates"] == 100
+    assert r1["ci_lo"] < r1["point_mean"] < r1["ci_hi"]
+    # width should be a few standard errors, not degenerate or huge
+    import numpy as np
+
+    vals = (
+        load_table(spark, "events", SF).select("value").toPandas()["value"].to_numpy()
+    )
+    se = vals.std(ddof=1) / np.sqrt(len(vals))
+    width = r1["ci_hi"] - r1["ci_lo"]
+    assert 2 * se < width < 8 * se
+
+
+def test_embedding_quantize_matches_numpy(spark):
+    import numpy as np
+
+    from churn_model_evaluation_platform_spark.plans.registry_ext6 import (
+        q_embedding_quantize,
+    )
+
+    got = {
+        r["vec_id"]: (r["n_dims"], r["scale"], r["max_abs_err"])
+        for r in q_embedding_quantize(spark, SF).collect()
+    }
+    pdf = load_table(spark, "embeddings", SF).toPandas()
+    for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+        v = np.asarray(emb, dtype=np.float64)
+        scale = np.abs(v).max() / 127.0
+        if scale <= 0:
+            assert vec_id not in got
+            continue
+        # numpy rounds half-to-even; engines round half-away — avoid
+        # asserting on exact .5 boundaries by recomputing their way
+        q = np.floor(np.abs(v) / scale + 0.5) * np.sign(v)
+        err = np.abs(q * scale - v).max()
+        nd, s, e = got[vec_id]
+        assert nd == len(v)
+        assert math.isclose(s, round(scale, 6), abs_tol=1e-9)
+        assert math.isclose(e, round(err, 6), abs_tol=1e-9), vec_id
+
+
+def test_stream_session_window_equals_batch_session_window(spark):
+    from churn_model_evaluation_platform_spark.plans.registry_ext6 import (
+        q_stream_session_window,
+    )
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in q_stream_session_window(spark, SF).collect()
+    }
+    ev = load_table(spark, "events", SF)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert got == want

@@ -56,6 +56,8 @@ SINGLE_ROW_CROSS_OK = {
     # corpus_curation: three keyless count(1) one-row aggregates
     # (n_quality / n_kept / token totals) crossed into the summary row.
     "corpus_curation",
+    # point-estimate row crossed with the single-row CI aggregate
+    "metric_bootstrap_ci",
 }
 
 # Every oracled query is audited. The only exclusions are the three
