@@ -913,3 +913,72 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_corpus — the ACTION after contamination_check detects:
+# drop every corpus doc sharing >= 5 shingles with an eval/benchmark doc
+# (other than itself; the synthetic bench is every 97th doc), and
+# account for what survives. Summary-row differential like
+# corpus_curation: every count exact.
+# ---------------------------------------------------------------------------
+
+
+def _decontaminate_sql() -> str:
+    from .registry_ext import _TOKENS_SQL
+
+    return f"""
+{_SHINGLE_HASH_CTE},
+bsh AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 97 = 0),
+common AS (
+  SELECT s.doc_id, b.bench_id, count(*) AS common
+  FROM sh s JOIN bsh b ON s.h = b.h
+  GROUP BY s.doc_id, b.bench_id
+),
+cont AS (
+  SELECT DISTINCT doc_id FROM common
+  WHERE common >= 5 AND doc_id <> bench_id
+),
+kept AS (
+  SELECT d.* FROM documents d LEFT JOIN cont ON cont.doc_id = d.doc_id
+  WHERE cont.doc_id IS NULL
+)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM cont) AS BIGINT) AS n_contaminated,
+       CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_kept,
+       CAST((SELECT sum(len({_TOKENS_SQL})) FROM kept) AS BIGINT) AS kept_tokens
+"""
+
+
+@register("decontaminate_corpus", _decontaminate_sql())
+def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination end-to-end: detection (broadcast
+    eval-set shingle collision, corpus text never shuffles) -> LEFT
+    ANTI join removal -> surviving-token accounting. The anti join's
+    build side is the contaminated-id set (eval-sized by construction,
+    broadcastable at any corpus scale), so removal is a map-side
+    filter over the 100 TB side."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    pairs = dedup.contamination_pairs(docs, bench, n=3, min_common=5)
+    cont = (
+        pairs.where(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    kept = docs.join(F.broadcast(cont), "doc_id", "left_anti")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_cont = cont.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    n_kept = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    toks = kept.select(F.size(tokens(F.col("text"))).alias("n")).agg(
+        F.sum("n").cast("bigint").alias("kept_tokens")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_cont))
+        .crossJoin(F.broadcast(n_kept))
+        .crossJoin(F.broadcast(toks))
+    )

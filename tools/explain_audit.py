@@ -58,6 +58,8 @@ SINGLE_ROW_CROSS_OK = {
     "corpus_curation",
     # point-estimate row crossed with the single-row CI aggregate
     "metric_bootstrap_ci",
+    # four keyless one-row aggregates crossed into the summary row
+    "decontaminate_corpus",
 }
 
 # Every oracled query is audited. The only exclusions are the three
