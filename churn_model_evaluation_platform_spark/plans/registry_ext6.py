@@ -982,3 +982,79 @@ def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_kept))
         .crossJoin(F.broadcast(toks))
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine capabilities not yet demonstrated: semi-structured JSON columns
+# and event-time RANGE window frames.
+# ---------------------------------------------------------------------------
+
+_JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+@register("json_props_agg", _JSON_PROPS_SQL)
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: events.props carries a JSON
+    object; `from_json` with an EXPLICIT schema parses it JVM-side
+    (one pass, no inference job over 100 TB, malformed rows -> NULL not
+    error) and the extracted field aggregates like any column. The
+    DuckDB oracle goes through json_extract path syntax — a different
+    JSON implementation must produce the same numbers."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# Rolling sums accumulate in integer CENTS (values carry 2 decimals):
+# windowed double sums are evaluated in engine-specific orders (segment
+# tree vs sliding add/remove), which drifts past 6 dp once frames reach
+# hundreds of rows, and a rounded average still trips round-half
+# boundaries (sum/100/n lands on exact 5e-7 multiples) — integer
+# (n, sum_cents) is exact in any order; the caller divides for display.
+_ROLLING_SQL = """
+SELECT event_id,
+       count(*) OVER w AS rolling_n,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS rolling_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rolling_metrics", _ROLLING_SQL)
+def q_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rolling smoothing (the dashboard's moving-average
+    line): a RANGE frame over the previous 6 h per metric — frame
+    membership is defined by TIME, not row count, so ties and uneven
+    sampling are handled exactly. One shuffle on the partition key;
+    within a partition the frame slides monotonically (O(n) two-pointer
+    evaluation, no per-row rescan). The windowed sum runs in integer
+    cents so the result is exact and order-independent (see
+    _ROLLING_SQL note); the moving average is sum_cents/100/n at
+    display time."""
+    ev = _t(spark, sf_dir, "events")
+    frame = (
+        "(PARTITION BY event_type ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)"
+    )
+    return ev.selectExpr(
+        "event_id",
+        f"count(*) OVER {frame} AS rolling_n",
+        f"""sum(CAST(round(value * 100) AS BIGINT)) OVER {frame}
+           AS rolling_sum_cents""",
+    )
