@@ -178,4 +178,46 @@ def sessionize(
     ).drop("__new")
 
 
-__all__ = ["asof_join", "interval_join", "sessionize"]
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    status_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each key's
+    ordered status stream to CHANGE points and assign half-open
+    [valid_from, valid_to) validity intervals; the open-ended current
+    row is flagged ``is_current = 1``.
+
+    Output: (key, status, valid_from, valid_to, is_current). Both
+    window passes (lag to find changes, lead to close intervals) share
+    the same ``key`` partitioning, so the whole build is ONE shuffle of
+    (key, ts) pairs — the standard CDC -> warehouse history-table
+    materialization.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak_col)
+    ordered = df.select(
+        key,
+        F.col(status_col).alias("status"),
+        ts_col,
+        tiebreak_col,
+        F.lag(status_col).over(w).alias("__prev"),
+    )
+    changes = ordered.where(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col("status"))
+    ).select(
+        key, "status", F.col(ts_col).alias("valid_from"), tiebreak_col
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from", tiebreak_col)
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
+        key,
+        "status",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+__all__ = ["asof_join", "interval_join", "scd2_intervals", "sessionize"]

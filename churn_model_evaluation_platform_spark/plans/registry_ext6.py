@@ -426,30 +426,15 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid_to) validity intervals (open-ended current row flagged). Both
     window passes share the user_id partitioning, so the whole build is
     ONE shuffle of (user, ts) pairs — the standard CDC->warehouse
-    history-table materialization."""
-    ev = _t(spark, sf_dir, "events")
-    from pyspark.sql import Window
+    history-table materialization (operators/relational.py)."""
+    from ..operators.relational import scd2_intervals
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = ev.select(
-        "user_id",
-        F.col("event_type").alias("status"),
-        "ts",
-        "event_id",
-        F.lag("event_type").over(w).alias("prev_status"),
-    )
-    changes = ordered.where(
-        F.col("prev_status").isNull()
-        | (F.col("prev_status") != F.col("status"))
-    ).select("user_id", "status", F.col("ts").alias("valid_from"), "event_id")
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
-    nxt = F.lead("valid_from").over(w2)
-    return changes.select(
-        "user_id",
-        "status",
-        "valid_from",
-        nxt.alias("valid_to"),
-        nxt.isNull().cast("int").alias("is_current"),
+    return scd2_intervals(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        status_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
     )
 
 

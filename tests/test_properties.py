@@ -217,3 +217,111 @@ def test_auc_matches_pairwise_definition(spark, xs):
         1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
     )
     assert abs(auc - wins / (len(pos) * len(neg))) < 1e-9
+
+
+# --- round-6 operators -----------------------------------------------------
+
+join_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), st.integers(-50, 50)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(join_rows, join_rows, st.integers(min_value=1, max_value=8))
+def test_salted_join_equals_plain_join(spark, lrows, rrows, salt):
+    from churn_model_evaluation_platform_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame(lrows or [(99, 0)], "k int, lv int")
+    right = spark.createDataFrame(rrows or [(98, 0)], "k int, rv int")
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(left, right, on=["k"], salt=salt, how=how)
+            .select("k", "lv", "rv")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in left.join(right, "k", how).select("k", "lv", "rv").collect()
+        )
+        assert got == want, (how, salt)
+
+
+scd_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.sampled_from(["a", "b", "c"]),  # status
+        st.integers(min_value=0, max_value=50),  # ts
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(scd_rows)
+def test_scd2_intervals_match_python_model(spark, rows):
+    from churn_model_evaluation_platform_spark.operators.relational import (
+        scd2_intervals,
+    )
+
+    # unique tiebreak id per row (ties in ts resolved identically)
+    data = [(k, s, t, i) for i, (k, s, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, status string, ts int, rid int")
+    got = sorted(
+        tuple(r)
+        for r in scd2_intervals(df, "k", "status", "ts", "rid").collect()
+    )
+    # python model: sort by (ts, rid) per key, keep change points,
+    # close each interval with the next change's ts
+    want = []
+    bykey: dict = {}
+    for k, s, t, i in sorted(data, key=lambda r: (r[0], r[2], r[3])):
+        bykey.setdefault(k, []).append((s, t))
+    for k, seq in bykey.items():
+        changes = [
+            (s, t) for j, (s, t) in enumerate(seq) if j == 0 or s != seq[j - 1][0]
+        ]
+        for j, (s, t) in enumerate(changes):
+            nxt = changes[j + 1][1] if j + 1 < len(changes) else None
+            want.append((k, s, t, nxt, int(nxt is None)))
+    assert got == sorted(want)
+
+
+session_ts = st.lists(
+    st.integers(min_value=0, max_value=10_000),  # seconds
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(session_ts)
+def test_native_session_window_matches_manual_gap_model(spark, secs):
+    # Two independent formulations of 30s-gap sessions must agree:
+    # Spark's native session_window vs a python gap-merge.
+    rows = [(1, s) for s in secs]
+    df = spark.createDataFrame(rows, "uid int, sec long").select(
+        "uid", F.timestamp_seconds("sec").alias("ts")
+    )
+    got = sorted(
+        (r["start_sec"], r["end_sec"], r["n"])
+        for r in df.groupBy(F.session_window("ts", "30 seconds"), "uid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("session_window.start").alias("start_sec"),
+            F.unix_timestamp("session_window.end").alias("end_sec"),
+            "n",
+        )
+        .collect()
+    )
+    want = []
+    for s in sorted(secs):
+        if want and s < want[-1][1]:  # strictly inside [start, last+30)
+            start, _, n = want[-1]
+            want[-1] = (start, s + 30, n + 1)
+        else:
+            want.append((s, s + 30, 1))
+    assert got == [tuple(w) for w in want]
