@@ -79,3 +79,103 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(id, pr) — power-iteration PageRank over directed ``edges`` for a
+    fixed ``iters`` rounds (the batch-analytics form: fixed budget, not
+    convergence-tested, so the plan depth is known up front).
+
+    ``teleport`` is passed explicitly rather than computed as
+    ``1 - damping`` so both engines of a differential check evaluate the
+    *same* IEEE literal (1 - 0.85 != 0.15 in doubles).
+
+    Scale notes:
+    - Each round is one shuffle: join ranks to edges on src (both
+      pre-partitioned on the vertex id), then a partial-aggregated sum
+      on dst. Contributions are (dst, double) pairs — never payloads.
+    - Dangling vertices (no out-edges) keep receiving the teleport
+      share; callers that need the full dangling-mass redistribution
+      should symmetrize the edge set first (every vertex then has
+      out-degree >= 1), which is also what near-duplicate similarity
+      graphs want.
+    - N is a driver scalar (one count) — the standard iterative-algo
+      pattern, not a per-row collect.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    base = teleport / n
+    pr = verts.select("id", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        inflow = (
+            e.join(pr.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = verts.join(inflow, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr
+
+
+def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Single row (n_triangles) — count of distinct triangles in the
+    undirected graph given as distinct pairs with ``a < b``.
+
+    Uses degree-based edge orientation (the MapReduce triangle-counting
+    scheme of Suri & Vassilvitskii, WWW'11): orient every edge from the
+    endpoint with smaller (degree, id) to the larger, then join wedges
+    formed at each vertex's *out*-neighborhood against the oriented edge
+    set. Out-degrees are bounded by O(sqrt(m)), so the wedge join emits
+    O(m^1.5) rows worst-case instead of sum(deg^2) — the difference
+    between survivable and not when a hub vertex shows up at 100 TB.
+    Output counts each triangle exactly once.
+    """
+    und = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    sym = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    ranked = (
+        sym.join(deg.withColumnRenamed("u", "u").withColumnRenamed("deg", "du"), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+    )
+    oriented = ranked.where(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"),
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+    ).select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    ).unionAll(oriented.select(F.col("v").alias("x"), F.col("u").alias("y")))
+    return (
+        wedges.join(closing, ["x", "y"])
+        .agg(F.count("*").alias("n_triangles"))
+    )

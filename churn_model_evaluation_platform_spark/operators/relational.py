@@ -221,3 +221,95 @@ def scd2_intervals(
 
 
 __all__ = ["asof_join", "interval_join", "scd2_intervals", "sessionize"]
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    ts_out: str = "near_ts",
+) -> DataFrame:
+    """Nearest-neighbor as-of join: each ``left`` row picks up the
+    ``right`` row minimizing ``abs(right_ts - left_ts)`` within the same
+    key; exact-distance ties prefer the earlier (at-or-before) match,
+    so semantics degrade gracefully to the plain backward as-of.
+
+    Built as the same union-tag composition as :func:`asof_join`, but
+    with TWO ordered window passes over the one unioned frame — an
+    ascending pass carrying the latest right payload at-or-before each
+    row, and a descending pass carrying the earliest right payload
+    at-or-after — then a per-row distance comparison. One shuffle on the
+    key, two sorts that share the exchange; still no range join and no
+    row multiplication.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join_nearest supports inner/left, got {how!r}")
+    rcols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    r_payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        r_payload.alias("__r"),
+    )
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r_tagged.schema["__r"].dataType).alias("__r"),
+        *[F.col(c).alias(f"__lc_{i}") for i, c in enumerate(left.columns)],
+    )
+    r_tagged = r_tagged.select(
+        "*",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__lc_{i}")
+            for i, c in enumerate(left.columns)
+        ],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # Backward: right sorts before left at equal ts (inclusive >=).
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Forward: descending ts, right still first at equal ts (inclusive <=).
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__is_left",
+        "__ts",
+        *[F.col(f"__lc_{i}") for i in range(len(left.columns))],
+        F.last("__r", ignorenulls=True).over(w_back).alias("__mb"),
+        F.last("__r", ignorenulls=True).over(w_fwd).alias("__mf"),
+    ).where(F.col("__is_left") == 1)
+    d_back = F.col("__ts") - F.col("__mb.__rts")
+    d_fwd = F.col("__mf.__rts") - F.col("__ts")
+    pick_back = F.col("__mb").isNotNull() & (
+        F.col("__mf").isNull() | (d_back <= d_fwd)
+    )
+    chosen = carried.select(
+        *[F.col(f"__lc_{i}") for i in range(len(left.columns))],
+        F.when(pick_back, F.col("__mb")).otherwise(F.col("__mf")).alias("__m"),
+    )
+    if how == "inner":
+        chosen = chosen.where(F.col("__m").isNotNull())
+    return chosen.select(
+        *[
+            F.col(f"__lc_{i}").alias(c)
+            for i, c in enumerate(left.columns)
+        ],
+        F.col("__m.__rts").alias(ts_out),
+        *[F.col(f"__m.{c}").alias(c) for c in rcols],
+    )

@@ -60,6 +60,8 @@ SINGLE_ROW_CROSS_OK = {
     "metric_bootstrap_ci",
     # four keyless one-row aggregates crossed into the summary row
     "decontaminate_corpus",
+    # single-row quartile-boundaries aggregate broadcast into the assign
+    "quantile_bins",
 }
 
 # Every oracled query is audited. The only exclusions are the three
