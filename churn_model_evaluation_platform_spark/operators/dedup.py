@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash_int, minhash_perms, perm_expr
@@ -610,3 +610,127 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc novelty audit: the fraction of a document's distinct
+    n-gram shingles that no earlier document (smaller id — ingestion
+    order) has already contributed. Training-data curation uses this to
+    rank late arrivals by marginal information and to spot crawl echoes
+    that exact/near dedup miss (documents stitched from seen fragments).
+
+    Output: (id_col, n_sh, n_novel, novelty).
+
+    Scale: one groupBy(shingle_hash) min-aggregate (map-side combined,
+    shuffles 8-byte hashes — never text) and one hash-co-partitioned
+    join back, then a per-doc count aggregate. Both wide ops key on the
+    shingle hash first, so the heaviest shuffle is bounded by the
+    distinct-shingle count, not pairs.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    first = sh.groupBy("sh").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        sh.join(first, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum((F.col("first_id") == F.col("id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_sh",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_sh").cast("double"), 6
+        ).alias("novelty"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k_rare: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sub-document containment pairs via RARE-SHINGLE BLOCKING: score
+    ``|A∩B| / min(|A|, |B|)`` (Broder's containment) — the asymmetric
+    overlap that catches a document CONTAINED in a longer one, where
+    Jaccard dilutes toward 0 as the size ratio grows.
+
+    MinHash-banded LSH is the WRONG candidate generator here: bands
+    collide with probability ~jaccard^r, and containment pairs have low
+    Jaccard by definition (that is why they need a separate operator).
+    Instead, candidates are docs sharing any of each doc's ``k_rare``
+    globally rarest shingles (rare-token blocking, the entity-resolution
+    standard): if A ⊆ B then every shingle of A — including its rarest —
+    is in B, so full-containment recall is exactly 1.0; for partial
+    overlap ≥ threshold the miss probability decays like
+    (1-threshold)^k_rare. Bucket sizes are bounded by shingle document
+    frequency — rare by construction — so the blocking join is
+    near-linear, never the quadratic shingle self-join.
+
+    Output: (id_a, id_b, containment, jaccard) with containment ≥
+    threshold and id_a < id_b; jaccard rides along so consumers can
+    split true near-dups (both high) from strict near-supersets
+    (containment high, jaccard low).
+
+    Scale: doc-frequency is a groupBy over 8-byte hashes; the per-doc
+    k-rarest selection is a doc-partitioned window (key-distributed);
+    the blocking join's skew is capped because a shingle with high df
+    ranks out of everyone's rare set. Verification is array_intersect
+    on candidate ids only, as in lsh_verified_pairs.
+    """
+    arr = (
+        ensure_parallelism(df)
+        .where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingle_hashes(F.col(text_col), n)).alias("shs"),
+        )
+    )
+    sh = arr.select("id", F.explode("shs").alias("h"))
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "h")
+    rare = (
+        sh.join(freq, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_rare)
+        .select("id", "h")
+    )
+    cand = (
+        rare.alias("r")
+        .join(
+            sh.alias("s"),
+            (F.col("s.h") == F.col("r.h")) & (F.col("s.id") != F.col("r.id")),
+        )
+        .select(
+            F.least("r.id", "s.id").alias("id_a"),
+            F.greatest("r.id", "s.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    pairs = cand.join(
+        arr.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a"
+    ).join(
+        arr.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = inter.cast("double") / F.least(
+        F.size("sh_a"), F.size("sh_b")
+    ).cast("double")
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    return pairs.select(
+        "id_a", "id_b", cont.alias("containment"), jac.alias("jaccard")
+    ).where(F.col("containment") >= F.lit(threshold))

@@ -370,3 +370,145 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty — per-doc fraction of shingles no earlier (smaller-id)
+# doc contributed: the marginal-information audit of a crawl.
+# ---------------------------------------------------------------------------
+
+
+def _novelty_sql() -> str:
+    from .registry_ext import _SHINGLE_HASH_CTE
+
+    return f"""
+{_SHINGLE_HASH_CTE},
+first AS (SELECT h, min(doc_id) AS first_id FROM sh GROUP BY h)
+SELECT doc_id,
+       count(*) AS n_sh,
+       CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM sh JOIN first USING (h)
+GROUP BY doc_id
+"""
+
+
+@register("ngram_novelty", _novelty_sql())
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # groupBy(shingle-hash) min + hash-co-partitioned join back —
+    # heaviest shuffle bounded by distinct-shingle count, never pairs
+    # (operators/dedup.py:ngram_novelty).
+    from ..operators.dedup import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — rare-shingle-blocked candidates verified by
+# CONTAINMENT |A∩B| / min(|A|,|B|) (Broder): flags near-supersets whose
+# Jaccard dilutes toward 0 as the size ratio grows. Banded MinHash-LSH
+# would be the wrong candidate generator (band collision ~ jaccard^r,
+# and these pairs have LOW jaccard by definition); blocking on each
+# doc's k=5 globally rarest shingles gives recall 1.0 for full
+# containment and near-linear bucket joins (df-bounded buckets).
+# jaccard rides along so consumers can split true near-dups from
+# containment-only pairs.
+# ---------------------------------------------------------------------------
+
+
+def _containment_sql() -> str:
+    from .registry_ext import _SHINGLE_HASH_CTE
+
+    return f"""
+{_SHINGLE_HASH_CTE},
+freq AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+rare AS (
+  SELECT doc_id, h FROM (
+    SELECT s.doc_id, s.h,
+           row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.h) AS rn
+    FROM sh s JOIN freq f ON f.h = s.h
+  ) WHERE rn <= 5
+),
+cand AS (
+  SELECT DISTINCT least(r.doc_id, s.doc_id) AS id_a,
+                  greatest(r.doc_id, s.doc_id) AS id_b
+  FROM rare r JOIN sh s ON s.h = r.h AND s.doc_id <> r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       CAST(common AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+         AS containment,
+       CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+         AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.5
+"""
+
+
+@register("dedup_containment", _containment_sql())
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, k_rare=5, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# zorder_cluster — Morton-interleaved clustering audit: bucket rows by
+# the z-value of (partkey, suppkey) low bits and show each bucket's
+# min/max envelope in BOTH dimensions — the footer-stats tightness that
+# makes 2-D file pruning work after a ZORDER BY rewrite. Bit arithmetic
+# only, so parity with the oracle is exact.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_sql() -> str:
+    from ..functions.zorder import morton_interleave_sql
+
+    z = morton_interleave_sql("l_partkey % 1024", "l_suppkey % 1024")
+    return f"""
+SELECT ({z} >> 12) AS bucket,
+       count(*) AS n,
+       min(l_partkey % 1024) AS px_lo, max(l_partkey % 1024) AS px_hi,
+       min(l_suppkey % 1024) AS sy_lo, max(l_suppkey % 1024) AS sy_hi
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("zorder_cluster", _zorder_sql())
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # functions/zorder.py: magic-number bit spreading, pure JVM
+    # shiftleft/AND inside codegen; `zorder_by` range-partitions on the
+    # same z-value for the actual layout rewrite.
+    from ..functions.zorder import morton_interleave
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = morton_interleave(F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024)
+    return (
+        li.select(
+            F.shiftright(z, 12).alias("bucket"),
+            (F.col("l_partkey") % 1024).alias("px"),
+            (F.col("l_suppkey") % 1024).alias("sy"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("px").alias("px_lo"),
+            F.max("px").alias("px_hi"),
+            F.min("sy").alias("sy_lo"),
+            F.max("sy").alias("sy_hi"),
+        )
+    )
