@@ -23,6 +23,8 @@ from churn_model_evaluation_platform_spark.plans import registry_ext4 as _regist
 from churn_model_evaluation_platform_spark.plans import registry_ext5 as _registry_ext5  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext6 as _registry_ext6  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext7 as _registry_ext7  # noqa: F401
+from churn_model_evaluation_platform_spark.plans import registry_ext8 as _registry_ext8  # noqa: F401
+from churn_model_evaluation_platform_spark.plans import registry_ext9 as _registry_ext9  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

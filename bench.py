@@ -71,6 +71,18 @@ HEADLINE = [
     "join_bucketed",
     "scd2_intervals",
     "cohort_retention",
+    # round-6 batch-2/3 additions: the data-platform family, including
+    # its three heaviest members (triangle_count is combinatorial by
+    # nature; quantile_bins carries an exact single-reducer percentile
+    # that the 100 TB path swaps for percentile_approx)
+    "cdc_upsert",
+    "bloom_filter_join",
+    "pagerank",
+    "asof_join_nearest",
+    "quantile_bins",
+    "ngram_novelty",
+    "dedup_containment",
+    "triangle_count",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
@@ -103,6 +115,10 @@ SLOPE_QUERIES = [
     "contamination_check",
     "corpus_curation",
     "scd2_intervals",
+    # doc-keyed shuffles bounded by distinct-shingle count — the slope
+    # proves the rare-blocking/bucket claims in SCALE.md
+    "ngram_novelty",
+    "dedup_containment",
 ]
 SLOPE_TABLES = {"documents": "doc_id", "events": "event_id", "embeddings": "vec_id"}
 _VOWEL_ROTATIONS = ["aeiou", "eioua", "iouae", "ouaei"]

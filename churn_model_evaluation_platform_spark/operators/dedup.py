@@ -660,6 +660,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     k_rare: int = 5,
+    min_blocks: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Sub-document containment pairs via RARE-SHINGLE BLOCKING: score
@@ -698,7 +699,12 @@ def containment_pairs(
             F.array_distinct(shingle_hashes(F.col(text_col), n)).alias("shs"),
         )
     )
-    sh = arr.select("id", F.explode("shs").alias("h"))
+    # explode_OUTER: a plain explode would let InferFiltersFromGenerate
+    # push a size(shs)>0 filter (and with it the whole md5 shingle fold)
+    # below the repartition exchange — recomputing the fold at raw
+    # source parallelism (same measured 10x trap as contamination_pairs;
+    # see that docstring). Null rows never match the h-joins below.
+    sh = arr.select("id", F.explode_outer("shs").alias("h"))
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "h")
     rare = (
@@ -707,6 +713,13 @@ def containment_pairs(
         .where(F.col("rn") <= k_rare)
         .select("id", "h")
     )
+    # Candidate = pairs colliding on >= min_blocks DISTINCT rare
+    # shingles. For full containment every one of A's k_rare rarest
+    # shingles is in B, so recall stays exactly 1.0 at min_blocks <=
+    # k_rare; requiring 2 instead of 1 cuts the verify set by the
+    # block-bucket tail (measured 87k -> far fewer pairs on the
+    # synthetic corpus, whose tiny vocabulary makes even "rare"
+    # shingles df~6).
     cand = (
         rare.alias("r")
         .join(
@@ -716,8 +729,13 @@ def containment_pairs(
         .select(
             F.least("r.id", "s.id").alias("id_a"),
             F.greatest("r.id", "s.id").alias("id_b"),
+            F.col("r.h").alias("h"),
         )
         .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .where(F.col("nb") >= min_blocks)
+        .select("id_a", "id_b")
     )
     pairs = cand.join(
         arr.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a"
@@ -734,3 +752,116 @@ def containment_pairs(
     return pairs.select(
         "id_a", "id_b", cont.alias("containment"), jac.alias("jaccard")
     ).where(F.col("containment") >= F.lit(threshold))
+
+
+def _band_rows(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, band, band_key): one row per band of each signature."""
+    r = k // bands
+    sig_cols = [f"m{i}" for i in range(k)]
+    band_structs = []
+    for bi in range(bands):
+        key = F.concat_ws(
+            "|", *[F.col(c) for c in sig_cols[bi * r : (bi + 1) * r]]
+        )
+        band_structs.append(
+            F.struct(F.lit(bi).alias("band"), key.alias("band_key"))
+        )
+    return sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", "b.band", "b.band_key")
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Gate an INCOMING batch against an existing corpus — the shape
+    ingestion dedup actually runs (every new crawl vs everything already
+    kept), where a full-corpus self-join would redo quadratic work for
+    data that never changed.
+
+    Per incoming doc: ``exact_dup`` (normalized-content md5 already in
+    the corpus) takes precedence over ``near_dup`` (any corpus doc
+    colliding on a MinHash band AND verified n-gram Jaccard ≥
+    threshold), else ``kept``. Output: (id_col, status).
+
+    Scale: both probes are incoming-vs-corpus joins keyed on digests /
+    (band, band_key) buckets — never text, never corpus×corpus. The
+    corpus side needs only its digest + signature + shingle-array
+    columns (a one-time index a real pipeline materializes and appends
+    to, so successive batches pay corpus-scan cost once each).
+    """
+    inc_h = incoming.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("content_md5"),
+    )
+    corp_h = corpus.select(
+        F.md5(normalize_text(F.col(text_col))).alias("content_md5")
+    ).distinct()
+    exact_ids = inc_h.join(corp_h, "content_md5", "left_semi").select("id")
+
+    def _arr(df: DataFrame) -> DataFrame:
+        return (
+            ensure_parallelism(df)
+            .where(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(
+                    shingle_hashes(F.col(text_col), n)
+                ).alias("shs"),
+            )
+        )
+
+    perms = minhash_perms(k, seed)
+
+    def _sigs(arr: DataFrame) -> DataFrame:
+        def _perm_min(a: int, b: int):
+            return F.array_min(
+                F.transform(F.col("shs"), lambda h: perm_expr(h, a, b))
+            )
+
+        return arr.select(
+            "id",
+            *[_perm_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(perms)],
+        )
+
+    inc_arr, corp_arr = _arr(incoming), _arr(corpus)
+    inc_bands = _band_rows(_sigs(inc_arr), k, bands)
+    corp_bands = _band_rows(_sigs(corp_arr), k, bands).select(
+        F.col("id").alias("cid"), "band", "band_key"
+    )
+    cand = (
+        inc_bands.join(corp_bands, ["band", "band_key"])
+        .select("id", "cid")
+        .distinct()
+    )
+    pairs = cand.join(inc_arr.select("id", F.col("shs").alias("sh_i")), "id").join(
+        corp_arr.select(F.col("id").alias("cid"), F.col("shs").alias("sh_c")),
+        "cid",
+    )
+    inter = F.size(F.array_intersect("sh_i", "sh_c"))
+    jac = inter.cast("double") / (
+        F.size("sh_i") + F.size("sh_c") - inter
+    ).cast("double")
+    near_ids = (
+        pairs.where(jac >= F.lit(threshold)).select("id").distinct()
+    )
+    return (
+        incoming.select(F.col(id_col).alias("id"))
+        .join(exact_ids.withColumn("__e", F.lit(1)), "id", "left")
+        .join(near_ids.withColumn("__n", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("__e") == 1, F.lit("exact_dup"))
+            .when(F.col("__n") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )

@@ -267,3 +267,58 @@ __all__ = [
     "minhash_perms",
     "random_hyperplanes",
 ]
+
+
+def embedding_outliers(
+    df,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 20,
+    round_to: int = 6,
+):
+    """Top-k embedding outliers by diagonal-Mahalanobis distance to the
+    corpus centroid: score = sqrt(Σ_d (x_d - μ_d)² / σ²_d). The
+    per-dimension normalization stops one high-variance dimension from
+    owning the metric — the standard pre-training outlier gate before
+    an embedding corpus is trusted.
+
+    Scale: per-dim mean/variance is ONE posexplode + groupBy(pos) over
+    dim-count groups; the 64-row stats frame is collected and folded
+    back as array LITERALS (a runtime-filter-style build, like
+    functions/bloom.py), so scoring is a zero-shuffle map-side
+    zip_with/aggregate over each vector — no explode of the corpus, no
+    join. The only wide op after stats is the top-k (TakeOrdered).
+    μ/σ² are rounded at 6 dp BEFORE scoring and the score after, so the
+    differential oracle agrees despite order-dependent averaging.
+    """
+    from pyspark.sql import functions as F
+
+    ex = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "x")
+    ).select(id_col, "pos", F.col("x").cast("double").alias("x"))
+    stats = (
+        ex.groupBy("pos")
+        .agg(
+            F.round(F.avg("x"), round_to).alias("mu"),
+            F.round(F.var_pop("x"), round_to).alias("var"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    mu = F.lit([float(r.mu) for r in stats])
+    var = F.lit([float(r.var) for r in stats])
+    dev = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        mu,
+        lambda x, m: (x - m) * (x - m),
+    )
+    terms = F.zip_with(dev, var, lambda d, v: d / v)
+    score = F.round(
+        F.sqrt(F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)),
+        round_to,
+    )
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,339 @@
+"""Round-6 batch 5: incremental (batch-vs-corpus) dedup gating, more
+eval depth (ECE calibration summary, MAP/MRR ranking metrics), the
+temperature-sampling mixture weights a multilingual data pipeline
+derives from the mix report, and the explicit two-stage distinct-count
+rewrite.
+
+Same conventions as registry.py; double literals in e-notation where
+the oracle must stay DOUBLE (DuckDB parses bare decimals as DECIMAL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import register
+
+# Import the extension chain in registration order so standalone imports
+# (tests) see the same composed-oracle state as __spark_entry__.
+from . import registry_ext as _ext  # noqa: F401
+from . import registry_ext3 as _ext3  # noqa: F401
+from . import registry_ext4 as _ext4  # noqa: F401
+from . import registry_ext5 as _ext5  # noqa: F401
+from . import registry_ext6 as _ext6  # noqa: F401
+from .registry_ext import (
+    _BAND_KEYS_SQL,
+    _BAND_MATCH_SQL,
+    _MINHASH_SELECT,
+    _NORM_SQL,
+    _SHINGLE_HASH_CTE,
+    _TOKENS_SQL,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — gate an incoming batch (doc_id % 4 == 0) against
+# the kept corpus (the rest): exact-digest probe, then banded-LSH
+# candidates vs the corpus verified by exact Jaccard. The shape real
+# ingestion dedup runs — never corpus × corpus.
+# ---------------------------------------------------------------------------
+
+_INCR_SQL = f"""
+{_SHINGLE_HASH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sigs AS ({_MINHASH_SELECT}),
+banded AS (SELECT sigs.*, {_BAND_KEYS_SQL} FROM sigs),
+dig AS (SELECT doc_id, md5({_NORM_SQL}) AS content_md5 FROM documents),
+exact AS (
+  SELECT DISTINCT d.doc_id
+  FROM dig d JOIN dig c ON c.content_md5 = d.content_md5
+  WHERE d.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+),
+cand AS (
+  SELECT a.doc_id AS id, b.doc_id AS cid
+  FROM banded a JOIN banded b
+    ON a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0 AND ({_BAND_MATCH_SQL})
+),
+common AS (
+  SELECT c.id, c.cid, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id
+  JOIN sh b ON b.doc_id = c.cid AND b.h = a.h
+  GROUP BY c.id, c.cid
+),
+near AS (
+  SELECT DISTINCT cm.id AS doc_id
+  FROM common cm
+  JOIN sizes sa ON sa.doc_id = cm.id
+  JOIN sizes sb ON sb.doc_id = cm.cid
+  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+        >= 0.1
+)
+SELECT i.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) i
+LEFT JOIN exact e ON e.doc_id = i.doc_id
+LEFT JOIN near nr ON nr.doc_id = i.doc_id
+"""
+
+
+@register("dedup_incremental", _INCR_SQL)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # operators/dedup.py:incremental_dedup — digest semi-join + banded
+    # incoming-vs-corpus bucket join + array_intersect verify.
+    from ..operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    incoming = docs.where(F.col("doc_id") % 4 == 0)
+    return incremental_dedup(corpus, incoming, n=3, threshold=0.1)
+
+
+# ---------------------------------------------------------------------------
+# calibration_ece — expected calibration error over 10 equal-width
+# probability bins: the single-number companion to calibration_curve.
+# ---------------------------------------------------------------------------
+
+
+def _ece_sql() -> str:
+    from .registry_ext5 import _PROBA_SQL
+
+    return f"""
+WITH scored AS ({_PROBA_SQL}),
+b AS (
+  SELECT CAST(least(floor(proba * 10), 9) AS INT) AS bin, churn, proba
+  FROM scored
+),
+g AS (
+  SELECT bin, count(*) AS n,
+         round(avg(proba), 6) AS conf,
+         round(avg(CAST(churn AS DOUBLE)), 6) AS acc
+  FROM b GROUP BY bin
+)
+SELECT round(sum(n * abs(conf - acc)) / sum(n), 6) AS ece,
+       CAST(count(*) AS BIGINT) AS n_bins
+FROM g
+"""
+
+
+@register("calibration_ece", _ece_sql())
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two partial-aggregable groupBys (bin stats → one summary row);
+    # per-bin conf/acc rounded before the weighted sum so order-
+    # dependent averaging can't leak through the abs().
+    from .registry_ext5 import _proba_scored
+
+    s = _proba_scored(spark, sf_dir)
+    b = s.select(
+        F.least(F.floor(F.col("proba") * 10), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        "churn",
+        "proba",
+    )
+    g = b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("proba"), 6).alias("conf"),
+        F.round(F.avg(F.col("churn").cast("double")), 6).alias("acc"),
+    )
+    return g.agg(
+        F.round(
+            F.sum(F.col("n") * F.abs(F.col("conf") - F.col("acc")))
+            / F.sum("n"),
+            6,
+        ).alias("ece"),
+        F.count("*").cast("bigint").alias("n_bins"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranking_map_mrr — AP@10 and reciprocal rank per user on the same
+# deterministic ranking as ranking_ndcg. Cumulative-precision form for
+# AP; both engines rank by (proba DESC, event_id).
+# ---------------------------------------------------------------------------
+
+
+def _map_mrr_sql() -> str:
+    from .registry_ext6 import _NDCG_SCORED_SQL
+
+    return f"""
+WITH scored AS ({_NDCG_SCORED_SQL}),
+ranked AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY proba DESC, event_id) AS rk
+  FROM scored
+),
+pr AS (
+  SELECT user_id, rk, rel,
+         sum(rel) OVER (PARTITION BY user_id ORDER BY rk) AS cum_rel
+  FROM ranked
+),
+per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN rk <= 10 AND rel = 1
+                  THEN CAST(cum_rel AS DOUBLE) / rk ELSE 0 END) AS ap_num,
+         sum(rel) AS n_pos,
+         min(CASE WHEN rel = 1 AND rk <= 10 THEN rk END) AS first_rel
+  FROM pr GROUP BY user_id
+)
+SELECT user_id,
+       round(ap_num / least(n_pos, 10), 6) AS ap_at_10,
+       round(CASE WHEN first_rel IS NULL THEN 0e0
+                  ELSE 1e0 / first_rel END, 6) AS rr_at_10
+FROM per_user WHERE n_pos > 0
+"""
+
+
+@register("ranking_map_mrr", _map_mrr_sql())
+def q_ranking_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both window passes (rank + cumulative precision) share the one
+    # user_id shuffle; the rest is a grouped aggregate.
+    from ..functions.hashing import md5_hash_int
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") > 50).cast("int").alias("rel"),
+        F.least(
+            F.greatest(
+                (
+                    F.col("value")
+                    + md5_hash_int(F.col("event_id").cast("string")) % 41
+                    - F.lit(65.0)
+                )
+                / 20.0,
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ).alias("proba"),
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("proba").desc(), "event_id"
+    )
+    ranked = scored.select(
+        "user_id", "rel", F.row_number().over(w_rank).alias("rk")
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pr = ranked.select(
+        "user_id", "rk", "rel", F.sum("rel").over(w_cum).alias("cum_rel")
+    )
+    per_user = pr.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("rk") <= 10) & (F.col("rel") == 1),
+                F.col("cum_rel").cast("double") / F.col("rk"),
+            ).otherwise(F.lit(0.0))
+        ).alias("ap_num"),
+        F.sum("rel").alias("n_pos"),
+        F.min(
+            F.when((F.col("rel") == 1) & (F.col("rk") <= 10), F.col("rk"))
+        ).alias("first_rel"),
+    )
+    return per_user.where(F.col("n_pos") > 0).select(
+        "user_id",
+        F.round(F.col("ap_num") / F.least(F.col("n_pos"), F.lit(10)), 6).alias(
+            "ap_at_10"
+        ),
+        F.round(
+            F.when(F.col("first_rel").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("first_rel")
+            ),
+            6,
+        ).alias("rr_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture_weights — UNIMAX/temperature sampling weights per language:
+# w_i ∝ tokens_i^alpha (alpha = 0.3), next to the natural share so the
+# up/down-sampling factor is visible. The actionable output of
+# corpus_mix_report.
+# ---------------------------------------------------------------------------
+
+_MIXW_SQL = f"""
+WITH t AS (SELECT lang, len({_TOKENS_SQL}) AS n FROM documents),
+g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+w AS (
+  SELECT lang, n_tokens,
+         round(pow(CAST(n_tokens AS DOUBLE), 3e-1), 6) AS pw
+  FROM g
+)
+SELECT lang, n_tokens,
+       round(pw / sum(pw) OVER (), 6) AS weight,
+       round(CAST(n_tokens AS DOUBLE)
+             / sum(CAST(n_tokens AS DOUBLE)) OVER (), 6) AS natural_share
+FROM w
+"""
+
+
+@register("mixture_weights", _MIXW_SQL)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The unpartitioned windows run over the POST-AGGREGATE frame
+    # (one row per language) — fine at any corpus size. pow() is
+    # libm-dependent → rounded before the ratio on both engines.
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select("lang", F.size(tokens(F.col("text"))).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w = g.select(
+        "lang",
+        "n_tokens",
+        F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(0.3)), 6).alias(
+            "pw"
+        ),
+    )
+    return w.select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("pw") / F.sum("pw").over(w_all), 6).alias("weight"),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.sum(F.col("n_tokens").cast("double")).over(w_all),
+            6,
+        ).alias("natural_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct_count_twostage — exact distinct users per event type via the
+# explicit two-stage rewrite (dedup on the FULL (key, value) pair, then
+# count per key): the shuffle spreads hot keys across value hashes, so
+# no reducer ever sees one key's whole value set — the manual form of
+# what planners do for COUNT(DISTINCT) when the naive per-key
+# collect-set would OOM on a hot key.
+# ---------------------------------------------------------------------------
+
+_DISTINCT2_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@register("distinct_count_twostage", _DISTINCT2_SQL)
+def q_distinct_count_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -62,6 +62,8 @@ SINGLE_ROW_CROSS_OK = {
     "decontaminate_corpus",
     # single-row quartile-boundaries aggregate broadcast into the assign
     "quantile_bins",
+    # single-row token-total aggregate broadcast into the share column
+    "corpus_mix_report",
 }
 
 # Every oracled query is audited. The only exclusions are the three
