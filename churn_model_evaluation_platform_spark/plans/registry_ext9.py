@@ -480,3 +480,35 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orc_scan — ORC write → read roundtrip (Spark's second columnar
+# format): aggregate read-back values must equal the parquet original.
+# Completes the source-format matrix (csv, jsonl, parquet, orc).
+# ---------------------------------------------------------------------------
+
+_ORC_SQL = """
+SELECT c_mktsegment, count(*) AS n,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("orc_scan", _ORC_SQL)
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB reads no ORC, so the oracle aggregates the SOURCE parquet —
+    # the roundtrip is the thing under test: any write/read corruption
+    # breaks the hash match.
+    import os
+    import shutil
+
+    dest = "/tmp/spark_graft_orc/customer"
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    _t(spark, sf_dir, "customer").write.mode("overwrite").orc(dest)
+    back = spark.read.orc(dest)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
