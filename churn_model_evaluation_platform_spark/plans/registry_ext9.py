@@ -512,3 +512,204 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_ohlc — the OHLC resample as a WATERMARKED STREAMING aggregate:
+# the drained stream must equal the batch ohlc_bars oracle bit-for-bit.
+# open/close via min/max over (order-key, value) structs — the
+# declarative form of min_by/max_by that streaming state merges
+# incrementally (state per (event_type, hour) window, bounded by the
+# watermark at 100 TB).
+# ---------------------------------------------------------------------------
+
+from .registry_ext7 import _OHLC_SQL as _STREAM_OHLC_ORACLE  # noqa: E402
+
+
+@register("stream_ohlc", _STREAM_OHLC_ORACLE)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # nanosAsLong reads ns-timestamps as bigint; a plain read may also
+    # surface TIMESTAMP_NTZ — watermarks require TIMESTAMP (LTZ), so
+    # normalize either way.
+    ts = (
+        F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        if dict(raw.dtypes).get("ts") == "bigint"
+        else F.col("ts").cast("timestamp")
+    )
+    ordk = F.format_string(
+        "%020d|%020d", F.unix_micros(ts), F.col("event_id")
+    )
+    agg = (
+        stream.select(
+            "event_type", ts.alias("ts"), "event_id", "value"
+        )
+        .withWatermark("ts", "1 hour")
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min(F.struct(ordk.alias("o"), F.col("value").alias("v"))).alias(
+                "first"
+            ),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct(ordk.alias("o"), F.col("value").alias("v"))).alias(
+                "last"
+            ),
+            F.count("*").alias("volume"),
+        )
+    )
+    name = "stream_ohlc_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_type",
+        F.col("w.start").alias("bar_ts"),
+        F.col("first.v").alias("open"),
+        "high",
+        "low",
+        F.col("last.v").alias("close"),
+        "volume",
+    )
+
+
+# ---------------------------------------------------------------------------
+# permutation_importance — model explanation without shap: break the
+# feature↔label pairing with a DETERMINISTIC within-bucket permutation
+# (md5-ranked cyclic shift inside 64 hash buckets — a valid column
+# permutation with NO global sort; every window is bucket-partitioned),
+# rescore with the pinned logistic weights, report the accuracy drop
+# per feature. Mirrors sklearn.inspection.permutation_importance with
+# the randomness replaced by a reproducible hash order.
+# ---------------------------------------------------------------------------
+
+
+def _perm_importance_sql() -> str:
+    from ..functions.hashing import md5_hash_int_sql
+
+    h = md5_hash_int_sql("CAST(event_id AS VARCHAR)")
+    rows = []
+    for feat in ("value", "u7"):
+        rows.append(f"""
+SELECT '{feat}' AS feature,
+       round(avg(CASE WHEN (CASE WHEN base_l >= 0e0 THEN 1 ELSE 0 END) = label
+                 THEN 1e0 ELSE 0e0 END), 6) AS base_acc,
+       round(avg(CASE WHEN (CASE WHEN {feat}_l >= 0e0 THEN 1 ELSE 0 END) = label
+                 THEN 1e0 ELSE 0e0 END), 6) AS perm_acc
+FROM scored""")
+    return f"""
+WITH feats AS (
+  SELECT event_id, CAST(value > 50 AS INT) AS label,
+         CAST(value AS DOUBLE) AS value,
+         CAST(user_id % 7 AS DOUBLE) AS u7,
+         {h} % 64 AS bkt
+  FROM events
+),
+perm AS (
+  SELECT *,
+         COALESCE(lead(value) OVER w, first_value(value) OVER w) AS value_pm,
+         COALESCE(lead(u7) OVER w, first_value(u7) OVER w) AS u7_pm
+  FROM feats
+  WINDOW w AS (PARTITION BY bkt ORDER BY {h}, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+scored AS (
+  SELECT label,
+         0.08e0 * value - 0.5e0 * u7 - 3e0 AS base_l,
+         0.08e0 * value_pm - 0.5e0 * u7 - 3e0 AS value_l,
+         0.08e0 * value - 0.5e0 * u7_pm - 3e0 AS u7_l
+  FROM perm
+)
+{rows[0]}
+UNION ALL
+{rows[1]}
+"""
+
+
+@register("permutation_importance", _perm_importance_sql())
+def q_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sigmoid thresholded at 0.5 ⇒ the comparison is on the LOGIT side
+    # of a monotone map — numerically safe; accuracies averaged over
+    # identical indicator sets on both engines, rounded at 6.
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_hash_int
+
+    ev = _t(spark, sf_dir, "events")
+    h = md5_hash_int(F.col("event_id").cast("string"))
+    feats = ev.select(
+        "event_id",
+        (F.col("value") > 50).cast("int").alias("label"),
+        F.col("value").cast("double").alias("value"),
+        (F.col("user_id") % 7).cast("double").alias("u7"),
+        (h % 64).alias("bkt"),
+        h.alias("h"),
+    )
+    w = (
+        W.partitionBy("bkt")
+        .orderBy("h", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    perm = feats.select(
+        "label",
+        "value",
+        "u7",
+        F.coalesce(
+            F.lead("value").over(
+                W.partitionBy("bkt").orderBy("h", "event_id")
+            ),
+            F.first("value").over(w),
+        ).alias("value_pm"),
+        F.coalesce(
+            F.lead("u7").over(W.partitionBy("bkt").orderBy("h", "event_id")),
+            F.first("u7").over(w),
+        ).alias("u7_pm"),
+    )
+
+    def _logit(value_col, u7_col):
+        # Threshold on the LOGIT (p >= 0.5 <=> logit >= 0): pure
+        # rational arithmetic, so the indicator can never flip on
+        # cross-engine libm exp() noise near the boundary.
+        return 0.08 * F.col(value_col) - 0.5 * F.col(u7_col) - 3.0
+
+    scored = perm.select(
+        "label",
+        _logit("value", "u7").alias("base_l"),
+        _logit("value_pm", "u7").alias("value_l"),
+        _logit("value", "u7_pm").alias("u7_l"),
+    )
+
+    def _acc(lcol):
+        return F.round(
+            F.avg(
+                F.when(
+                    (F.col(lcol) >= 0).cast("int") == F.col("label"),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        )
+
+    rows = []
+    for feat in ("value", "u7"):
+        rows.append(
+            scored.agg(
+                _acc("base_l").alias("base_acc"),
+                _acc(f"{feat}_l").alias("perm_acc"),
+            ).select(
+                F.lit(feat).alias("feature"), "base_acc", "perm_acc"
+            )
+        )
+    return rows[0].unionByName(rows[1])
