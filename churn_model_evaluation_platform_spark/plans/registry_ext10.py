@@ -1,0 +1,291 @@
+"""Round-6 batch 7 — monitoring-platform depth: declarative data-quality
+verification (Deequ-style, one aggregate pass), Kaplan-Meier survival
+(churn IS survival analysis), the McNemar champion-challenger gate, and
+EWMA smoothing for dashboard timeseries.
+
+Same conventions as registry.py; e-notation double literals in oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# dq_check_suite — six declarative constraints over lineitem compiled
+# into ONE aggregate pass (operators/dq.py); row-per-check report with
+# pass/fail status. The generalized admission gate of the reference's
+# schema-containment check (churn_prediction_pipeline.py:153-159).
+# ---------------------------------------------------------------------------
+
+_DQ_SQL = """
+WITH a AS (
+  SELECT avg(CASE WHEN l_orderkey IS NOT NULL THEN 1e0 ELSE 0e0 END) AS c0,
+         CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+           / count(*) AS c1,
+         CAST(min(l_quantity) AS DOUBLE) AS c2,
+         CAST(max(l_discount) AS DOUBLE) AS c3,
+         avg(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1e0
+                  ELSE 0e0 END) AS c4,
+         CAST(count(*) AS DOUBLE) AS c5
+  FROM lineitem
+)
+SELECT 'not_null' AS "check", 'l_orderkey' AS target,
+       round(c0, 6) AS observed,
+       CASE WHEN c0 >= 1.0 THEN 'pass' ELSE 'fail' END AS status FROM a
+UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', round(c1, 6),
+       CASE WHEN c1 >= 1.0 THEN 'pass' ELSE 'fail' END FROM a
+UNION ALL SELECT 'min_value', 'l_quantity', round(c2, 6),
+       CASE WHEN c2 >= 0e0 THEN 'pass' ELSE 'fail' END FROM a
+UNION ALL SELECT 'max_value', 'l_discount', round(c3, 6),
+       CASE WHEN c3 <= 5e-1 THEN 'pass' ELSE 'fail' END FROM a
+UNION ALL SELECT 'accepted_values', 'l_returnflag', round(c4, 6),
+       CASE WHEN c4 >= 1.0 THEN 'pass' ELSE 'fail' END FROM a
+UNION ALL SELECT 'row_count_at_least', '*', round(c5, 6),
+       CASE WHEN c5 >= 1000e0 THEN 'pass' ELSE 'fail' END FROM a
+"""
+
+
+@register("dq_check_suite", _DQ_SQL)
+def q_dq_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dq
+
+    li = _t(spark, sf_dir, "lineitem")
+    return dq.dq_verify(
+        li,
+        [
+            dq.not_null("l_orderkey"),
+            dq.unique(["l_orderkey", "l_linenumber"]),
+            dq.min_value("l_quantity", 0.0),
+            dq.max_value("l_discount", 0.5),
+            dq.accepted_values("l_returnflag", ["A", "N", "R"]),
+            dq.row_count_at_least(1000),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier — the survival curve over per-user observation spans
+# (first→last event date; deterministic parity-of-count event flag as
+# the censoring indicator). S(t) = Π_{u<=t} (1 - d_u / n_u); the
+# product is exp(Σ ln(·)) so the running multiply is one ordered
+# prefix sum — and at 100 TB that prefix sum runs over DISTINCT
+# durations (days), never users.
+# ---------------------------------------------------------------------------
+
+_KM_SQL = """
+WITH u AS (
+  SELECT user_id,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+           AS dur,
+         CAST(count(*) % 2 AS INT) AS ev
+  FROM events GROUP BY user_id
+),
+t AS (SELECT dur, sum(ev) AS d, count(*) AS ending FROM u GROUP BY dur),
+r AS (
+  SELECT dur, d,
+         sum(ending) OVER (ORDER BY dur DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS n_risk
+  FROM t
+),
+s AS (
+  SELECT dur, d, n_risk,
+         exp(sum(ln(greatest(1e0 - CAST(d AS DOUBLE) / n_risk, 1e-15)))
+             OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS surv
+  FROM r
+)
+SELECT dur, CAST(d AS BIGINT) AS d, CAST(n_risk AS BIGINT) AS n_risk,
+       round(surv, 6) AS survival
+FROM s
+"""
+
+
+@register("kaplan_meier", _KM_SQL)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts")).cast("date"), F.min(F.col("ts")).cast("date")
+        ).alias("dur"),
+        (F.count("*") % 2).cast("int").alias("ev"),
+    )
+    t = u.groupBy("dur").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("ending")
+    )
+    w_desc = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # The two global windows run over the DISTINCT-duration frame
+    # (days — hundreds of rows at any corpus size), not users.
+    r = t.select("dur", "d", F.sum("ending").over(w_desc).alias("n_risk"))
+    s = r.select(
+        "dur",
+        "d",
+        "n_risk",
+        F.exp(
+            F.sum(
+                F.log(
+                    F.greatest(
+                        1.0 - F.col("d").cast("double") / F.col("n_risk"),
+                        F.lit(1e-15),
+                    )
+                )
+            ).over(w_asc)
+        ).alias("surv"),
+    )
+    return s.select(
+        "dur",
+        F.col("d").cast("bigint").alias("d"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.round("surv", 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# model_compare_mcnemar — champion vs challenger on the same rows: the
+# discordant-pair counts and continuity-corrected McNemar statistic the
+# promotion gate (model_promote_alias) should consult before flipping
+# the alias. Indicators threshold LOGITS — pure rational arithmetic.
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_SQL = """
+WITH s AS (
+  SELECT CAST(value > 50 AS INT) AS label,
+         CASE WHEN 0.08e0 * value - 0.5e0 * (user_id % 7) - 3e0 >= 0e0
+              THEN 1 ELSE 0 END AS pa,
+         CASE WHEN 0.06e0 * value - 0.3e0 * (user_id % 7) - 2.5e0 >= 0e0
+              THEN 1 ELSE 0 END AS pb
+  FROM events
+),
+c AS (
+  SELECT sum(CASE WHEN pa = label AND pb <> label THEN 1 ELSE 0 END) AS b01,
+         sum(CASE WHEN pa <> label AND pb = label THEN 1 ELSE 0 END) AS b10,
+         round(avg(CASE WHEN pa = label THEN 1e0 ELSE 0e0 END), 6) AS acc_a,
+         round(avg(CASE WHEN pb = label THEN 1e0 ELSE 0e0 END), 6) AS acc_b
+  FROM s
+)
+SELECT CAST(b01 AS BIGINT) AS b01, CAST(b10 AS BIGINT) AS b10,
+       acc_a, acc_b,
+       round(CASE WHEN b01 + b10 = 0 THEN 0e0
+                  ELSE power(abs(CAST(b01 AS DOUBLE) - b10) - 1e0, 2)
+                       / (b01 + b10) END, 6) AS mcnemar_chi2
+FROM c
+"""
+
+
+@register("model_compare_mcnemar", _MCNEMAR_SQL)
+def q_model_compare_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u7 = F.col("user_id") % 7
+    label = (F.col("value") > 50).cast("int")
+    pa = (0.08 * F.col("value") - 0.5 * u7 - 3.0 >= 0).cast("int")
+    pb = (0.06 * F.col("value") - 0.3 * u7 - 2.5 >= 0).cast("int")
+    s = ev.select(label.alias("label"), pa.alias("pa"), pb.alias("pb"))
+    c = s.agg(
+        F.sum(
+            ((F.col("pa") == F.col("label")) & (F.col("pb") != F.col("label")))
+            .cast("long")
+        ).alias("b01"),
+        F.sum(
+            ((F.col("pa") != F.col("label")) & (F.col("pb") == F.col("label")))
+            .cast("long")
+        ).alias("b10"),
+        F.round(
+            F.avg((F.col("pa") == F.col("label")).cast("double")), 6
+        ).alias("acc_a"),
+        F.round(
+            F.avg((F.col("pb") == F.col("label")).cast("double")), 6
+        ).alias("acc_b"),
+    )
+    chi2 = F.when(F.col("b01") + F.col("b10") == 0, F.lit(0.0)).otherwise(
+        F.pow(F.abs(F.col("b01").cast("double") - F.col("b10")) - 1.0, 2)
+        / (F.col("b01") + F.col("b10"))
+    )
+    return c.select(
+        "b01", "b10", "acc_a", "acc_b", F.round(chi2, 6).alias("mcnemar_chi2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# metric_ewma — exponentially weighted moving average over each metric
+# stream (per event_type, ordered by time): the dashboard smoothing
+# companion to rolling_metrics. Bounded 20-point frame → the weighted
+# fold is a per-row higher-order aggregate over the frame's list, no
+# recurrence, no unbounded state; windows are event_type-partitioned.
+# ---------------------------------------------------------------------------
+
+_EWMA_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, value,
+         printf('%020d|%020d', epoch_us(ts), event_id) AS ordk
+  FROM events
+),
+w AS (
+  SELECT event_type, event_id,
+         list(value) OVER (PARTITION BY event_type ORDER BY ordk
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+           AS vs
+  FROM e
+)
+SELECT event_type, event_id,
+       round(
+         list_sum(list_transform(list_reverse(vs),
+                  (x, i) -> x * power(8e-1, i - 1)))
+         / list_sum(list_transform(list_reverse(vs),
+                    (x, i) -> power(8e-1, i - 1))),
+         6) AS ewma
+FROM w
+"""
+
+
+@register("metric_ewma", _EWMA_SQL)
+def q_metric_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ordk = F.format_string(
+        "%020d|%020d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(ordk)
+        .rowsBetween(-19, Window.currentRow)
+    )
+    vs = F.reverse(F.collect_list("value").over(w))
+    # weights (1-a)^i for i = 0.. over the reversed frame (newest first)
+    weighted = F.aggregate(
+        F.zip_with(
+            vs,
+            F.sequence(F.lit(1), F.size(vs)),
+            lambda x, i: x * F.pow(F.lit(0.8), i.cast("double") - 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.size(vs)),
+            lambda i: F.pow(F.lit(0.8), i.cast("double") - 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round((weighted / norm), 6).alias("ewma"),
+    )
