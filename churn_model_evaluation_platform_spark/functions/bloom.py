@@ -69,7 +69,10 @@ def bloom_might_contain(
     positions of ``key`` is set in ``words`` (i.e. the key *might* be in
     the build set; false ⇒ definitely not)."""
     key_col = F.col(key) if isinstance(key, str) else key
-    bitmap = F.lit(words)
+    # Explicit long cast: a bitmap whose words all happen to fit int32
+    # (e.g. an empty or sparse build) would otherwise infer array<int>,
+    # and bit_get rejects positions >= 32 on int words.
+    bitmap = F.lit(words).cast("array<long>")
     checks = []
     for p in _positions(key_col, m, seeds):
         word = F.element_at(bitmap, (p / F.lit(64)).cast("int") + F.lit(1))

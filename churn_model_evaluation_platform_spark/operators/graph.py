@@ -118,6 +118,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = verts.count()
+    if n == 0:
+        # No vertices: return an empty (id, pr) frame with the right
+        # schema instead of dividing by zero.
+        return verts.select("id", F.lit(0.0).alias("pr"))
     base = teleport / n
     pr = verts.select("id", F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):

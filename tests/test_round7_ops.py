@@ -176,3 +176,24 @@ def test_ohlc_bars_tiebreak_deterministic(spark):
         4,
     )
     assert (bars[11].open, bars[11].close, bars[11].volume) == (3.0, 3.0, 1)
+
+
+def test_pagerank_and_triangles_empty_graph(spark):
+    edges = spark.createDataFrame([], "src int, dst int")
+    assert pagerank(edges).count() == 0
+    und = spark.createDataFrame([], "a int, b int")
+    assert triangle_count(und).collect()[0].n_triangles == 0
+
+
+def test_bloom_empty_build_side_rejects_everything(spark):
+    dim = spark.range(0).select(F.col("id").alias("k"))
+    words = bloom_build(dim, "k", m=1024)
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    assert fact.where(bloom_might_contain("k", words, m=1024)).count() == 0
+
+
+def test_cdc_apply_empty_changes_is_identity(spark):
+    snap = spark.createDataFrame([(1, 1.0, "a")], "k int, bal double, tag string")
+    changes = spark.createDataFrame([], "k int, op string, seq int, bal double")
+    rows = cdc_apply(snap, changes, keys=["k"], order_cols=["seq"]).collect()
+    assert [(r.k, r.bal, r.tag) for r in rows] == [(1, 1.0, "a")]
