@@ -289,3 +289,210 @@ def q_metric_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round((weighted / norm), 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# geohash_encode — standard base32 geohash of deterministic synthetic
+# coordinates (pure bit arithmetic → exact cross-engine parity;
+# functions/geo.py, algorithm pinned against the classic
+# (57.64911, 10.40744) → 'u4pruydq' example in tests).
+# ---------------------------------------------------------------------------
+
+_LAT_EXPR = "((value * 1.7) % 170.0) - 85.0"
+_LON_EXPR = "((CAST(user_id AS DOUBLE) * 3.7) % 360.0) - 180.0"
+
+
+def _geohash_sql() -> str:
+    from ..functions.geo import geohash_sql
+
+    return f"""
+SELECT event_id, {geohash_sql(_LAT_EXPR, _LON_EXPR, 8)} AS gh
+FROM events
+"""
+
+
+@register("geohash_encode", _geohash_sql())
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geo import geohash
+
+    ev = _t(spark, sf_dir, "events")
+    lat = ((F.col("value") * 1.7) % 170.0) - 85.0
+    lon = ((F.col("user_id").cast("double") * 3.7) % 360.0) - 180.0
+    return ev.select("event_id", geohash(lat, lon, 8).alias("gh"))
+
+
+# ---------------------------------------------------------------------------
+# geo_radius_join — points within 75 km of each other: GRID-BLOCKED
+# candidates (each point lands in its 1°-cell; one side also probes the
+# 8 neighbor cells, so no near-boundary pair is missed) verified by
+# exact haversine. The spatial instance of the candidate/verify
+# paradigm — never an all-pairs cross.
+# ---------------------------------------------------------------------------
+
+
+def _geo_join_sql() -> str:
+    from ..functions.geo import HAVERSINE_KM_SQL
+
+    hav = HAVERSINE_KM_SQL.format(
+        lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon"
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id AS id, {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon
+  FROM events WHERE event_id % 20 = 0
+),
+cells AS (
+  SELECT id, lat, lon,
+         CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx
+  FROM pts
+),
+probes AS (
+  SELECT c.id, c.lat, c.lon, c.cy + dy.d AS py, c.cx + dx.d AS px
+  FROM cells c,
+       (VALUES (-1), (0), (1)) dy(d),
+       (VALUES (-1), (0), (1)) dx(d)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, a.lat AS alat, a.lon AS alon,
+                  b.id AS id_b, b.lat AS blat, b.lon AS blon
+  FROM probes a JOIN cells b
+    ON b.cy = a.py AND b.cx = a.px AND a.id < b.id
+)
+SELECT id_a, id_b, round({HAVERSINE_KM_SQL.format(
+    lat1="alat", lon1="alon", lat2="blat", lon2="blon")}, 3) AS dist_km
+FROM cand
+WHERE {HAVERSINE_KM_SQL.format(
+    lat1="alat", lon1="alon", lat2="blat", lon2="blon")} <= 75.0
+"""
+
+
+@register("geo_radius_join", _geo_join_sql())
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geo import haversine_km
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (((F.col("value") * 1.7) % 170.0) - 85.0).alias("lat"),
+        (((F.col("user_id").cast("double") * 3.7) % 360.0) - 180.0).alias(
+            "lon"
+        ),
+    )
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.floor("lat").cast("long").alias("cy"),
+        F.floor("lon").cast("long").alias("cx"),
+    )
+    # two explodes → 9 probe cells per point (one side only)
+    probes = (
+        cells.withColumn("dy", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .withColumn("dx", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .select(
+            "id",
+            "lat",
+            "lon",
+            (F.col("cy") + F.col("dy")).alias("py"),
+            (F.col("cx") + F.col("dx")).alias("px"),
+        )
+    )
+    a, b = probes.alias("a"), cells.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.cy") == F.col("a.py"))
+            & (F.col("b.cx") == F.col("a.px"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.lat").alias("alat"),
+            F.col("a.lon").alias("alon"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.lat").alias("blat"),
+            F.col("b.lon").alias("blon"),
+        )
+        .distinct()
+    )
+    dist = haversine_km(
+        F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon")
+    )
+    return cand.where(dist <= 75.0).select(
+        "id_a", "id_b", F.round(dist, 3).alias("dist_km")
+    )
+
+
+# ---------------------------------------------------------------------------
+# item_cooccurrence — market-basket association rules over parts bought
+# in the same order: support / confidence / lift for co-purchased pairs
+# (together >= 3). The per-order pair join is bounded by basket size
+# (TPC-H baskets are ~4 lines), never by catalog size.
+# ---------------------------------------------------------------------------
+
+_COOC_SQL = """
+WITH p AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS pid FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT k) AS DOUBLE) AS n_orders FROM p),
+sup AS (SELECT pid, count(*) AS cnt FROM p GROUP BY pid),
+pairs AS (
+  SELECT a.pid AS pa, b.pid AS pb, count(*) AS together
+  FROM p a JOIN p b ON a.k = b.k AND a.pid < b.pid
+  GROUP BY a.pid, b.pid
+)
+SELECT pa, pb, together,
+       round(together / n_orders, 6) AS support,
+       round(together / CAST(sa.cnt AS DOUBLE), 6) AS confidence,
+       round(together * n_orders / (sa.cnt * CAST(sb.cnt AS DOUBLE)), 6)
+         AS lift
+FROM pairs
+JOIN sup sa ON sa.pid = pa
+JOIN sup sb ON sb.pid = pb, n
+WHERE together >= 3
+"""
+
+
+@register("item_cooccurrence", _COOC_SQL)
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pid")
+    ).distinct()
+    n = p.agg(F.count_distinct("k").cast("double").alias("n_orders"))
+    sup = p.groupBy("pid").agg(F.count("*").alias("cnt"))
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.pid") < F.col("b.pid")),
+        )
+        .groupBy(F.col("a.pid").alias("pa"), F.col("b.pid").alias("pb"))
+        .agg(F.count("*").alias("together"))
+        .where(F.col("together") >= 3)
+    )
+    out = (
+        pairs.join(
+            sup.select(F.col("pid").alias("pa"), F.col("cnt").alias("ca")),
+            "pa",
+        )
+        .join(
+            sup.select(F.col("pid").alias("pb"), F.col("cnt").alias("cb")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "pa",
+        "pb",
+        "together",
+        F.round(F.col("together") / F.col("n_orders"), 6).alias("support"),
+        F.round(
+            F.col("together") / F.col("ca").cast("double"), 6
+        ).alias("confidence"),
+        F.round(
+            F.col("together")
+            * F.col("n_orders")
+            / (F.col("ca") * F.col("cb").cast("double")),
+            6,
+        ).alias("lift"),
+    )

@@ -93,3 +93,38 @@ def test_kaplan_meier_textbook_example(spark):
     assert abs(surv[2] - 0.8) < 1e-12  # censoring leaves S unchanged
     assert abs(surv[3] - 0.8 * 2 / 3) < 1e-12
     assert surv[5] < 1e-9  # last death drives S to ~0
+
+
+def test_geohash_matches_classic_example(spark):
+    from churn_model_evaluation_platform_spark.functions.geo import (
+        geohash,
+        haversine_km,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (57.64911, 10.40744, "u4pruydq"),  # the classic example
+            (0.0, 0.0, "s0000000"),
+            # Eiffel Tower — value confirmed against an independent
+            # bisection-algorithm implementation
+            (48.858222, 2.2945, "u09tunqg"),
+        ],
+        "lat double, lon double, expected string",
+    )
+    rows = df.select(
+        "expected", geohash(F.col("lat"), F.col("lon"), 8).alias("gh")
+    ).collect()
+    for r in rows:
+        assert r.gh == r.expected, (r.expected, r.gh)
+    # haversine sanity: Paris-London ~343 km
+    d = (
+        spark.range(1)
+        .select(
+            haversine_km(
+                F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278)
+            ).alias("d")
+        )
+        .collect()[0]
+        .d
+    )
+    assert 330 < d < 350, d

@@ -64,6 +64,8 @@ SINGLE_ROW_CROSS_OK = {
     "quantile_bins",
     # single-row token-total aggregate broadcast into the share column
     "corpus_mix_report",
+    # single-row n_orders aggregate broadcast into the lift/support cols
+    "item_cooccurrence",
 }
 
 # Every oracled query is audited. The only exclusions are the three
