@@ -496,3 +496,148 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_linear — multi-touch attribution: every purchase splits
+# its value equally across the user's touch events (click/view) in the
+# preceding 24 h. Touch counting is an event-time RANGE window per
+# user; credit assignment joins purchases back to touches on the same
+# user_id partitioning — no cross, no per-purchase scan.
+# ---------------------------------------------------------------------------
+
+_ATTR_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS p, event_id, event_type, value
+  FROM events
+),
+purch AS (SELECT * FROM t WHERE event_type = 'purchase'),
+touch AS (SELECT * FROM t WHERE event_type IN ('click', 'view')),
+pairs AS (
+  SELECT tc.event_id AS touch_id, p.event_id AS purchase_id,
+         p.value AS pv,
+         count(*) OVER (PARTITION BY p.event_id) AS n_touches
+  FROM purch p JOIN touch tc
+    ON tc.user_id = p.user_id
+   AND tc.p <= p.p AND tc.p > p.p - 86400000000
+)
+SELECT touch_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(pv / n_touches), 6) AS credit
+FROM pairs GROUP BY touch_id
+"""
+
+
+@register("attribution_linear", _ATTR_SQL)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The touch⋈purchase range join reuses the bucketed-interval
+    # strategy semantics: equi user_id key + time-range residual; the
+    # per-purchase touch count is a window over the join output
+    # partitioned by purchase (key-distributed).
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("p"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("p").alias("pp"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("pv"),
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tu"),
+        F.col("p").alias("tp"),
+        F.col("event_id").alias("touch_id"),
+    )
+    pairs = purch.join(
+        touch,
+        (F.col("tu") == F.col("pu"))
+        & (F.col("tp") <= F.col("pp"))
+        & (F.col("tp") > F.col("pp") - 86_400_000_000),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = pairs.select(
+        "touch_id",
+        "pv",
+        F.count("*").over(w).alias("n_touches"),
+    )
+    return credited.groupBy("touch_id").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.round(F.sum(F.col("pv") / F.col("n_touches")), 6).alias("credit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence_gaps — islands-and-gaps over each user's event_id sequence:
+# contiguous runs found via the classic rank-difference trick (one
+# user-partitioned window), emitting each user's islands with bounds.
+# The audit shape for "did ingestion drop anything?".
+# ---------------------------------------------------------------------------
+
+_GAPS_SQL = """
+WITH s AS (
+  SELECT user_id, event_id,
+         event_id - row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS grp
+  FROM events
+)
+SELECT user_id, min(event_id) AS island_start, max(event_id) AS island_end,
+       count(*) AS island_len
+FROM s GROUP BY user_id, grp
+"""
+
+
+@register("sequence_gaps", _GAPS_SQL)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        s.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count("*").alias("island_len"),
+        )
+        .drop("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# heatmap_bins — 2-D equi-width histogram (value × hour-of-day): the
+# density grid behind dashboard heatmap panels. One grouped aggregate.
+# ---------------------------------------------------------------------------
+
+_HEATMAP_SQL = """
+SELECT CAST(least(floor(value / 10.0), 9) AS INT) AS vbin,
+       CAST(extract(hour FROM ts) AS INT) AS hbin,
+       count(*) AS n,
+       round(avg(value), 6) AS mean_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("heatmap_bins", _HEATMAP_SQL)
+def q_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.least(F.floor(F.col("value") / 10.0), F.lit(9))
+            .cast("int")
+            .alias("vbin"),
+            F.hour("ts").cast("int").alias("hbin"),
+            "value",
+        )
+        .groupBy("vbin", "hbin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+    )
