@@ -641,3 +641,63 @@ def q_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("mean_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# shap_linear — exact Shapley attributions for the pinned linear scorer
+# (Linear SHAP, Lundberg & Lee 2017: for independent features and a
+# linear model, phi_j = w_j * (x_j - E[x_j]) exactly — no sampling, no
+# package). Reports the global mean(|phi_j|) importance per feature,
+# the summary mlflow's SHAP artifact plots. Closes the eval-suite
+# explanation gap (churn_model_training.py:137-142) with the
+# closed-form method instead of the unavailable shap package.
+# ---------------------------------------------------------------------------
+
+_SHAP_SQL = """
+WITH f AS (
+  SELECT CAST(value AS DOUBLE) AS value,
+         CAST(user_id % 7 AS DOUBLE) AS u7
+  FROM events
+),
+m AS (SELECT round(avg(value), 6) AS mv, round(avg(u7), 6) AS mu FROM f)
+SELECT 'value' AS feature, 8e-2 AS weight,
+       round(avg(abs(0.08e0 * (value - mv))), 6) AS mean_abs_shap
+FROM f, m
+UNION ALL
+SELECT 'u7', -5e-1,
+       round(avg(abs(-0.5e0 * (u7 - mu))), 6)
+FROM f, m
+"""
+
+
+@register("shap_linear", _SHAP_SQL)
+def q_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Feature means are a single-row broadcast; the attribution pass is
+    # map-side |w * (x - mean)| + one keyless average per feature.
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        F.col("value").cast("double").alias("value"),
+        (F.col("user_id") % 7).cast("double").alias("u7"),
+    )
+    m = f.agg(
+        F.round(F.avg("value"), 6).alias("mv"),
+        F.round(F.avg("u7"), 6).alias("mu"),
+    )
+    fm = f.crossJoin(F.broadcast(m))
+    rows = []
+    for feat, w, xcol, mcol in (
+        ("value", 0.08, "value", "mv"),
+        ("u7", -0.5, "u7", "mu"),
+    ):
+        rows.append(
+            fm.agg(
+                F.round(
+                    F.avg(F.abs(F.lit(w) * (F.col(xcol) - F.col(mcol)))), 6
+                ).alias("mean_abs_shap")
+            ).select(
+                F.lit(feat).alias("feature"),
+                F.lit(w).alias("weight"),
+                "mean_abs_shap",
+            )
+        )
+    return rows[0].unionByName(rows[1])

@@ -66,6 +66,8 @@ SINGLE_ROW_CROSS_OK = {
     "corpus_mix_report",
     # single-row n_orders aggregate broadcast into the lift/support cols
     "item_cooccurrence",
+    # single-row feature-means aggregate broadcast into the attribution
+    "shap_linear",
 }
 
 # Every oracled query is audited. The only exclusions are the three
