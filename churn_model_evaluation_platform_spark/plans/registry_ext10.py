@@ -1,7 +1,10 @@
-"""Round-6 batch 7 — monitoring-platform depth: declarative data-quality
-verification (Deequ-style, one aggregate pass), Kaplan-Meier survival
-(churn IS survival analysis), the McNemar champion-challenger gate, and
-EWMA smoothing for dashboard timeseries.
+"""Round-6 batches 7–9 — monitoring-platform and analytics depth:
+declarative data-quality verification (Deequ-style, one aggregate
+pass), Kaplan-Meier survival (churn IS survival analysis), the McNemar
+champion-challenger gate, EWMA smoothing, the geospatial family
+(geohash + grid-blocked radius join), market-basket association rules,
+multi-touch attribution, islands-and-gaps auditing, heatmap binning,
+and exact Linear-SHAP attributions.
 
 Same conventions as registry.py; e-notation double literals in oracles.
 """
