@@ -704,3 +704,197 @@ def q_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1])
+
+
+# ---------------------------------------------------------------------------
+# ab_test_summary — two-proportion experiment readout per segment:
+# deterministic treatment split (user_id parity), conversion = value
+# threshold, pooled two-proportion z statistic. One grouped aggregate;
+# the z arithmetic is closed-form (sqrt → rounded both engines).
+# ---------------------------------------------------------------------------
+
+_AB_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(user_id % 2 AS INT) AS treat,
+         CAST(value > 50 AS INT) AS conv
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS n_t,
+         sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS n_c,
+         sum(CASE WHEN treat = 1 THEN conv ELSE 0 END) AS x_t,
+         sum(CASE WHEN treat = 0 THEN conv ELSE 0 END) AS x_c
+  FROM s GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       round(CAST(x_t AS DOUBLE) / n_t, 6) AS p_t,
+       round(CAST(x_c AS DOUBLE) / n_c, 6) AS p_c,
+       round(CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c, 6)
+         AS uplift,
+       round((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+             / sqrt((CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                    * (1e0 - CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                    * (1e0 / n_t + 1e0 / n_c)), 6) AS z_stat
+FROM g
+"""
+
+
+@register("ab_test_summary", _AB_SQL)
+def q_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        (F.col("value") > 50).cast("int").alias("conv"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("treat") == 1, F.col("conv")).otherwise(0)).alias(
+            "x_t"
+        ),
+        F.sum(F.when(F.col("treat") == 0, F.col("conv")).otherwise(0)).alias(
+            "x_c"
+        ),
+    )
+    p_t = F.col("x_t").cast("double") / F.col("n_t")
+    p_c = F.col("x_c").cast("double") / F.col("n_c")
+    pool = (F.col("x_t") + F.col("x_c")).cast("double") / (
+        F.col("n_t") + F.col("n_c")
+    )
+    z = (p_t - p_c) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+    )
+    return g.select(
+        "event_type",
+        F.col("n_t").cast("bigint").alias("n_t"),
+        F.col("n_c").cast("bigint").alias("n_c"),
+        F.round(p_t, 6).alias("p_t"),
+        F.round(p_c, 6).alias("p_c"),
+        F.round(p_t - p_c, 6).alias("uplift"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv — value-weighted cohort triangle: cumulative purchase value
+# per signup-week cohort by week-age. Both the per-cell aggregate and
+# the cumulative window are cohort-co-partitioned.
+# ---------------------------------------------------------------------------
+
+_LTV_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+p AS (
+  SELECT f.cohort,
+         CAST(floor(date_diff('day', f.cohort, e.ts) / 7.0) AS BIGINT)
+           AS age_w,
+         e.value
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+),
+cell AS (
+  SELECT cohort, age_w, round(sum(value), 2) AS week_value
+  FROM p GROUP BY cohort, age_w
+)
+SELECT cohort, age_w, week_value,
+       round(sum(week_value) OVER (PARTITION BY cohort ORDER BY age_w
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS cum_value
+FROM cell
+"""
+
+
+@register("cohort_ltv", _LTV_SQL)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort").cast("date"))
+                / 7.0
+            )
+            .cast("bigint")
+            .alias("age_w"),
+            "value",
+        )
+    )
+    cell = p.groupBy("cohort", "age_w").agg(
+        F.round(F.sum("value"), 2).alias("week_value")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        # DuckDB's date_trunc('week') is a DATE; align the output type.
+        F.col("cohort").cast("date").alias("cohort"),
+        "age_w",
+        "week_value",
+        F.round(F.sum("week_value").over(w), 2).alias("cum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# path_transitions — first-order Markov transitions between event types
+# within each user's timeline: the path-analysis matrix behind "what do
+# users do next". One user-keyed lag window + a grouped aggregate; the
+# row-normalizing total is a per-from window over the 5x5 matrix.
+# ---------------------------------------------------------------------------
+
+_PATH_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM s WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+"""
+
+
+@register("path_transitions", _PATH_SQL)
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    c = (
+        s.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias("p"),
+    )
