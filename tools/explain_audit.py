@@ -84,7 +84,7 @@ EXCLUDED = {
 
 
 def audited_names() -> list[str]:
-    """All registry queries except EXCLUDED (== exactly the oracled 106;
+    """All registry queries except EXCLUDED (== every oracled query;
     iterative ones included — their construction materializes
     intermediate rounds at sf0.01 cost, and the audit asserts the FINAL
     plan, which is the shape that repeats per round at scale)."""
