@@ -898,3 +898,78 @@ def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# drift_mahalanobis — MULTIVARIATE drift: Mahalanobis D² between the
+# reference and current feature-mean vectors under a pooled diagonal
+# covariance, with per-feature contributions. The closed-form
+# companion to the per-column KS family: one aggregate per slice, no
+# model fit, no pairs. Splits events the same way value_drift does
+# (click slice = reference).
+# ---------------------------------------------------------------------------
+
+_MAHA_SQL = """
+WITH f AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_ref,
+         CAST(value AS DOUBLE) AS f1,
+         CAST(user_id % 97 AS DOUBLE) AS f2
+  FROM events
+),
+g AS (
+  SELECT is_ref, count(*) AS n,
+         round(avg(f1), 6) AS m1, round(var_pop(f1), 6) AS v1,
+         round(avg(f2), 6) AS m2, round(var_pop(f2), 6) AS v2
+  FROM f GROUP BY is_ref
+),
+r AS (SELECT * FROM g WHERE is_ref = 1),
+c AS (SELECT * FROM g WHERE is_ref = 0)
+SELECT round(pow(r.m1 - c.m1, 2)
+             / ((r.n * r.v1 + c.n * c.v1) / (r.n + c.n)), 6) AS d2_f1,
+       round(pow(r.m2 - c.m2, 2)
+             / ((r.n * r.v2 + c.n * c.v2) / (r.n + c.n)), 6) AS d2_f2,
+       round(pow(r.m1 - c.m1, 2)
+             / ((r.n * r.v1 + c.n * c.v1) / (r.n + c.n))
+             + pow(r.m2 - c.m2, 2)
+             / ((r.n * r.v2 + c.n * c.v2) / (r.n + c.n)), 6) AS d2_total
+FROM r, c
+"""
+
+
+@register("drift_mahalanobis", _MAHA_SQL)
+def q_drift_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-row ref × single-row cur cross (both one-row aggregates).
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_ref"),
+        F.col("value").cast("double").alias("f1"),
+        (F.col("user_id") % 97).cast("double").alias("f2"),
+    )
+    g = f.groupBy("is_ref").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("f1"), 6).alias("m1"),
+        F.round(F.var_pop("f1"), 6).alias("v1"),
+        F.round(F.avg("f2"), 6).alias("m2"),
+        F.round(F.var_pop("f2"), 6).alias("v2"),
+    )
+    r = g.where(F.col("is_ref") == 1).select(
+        *[F.col(c).alias(f"r_{c}") for c in ("n", "m1", "v1", "m2", "v2")]
+    )
+    c = g.where(F.col("is_ref") == 0).select(
+        *[F.col(c).alias(f"c_{c}") for c in ("n", "m1", "v1", "m2", "v2")]
+    )
+    j = r.crossJoin(F.broadcast(c))
+
+    def d2(m_r, m_c, v_r, v_c):
+        pooled = (
+            F.col("r_n") * F.col(v_r) + F.col("c_n") * F.col(v_c)
+        ) / (F.col("r_n") + F.col("c_n"))
+        return F.pow(F.col(m_r) - F.col(m_c), 2) / pooled
+
+    d1 = d2("r_m1", "c_m1", "r_v1", "c_v1")
+    d2_ = d2("r_m2", "c_m2", "r_v2", "c_v2")
+    return j.select(
+        F.round(d1, 6).alias("d2_f1"),
+        F.round(d2_, 6).alias("d2_f2"),
+        F.round(d1 + d2_, 6).alias("d2_total"),
+    )

@@ -113,7 +113,7 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cdc import cdc_apply
 
     orders = _t(spark, sf_dir, "orders")
-    src_dir = "/tmp/spark_graft_stream_cdc"
+    src_dir = f"/tmp/spark_graft_stream_cdc_{os.getpid()}"  # per-process: no clash if a bench and a correctness run overlap
     shutil.rmtree(src_dir, ignore_errors=True)
     os.makedirs(src_dir, exist_ok=True)
     for i, (where, _) in enumerate(_CDC_BATCH_BOUNDS):

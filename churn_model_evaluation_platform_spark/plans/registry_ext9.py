@@ -503,7 +503,7 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    dest = "/tmp/spark_graft_orc/customer"
+    dest = f"/tmp/spark_graft_orc_{os.getpid()}/customer"  # per-process path
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     _t(spark, sf_dir, "customer").write.mode("overwrite").orc(dest)

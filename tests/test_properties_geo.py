@@ -54,6 +54,13 @@ def _off_cell_boundary(lat, lon, nbits=20, eps=1e-6):
 def test_geohash_matches_bisection_reference(spark, pts):
     from hypothesis import assume
 
+    # Hypothesis favors integer-valued floats, which sit EXACTLY on
+    # cell boundaries (e.g. lat=0 → 0.5 * 2^20) — nudge every point off
+    # the lattice instead of assume()-filtering most examples away.
+    pts = [
+        (min(la + 1.234e-4, 89.95), min(lo + 1.234e-4, 179.95))
+        for la, lo in pts
+    ]
     assume(all(_off_cell_boundary(la, lo) for la, lo in pts))
     df = spark.createDataFrame(pts, "lat double, lon double")
     got = [

@@ -68,6 +68,8 @@ SINGLE_ROW_CROSS_OK = {
     "item_cooccurrence",
     # single-row feature-means aggregate broadcast into the attribution
     "shap_linear",
+    # single-row ref-stats x single-row cur-stats cross
+    "drift_mahalanobis",
 }
 
 # Every oracled query is audited. The only exclusions are the three
