@@ -973,3 +973,168 @@ def q_drift_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d2_, 6).alias("d2_f2"),
         F.round(d1 + d2_, 6).alias("d2_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conformal_coverage — split-conformal prediction intervals for the
+# pinned regressor-style score: q_hat = the ceil((n+1)(1-alpha))/n
+# empirical quantile of calibration-split absolute residuals; report
+# empirical coverage + mean width on the held-out split. Deterministic
+# md5 split; exact (type-1, no interpolation) quantile on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _conformal_sql() -> str:
+    from ..functions.hashing import md5_hash_int_sql
+
+    h = md5_hash_int_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+WITH s AS (
+  SELECT value AS y,
+         2e1 + 6e-1 * value + (user_id % 13) AS pred,
+         CASE WHEN {h} % 2 = 0 THEN 'cal' ELSE 'test' END AS split
+  FROM events
+),
+cal AS (SELECT abs(y - pred) AS r FROM s WHERE split = 'cal'),
+nq AS (
+  SELECT count(*) AS n,
+         CAST(least(ceil((count(*) + 1) * 9e-1), count(*)) AS BIGINT) AS k
+  FROM cal
+),
+ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r, r) AS rk FROM cal
+),
+q AS (SELECT r AS q_hat FROM ranked, nq WHERE rk = k)
+SELECT round(q_hat, 6) AS q_hat,
+       round(avg(CASE WHEN abs(y - pred) <= q_hat THEN 1e0 ELSE 0e0 END), 6)
+         AS coverage,
+       CAST(count(*) AS BIGINT) AS n_test
+FROM (SELECT * FROM s WHERE split = 'test'), q
+GROUP BY q_hat
+"""
+
+
+@register("conformal_coverage", _conformal_sql())
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The calibration quantile is the exact order statistic k =
+    # ceil((n+1)*0.9) (type-1, no interpolation → bit-identical across
+    # engines); at 100 TB swap the rank window for the range-partitioned
+    # prefix-sum selection, or percentile_approx when 0.1% slack is fine.
+    from ..functions.hashing import md5_hash_int
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("value").alias("y"),
+        (20.0 + 0.6 * F.col("value") + (F.col("user_id") % 13)).alias("pred"),
+        F.when(
+            md5_hash_int(F.col("event_id").cast("string")) % 2 == 0, "cal"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    cal = s.where(F.col("split") == "cal").select(
+        F.abs(F.col("y") - F.col("pred")).alias("r")
+    )
+    nq = cal.agg(
+        F.count("*").alias("n"),
+        F.least(
+            F.ceil((F.count("*") + 1) * 0.9), F.count("*")
+        ).cast("long").alias("k"),
+    )
+    w = Window.orderBy("r")
+    ranked = cal.select("r", F.row_number().over(w).alias("rk"))
+    q = (
+        ranked.crossJoin(F.broadcast(nq))
+        .where(F.col("rk") == F.col("k"))
+        .select(F.col("r").alias("q_hat"))
+    )
+    test = s.where(F.col("split") == "test")
+    return (
+        test.crossJoin(F.broadcast(q))
+        .groupBy("q_hat")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        F.abs(F.col("y") - F.col("pred")) <= F.col("q_hat"),
+                        F.lit(1.0),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("coverage"),
+            F.count("*").cast("bigint").alias("n_test"),
+        )
+        .select(F.round("q_hat", 6).alias("q_hat"), "coverage", "n_test")
+    )
+
+
+# ---------------------------------------------------------------------------
+# key_skew_report — the operability query for shuffle-skew hunting:
+# per join-key column, distinct-key count, the hottest key's share, and
+# the Gini coefficient of the key-frequency distribution (0 = uniform,
+# →1 = one key owns everything). All wide ops run over DISTINCT keys.
+# ---------------------------------------------------------------------------
+
+
+def _skew_col_sql(col: str) -> str:
+    # Gini over KEYS as population units (x = key frequency, ascending
+    # rank i): G = 2*Sum(i*x_i) / (n*T) - (n+1)/n. Uniform keys -> 0,
+    # one dominant key -> ~1.
+    return f"""
+SELECT '{col}' AS key_col,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS max_share,
+       round(2e0 * sum(CAST(rk AS DOUBLE) * cnt)
+               / (count(*) * CAST(sum(cnt) AS DOUBLE))
+             - (count(*) + 1e0) / count(*), 6) AS gini
+FROM (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt, k) AS rk
+  FROM (SELECT {col} AS k, count(*) AS cnt FROM lineitem GROUP BY {col})
+)
+"""
+
+
+_SKEW_SQL = (
+    _skew_col_sql("l_orderkey")
+    + " UNION ALL "
+    + _skew_col_sql("l_partkey")
+    + " UNION ALL "
+    + _skew_col_sql("l_suppkey")
+)
+
+
+@register("key_skew_report", _SKEW_SQL)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini from the Lorenz prefix over keys sorted by descending count
+    # (deterministic tiebreak by key). Each column's ordering window
+    # runs over DISTINCT keys; at 100 TB use the range-partitioned
+    # prefix sum (functions/stats.py) for the cum column.
+    li = _t(spark, sf_dir, "lineitem")
+    outs = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        counts = li.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").alias("cnt")
+        )
+        w = Window.orderBy(F.col("cnt"), F.col("k"))
+        lorenz = counts.select(
+            "cnt", F.row_number().over(w).alias("rk")
+        )
+        gini = 2.0 * F.sum(F.col("rk").cast("double") * F.col("cnt")) / (
+            F.count("*") * F.sum("cnt").cast("double")
+        ) - (F.count("*") + 1.0) / F.count("*")
+        outs.append(
+            lorenz.agg(
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.round(
+                    F.max("cnt").cast("double") / F.sum("cnt"), 6
+                ).alias("max_share"),
+                F.round(gini, 6).alias("gini"),
+            ).select(
+                F.lit(col).alias("key_col"), "n_keys", "max_share", "gini"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -128,3 +128,36 @@ def test_geohash_matches_classic_example(spark):
         .d
     )
     assert 330 < d < 350, d
+
+
+def test_key_skew_gini_bounds(spark):
+    """The Gini formula used by key_skew_report: 0 for uniform key
+    frequencies, near 1 when one key dominates (caught a formula that
+    normalized by rows instead of keys and returned 0 always — a bug
+    the differential oracle can't see because both engines shared it)."""
+    from pyspark.sql import Window
+
+    def gini_of(counts):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(counts)], "k int, cnt long"
+        )
+        w = Window.orderBy(F.col("cnt"), F.col("k"))
+        lz = df.select("cnt", F.row_number().over(w).alias("rk"))
+        g = 2.0 * F.sum(F.col("rk").cast("double") * F.col("cnt")) / (
+            F.count("*") * F.sum("cnt").cast("double")
+        ) - (F.count("*") + 1.0) / F.count("*")
+        return lz.agg(g.alias("g")).collect()[0].g
+
+    assert abs(gini_of([10] * 10)) < 1e-12
+    assert gini_of([1000] + [1] * 9) > 0.85
+    assert 0 < gini_of([4, 3, 2, 1]) < 0.5
+
+
+def test_conformal_coverage_near_target(spark):
+    import __spark_entry__ as m
+
+    row = m.queries()["conformal_coverage"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    # split-conformal guarantee: coverage >= 1 - alpha - O(1/n)
+    assert 0.85 <= row.coverage <= 0.97, row

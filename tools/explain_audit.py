@@ -70,6 +70,8 @@ SINGLE_ROW_CROSS_OK = {
     "shap_linear",
     # single-row ref-stats x single-row cur-stats cross
     "drift_mahalanobis",
+    # single-row (n,k) and single-row q_hat aggregates broadcast in
+    "conformal_coverage",
 }
 
 # Every oracled query is audited. The only exclusions are the three
