@@ -1138,3 +1138,64 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# robust_scale_stats — the robust-scaler fit a training pipeline runs
+# before standardizing features: per feature median, IQR, and the count
+# of |x - median| > 3·IQR outliers. One array-percentile aggregate
+# (boundaries) + one broadcast-assign pass — the same no-global-sort
+# shape as quantile_bins.
+# ---------------------------------------------------------------------------
+
+_ROBUST_SQL = """
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.50) AS med,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem
+)
+SELECT round(med, 6) AS median,
+       round(q3 - q1, 6) AS iqr,
+       CAST(sum(CASE WHEN abs(l_extendedprice - med) > 3e0 * (q3 - q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n
+FROM lineitem, q
+GROUP BY med, q1, q3
+"""
+
+
+@register("robust_scale_stats", _ROBUST_SQL)
+def q_robust_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    q = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.50, 0.75))"
+        ).alias("qq")
+    ).select(
+        F.col("qq")[0].alias("q1"),
+        F.col("qq")[1].alias("med"),
+        F.col("qq")[2].alias("q3"),
+    )
+    j = li.crossJoin(F.broadcast(q))
+    return (
+        j.groupBy("med", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("l_extendedprice") - F.col("med"))
+                    > 3.0 * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.round("med", 6).alias("median"),
+            F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+            "n_outliers",
+            "n",
+        )
+    )

@@ -161,3 +161,23 @@ def test_conformal_coverage_near_target(spark):
     ).collect()[0]
     # split-conformal guarantee: coverage >= 1 - alpha - O(1/n)
     assert 0.85 <= row.coverage <= 0.97, row
+
+
+def test_approx_percentile_quality_vs_exact(spark):
+    """Evidence for the documented 100 TB swap (SCALE.md): at sf0.01
+    percentile_approx with accuracy 10000 lands within 0.2% relative
+    error of the exact interpolated percentile on every quartile."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_extendedprice"
+    )
+    row = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))"
+        ).alias("exact"),
+        F.expr(
+            "percentile_approx(l_extendedprice,"
+            " array(0.25, 0.5, 0.75, 0.99), 10000)"
+        ).alias("approx"),
+    ).collect()[0]
+    for e, a in zip(row.exact, row.approx):
+        assert abs(a - e) / e < 0.002, (e, a)

@@ -72,6 +72,8 @@ SINGLE_ROW_CROSS_OK = {
     "drift_mahalanobis",
     # single-row (n,k) and single-row q_hat aggregates broadcast in
     "conformal_coverage",
+    # single-row quartile aggregate broadcast into the outlier pass
+    "robust_scale_stats",
 }
 
 # Every oracled query is audited. The only exclusions are the three
