@@ -1199,3 +1199,81 @@ def q_robust_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity — Newman modularity Q of the dedup-cluster partition
+# over the LSH-verified similarity graph. Components contain all edges
+# by construction, so Q = 1 − Σ_c (d_c / 2m)² — the degree-balance
+# term alone; near 1 means many small clusters (healthy dedup graph),
+# near 0 means one hub cluster owns the corpus. Completes the graph
+# family (components → pagerank → triangles → modularity).
+# ---------------------------------------------------------------------------
+
+
+def _modularity_sql() -> str:
+    from .registry_ext5 import _LSH_VERIFIED_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS ({_LSH_VERIFIED_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id
+),
+labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS n_dir FROM edges),
+deg AS (SELECT a AS id, count(*) AS d FROM edges GROUP BY a),
+cdeg AS (
+  SELECT l.cluster_id, CAST(sum(d.d) AS DOUBLE) AS d_c
+  FROM deg d JOIN labels l ON l.id = d.id
+  GROUP BY l.cluster_id
+)
+SELECT CAST((SELECT n_dir FROM m) / 2 AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       round(1e0 - sum(pow(d_c / (SELECT n_dir FROM m), 2)), 6)
+         AS modularity
+FROM cdeg
+"""
+
+
+@register("graph_modularity", _modularity_sql())
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # d_c / 2m with 2m = the directed edge count (each undirected pair
+    # appears twice in `edges`). Spark side: components via label
+    # propagation, degrees + cluster sums as grouped aggregates; the
+    # only driver scalar is the single edge count (broadcast 1-row).
+    from ..operators import dedup
+    from ..operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(docs, n=3, threshold=0.1)
+    sym = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    comp = connected_components(
+        docs.select("doc_id"),
+        sym.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        id_col="doc_id",
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("d"))
+    m = sym.agg(F.count("*").cast("double").alias("n_dir"))
+    cdeg = (
+        deg.join(comp, "id")
+        .groupBy("component")
+        .agg(F.sum("d").cast("double").alias("d_c"))
+    )
+    j = cdeg.crossJoin(F.broadcast(m))
+    return j.agg(
+        (F.first("n_dir") / 2).cast("bigint").alias("n_edges"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.round(
+            1.0 - F.sum(F.pow(F.col("d_c") / F.col("n_dir"), 2)), 6
+        ).alias("modularity"),
+    )

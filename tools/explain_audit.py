@@ -74,6 +74,8 @@ SINGLE_ROW_CROSS_OK = {
     "conformal_coverage",
     # single-row quartile aggregate broadcast into the outlier pass
     "robust_scale_stats",
+    # single-row edge-count aggregate broadcast into the degree-balance sum
+    "graph_modularity",
 }
 
 # Every oracled query is audited. The only exclusions are the three
