@@ -119,8 +119,24 @@ SLOPE_QUERIES = [
     # proves the rare-blocking/bucket claims in SCALE.md
     "ngram_novelty",
     "dedup_containment",
+    # graph family over the structure-preserving 4x orders/lineitem
+    # synthesis (4 disjoint subgraphs): iterative + combinatorial ops
+    "pagerank",
+    "triangle_count",
+    "item_cooccurrence",
 ]
-SLOPE_TABLES = {"documents": "doc_id", "events": "event_id", "embeddings": "vec_id"}
+# Every listed column gets the same per-copy id offset, so join keys
+# stay CONSISTENT within a copy (4 disjoint subgraphs — structure-
+# preserving, which is what makes graph-query slopes meaningful: NOT
+# offsetting l_partkey/l_suppkey would multiply key density 4x and the
+# probe, not the operator, would read super-linear).
+SLOPE_TABLES = {
+    "documents": ["doc_id"],
+    "events": ["event_id"],
+    "embeddings": ["vec_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
 _VOWEL_ROTATIONS = ["aeiou", "eioua", "iouae", "ouaei"]
 
 
@@ -239,13 +255,16 @@ def _build_slope_dir(spark, sf_dir: str, factor: int) -> str:
     from churn_model_evaluation_platform_spark.sources.testdata import load_table
 
     out = f"/tmp/spark_graft_slope_{factor}x"
-    for table, id_col in SLOPE_TABLES.items():
+    for table, id_cols in SLOPE_TABLES.items():
         base = load_table(spark, table, sf_dir)
         copies = []
         for i in range(factor):
-            c = base.withColumn(
-                id_col, (F.col(id_col) + F.lit(i * 1_000_000_000)).cast("long")
-            )
+            c = base
+            for id_col in id_cols:
+                c = c.withColumn(
+                    id_col,
+                    (F.col(id_col) + F.lit(i * 1_000_000_000)).cast("long"),
+                )
             if table == "documents":
                 # vowel-rotate per copy so clones are NOT near-duplicates
                 # of each other (see SLOPE_QUERIES comment).
