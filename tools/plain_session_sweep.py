@@ -33,9 +33,11 @@ def main() -> int:
     print(f"entry: {n} rows")
     qs = entrymod.queries()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t = time.time()
         try:
             cnt = fn(spark, sf_dir).count()
@@ -43,7 +45,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — report every failure
             failed.append(name)
             print(f"FAIL {name}: {type(exc).__name__}: {str(exc)[:200]}")
-    print(f"\n{len(qs) - len(failed)} ok, {len(failed)} failed")
+    print(f"\n{n_run - len(failed)} ok, {len(failed)} failed")
     return 1 if failed else 0
 
 
