@@ -1277,3 +1277,46 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.sum(F.pow(F.col("d_c") / F.col("n_dir"), 2)), 6
         ).alias("modularity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# percentiles_hourly — p50/p95/p99 per (event_type, hour): THE
+# observability panel query (latency/quality percentiles over time).
+# Exact per-group order statistics; each (type, hour) group buffers its
+# own values — at 100 TB swap for percentile_approx (quality-bounded in
+# tests at <0.2% relative error) or t-digest merge.
+# ---------------------------------------------------------------------------
+
+_PCTL_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+       count(*) AS n,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+@register("percentiles_hourly", _PCTL_HOURLY_SQL)
+def q_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bar_ts")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "percentile(value, array(0.50, 0.95, 0.99))"
+            ).alias("qq"),
+        )
+        .select(
+            "event_type",
+            "bar_ts",
+            "n",
+            F.round(F.col("qq")[0], 6).alias("p50"),
+            F.round(F.col("qq")[1], 6).alias("p95"),
+            F.round(F.col("qq")[2], 6).alias("p99"),
+        )
+    )
