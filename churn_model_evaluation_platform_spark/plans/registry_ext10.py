@@ -1320,3 +1320,113 @@ def q_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("qq")[2], 6).alias("p99"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# nation_trade_volume — TPC-H Q7 shape: revenue between every
+# (customer-nation, supplier-nation) pair by ship year. Two broadcast
+# nation joins + broadcast supplier; the only shuffles are
+# orders⋈lineitem and the final pair-year aggregate.
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(extract(year FROM l_shipdate) AS INT) AS yr,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+  AND n1.n_nationkey <> n2.n_nationkey
+GROUP BY n1.n_name, n2.n_name, CAST(extract(year FROM l_shipdate) AS INT)
+"""
+
+
+@register("nation_trade_volume", _Q7_SQL)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 3)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("ck") == F.col("c_nationkey"))
+        .join(F.broadcast(n2), F.col("sk") == F.col("s_nationkey"))
+        .where(F.col("ck") != F.col("sk"))
+    )
+    return j.groupBy(
+        "cust_nation",
+        "supp_nation",
+        F.year("l_shipdate").cast("int").alias("yr"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# returned_revenue_loss — TPC-H Q10 shape: the customers costing the
+# most in returned-item revenue over one quarter-year window, with
+# their nation. Top-20 via TakeOrdered on rounded loss + custkey.
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+SELECT c_custkey, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_loss,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, n_name
+ORDER BY revenue_loss DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_revenue_loss", _Q10_SQL)
+def q_returned_revenue_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey")
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue_loss"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue_loss").desc(), "c_custkey")
+        .limit(20)
+    )
