@@ -1430,3 +1430,43 @@ def q_returned_revenue_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_loss").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# cumulative_reach — distinct users ever seen, per day: the growth
+# curve. Exact WITHOUT a cumulative distinct (which would be quadratic
+# or sketch-based): each user collapses to a first-seen day, then the
+# running count is a prefix sum over DAYS — the wide ops are one
+# user-keyed min and a window over calendar-day cardinality.
+# ---------------------------------------------------------------------------
+
+_REACH_SQL = """
+WITH fs AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+),
+d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY first_day)
+SELECT first_day AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS total_reach
+FROM d
+"""
+
+
+@register("cumulative_reach", _REACH_SQL)
+def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    d = fs.groupBy("first_day").agg(F.count("*").alias("new_users"))
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("total_reach"),
+    )
