@@ -73,22 +73,29 @@ def _coverage_order(
     same prefix every time.
 
     Priority (registration order preserved within each tier):
-      1. oracled queries whose latest driver row errored (prove the fix),
+      1. oracled queries whose latest driver row FAILED — an error OR a
+         rows/schema/hash mismatch (prove the fix; a hash-red row left
+         at recency tier would sort dead last and never be re-proven,
+         the r6 rotation bug),
       2. oracled queries never checked by any prior round,
       3. oracled queries already green, least-recently-checked first,
       4. no-oracle (rows-only) queries dead last — they can only ever
          produce weaker rows-only rows, so they shouldn't occupy window
          slots ahead of hash-checkable entries.
-    Reads the driver's own CORRECTNESS_r*.json artifacts; with none
-    present the order degrades to plain registration order.
+    Names present in old artifacts but absent from the current registry
+    (renames, e.g. stratified_kfold_hash → kfold_hash in r5) are
+    skipped when building the tiers. Reads the driver's own
+    CORRECTNESS_r*.json artifacts; with none present the order degrades
+    to plain registration order.
     """
     import glob as _glob
     import json as _json
     import os as _os
 
     here = artifacts_dir or _os.path.dirname(_os.path.abspath(__file__))
+    live = set(names)
     last_round: dict[str, int] = {}
-    last_err: dict[str, bool] = {}
+    last_bad: dict[str, bool] = {}
     paths = sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")))
     for rnd, path in enumerate(paths, 1):
         # rnd is the file's position in round order — strictly increasing
@@ -99,13 +106,21 @@ def _coverage_order(
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            if name not in live:
+                continue  # tombstone from a renamed/removed query
             last_round[name] = max(last_round.get(name, 0), rnd)
-            last_err[name] = bool(row.get("err"))
+            # Latest file wins (paths are sorted): a row is bad if it
+            # errored or any match flag is explicitly False. `is False`
+            # so a null/absent hash_match (rows-only row) isn't "bad".
+            last_bad[name] = bool(row.get("err")) or any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
 
     def tier(name: str) -> tuple:
         if name not in oracles:
             return (3, 0)
-        if last_err.get(name):
+        if last_bad.get(name):
             return (0, 0)
         if name not in last_round:
             return (1, 0)

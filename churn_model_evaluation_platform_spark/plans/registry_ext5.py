@@ -805,7 +805,11 @@ cum AS (
   FROM agg
 )
 SELECT proba AS threshold,
-       tp, fp, (p - tp) AS fn, (nn - fp) AS tn,
+       -- DuckDB SUM(int) widens to HUGEINT; the driver's hasher renders
+       -- int128 differently from Spark's BIGINT → cast every integer sum
+       -- in the final projection (CORRECTNESS_r06 root cause).
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(p - tp AS BIGINT) AS fn, CAST(nn - fp AS BIGINT) AS tn,
        CAST(tp AS DOUBLE) / p AS tpr,
        CAST(fp AS DOUBLE) / nn AS fpr,
        CASE WHEN tp + fp = 0 THEN 0.0
@@ -900,7 +904,9 @@ fin AS (
          SUM(n) OVER () AS all_n
   FROM pb
 )
-SELECT bucket, n, positives,
+SELECT bucket,
+       -- HUGEINT → BIGINT cast, same driver-hasher reason as roc_curve.
+       CAST(n AS BIGINT) AS n, CAST(positives AS BIGINT) AS positives,
        CAST(cum_pos AS DOUBLE) / all_pos AS gain,
        (CAST(cum_pos AS DOUBLE) / cum_n)
          / (CAST(all_pos AS DOUBLE) / all_n) AS lift
@@ -925,10 +931,15 @@ WITH scored AS (
   FROM events
 )
 SELECT
-  SUM(CASE WHEN churn = 1 AND churn_prediction = 1 THEN 1 ELSE 0 END) AS tp,
-  SUM(CASE WHEN churn <> 1 AND churn_prediction = 1 THEN 1 ELSE 0 END) AS fp,
-  SUM(CASE WHEN churn = 1 AND churn_prediction <> 1 THEN 1 ELSE 0 END) AS fn,
-  SUM(CASE WHEN churn <> 1 AND churn_prediction <> 1 THEN 1 ELSE 0 END) AS tn,
+  -- CAST: DuckDB SUM(int)=HUGEINT vs Spark BIGINT (driver hash r06).
+  CAST(SUM(CASE WHEN churn = 1 AND churn_prediction = 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN churn <> 1 AND churn_prediction = 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN churn = 1 AND churn_prediction <> 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS fn,
+  CAST(SUM(CASE WHEN churn <> 1 AND churn_prediction <> 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS tn,
   COUNT(*) AS n
 FROM scored
 """,

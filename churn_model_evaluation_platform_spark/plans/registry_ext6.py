@@ -976,7 +976,7 @@ def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_PROPS_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
        max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type
@@ -1014,7 +1014,8 @@ def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_SQL = """
 SELECT event_id,
        count(*) OVER w AS rolling_n,
-       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS rolling_sum_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS rolling_sum_cents
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY ts
              RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
