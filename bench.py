@@ -1,9 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <float>}
+The FINAL stdout line is ONE compact JSON object (kept well under the
+driver's 2000-char tail buffer — BENCH_r06 was unparseable because the
+per-query map outgrew it):
+    {"metric": "headline_total_runtime", "value": <total sec>,
+     "unit": "sec", "sf": <float>, "r1_subset_total": <sec>,
+     "method": "...", "n_queries": N, "n_errors": N,
+     "load_avg_start": x.xx, "detail_file": "BENCH_DETAIL.json"}
+Per-query timings, scale slopes, and error strings are printed on an
+EARLIER stdout line and written to BENCH_DETAIL.json next to this file.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no result transfer, no output I/O) so Catalyst cannot prune the measured
@@ -140,11 +146,36 @@ SLOPE_TABLES = {
 _VOWEL_ROTATIONS = ["aeiou", "eioua", "iouae", "ouaei"]
 
 
+def _contention_snapshot() -> dict:
+    """Record machine load + any pre-existing JVMs at bench start so a
+    contaminated run (this box has a documented 3-5x contention band,
+    SCALE.md) is flaggable from the artifact instead of re-adjudicated
+    by hand each round (BENCH_r06's similarity numbers were 4-7x
+    phantom)."""
+    snap: dict = {}
+    try:
+        snap["load_avg_start"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        snap["load_avg_start"] = None
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["pgrep", "-c", "-f", "java"], capture_output=True, text=True
+        )
+        # Our own JVM hasn't started yet, so any count here is foreign.
+        snap["java_procs_at_start"] = int((out.stdout or "0").strip() or 0)
+    except Exception:
+        snap["java_procs_at_start"] = None
+    return snap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
+    contention = _contention_snapshot()
     spark = get_spark(app_name="churn_model_evaluation_platform_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -226,23 +257,61 @@ def main() -> None:
     # apples-to-apples vs the round-1 bench: subtotal over the original
     # 27-query headline set (new queries extend HEADLINE at the end)
     r1_subset = round(sum(timings.get(n, 0.0) for n in HEADLINE[:27]), 4)
+
+    # Full detail: an EARLIER stdout line (outside the driver's 2000-char
+    # tail) + a file the judge can read verbatim.
+    detail = {
+        "queries": timings,
+        "scale_slope": slope,
+        "errors": errors,
+        "contention": contention,
+    }
+    print(json.dumps(detail))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_total_runtime",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "r1_subset_total": r1_subset,
+                    "method": "best_of_2_warmed",
+                    **detail,
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass  # detail file is best-effort; the stdout lines stand alone
+
+    # FINAL line: compact by construction (no per-query map, no nested
+    # slope dicts) — the driver keeps only a 2000-char stdout tail and
+    # BENCH_r06 came back parsed:null when the old combined line outgrew
+    # it. Timing methodology recorded so rounds are comparable: r01-r03
+    # were single-shot; r04+ are untimed-warm + best-of-2 (SCALE.md
+    # "Bench methodology") — deltas spanning r03→r04 are NOT
+    # like-for-like.
     out = {
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "r1_subset_total": r1_subset,
-        "scale_slope": slope,
-        # Timing methodology, recorded so rounds are comparable:
-        # r01-r03 were single-shot; r04+ are untimed-warm + best-of-2
-        # (see SCALE.md "Bench methodology") — cross-round deltas that
-        # span r03→r04 are NOT like-for-like.
         "method": "best_of_2_warmed",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        **contention,
+        "detail_file": "BENCH_DETAIL.json",
     }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1800:  # backstop — structurally impossible, but never
+        out.pop("detail_file", None)  # let the tail buffer truncate again
+        line = json.dumps(out)[:1800]
+    print(line)
 
 
 def _build_slope_dir(spark, sf_dir: str, factor: int) -> str:

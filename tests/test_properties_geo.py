@@ -1,7 +1,10 @@
-"""Property tier for the geo primitives: geohash prefix-locality and
-haversine metric axioms, against a pure-python bisection reference."""
+"""Property tier for the geo primitives: geohash prefix-locality,
+haversine metric axioms, and grid-blocked radius-join completeness,
+against pure-python references."""
 
 from __future__ import annotations
+
+import math
 
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -9,6 +12,7 @@ from pyspark.sql import functions as F
 from churn_model_evaluation_platform_spark.functions.geo import (
     geohash,
     haversine_km,
+    radius_join_blocked,
 )
 
 SETTINGS = settings(max_examples=5, deadline=None)
@@ -94,3 +98,109 @@ def test_haversine_metric_axioms(spark, la1, lo1, la2, lo2):
     assert abs(row.ab - row.ba) < 1e-9  # symmetry
     assert row.aa < 1e-6  # identity
     assert 0 <= row.ab <= 20037.6  # bounded by half circumference
+
+
+# ---------------------------------------------------------------------------
+# radius_join_blocked completeness vs python brute force (ADVICE r6: the
+# old fixed ±1-cell probe missed high-latitude and antimeridian pairs,
+# and the oracle's identical blocking made the differential check
+# vacuous — these references share NO blocking logic with the operator).
+# ---------------------------------------------------------------------------
+
+
+def _py_haversine(la1, lo1, la2, lo2):
+    rad = 0.017453292519943295
+    a = (
+        math.sin((la2 - la1) * rad / 2) ** 2
+        + math.cos(la1 * rad)
+        * math.cos(la2 * rad)
+        * math.sin((lo2 - lo1) * rad / 2) ** 2
+    )
+    return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+
+def _brute_pairs(pts, radius):
+    out = set()
+    for i, (ia, la1, lo1) in enumerate(pts):
+        for ib, la2, lo2 in pts[i + 1:]:
+            if _py_haversine(la1, lo1, la2, lo2) <= radius:
+                out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+def _blocked_pairs(spark, pts, radius):
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    return {
+        (r.id_a, r.id_b)
+        for r in radius_join_blocked(df, radius).collect()
+    }
+
+
+def test_radius_join_finds_high_latitude_pairs(spark):
+    # At lat 85 a longitude degree is ~9.7 km: these pairs sit 4-7 grid
+    # cells apart yet well inside 75 km — the exact class the old
+    # ±1-cell probe silently dropped.
+    pts = [
+        (1, 85.0, 0.3),
+        (2, 85.0, 5.1),  # ~46 km from id 1, 5 cells away
+        (3, 84.6, 3.2),
+        (4, -85.2, -170.4),
+        (5, -85.3, -163.9),  # ~54 km from id 4 (southern hemisphere)
+        (6, 20.0, 50.0),  # far away control
+    ]
+    got = _blocked_pairs(spark, pts, 75.0)
+    want = _brute_pairs(pts, 75.0)
+    assert got == want
+    assert (1, 2) in got and (4, 5) in got  # the multi-cell pairs
+
+
+def test_radius_join_wraps_antimeridian(spark):
+    pts = [
+        (1, 0.0, 179.9),
+        (2, 0.0, -179.9),  # ~22 km from id 1, across ±180
+        (3, 62.5, 179.4),
+        (4, 62.6, -179.6),  # high-lat AND wrapped
+        (5, 0.0, 0.0),  # control
+    ]
+    got = _blocked_pairs(spark, pts, 75.0)
+    want = _brute_pairs(pts, 75.0)
+    assert got == want
+    assert (1, 2) in got and (3, 4) in got
+
+
+def test_radius_join_covers_over_the_pole_pairs(spark):
+    # Two points on opposite meridians near the pole: lon cells are 180
+    # apart but the points are ~67 km apart over the pole; the
+    # full-circle probe span (cos φmax < sin(d/2R)) must find them.
+    pts = [(1, 89.7, 10.0), (2, 89.7, -170.0), (3, 88.0, 10.0)]
+    got = _blocked_pairs(spark, pts, 75.0)
+    want = _brute_pairs(pts, 75.0)
+    assert got == want
+    assert (1, 2) in got
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+            st.floats(min_value=-180.0, max_value=179.999, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_radius_join_matches_brute_force(spark, coords):
+    # Bias toward the hard region: odd ids are pushed poleward so most
+    # random draws exercise the latitude-aware span, not just w=1.
+    pts = [
+        (i, max(min(la + (55.0 if i % 2 and la >= 0 else 0.0), 89.9), -89.9), lo)
+        for i, (la, lo) in enumerate(coords)
+    ]
+    # Exclude pairs within 1 m of the exact 75.0 km boundary: python and
+    # JVM libm may round the last ULP differently there. Completeness of
+    # the CANDIDATE set (the thing blocking can break) is unaffected.
+    brute = _brute_pairs(pts, 74.999)
+    loose = _brute_pairs(pts, 75.001)
+    got = _blocked_pairs(spark, pts, 75.0)
+    assert brute <= got <= loose
