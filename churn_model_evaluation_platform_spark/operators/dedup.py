@@ -713,13 +713,17 @@ def containment_pairs(
         .where(F.col("rn") <= k_rare)
         .select("id", "h")
     )
-    # Candidate = pairs colliding on >= min_blocks DISTINCT rare
-    # shingles. For full containment every one of A's k_rare rarest
-    # shingles is in B, so recall stays exactly 1.0 at min_blocks <=
-    # k_rare; requiring 2 instead of 1 cuts the verify set by the
-    # block-bucket tail (measured 87k -> far fewer pairs on the
-    # synthetic corpus, whose tiny vocabulary makes even "rare"
-    # shingles df~6).
+    # Candidate = pairs colliding on >= least(min_blocks, |A|, |B|)
+    # DISTINCT rare shingles. For full containment every one of A's
+    # k_rare rarest shingles is in B, so recall is exactly 1.0 at
+    # min_blocks <= k_rare — including docs with FEWER than min_blocks
+    # distinct shingles, whose threshold degrades to their own shingle
+    # count (a one-shingle contained doc can only ever produce nb=1;
+    # ADVICE r6). Requiring 2 instead of 1 for normal-size docs cuts the
+    # verify set by the block-bucket tail (measured 87k -> far fewer
+    # pairs on the synthetic corpus, whose tiny vocabulary makes even
+    # "rare" shingles df~6).
+    sizes = arr.select("id", F.size("shs").alias("nsh"))
     cand = (
         rare.alias("r")
         .join(
@@ -734,7 +738,12 @@ def containment_pairs(
         .distinct()
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("nb"))
-        .where(F.col("nb") >= min_blocks)
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("nsh_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nsh_b")), "id_b")
+        .where(
+            F.col("nb")
+            >= F.least(F.lit(min_blocks), F.col("nsh_a"), F.col("nsh_b"))
+        )
         .select("id_a", "id_b")
     )
     pairs = cand.join(

@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Added to (epoch_us, tiebreak) before '%020d' formatting so negative
+# values order correctly; 2^62 keeps any realistic sum inside int64.
+_ORD_BIAS = 1 << 62
+
 
 def ohlc_bars(
     df: DataFrame,
@@ -36,8 +40,15 @@ def ohlc_bars(
     # Zero-padded fixed-width string → lexicographic order == numeric
     # order on (epoch_us, tiebreak); a plain scalar every engine can
     # order identically (differential-check friendly, and cheap).
+    # Both fields are biased by 2^62 into the non-negative range first:
+    # '%020d' on a NEGATIVE value (pre-1970 timestamps, signed ids)
+    # prints a '-' sign that sorts before digits AND reverses within the
+    # negatives, silently breaking the ordering contract (ADVICE r6).
+    # Valid for |epoch_us| and |tiebreak| < 2^62 — ±146k years.
     ordk: Column = F.format_string(
-        "%020d|%020d", F.unix_micros(F.col(ts_col)), F.col(tiebreak_col)
+        "%020d|%020d",
+        F.unix_micros(F.col(ts_col)) + F.lit(_ORD_BIAS),
+        F.col(tiebreak_col) + F.lit(_ORD_BIAS),
     )
     return (
         df.groupBy(

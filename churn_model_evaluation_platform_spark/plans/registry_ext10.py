@@ -236,7 +236,8 @@ def q_model_compare_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EWMA_SQL = """
 WITH e AS (
   SELECT event_type, event_id, value,
-         printf('%020d|%020d', epoch_us(ts), event_id) AS ordk
+         printf('%020d|%020d', epoch_us(ts) + 4611686018427387904,
+                event_id + 4611686018427387904) AS ordk
   FROM events
 ),
 w AS (
@@ -260,8 +261,11 @@ FROM w
 @register("metric_ewma", _EWMA_SQL)
 def q_metric_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # 2^62 bias: see operators/timeseries.py (negative-epoch ordering)
     ordk = F.format_string(
-        "%020d|%020d", F.unix_micros(F.col("ts")), F.col("event_id")
+        "%020d|%020d",
+        F.unix_micros(F.col("ts")) + F.lit(1 << 62),
+        F.col("event_id") + F.lit(1 << 62),
     )
     w = (
         Window.partitionBy("event_type")

@@ -91,7 +91,12 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # type: the O(bars) representation dashboard timeseries panels want.
 # ---------------------------------------------------------------------------
 
-_OHLC_ORD = "printf('%020d|%020d', epoch_us(ts), event_id)"
+# 2^62 bias matches operators/timeseries.py: '%020d' on a negative
+# value (pre-1970 ts) prints '-' and breaks lexicographic == numeric.
+_OHLC_ORD = (
+    "printf('%020d|%020d', epoch_us(ts) + 4611686018427387904,"
+    " event_id + 4611686018427387904)"
+)
 _OHLC_SQL = f"""
 SELECT event_type,
        date_trunc('hour', ts) AS bar_ts,
@@ -433,14 +438,20 @@ rare AS (
     FROM sh s JOIN freq f ON f.h = s.h
   ) WHERE rn <= 5
 ),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 cand AS (
+  -- threshold degrades to the smaller doc's shingle count so tiny docs
+  -- keep recall 1.0 (mirrors operators/dedup.py containment_pairs)
   SELECT id_a, id_b FROM (
     SELECT DISTINCT least(r.doc_id, s.doc_id) AS id_a,
                     greatest(r.doc_id, s.doc_id) AS id_b, r.h
     FROM rare r JOIN sh s ON s.h = r.h AND s.doc_id <> r.doc_id
-  ) GROUP BY id_a, id_b HAVING count(*) >= 2
+  )
+  JOIN sizes sca ON sca.doc_id = id_a
+  JOIN sizes scb ON scb.doc_id = id_b
+  GROUP BY id_a, id_b
+  HAVING count(*) >= least(2, min(sca.n_sh), min(scb.n_sh))
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT c.id_a, c.id_b, count(*) AS common
   FROM cand c

@@ -221,7 +221,7 @@ stats AS (
 ),
 s AS (
   SELECT vec_id,
-         round(sqrt(sum(pow(x - mu, 2) / var)), 6) AS score
+         round(sqrt(sum(pow(x - mu, 2) / greatest(var, 1e-12))), 6) AS score
   FROM ex JOIN stats USING (pos)
   GROUP BY vec_id
 )

@@ -544,8 +544,11 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         if dict(raw.dtypes).get("ts") == "bigint"
         else F.col("ts").cast("timestamp")
     )
+    # 2^62 bias: see operators/timeseries.py (negative-epoch ordering)
     ordk = F.format_string(
-        "%020d|%020d", F.unix_micros(ts), F.col("event_id")
+        "%020d|%020d",
+        F.unix_micros(ts) + F.lit(1 << 62),
+        F.col("event_id") + F.lit(1 << 62),
     )
     agg = (
         stream.select(

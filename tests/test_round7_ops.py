@@ -197,3 +197,27 @@ def test_cdc_apply_empty_changes_is_identity(spark):
     changes = spark.createDataFrame([], "k int, op string, seq int, bal double")
     rows = cdc_apply(snap, changes, keys=["k"], order_cols=["seq"]).collect()
     assert [(r.k, r.bal, r.tag) for r in rows] == [(1, 1.0, "a")]
+
+
+def test_ohlc_bars_pre_1970_timestamps_order_correctly(spark):
+    """Negative epoch micros format with a '-' sign under '%020d',
+    which sorts before digits AND reverses within negatives — the 2^62
+    bias restores lexicographic == chronological (ADVICE r6)."""
+    rows = [
+        # one hour entirely before 1970: open must be the earliest
+        ("a", "1969-12-31 23:00:01", 1, 4.0),
+        ("a", "1969-12-31 23:30:00", 2, 8.0),
+        ("a", "1969-12-31 23:59:59", 3, 6.0),
+        # a bar straddling nothing but mixing signs across bars
+        ("a", "1970-01-01 00:00:01", 4, 1.0),
+        ("a", "1970-01-01 00:30:00", 5, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts_s string, eid long, value double"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "eid", "value")
+    out = ohlc_bars(df, ["k"], "ts", "value", "eid", bucket="hour")
+    bars = {(r.bar_ts.year, r.bar_ts.hour): r for r in out.collect()}
+    pre = bars[(1969, 23)]
+    assert (pre.open, pre.close, pre.volume) == (4.0, 6.0, 3)
+    post = bars[(1970, 0)]
+    assert (post.open, post.close) == (1.0, 9.0)

@@ -110,3 +110,21 @@ def test_zorder_by_clusters_both_dimensions(spark):
     # Perfect z-order on a 32x32 grid into 8 equal ranges gives 16x8
     # (or 8x16) tiles; allow slack for sampled range boundaries.
     assert all(r.sx <= 20 and r.sy <= 20 for r in spans), spans
+
+
+def test_containment_recall_for_tiny_docs(spark):
+    """A doc with fewer distinct shingles than min_blocks (here one:
+    exactly n=3 tokens) can never collide on 2 blocks; the threshold
+    must degrade to the doc's own shingle count so full containment
+    still surfaces (ADVICE r6)."""
+    big = " ".join(f"w{i}" for i in range(40))
+    tiny = "w10 w11 w12"  # one 3-shingle, contained verbatim in big
+    docs = spark.createDataFrame(
+        [(1, big), (2, tiny), (3, "q r s t u v")],  # doc 3: no overlap
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, n=3, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r for r in rows}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].containment == 1.0
+    assert all(3 not in k for k in pairs)

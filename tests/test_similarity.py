@@ -116,3 +116,25 @@ def test_embedding_drift_identity_and_shift(spark):
     )
     shifted = embedding_drift(a, b).first()["centroid_cosine"]
     assert abs(shifted) < 0.15
+
+
+def test_embedding_outliers_survives_constant_dimension(spark):
+    """A zero-variance dimension must not null (Spark x/0→NULL) or inf
+    (DuckDB) the whole score — the clamped divisor keeps every score
+    finite and the ranking driven by the live dimensions (ADVICE r6)."""
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    rows = [
+        (1, [5.0, 0.0]),
+        (2, [5.0, 0.1]),
+        (3, [5.0, -0.1]),
+        (4, [5.0, 9.0]),  # the outlier, visible only in dim 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_outliers(df, k=4).collect()
+    scores = {r.vec_id: r.score for r in out}
+    assert len(scores) == 4
+    assert all(s is not None and math.isfinite(s) for s in scores.values())
+    assert out[0].vec_id == 4  # dim-1 outlier still tops the ranking
