@@ -48,14 +48,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     cores splits, skip even the first probe), ``always``, or ``auto``
     (default, memoized probe).
 
-    Caveat: the memo key is ``(applicationId, semanticHash)`` — the
-    LOGICAL plan, not physical source state. It assumes a source's
-    partition count is stable within one application; a path-based
-    source that gains files mid-application (e.g. a drop directory
-    re-read across batches) keeps serving the first verdict, and a
-    32-bit semanticHash collision could skip a needed repartition.
-    Both are accepted trade-offs: set ``always``/``never`` to bypass
-    the memo where source growth matters.
+    The memo key is ``(applicationId, semanticHash, n_input_files)``:
+    the input-file count (``df.inputFiles()`` — served from the already
+    -built file index, no data scan) folds physical source state into
+    the key, so a path-based source that gains files mid-application
+    (e.g. a drop directory re-read across batches) gets a fresh probe
+    instead of the first verdict forever. Remaining caveat: a source
+    whose file COUNT is stable but whose row-group count changed still
+    reuses the old verdict, and a 32-bit semanticHash collision could
+    skip a needed repartition — accepted trade-offs; set ``always``/
+    ``never`` to bypass the memo entirely.
     """
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
@@ -64,7 +66,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         return df
     if mode == "always":
         return df.repartition(p)
-    key = (spark.sparkContext.applicationId, df.semanticHash())
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:  # non-file-backed plans (streams, local relations)
+        nfiles = -1
+    key = (spark.sparkContext.applicationId, df.semanticHash(), nfiles)
     needs = _PARALLELISM_MEMO.get(key)
     if needs is None:
         needs = df.rdd.getNumPartitions() < p

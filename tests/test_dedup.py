@@ -226,3 +226,38 @@ def test_lsh_candidate_recall_summary(spark):
     assert row["n_true_pairs"] >= 1
     assert row["n_recalled"] == row["n_true_pairs"]
     assert row["recall"] == 1.0
+
+
+def test_ensure_parallelism_reprobes_when_source_gains_files(
+    spark, tmp_path, monkeypatch
+):
+    """The memo key folds in the input-file count, so a drop-directory
+    source that gains files between batches gets a fresh partition
+    probe instead of the first verdict forever (ADVICE r5/r6)."""
+    from churn_model_evaluation_platform_spark.operators import dedup as dmod
+
+    dest = str(tmp_path / "drop")
+    spark.createDataFrame([(1, "a")], ["doc_id", "text"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(dest)
+
+    dmod._PARALLELISM_MEMO.clear()
+    probes = {"n": 0}
+    cls = type(spark.read.parquet(dest))
+    orig = cls.rdd.func
+
+    def counting_rdd(self):
+        probes["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "rdd", property(counting_rdd))
+    dmod.ensure_parallelism(spark.read.parquet(dest))
+    dmod.ensure_parallelism(spark.read.parquet(dest))
+    assert probes["n"] == 1  # same path, same file count → memo hit
+
+    # a new file lands in the drop directory
+    spark.createDataFrame([(2, "b")], ["doc_id", "text"]).coalesce(
+        1
+    ).write.mode("append").parquet(dest)
+    dmod.ensure_parallelism(spark.read.parquet(dest))
+    assert probes["n"] == 2  # file count changed → fresh probe
