@@ -433,6 +433,61 @@ def lsh_candidate_recall(
     )
 
 
+def simhash_candidate_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Measured recall of the pigeonhole SimHash candidate generator
+    against brute-force Hamming ground truth — the simhash twin of
+    ``lsh_candidate_recall``.
+
+    One summary row ``(n_true_pairs, n_recalled, recall)``. Unlike
+    banded MinHash-LSH (probabilistic recall), the chunk trick is
+    provably complete for ``max_hamming < chunks`` — any pair within
+    distance 3 must agree on one of 4 chunks — so the certified number
+    is exactly 1.0; a lower value would indicate a chunking bug, not a
+    tuning trade-off. The exact side is the all-pairs XOR the blocking
+    exists to avoid (an (id, int64) self-join, NOT a text join): QA
+    scale only — run on a sample to certify a (bits, chunks) config.
+    """
+    sh = simhash(df, text_col, id_col, bits)
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    exact = (
+        a.join(b, F.col("a." + id_col) < F.col("b." + id_col))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a." + id_col).alias("id_a"),
+            F.col("b." + id_col).alias("id_b"),
+        )
+    )
+    cand = (
+        simhash_pairs(df, text_col, id_col, bits, max_hamming, chunks)
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(cand, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.count("__hit").alias("n_recalled"),
+        )
+        .select(
+            "n_true_pairs",
+            "n_recalled",
+            F.round(
+                F.col("n_recalled").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",

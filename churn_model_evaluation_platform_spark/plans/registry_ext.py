@@ -237,6 +237,40 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_CHUNK_MATCH = " OR ".join(
+    f"((a.simhash >> {ci * 8}) & 255) = ((b.simhash >> {ci * 8}) & 255)"
+    for ci in range(4)
+)
+
+
+@register(
+    "dedup_simhash_recall",
+    f"""
+WITH sh AS ({_SIMHASH_SQL}),
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         {_SIMHASH_CHUNK_MATCH} AS chunk_hit
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+SELECT count(*) AS n_true_pairs,
+       CAST(sum(CASE WHEN chunk_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recalled,
+       round(CAST(sum(CASE WHEN chunk_hit THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact
+""",
+)
+def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # QA/audit twin of dedup_lsh_recall for the pigeonhole generator:
+    # certifies the provable recall-1.0 claim (max_hamming=3 < chunks=4)
+    # with a measured number; <1.0 would mean a chunking bug. The oracle
+    # evaluates chunk agreement directly on the brute-force pair set.
+    return dedup.simhash_candidate_recall(
+        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3, chunks=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

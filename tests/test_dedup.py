@@ -261,3 +261,25 @@ def test_ensure_parallelism_reprobes_when_source_gains_files(
     ).write.mode("append").parquet(dest)
     dmod.ensure_parallelism(spark.read.parquet(dest))
     assert probes["n"] == 2  # file count changed → fresh probe
+
+
+def test_simhash_candidate_recall_is_exactly_one(spark):
+    """max_hamming=3 < chunks=4 makes the pigeonhole candidate set
+    provably complete — the measured recall must certify 1.0 (anything
+    lower is a chunking bug, not a tuning trade-off)."""
+    from churn_model_evaluation_platform_spark.operators.dedup import (
+        simhash_candidate_recall,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-identical → tiny hamming distance
+        (3, base.replace("quick", "slow")),
+        (4, "completely different content about spark engines and files"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = simhash_candidate_recall(docs).collect()[0]
+    assert row["n_true_pairs"] >= 1
+    assert row["n_recalled"] == row["n_true_pairs"]
+    assert row["recall"] == 1.0
