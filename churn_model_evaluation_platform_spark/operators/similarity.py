@@ -225,6 +225,74 @@ def ivf_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
+def cosine_topk_ivf_pinned(
+    df: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF plan with a PINNED deterministic quantizer: centroids are
+    the first ``n_cells`` corpus vectors (ids 1..n_cells — the classic
+    random-sample KMeans init, frozen), so the whole path — assignment,
+    probe-cell pruning, exact rescoring — is exact arithmetic a SQL
+    oracle reproduces bit-for-bit. The hash-checkable twin of
+    ``cosine_topk_ivf`` (same plan shape; KMeans centroids are the
+    production quality path but make the result seed-dependent), the
+    same pattern as batch_score_pinned for model scoring.
+
+    Cell distances use the dot-product identity |e|² − 2e·c + |c|²
+    with the ``_dot`` sequential fold on every term, matching DuckDB's
+    ``list_dot_product`` bit-for-bit (the proven similarity_topk
+    parity); argmin is first-min (lowest cell wins exact ties) on both
+    engines. Scale shape is identical to cosine_topk_ivf: zero-shuffle
+    map-side assignment against centroid literals, an IN filter that
+    prunes to ``nprobe/n_cells`` of the corpus (partition pruning when
+    the table is written partitioned by cell), then
+    TakeOrderedAndProject.
+    """
+    cents = (
+        df.where(F.col(id_col).between(1, n_cells))
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qvec = [
+        float(v)
+        for v in df.where(F.col(id_col) == query_id).first()[vec_col]
+    ]
+    cvecs = [[float(v) for v in r[vec_col]] for r in cents]
+
+    def pydot(a: list[float], b: list[float]) -> float:
+        # left-to-right accumulation from 0 — the same fold order as
+        # _dot / list_dot_product, so probe selection matches the oracle
+        return sum(x * y for x, y in zip(a, b))
+
+    dqq = pydot(qvec, qvec)
+    dcc = [pydot(c, c) for c in cvecs]
+    qdist = [dqq - 2.0 * pydot(qvec, c) + dcc[j] for j, c in enumerate(cvecs)]
+    probe = [j for j in sorted(range(len(cvecs)), key=lambda j: (qdist[j], j))[
+        : max(1, nprobe)
+    ]]
+
+    vec = F.col(vec_col)
+    dee = _dot(vec, vec)
+    dists = [
+        dee
+        - F.lit(2.0) * _dot(vec, F.array(*[F.lit(v) for v in c]))
+        + F.lit(dcc[j])
+        for j, c in enumerate(cvecs)
+    ]
+    darr = F.array(*dists)
+    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    sliced = df.withColumn("ivf_cell", cell).where(
+        F.col("ivf_cell").isin(probe)
+    )
+    return cosine_topk(sliced, qvec, k, id_col, vec_col, exclude_id=query_id)
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     query_vec: list[float],
@@ -260,6 +328,7 @@ __all__ = [
     "cosine_expr",
     "cosine_topk",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_pinned",
     "cosine_topk_lsh",
     "fit_ivf_centroids",
     "ivf_cell_expr",

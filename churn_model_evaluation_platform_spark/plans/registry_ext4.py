@@ -186,6 +186,54 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+_IVF_PINNED_SQL = f"""
+WITH cents AS (
+  SELECT CAST(vec_id - 1 AS INT) AS cid, {_EMB_DBL} AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+),
+q AS (SELECT {_EMB_DBL} AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM cents, q
+  ORDER BY list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+           + list_dot_product(cv, cv), cid
+  LIMIT 4
+),
+e AS (SELECT vec_id, {_EMB_DBL} AS ev FROM embeddings WHERE vec_id <> 0),
+assign AS (
+  SELECT vec_id, ev FROM (
+    SELECT e.vec_id, e.ev, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(ev, ev) - 2 * list_dot_product(ev, cv)
+                      + list_dot_product(cv, cv), c.cid
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+)
+SELECT vec_id,
+       list_dot_product(ev, qv)
+         / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+         AS cosine_sim
+FROM assign, q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("similarity_topk_ivf_pinned", _IVF_PINNED_SQL)
+def q_similarity_topk_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hash-checkable IVF twin (same pattern as batch_score_pinned):
+    # centroids pinned to corpus vectors 1..16 (frozen random-sample
+    # init) make assignment + probe pruning + rescoring exact arithmetic
+    # the oracle replicates; similarity_topk_ivf keeps the seeded-KMeans
+    # quantizer and stays rows-only.
+    return similarity.cosine_topk_ivf_pinned(
+        _t(spark, sf_dir, "embeddings"), n_cells=16, nprobe=4, k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming: running per-key aggregate (applyInPandasWithState)
 # ---------------------------------------------------------------------------

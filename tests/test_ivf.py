@@ -77,3 +77,57 @@ def test_centroids_shape(spark, emb_df):
     cents = fit_ivf_centroids(emb_df, n_cells=4, seed=42)
     assert len(cents) == 4
     assert all(len(c) == DIM and all(math.isfinite(v) for v in c) for c in cents)
+
+
+def test_pinned_ivf_deterministic_and_prunes(spark, emb_df):
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        cosine_topk_ivf_pinned,
+    )
+
+    a = cosine_topk_ivf_pinned(emb_df, n_cells=8, nprobe=2, k=10, query_id=1)
+    b = cosine_topk_ivf_pinned(emb_df, n_cells=8, nprobe=2, k=10, query_id=1)
+    ra = [(r.vec_id, r.cosine_sim) for r in a.collect()]
+    rb = [(r.vec_id, r.cosine_sim) for r in b.collect()]
+    assert ra == rb  # pinned quantizer → bit-stable across runs
+    assert len(ra) == 10
+    assert 1 not in [i for i, _ in ra]  # query excluded
+
+
+def test_pinned_ivf_full_probe_equals_exact(spark, emb_df):
+    """nprobe == n_cells degrades to the exact baseline — proves the
+    cell assignment loses nothing, only the probe filter approximates."""
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        cosine_topk_ivf_pinned,
+    )
+
+    q = _query_vec(emb_df)
+    exact = [
+        r["vec_id"] for r in cosine_topk(emb_df, q, k=10, exclude_id=1).collect()
+    ]
+    pinned = [
+        r.vec_id
+        for r in cosine_topk_ivf_pinned(
+            emb_df, n_cells=8, nprobe=8, k=10, query_id=1
+        ).collect()
+    ]
+    assert pinned == exact
+
+
+def test_pinned_ivf_recall_on_clustered_data(spark, emb_df):
+    """With cluster-structured data the probed cells hold the true
+    neighbors: recall@10 vs exact must be high at nprobe=2 of 8."""
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        cosine_topk_ivf_pinned,
+    )
+
+    q = _query_vec(emb_df)
+    exact = {
+        r["vec_id"] for r in cosine_topk(emb_df, q, k=10, exclude_id=1).collect()
+    }
+    got = {
+        r.vec_id
+        for r in cosine_topk_ivf_pinned(
+            emb_df, n_cells=8, nprobe=2, k=10, query_id=1
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8

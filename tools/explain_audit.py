@@ -78,6 +78,18 @@ SINGLE_ROW_CROSS_OK = {
     "graph_modularity",
 }
 
+# QA/audit operators whose all-pairs side IS the measurand: the exact
+# ground truth a recall audit compares its blocked candidates against
+# is by definition the quadratic join the blocking exists to avoid.
+# These run at sample/QA scale only (documented in their docstrings) —
+# the BNLJ is the point, not an accident.
+QUADRATIC_AUDIT_OK = {
+    # brute-force Hamming all-pairs over (id, int64) fingerprints vs
+    # the pigeonhole candidates (operators/dedup.py:
+    # simhash_candidate_recall)
+    "dedup_simhash_recall",
+}
+
 # Every oracled query is audited. The only exclusions are the three
 # rows-only registry entries (no oracle → no CORRECTNESS hash either):
 # they train models / run KMeans during CONSTRUCTION, so building the
@@ -116,12 +128,10 @@ _COMPUTE_OPS_RE = re.compile(
 
 def audit_one(name: str, plan: str) -> list[str]:
     problems: list[str] = []
-    if "CartesianProduct" in plan and name not in SINGLE_ROW_CROSS_OK:
+    cross_ok = SINGLE_ROW_CROSS_OK | QUADRATIC_AUDIT_OK
+    if "CartesianProduct" in plan and name not in cross_ok:
         problems.append("CartesianProduct in plan")
-    if (
-        "BroadcastNestedLoopJoin" in plan
-        and name not in SINGLE_ROW_CROSS_OK
-    ):
+    if "BroadcastNestedLoopJoin" in plan and name not in cross_ok:
         problems.append("BroadcastNestedLoopJoin in plan")
     # Column pruning: every lineitem scan must read < full width.
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
