@@ -89,6 +89,9 @@ HEADLINE = [
     "ngram_novelty",
     "dedup_containment",
     "triangle_count",
+    # round-7 addition: the pinned-quantizer IVF twin — benches the
+    # third ANN variant (brute force / LSH / IVF) end to end
+    "similarity_topk_ivf_pinned",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -253,17 +253,18 @@ def cosine_topk_ivf_pinned(
     the table is written partitioned by cell), then
     TakeOrderedAndProject.
     """
-    cents = (
-        df.where(F.col(id_col).between(1, n_cells))
-        .orderBy(id_col)
+    # ONE driver action fetches query + centroids (n_cells+1 rows) —
+    # the only collect in the operator; everything after is one job.
+    small = {
+        r[id_col]: [float(v) for v in r[vec_col]]
+        for r in df.where(
+            F.col(id_col).isin([query_id, *range(1, n_cells + 1)])
+        )
         .select(id_col, vec_col)
         .collect()
-    )
-    qvec = [
-        float(v)
-        for v in df.where(F.col(id_col) == query_id).first()[vec_col]
-    ]
-    cvecs = [[float(v) for v in r[vec_col]] for r in cents]
+    }
+    qvec = small[query_id]
+    cvecs = [small[j] for j in range(1, n_cells + 1)]
 
     def pydot(a: list[float], b: list[float]) -> float:
         # left-to-right accumulation from 0 — the same fold order as

@@ -877,13 +877,16 @@ g AS (
 r AS (SELECT * FROM g WHERE is_ref = 1),
 c AS (SELECT * FROM g WHERE is_ref = 0)
 SELECT round(pow(r.m1 - c.m1, 2)
-             / ((r.n * r.v1 + c.n * c.v1) / (r.n + c.n)), 6) AS d2_f1,
+             / greatest((r.n * r.v1 + c.n * c.v1) / (r.n + c.n), 1e-12),
+             6) AS d2_f1,
        round(pow(r.m2 - c.m2, 2)
-             / ((r.n * r.v2 + c.n * c.v2) / (r.n + c.n)), 6) AS d2_f2,
+             / greatest((r.n * r.v2 + c.n * c.v2) / (r.n + c.n), 1e-12),
+             6) AS d2_f2,
        round(pow(r.m1 - c.m1, 2)
-             / ((r.n * r.v1 + c.n * c.v1) / (r.n + c.n))
+             / greatest((r.n * r.v1 + c.n * c.v1) / (r.n + c.n), 1e-12)
              + pow(r.m2 - c.m2, 2)
-             / ((r.n * r.v2 + c.n * c.v2) / (r.n + c.n)), 6) AS d2_total
+             / greatest((r.n * r.v2 + c.n * c.v2) / (r.n + c.n), 1e-12),
+             6) AS d2_total
 FROM r, c
 """
 
@@ -913,9 +916,13 @@ def q_drift_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = r.crossJoin(F.broadcast(c))
 
     def d2(m_r, m_c, v_r, v_c):
-        pooled = (
-            F.col("r_n") * F.col(v_r) + F.col("c_n") * F.col(v_c)
-        ) / (F.col("r_n") + F.col("c_n"))
+        # greatest-clamp: two constant slices would pool to variance 0
+        # (Spark NULL vs DuckDB inf — the embedding_outliers hazard)
+        pooled = F.greatest(
+            (F.col("r_n") * F.col(v_r) + F.col("c_n") * F.col(v_c))
+            / (F.col("r_n") + F.col("c_n")),
+            F.lit(1e-12),
+        )
         return F.pow(F.col(m_r) - F.col(m_c), 2) / pooled
 
     d1 = d2("r_m1", "c_m1", "r_v1", "c_v1")

@@ -361,9 +361,9 @@ mad AS (
   FROM dev GROUP BY event_type
 )
 SELECT d.event_id, d.event_type, d.value,
-       round(d.dev / (1.4826 * m.mad), 4) AS robust_z
+       round(d.dev / greatest(1.4826 * m.mad, 1e-12), 4) AS robust_z
 FROM dev d JOIN mad m ON m.event_type = d.event_type
-WHERE round(d.dev / (1.4826 * m.mad), 4) >= 6.0
+WHERE round(d.dev / greatest(1.4826 * m.mad, 1e-12), 4) >= 6.0
 """
 
 
@@ -388,7 +388,16 @@ def q_metric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(dev, 0.5)").alias("mad")
     )
-    z = F.round(F.col("dev") / (F.lit(1.4826) * F.col("mad")), 4)
+    # Clamp: a metric where >half the group repeats one value has
+    # MAD=0 — Spark's x/0→NULL would silently drop every anomaly while
+    # DuckDB's inf flags all; the clamp degrades to "any deviation is
+    # anomalous", identically on both engines (same hazard class as
+    # embedding_outliers' zero-variance dimension, ADVICE r6).
+    z = F.round(
+        F.col("dev")
+        / F.greatest(F.lit(1.4826) * F.col("mad"), F.lit(1e-12)),
+        4,
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .select(

@@ -357,3 +357,43 @@ def test_stream_session_window_equals_batch_session_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_metric_anomaly_mad_zero_matches_oracle(spark, tmp_path):
+    """A metric where >half the group repeats one value has MAD=0; the
+    clamped divisor must flag the true outlier IDENTICALLY on Spark
+    (x/0 would be NULL) and DuckDB (x/0 would be inf) — the
+    embedding_outliers hazard class, pre-empted for robust-z."""
+    import datetime
+
+    import duckdb
+
+    from churn_model_evaluation_platform_spark.plans.registry import _ORACLES
+
+    rows = [
+        # 9 identical values (MAD=0) + one wild outlier
+        (i, datetime.datetime(2024, 1, 1, 0, i), i, "flat", 5.0, "{}")
+        for i in range(9)
+    ] + [(9, datetime.datetime(2024, 1, 1, 0, 59), 9, "flat", 500.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        (r.event_id, r.event_type, r.value)
+        for r in q_metric_anomaly(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.sql(_ORACLES["metric_anomaly"]).fetchall()
+    }
+    assert got == want
+    assert (9, "flat", 500.0) in got  # the outlier IS flagged despite MAD=0
