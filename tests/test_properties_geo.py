@@ -204,3 +204,22 @@ def test_radius_join_matches_brute_force(spark, coords):
     loose = _brute_pairs(pts, 75.001)
     got = _blocked_pairs(spark, pts, 75.0)
     assert brute <= got <= loose
+
+
+def test_radius_join_generalizes_beyond_one_lat_cell(spark):
+    """radius 200 km spans ~1.8 degrees of latitude (wy=2) and wide
+    longitude spans at altitude — exercises the generalized half-widths
+    rather than the 75 km defaults."""
+    pts = [
+        (1, 70.0, 10.0),
+        (2, 71.5, 10.4),  # ~167 km away: 2 lat cells apart
+        (3, 70.0, 14.8),  # ~183 km east: ~5 lon cells at lat 70
+        (4, 0.0, 0.0),
+        (5, 1.6, 0.9),  # ~205 km: just outside
+        (6, -30.0, 120.0),  # far control
+    ]
+    got = _blocked_pairs(spark, pts, 200.0)
+    want = _brute_pairs(pts, 200.0)
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got
+    assert (4, 5) not in got
