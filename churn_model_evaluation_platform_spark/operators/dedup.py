@@ -433,6 +433,87 @@ def lsh_candidate_recall(
     )
 
 
+def containment_candidate_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k_rare: int = 5,
+    min_blocks: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Measured recall of the rare-shingle containment blocking against
+    exact shingle-join ground truth — completes the recall-audit family
+    (``lsh_candidate_recall``, ``simhash_candidate_recall``).
+
+    One summary row ``(n_true_pairs, n_recalled, recall)``. Expected
+    1.0: for full containment every one of A's k_rare rarest shingles
+    is in B, and tiny docs degrade the block threshold to their own
+    shingle count — a lower reading flags a blocking bug, not tuning.
+    The exact side is the all-common-shingle equi-join (bounded by
+    Σ df² per shingle, the join rare-blocking exists to shrink): QA
+    scale — run on a sample to certify a (k_rare, min_blocks) config.
+    """
+    arr = (
+        ensure_parallelism(df)
+        .where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingle_hashes(F.col(text_col), n)).alias("shs"),
+        )
+    )
+    sh = arr.select("id", F.explode("shs").alias("h"))
+    sizes = arr.select("id", F.size("shs").alias("nsh"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    exact = (
+        common.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb")),
+            "id_b",
+        )
+        .where(
+            F.col("common").cast("double")
+            / F.least("na", "nb").cast("double")
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+    )
+    cand = (
+        containment_pairs(df, text_col, id_col, n, k_rare, min_blocks, threshold)
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(cand, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.count("__hit").alias("n_recalled"),
+        )
+        .select(
+            "n_true_pairs",
+            "n_recalled",
+            F.round(
+                F.col("n_recalled").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def simhash_candidate_recall(
     df: DataFrame,
     text_col: str = "text",

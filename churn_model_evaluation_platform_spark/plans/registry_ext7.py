@@ -425,7 +425,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _containment_sql() -> str:
+def _containment_ctes() -> str:
+    """Shared CTE prefix: shingles, doc-frequencies, rare-blocking,
+    sizes, and the blocked candidate set — used by both the pair query
+    and the recall audit so the two stay in lockstep."""
     from .registry_ext import _SHINGLE_HASH_CTE
 
     return f"""
@@ -451,7 +454,12 @@ cand AS (
   JOIN sizes scb ON scb.doc_id = id_b
   GROUP BY id_a, id_b
   HAVING count(*) >= least(2, min(sca.n_sh), min(scb.n_sh))
-),
+)"""
+
+
+def _containment_sql() -> str:
+    return f"""
+{_containment_ctes()},
 common AS (
   SELECT c.id_a, c.id_b, count(*) AS common
   FROM cand c
@@ -476,6 +484,47 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_pairs
 
     return containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, k_rare=5, min_blocks=2,
+        threshold=0.5,
+    )
+
+
+def _containment_recall_sql() -> str:
+    return f"""
+{_containment_ctes()},
+allc AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT c.id_a, c.id_b FROM allc c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE CAST(common AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+        >= 0.5
+)
+SELECT count(*) AS n_true_pairs,
+       CAST(sum(CASE WHEN k.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recalled,
+       round(CAST(sum(CASE WHEN k.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact e LEFT JOIN cand k ON k.id_a = e.id_a AND k.id_b = e.id_b
+"""
+
+
+@register("dedup_containment_recall", _containment_recall_sql())
+def q_dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Completes the recall-audit family (lsh / simhash / containment):
+    # measured share of true containment>=0.5 pairs (exact shingle
+    # equi-join ground truth — no rare-blocking) recovered by the
+    # rare-shingle candidate generator. Expected 1.0: each doc's
+    # k_rare=5 rarest shingles are all in any superset, and tiny docs
+    # degrade the block threshold (ADVICE r6 fix) — a lower reading
+    # flags a blocking bug. QA scale, like the other recall audits.
+    from ..operators.dedup import containment_candidate_recall
+
+    return containment_candidate_recall(
         _t(spark, sf_dir, "documents"), n=3, k_rare=5, min_blocks=2,
         threshold=0.5,
     )

@@ -283,3 +283,25 @@ def test_simhash_candidate_recall_is_exactly_one(spark):
     assert row["n_true_pairs"] >= 1
     assert row["n_recalled"] == row["n_true_pairs"]
     assert row["recall"] == 1.0
+
+
+def test_containment_candidate_recall_is_one_even_for_tiny_docs(spark):
+    """Rare-shingle blocking must recover every true containment>=0.5
+    pair — including a doc below min_blocks distinct shingles (the
+    degraded-threshold path)."""
+    from churn_model_evaluation_platform_spark.operators.dedup import (
+        containment_candidate_recall,
+    )
+
+    big = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, big),
+        (2, "w10 w11 w12"),  # one-shingle doc, fully contained
+        (3, " ".join(f"w{i}" for i in range(25))),  # prefix subset
+        (4, "x y z q r s"),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = containment_candidate_recall(docs).collect()[0]
+    assert row["n_true_pairs"] >= 2  # (1,2) and (1,3) at least
+    assert row["n_recalled"] == row["n_true_pairs"]
+    assert row["recall"] == 1.0
