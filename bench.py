@@ -133,6 +133,11 @@ SLOPE_QUERIES = [
     "pagerank",
     "triangle_count",
     "item_cooccurrence",
+    # round-7 additions: the user-keyed range join (events.user_id is
+    # offset per copy → 4 disjoint user populations, so the probe scales
+    # users, not per-user event density) and the hourly quantile panel
+    "attribution_linear",
+    "percentiles_hourly",
 ]
 # Every listed column gets the same per-copy id offset, so join keys
 # stay CONSISTENT within a copy (4 disjoint subgraphs — structure-
@@ -141,7 +146,10 @@ SLOPE_QUERIES = [
 # probe, not the operator, would read super-linear).
 SLOPE_TABLES = {
     "documents": ["doc_id"],
-    "events": ["event_id"],
+    # user_id offset keeps user-keyed ops (attribution, sessions)
+    # structure-preserving: 4x DISJOINT user populations, not 4x events
+    # per user (which would quadruple join pair density by construction)
+    "events": ["event_id", "user_id"],
     "embeddings": ["vec_id"],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
