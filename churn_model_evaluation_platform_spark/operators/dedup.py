@@ -53,7 +53,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     -built file index, no data scan) folds physical source state into
     the key, so a path-based source that gains files mid-application
     (e.g. a drop directory re-read across batches) gets a fresh probe
-    instead of the first verdict forever. Remaining caveat: a source
+    instead of the first verdict forever. Note ``inputFiles()``
+    materializes the full path list driver-side — O(n_files), fine for
+    the small-source case this helper exists for; the 100 TB posture is
+    ``never`` mode, which returns before BOTH the file listing and the
+    partition probe. Remaining caveat: a source
     whose file COUNT is stable but whose row-group count changed still
     reuses the old verdict, and a 32-bit semanticHash collision could
     skip a needed repartition — accepted trade-offs; set ``always``/
