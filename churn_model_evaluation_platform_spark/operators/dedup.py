@@ -391,6 +391,34 @@ def lsh_verified_pairs(
     )
 
 
+def _recall_summary(exact: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared (n_true_pairs, n_recalled, recall) summary for the recall
+    audits. With ZERO true pairs recall is vacuously 1.0 — 0/0 would be
+    NULL under Spark but nan in the DuckDB oracles (the cross-engine
+    zero-division class), and "nothing to find, nothing missed" is the
+    honest reading. ``cand`` must carry (id_a, id_b, __hit)."""
+    return (
+        exact.join(cand, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.count("__hit").alias("n_recalled"),
+        )
+        .select(
+            "n_true_pairs",
+            "n_recalled",
+            F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_recalled").cast("double")
+                    / F.col("n_true_pairs").cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
+        )
+    )
+
+
 def lsh_candidate_recall(
     df: DataFrame,
     text_col: str = "text",
@@ -419,22 +447,7 @@ def lsh_candidate_recall(
         .select("id_a", "id_b")
         .withColumn("__hit", F.lit(1))
     )
-    return (
-        exact.join(cand, ["id_a", "id_b"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_true_pairs"),
-            F.count("__hit").alias("n_recalled"),
-        )
-        .select(
-            "n_true_pairs",
-            "n_recalled",
-            F.round(
-                F.col("n_recalled").cast("double")
-                / F.col("n_true_pairs").cast("double"),
-                6,
-            ).alias("recall"),
-        )
-    )
+    return _recall_summary(exact, cand)
 
 
 def containment_candidate_recall(
@@ -500,22 +513,7 @@ def containment_candidate_recall(
         .select("id_a", "id_b")
         .withColumn("__hit", F.lit(1))
     )
-    return (
-        exact.join(cand, ["id_a", "id_b"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_true_pairs"),
-            F.count("__hit").alias("n_recalled"),
-        )
-        .select(
-            "n_true_pairs",
-            "n_recalled",
-            F.round(
-                F.col("n_recalled").cast("double")
-                / F.col("n_true_pairs").cast("double"),
-                6,
-            ).alias("recall"),
-        )
-    )
+    return _recall_summary(exact, cand)
 
 
 def simhash_candidate_recall(
@@ -555,22 +553,7 @@ def simhash_candidate_recall(
         .select("id_a", "id_b")
         .withColumn("__hit", F.lit(1))
     )
-    return (
-        exact.join(cand, ["id_a", "id_b"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_true_pairs"),
-            F.count("__hit").alias("n_recalled"),
-        )
-        .select(
-            "n_true_pairs",
-            "n_recalled",
-            F.round(
-                F.col("n_recalled").cast("double")
-                / F.col("n_true_pairs").cast("double"),
-                6,
-            ).alias("recall"),
-        )
-    )
+    return _recall_summary(exact, cand)
 
 
 def edit_distance_pairs(

@@ -254,10 +254,12 @@ exact AS (
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 SELECT count(*) AS n_true_pairs,
-       CAST(sum(CASE WHEN chunk_hit THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_recalled,
-       round(CAST(sum(CASE WHEN chunk_hit THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS recall
+       CAST(coalesce(sum(CASE WHEN chunk_hit THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_recalled,
+       CASE WHEN count(*) = 0 THEN 1.0
+            ELSE round(CAST(sum(CASE WHEN chunk_hit THEN 1 ELSE 0 END)
+                            AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) END AS recall
 FROM exact
 """,
 )

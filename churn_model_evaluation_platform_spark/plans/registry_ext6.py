@@ -60,7 +60,9 @@ cand AS (
 )
 SELECT count(*) AS n_true_pairs,
        count(c.id_a) AS n_recalled,
-       round(CAST(count(c.id_a) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       CASE WHEN count(*) = 0 THEN 1.0
+            ELSE round(CAST(count(c.id_a) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) END AS recall
 FROM exact e LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
 """
 

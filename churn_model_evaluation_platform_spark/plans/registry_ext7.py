@@ -505,10 +505,12 @@ exact AS (
         >= 0.5
 )
 SELECT count(*) AS n_true_pairs,
-       CAST(sum(CASE WHEN k.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_recalled,
-       round(CAST(sum(CASE WHEN k.id_a IS NOT NULL THEN 1 ELSE 0 END)
-                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       CAST(coalesce(sum(CASE WHEN k.id_a IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_recalled,
+       CASE WHEN count(*) = 0 THEN 1.0
+            ELSE round(CAST(sum(CASE WHEN k.id_a IS NOT NULL THEN 1 ELSE 0
+                                END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) END AS recall
 FROM exact e LEFT JOIN cand k ON k.id_a = e.id_a AND k.id_b = e.id_b
 """
 

@@ -305,3 +305,30 @@ def test_containment_candidate_recall_is_one_even_for_tiny_docs(spark):
     assert row["n_true_pairs"] >= 2  # (1,2) and (1,3) at least
     assert row["n_recalled"] == row["n_true_pairs"]
     assert row["recall"] == 1.0
+
+
+def test_recall_audits_vacuous_on_pairless_corpus(spark):
+    """Zero true pairs → recall must be a definite 1.0 (vacuously
+    complete) on every audit, not the NULL a Spark 0/0 would produce
+    (the DuckDB oracles would say nan — cross-engine divergence)."""
+    from churn_model_evaluation_platform_spark.operators.dedup import (
+        containment_candidate_recall,
+        lsh_candidate_recall,
+        simhash_candidate_recall,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (3, "red orange yellow green blue indigo"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for op in (
+        lambda d: lsh_candidate_recall(d, threshold=0.5),
+        lambda d: simhash_candidate_recall(d, max_hamming=1),
+        lambda d: containment_candidate_recall(d, threshold=0.9),
+    ):
+        row = op(docs).collect()[0]
+        assert row["n_true_pairs"] == 0
+        assert row["n_recalled"] == 0
+        assert row["recall"] == 1.0
