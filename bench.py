@@ -319,9 +319,21 @@ def main() -> None:
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(out)
-    if len(line) > 1800:  # backstop — structurally impossible, but never
-        out.pop("detail_file", None)  # let the tail buffer truncate again
-        line = json.dumps(out)[:1800]
+    # Backstop — structurally impossible, but never let the driver's
+    # 2000-char tail buffer truncate the line (BENCH_r06 parsed:null).
+    # Drop optional keys one at a time so the emitted line is ALWAYS
+    # valid JSON — never slice a serialized string mid-token.
+    for optional in (
+        "detail_file",
+        "java_procs_at_start",
+        "load_avg_start",
+        "method",
+        "r1_subset_total",
+    ):
+        if len(line) <= 1800:
+            break
+        out.pop(optional, None)
+        line = json.dumps(out)
     print(line)
 
 

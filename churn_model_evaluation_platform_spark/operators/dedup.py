@@ -464,9 +464,13 @@ def containment_candidate_recall(
     (``lsh_candidate_recall``, ``simhash_candidate_recall``).
 
     One summary row ``(n_true_pairs, n_recalled, recall)``. Expected
-    1.0: for full containment every one of A's k_rare rarest shingles
-    is in B, and tiny docs degrade the block threshold to their own
-    shingle count — a lower reading flags a blocking bug, not tuning.
+    1.0 for FULL-containment pairs: every one of A's k_rare rarest
+    shingles is in B, and tiny docs degrade the block threshold to
+    their own shingle count — a sub-1.0 reading on a full-containment
+    corpus flags a blocking bug. PARTIAL-overlap pairs (threshold <=
+    c < 1) can legitimately miss with probability ~(1-c)^k_rare (see
+    ``containment_pairs``), so on mixed corpora a sub-1.0 reading can
+    be a tuning artifact of (k_rare, min_blocks), not a bug.
     The exact side is the all-common-shingle equi-join (bounded by
     Σ df² per shingle, the join rare-blocking exists to shrink): QA
     scale — run on a sample to certify a (k_rare, min_blocks) config.

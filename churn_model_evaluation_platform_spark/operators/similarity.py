@@ -263,6 +263,14 @@ def cosine_topk_ivf_pinned(
         .select(id_col, vec_col)
         .collect()
     }
+    missing = [j for j in (query_id, *range(1, n_cells + 1)) if j not in small]
+    if missing:
+        raise ValueError(
+            f"cosine_topk_ivf_pinned: corpus lacks required {id_col} values "
+            f"{missing} (query_id={query_id}, pinned centroids are ids "
+            f"1..{n_cells}); use a corpus with dense ids covering them or "
+            f"lower n_cells"
+        )
     qvec = small[query_id]
     cvecs = [small[j] for j in range(1, n_cells + 1)]
 
