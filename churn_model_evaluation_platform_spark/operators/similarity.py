@@ -184,6 +184,13 @@ def embedding_drift(
     )
 
 
+def _pydot(a: list[float], b: list[float]) -> float:
+    """Driver-side dot product: left-to-right accumulation from 0 — the
+    same fold order as ``_dot`` / DuckDB's ``list_dot_product``, so
+    driver-computed probe selection matches both engines bit-for-bit."""
+    return sum(x * y for x, y in zip(a, b))
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     n_cells: int = 16,
@@ -274,14 +281,9 @@ def cosine_topk_ivf_pinned(
     qvec = small[query_id]
     cvecs = [small[j] for j in range(1, n_cells + 1)]
 
-    def pydot(a: list[float], b: list[float]) -> float:
-        # left-to-right accumulation from 0 — the same fold order as
-        # _dot / list_dot_product, so probe selection matches the oracle
-        return sum(x * y for x, y in zip(a, b))
-
-    dqq = pydot(qvec, qvec)
-    dcc = [pydot(c, c) for c in cvecs]
-    qdist = [dqq - 2.0 * pydot(qvec, c) + dcc[j] for j, c in enumerate(cvecs)]
+    dqq = _pydot(qvec, qvec)
+    dcc = [_pydot(c, c) for c in cvecs]
+    qdist = [dqq - 2.0 * _pydot(qvec, c) + dcc[j] for j, c in enumerate(cvecs)]
     probe = [j for j in sorted(range(len(cvecs)), key=lambda j: (qdist[j], j))[
         : max(1, nprobe)
     ]]
@@ -333,6 +335,145 @@ def cosine_topk_ivf(
     return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def ivf_recall(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vecs: dict[int, list[float]],
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the IVF path vs the exact brute-force top-k
+    — the ANN counterpart of ``dedup.lsh_candidate_recall``: a QA/audit
+    operator certifying an (n_cells, nprobe) configuration before it's
+    trusted at scale.
+
+    One summary row ``(n_queries, k, n_exact, n_hits, recall)`` where
+    ``n_hits`` = Σ_q |exact_topk(q) ∩ ivf_topk(q)| and recall =
+    n_hits / n_exact (n_exact = Σ_q |exact_topk(q)|, i.e. Q·k on any
+    corpus with > k rows). nprobe == n_cells probes every cell, so
+    recall is 1.0 by construction — the sanity anchor of the
+    nprobe→recall curve (SCALE.md "IVF recall curve").
+
+    Plan shape: the per-query exact and IVF branches are the two
+    ALREADY-verified operators (``cosine_topk`` and the probe-pruned
+    slice of ``cosine_topk_ivf``'s plan) unioned with a qid literal —
+    each branch is a scan + TakeOrderedAndProject (per-partition heap,
+    no sort shuffle), the final join/agg touches only 2·Q·k id rows.
+    Cell distances use the dot-product identity |e|² − 2e·c + |c|²
+    with sequential folds on every term (the proven ivf_pinned
+    parity), so a SQL oracle reproduces the whole audit bit-for-bit
+    when the centroids are data-derived literals. The exact side scans
+    the corpus once per query — QA scale: run on a sample or small SF,
+    like every recall audit in the dedup family.
+    """
+    from functools import reduce
+
+    if not query_vecs:
+        raise ValueError("ivf_recall: query_vecs must be non-empty")
+    dcc = [_pydot(c, c) for c in centroids]
+    vec = F.col(vec_col)
+    dee = _dot(vec, vec)
+    dists = [
+        dee
+        - F.lit(2.0) * _dot(vec, F.array(*[F.lit(v) for v in c]))
+        + F.lit(dcc[j])
+        for j, c in enumerate(centroids)
+    ]
+    darr = F.array(*dists)
+    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    celled = df.withColumn("ivf_cell", cell)
+
+    exact_frames: list[DataFrame] = []
+    cand_frames: list[DataFrame] = []
+    for qid, qvec in query_vecs.items():
+        dqq = _pydot(qvec, qvec)
+        qdist = [
+            dqq - 2.0 * _pydot(qvec, c) + dcc[j] for j, c in enumerate(centroids)
+        ]
+        probe = sorted(range(len(centroids)), key=lambda j: (qdist[j], j))[
+            : max(1, nprobe)
+        ]
+        exact_frames.append(
+            cosine_topk(df, qvec, k, id_col, vec_col, exclude_id=qid).select(
+                F.lit(qid).alias("qid"), F.col(id_col)
+            )
+        )
+        sliced = celled.where(F.col("ivf_cell").isin(probe))
+        cand_frames.append(
+            cosine_topk(sliced, qvec, k, id_col, vec_col, exclude_id=qid).select(
+                F.lit(qid).alias("qid"), F.col(id_col)
+            )
+        )
+    exact = reduce(DataFrame.unionAll, exact_frames)
+    cand = reduce(DataFrame.unionAll, cand_frames).withColumn("__hit", F.lit(1))
+    return (
+        exact.join(cand, ["qid", id_col], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hits"),
+        )
+        .select(
+            F.lit(len(query_vecs)).cast("int").alias("n_queries"),
+            F.lit(k).cast("int").alias("k"),
+            "n_exact",
+            "n_hits",
+            F.when(F.col("n_exact") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
+        )
+    )
+
+
+def ivf_recall_pinned(
+    df: DataFrame,
+    query_ids: tuple[int, ...] = (0, 101, 202, 303, 404),
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_recall`` with the PINNED deterministic quantizer (centroids
+    = corpus vectors 1..n_cells, the frozen random-sample init of
+    ``cosine_topk_ivf_pinned``): every input to the audit is exact
+    arithmetic over corpus values, so a SQL oracle replays the whole
+    recall computation bit-for-bit — the hash-checkable twin of the
+    KMeans-quantizer audit (``ivf_recall`` over ``fit_ivf_centroids``,
+    seed-dependent → rows-only)."""
+    need = sorted(set(query_ids) | set(range(1, n_cells + 1)))
+    small = {
+        r[id_col]: [float(v) for v in r[vec_col]]
+        for r in df.where(F.col(id_col).isin(need))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    missing = [i for i in need if i not in small]
+    if missing:
+        raise ValueError(
+            f"ivf_recall_pinned: corpus lacks required {id_col} values "
+            f"{missing} (query_ids={list(query_ids)}, pinned centroids are "
+            f"ids 1..{n_cells})"
+        )
+    centroids = [small[j] for j in range(1, n_cells + 1)]
+    return ivf_recall(
+        df,
+        centroids,
+        {qid: small[qid] for qid in query_ids},
+        nprobe=nprobe,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 __all__ = [
     "cosine_expr",
     "cosine_topk",
@@ -341,6 +482,8 @@ __all__ = [
     "cosine_topk_lsh",
     "fit_ivf_centroids",
     "ivf_cell_expr",
+    "ivf_recall",
+    "ivf_recall_pinned",
     "lsh_bucket_expr",
     "minhash_perms",
     "random_hyperplanes",
