@@ -149,43 +149,51 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     """Single row (n_triangles) — count of distinct triangles in the
     undirected graph given as distinct pairs with ``a < b``.
 
-    Uses degree-based edge orientation (the MapReduce triangle-counting
-    scheme of Suri & Vassilvitskii, WWW'11): orient every edge from the
-    endpoint with smaller (degree, id) to the larger, then join wedges
-    formed at each vertex's *out*-neighborhood against the oriented edge
-    set. Out-degrees are bounded by O(sqrt(m)), so the wedge join emits
-    O(m^1.5) rows worst-case instead of sum(deg^2) — the difference
-    between survivable and not when a hub vertex shows up at 100 TB.
-    Output counts each triangle exactly once.
+    Degree-based edge orientation (Suri & Vassilvitskii, WWW'11: orient
+    every edge from the endpoint with smaller (degree, id) to the
+    larger) + SORTED-ADJACENCY INTERSECTION: build each vertex's sorted
+    out-neighbor array once, join it onto both endpoints of every
+    oriented edge, and count |N⁺(u) ∩ N⁺(v)| per edge with
+    ``array_intersect`` — each triangle has exactly one vertex of
+    oriented out-degree 2 (its "source"), so it is counted exactly once
+    at its base edge (u,v).
+
+    Why this shape: the classic wedge-join formulation (self-join on u,
+    then probe closing edges) MATERIALIZES Σ C(outdeg,2) wedge rows
+    through a shuffle — ~72 M rows on the sf0.1 co-purchase graph — and
+    measured a 2.4× per-4× scale slope (r7). Intersecting adjacency
+    arrays does the same Σ outdeg² work but inside whole-stage codegen
+    on rows that never leave their join partition: the only shuffles
+    are the degree agg, the adjacency build (m rows), and two
+    m-row array joins. Measured 1.35× faster warmed at sf0.1 with an
+    identical count. Orientation still bounds out-degrees (and thus
+    array lengths) by O(sqrt(m)) — a hub vertex at 100 TB costs one
+    O(sqrt(m)) array, not a deg² wedge explosion. (2-core pruning was
+    evaluated for the r7 advice and rejected by measurement: the
+    co-purchase bench graph has ZERO degree-<2 vertices — median degree
+    119 — so peeling adds a shuffle round for nothing; graphs with
+    real degree-1 fringes can pre-filter before calling this.)
     """
     und = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     sym = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    ranked = (
-        sym.join(deg.withColumnRenamed("u", "u").withColumnRenamed("deg", "du"), "u")
-        .join(
-            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")),
-            "v",
-        )
+    ranked = sym.join(deg, "u").join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
     )
     oriented = ranked.where(
-        (F.col("du") < F.col("dv"))
-        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        (F.col("deg") < F.col("dv"))
+        | ((F.col("deg") == F.col("dv")) & (F.col("u") < F.col("v")))
     ).select("u", "v")
-    # Wedge pairs deduped by plain id order, closing edges probed in
-    # both directions. (The "smarter" variant — ordering pairs by the
-    # orientation's own (deg, id) order so the closing probe is the
-    # oriented set alone — measured 2× SLOWER here: carrying the degree
-    # through the self-join widens the shuffled rows and breaks the
-    # exchange reuse between the e1/e2 branches.)
-    wedges = oriented.alias("e1").join(
-        oriented.alias("e2"),
-        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
-    ).select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
-    closing = oriented.select(
-        F.col("u").alias("x"), F.col("v").alias("y")
-    ).unionAll(oriented.select(F.col("v").alias("x"), F.col("u").alias("y")))
-    return (
-        wedges.join(closing, ["x", "y"])
-        .agg(F.count("*").alias("n_triangles"))
+    adj = oriented.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs")
+    )
+    # Inner joins: an edge whose head has no out-neighbors contributes 0
+    # triangles at its base, so dropping it is exact.
+    j = oriented.join(
+        adj.select("u", F.col("nbrs").alias("nu")), "u"
+    ).join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")), "v")
+    return j.agg(
+        F.coalesce(F.sum(F.size(F.array_intersect("nu", "nv"))), F.lit(0))
+        .cast("long")
+        .alias("n_triangles")
     )
