@@ -471,6 +471,151 @@ def psi(
     return j.agg(F.sum(term).alias("psi"))
 
 
+def binned_ref_counts(
+    ref: DataFrame, columns: dict[str, float]
+) -> DataFrame:
+    """Static-reference bin counts ``(column, bin, n_ref)`` for the
+    streaming-capable PSI drift panel: ``columns`` maps column name →
+    fixed bin width. Computed once per reference snapshot (broadcast-
+    sized by platform design) and reused across every window/batch."""
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.floor(F.col(c).cast("double") / F.lit(w)).alias("bin"),
+            )
+            for c, w in columns.items()
+        ]
+    )
+    return (
+        ref.select(F.explode(cols).alias("cb"))
+        .select("cb.column", "cb.bin")
+        .where(F.col("bin").isNotNull())
+        .groupBy("column", "bin")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+
+
+def binned_window_counts(
+    cur: DataFrame,
+    columns: dict[str, float],
+    ts_col: str,
+    unit: str = "week",
+) -> DataFrame:
+    """Per-window current-side bin counts ``(window_start, column, bin,
+    n_cur)`` — the ONLY stateful piece of the PSI drift panel, and a
+    pure streaming groupBy-count: state is one counter per live
+    (window × column × bin), evicted by the watermark in append mode —
+    bounded regardless of corpus size. This is why the streaming panel
+    is PSI-based: KS needs the full value multiset per window (ECDF),
+    which no mergeable bounded state can carry; binned counts are the
+    drift statistic that STREAMS. Works identically on batch and
+    streaming frames (projection + explode + groupBy only)."""
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.floor(F.col(c).cast("double") / F.lit(w)).alias("bin"),
+            )
+            for c, w in columns.items()
+        ]
+    )
+    return (
+        cur.select(
+            F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+            F.explode(cols).alias("cb"),
+        )
+        .select("window_start", "cb.column", "cb.bin")
+        .where(F.col("bin").isNotNull())
+        .groupBy("window_start", "column", "bin")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+
+
+def psi_from_binned(
+    ref_bins: DataFrame,
+    cur_bins: DataFrame,
+    epsilon: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Finish the PSI drift panel from binned counts: one row
+    ``(window_start, column, psi)`` per window × column. Shared verbatim
+    by the batch plan and the streaming drain (registry
+    ``value_drift_psi_window`` / ``stream_value_drift``), which is what
+    makes the drain == batch proof an identity of inputs, not a
+    coincidence of two implementations.
+
+    All frames here are bin-count sized (windows × columns × bins) —
+    the 100 TB data only ever flows through ``binned_window_counts``.
+    The full-outer join keeps ref-only bins (p_cur floored at
+    ``epsilon``) and cur-only bins (p_ref floored) alike. Totals are
+    clamped with greatest(·, 1e-12) before dividing so a (window,
+    column) slice with zero rows stays finite and cross-engine
+    identical (0/0 is NULL on Spark but NaN on DuckDB); ln() is libm-
+    dependent → the final sum is rounded on both engines."""
+    from pyspark.sql import Window as W
+
+    # The alias hop mints fresh attribute ids so base-vs-cur_bins is not
+    # a self-join on the same plan (memory-sink sources otherwise hit
+    # "conflicting references" in the full-outer join below).
+    windows = (
+        cur_bins.select(F.col("window_start").alias("__w"))
+        .distinct()
+        .withColumnRenamed("__w", "window_start")
+    )
+    base = ref_bins.crossJoin(F.broadcast(windows))
+    joined = base.join(
+        cur_bins, ["window_start", "column", "bin"], "full_outer"
+    ).select(
+        "window_start",
+        "column",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    w = W.partitionBy("window_start", "column")
+    p_ref = F.greatest(
+        F.col("n_ref").cast("double")
+        / F.greatest(F.sum("n_ref").over(w).cast("double"), F.lit(1e-12)),
+        F.lit(epsilon),
+    )
+    p_cur = F.greatest(
+        F.col("n_cur").cast("double")
+        / F.greatest(F.sum("n_cur").over(w).cast("double"), F.lit(1e-12)),
+        F.lit(epsilon),
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        joined.select("window_start", "column", term.alias("term"))
+        .groupBy("window_start", "column")
+        .agg(F.round(F.sum("term"), round_to).alias("psi"))
+    )
+
+
+def value_drift_psi_by_window(
+    ref: DataFrame,
+    cur: DataFrame,
+    columns: dict[str, float],
+    ts_col: str,
+    unit: str = "week",
+    epsilon: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Drift TIMESERIES with a statistic that also STREAMS: per-column
+    PSI of every event-time window of ``cur`` against the static
+    reference, ``(window_start, column, psi)``. The windowed-KS panel
+    (``value_drift_by_window``) stays the batch dashboard's default;
+    this is its streaming-capable sibling — the stateful piece is a
+    pure groupBy-count over (window, column, bin) that Structured
+    Streaming maintains incrementally with watermark-bounded state,
+    and ``psi_from_binned`` finishes from counts alone."""
+    return psi_from_binned(
+        binned_ref_counts(ref, columns),
+        binned_window_counts(cur, columns, ts_col, unit),
+        epsilon,
+        round_to,
+    )
+
+
 def js_divergence(
     ref: DataFrame, cur: DataFrame, column: str, bin_width: float
 ) -> DataFrame:
