@@ -112,6 +112,71 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# csv_sink — standalone byte-level oracle for the sink SHAPE (VERDICT
+# r7 #4): the reference's to_csv(index=False) contract. Write a frame
+# with crafted comma / quote / NULL fields, read the emitted bytes back
+# as raw TEXT lines, and aggregate line-shape facts the oracle predicts
+# arithmetically from the source rows: header exactly once, RFC 4180
+# DOUBLED quotes (not backslash escapes), nulls as empty fields,
+# quoting only where needed, single part file. Any writer regression —
+# quoting mode, null encoding, header, coalesce — breaks the hash.
+# ---------------------------------------------------------------------------
+
+_CSV_SINK_SQL = """
+WITH s AS (
+  SELECT CASE CAST(event_id % 4 AS INT)
+           WHEN 1 THEN 'comma,' || CAST(event_id AS VARCHAR)
+           WHEN 2 THEN 'qu"ote' || CAST(event_id AS VARCHAR)
+           WHEN 3 THEN NULL
+           ELSE 'plain' || CAST(event_id AS VARCHAR) END AS sv
+  FROM events)
+SELECT CAST(count(*) + 1 AS BIGINT) AS n_lines,
+       CAST(1 AS BIGINT) AS n_header,
+       CAST(sum(CASE WHEN sv LIKE '%,%' OR sv LIKE '%"%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quoted,
+       CAST(sum(CASE WHEN sv LIKE '%"%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_doubled,
+       CAST(sum(CASE WHEN sv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_empty,
+       CAST(1 AS BIGINT) AS n_files
+FROM s
+"""
+
+
+@register("csv_sink", _CSV_SINK_SQL)
+def q_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.csv_source import write_csv
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 4 == 1, F.concat(F.lit("comma,"), F.col("event_id")))
+        .when(F.col("event_id") % 4 == 2, F.concat(F.lit('qu"ote'), F.col("event_id")))
+        .when(F.col("event_id") % 4 == 3, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("plain"), F.col("event_id")))
+        .alias("sv"),
+    )
+    out = f"/tmp/spark_graft_csv_sink_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_csv(src, out, single_file=True)
+    lines = spark.read.text(out).select(
+        "value", F.input_file_name().alias("f")
+    )
+    header = "event_id,event_type,sv"
+    b = lambda c: c.cast("int")  # noqa: E731 — sum of 0/1 flags
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(b(F.col("value") == header)).cast("bigint").alias("n_header"),
+        F.sum(b(F.col("value").contains('"'))).cast("bigint").alias("n_quoted"),
+        F.sum(b(F.col("value").contains('""'))).cast("bigint").alias("n_doubled"),
+        F.sum(b(F.col("value").endswith(","))).cast("bigint").alias("n_null_empty"),
+        F.count_distinct("f").alias("n_files"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # value_drift_psi_window / stream_value_drift — the drift TIMESERIES
 # with the statistic that also STREAMS (VERDICT r7 #3). PSI over
 # static-reference bins: the stateful piece is a per-(window, column,

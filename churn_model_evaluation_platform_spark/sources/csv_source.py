@@ -33,11 +33,16 @@ def read_csv(
     path: str,
     schema=None,
     infer: bool = True,
+    escape: str = '"',
 ) -> DataFrame:
     """Header CSV scan (churn_prediction_pipeline.py:142-143). With an
     explicit schema Spark skips the inference pass — always pass one in
-    production; inference reads the data twice."""
-    reader = spark.read.option("header", True)
+    production; inference reads the data twice.
+
+    ``escape`` defaults to ``"`` (RFC 4180 doubled quotes — what pandas
+    ``read_csv``/``to_csv`` and the reference's files use), NOT Spark's
+    backslash default; pass ``\\`` for backslash-escaped inputs."""
+    reader = spark.read.option("header", True).option("escape", escape)
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:
@@ -68,9 +73,23 @@ def read_validated_csv(
     return ReadResult(True, df, None)
 
 
-def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
-    """Headered CSV sink (churn_prediction_pipeline.py:250-251).
+def write_csv(
+    df: DataFrame, path: str, single_file: bool = False, escape: str = '"'
+) -> None:
+    """Headered CSV sink (churn_prediction_pipeline.py:250-251 —
+    ``to_csv(index=False)``: header row, no index column, nulls as
+    empty fields, RFC 4180 quoting).
+
+    ``escape='"'`` makes quotes-in-fields come out DOUBLED
+    (``"qu""ote"``), matching pandas/RFC 4180; Spark's out-of-the-box
+    backslash escaping would produce files pandas misparses. Fields are
+    quoted only when they contain the delimiter, a quote, or a newline
+    — pandas ``QUOTE_MINIMAL`` parity. The emitted shape is pinned
+    byte-level by the ``csv_sink`` oracle (plans/registry_ext11.py).
+
     ``single_file=True`` coalesces to one part — reference parity for
     small outputs; leave False at scale (multi-part parallel write)."""
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").option("header", True).csv(path)
+    out.write.mode("overwrite").option("header", True).option(
+        "escape", escape
+    ).csv(path)
