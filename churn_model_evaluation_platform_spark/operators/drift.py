@@ -705,12 +705,16 @@ def _norm_cdf_expr(z: Column) -> Column:
     return F.when(z >= 0, cdf_abs).otherwise(F.lit(1.0) - cdf_abs)
 
 
+AUTO_REF_THRESHOLD = 1000
+
+
 def drift_statistic(
     ref: DataFrame,
     cur: DataFrame,
     column: str,
     method: str = "ks",
     bin_width: float = 10.0,
+    auto_threshold: int = AUTO_REF_THRESHOLD,
 ) -> DataFrame:
     """One entry point for the pluggable drift family (SURVEY §7.4):
 
@@ -719,10 +723,32 @@ def drift_statistic(
     - ``wasserstein``  → (wasserstein,) — Evidently's >1000-row branch;
     - ``psi``          → (psi,) — binned population stability;
     - ``js``           → (js,) — binned Jensen–Shannon divergence;
-    - ``chi2``         → (chi2, dof, p_approx) — binned homogeneity test.
+    - ``chi2``         → (chi2, dof, p_approx) — binned homogeneity test;
+    - ``auto``         → (method, drift_score) — Evidently's numerical
+      preset branch (the rule the reference's report actually executes,
+      churn_prediction_pipeline.py:322): two-sample KS while the
+      reference column has ≤ ``auto_threshold`` non-null rows,
+      Wasserstein above. The chosen branch rides along as a ``method``
+      column so consumers know which statistic they are reading; the
+      score is rounded at 6 on both engines (the branches' own
+      conventions). Deviation kept from SURVEY §7.4: the Wasserstein is
+      raw (not std-normalized as Evidently's wd_norm) — consistent with
+      the ``wasserstein`` method itself. The branch decision is ONE
+      driver count on the reference snapshot (broadcast-sized by
+      platform design), the standard iterative-algorithm scalar, not a
+      per-row collect.
 
     Binned methods take ``bin_width``; distribution methods ignore it.
     """
+    if method == "auto":
+        n_ref = ref.where(F.col(column).isNotNull()).count()
+        chosen = "ks" if n_ref <= auto_threshold else "wasserstein"
+        stat = drift_statistic(ref, cur, column, chosen, bin_width)
+        score = F.col("ks_stat") if chosen == "ks" else F.col("wasserstein")
+        return stat.select(
+            F.lit(chosen).alias("method"),
+            F.round(score, 6).alias("drift_score"),
+        )
     if method == "ks":
         return ks_2samp(ref, cur, column)
     if method == "wasserstein":
@@ -735,7 +761,7 @@ def drift_statistic(
         return chi2_drift(ref, cur, column, bin_width)
     raise ValueError(
         f"unknown drift method {method!r}; "
-        "expected ks|wasserstein|psi|js|chi2"
+        "expected auto|ks|wasserstein|psi|js|chi2"
     )
 
 

@@ -112,6 +112,67 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# value_drift_auto — Evidently's numerical-preset auto-selection as a
+# MODE (VERDICT r7 #6): KS while the reference column has <= 1000
+# non-null rows, Wasserstein above. The oracle replicates the RULE, not
+# just one branch — it computes both statistics and selects by the same
+# count — so the sf0.001 run (ref = 1000 rows -> ks) and the sf0.01
+# correctness run (10000 rows -> wasserstein) both prove their branch.
+# Switch point pinned in tests/test_drift_family.py.
+# ---------------------------------------------------------------------------
+
+_AUTO_SQL = """
+WITH ref AS (SELECT value FROM events),
+cur AS (SELECT value * 1.25 AS value FROM events WHERE event_type = 'view'),
+pooled AS (
+  SELECT value AS v, 1 AS is_ref, 0 AS is_cur FROM ref WHERE value IS NOT NULL
+  UNION ALL
+  SELECT value, 0, 1 FROM cur WHERE value IS NOT NULL
+),
+cums AS (
+  SELECT SUM(is_ref) OVER (ORDER BY v) AS cr,
+         SUM(is_cur) OVER (ORDER BY v) AS cc,
+         SUM(is_ref) OVER () AS nr,
+         SUM(is_cur) OVER () AS nc
+  FROM pooled
+),
+ks AS (
+  SELECT MAX(ABS(CAST(cr AS DOUBLE) / nr - CAST(cc AS DOUBLE) / nc))
+           AS ks_stat,
+         MAX(nr) AS n_ref
+  FROM cums
+),
+aggw AS (SELECT v, SUM(is_ref) AS r, SUM(is_cur) AS c
+         FROM pooled GROUP BY v),
+tw AS (SELECT SUM(r) AS tr, SUM(c) AS tc FROM aggw),
+cumw AS (
+  SELECT v, SUM(r) OVER (ORDER BY v) AS wr, SUM(c) OVER (ORDER BY v) AS wc,
+         lead(v) OVER (ORDER BY v) AS vn
+  FROM aggw
+),
+wd AS (SELECT SUM(abs(CAST(wr AS DOUBLE) / tr - CAST(wc AS DOUBLE) / tc)
+               * (vn - v)) AS wasserstein
+       FROM cumw, tw WHERE vn IS NOT NULL)
+SELECT CASE WHEN n_ref <= 1000 THEN 'ks' ELSE 'wasserstein' END AS method,
+       round(CASE WHEN n_ref <= 1000 THEN ks_stat ELSE wasserstein END, 6)
+         AS drift_score
+FROM ks, wd
+"""
+
+
+@register("value_drift_auto", _AUTO_SQL)
+def q_value_drift_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import drift_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.select("value")
+    cur = ev.where(F.col("event_type") == "view").select(
+        (F.col("value") * F.lit(1.25)).alias("value")
+    )
+    return drift_statistic(ref, cur, "value", method="auto")
+
+
+# ---------------------------------------------------------------------------
 # csv_sink — standalone byte-level oracle for the sink SHAPE (VERDICT
 # r7 #4): the reference's to_csv(index=False) contract. Write a frame
 # with crafted comma / quote / NULL fields, read the emitted bytes back

@@ -100,3 +100,37 @@ def test_drift_statistic_dispatch(spark, shifted):
     ]
     with pytest.raises(ValueError):
         drift_statistic(a, b, "value", "nope")
+
+
+def test_auto_method_switch_point(spark):
+    # Evidently's numerical-preset rule (VERDICT r7 #6): KS while the
+    # reference column has <= 1000 non-null rows, Wasserstein above.
+    # Pin the exact boundary: 1000 -> ks, 1001 -> wasserstein.
+    from churn_model_evaluation_platform_spark.operators.drift import (
+        drift_statistic,
+        ks_2samp,
+        wasserstein,
+    )
+
+    cur = spark.range(500).select((F.col("id") * 2.0).alias("value"))
+
+    ref_at = spark.range(1000).select(F.col("id").cast("double").alias("value"))
+    at = drift_statistic(ref_at, cur, "value", method="auto").first()
+    assert at["method"] == "ks"
+    expected_ks = ks_2samp(ref_at, cur, "value").first()["ks_stat"]
+    assert at["drift_score"] == round(expected_ks, 6)
+
+    ref_over = spark.range(1001).select(F.col("id").cast("double").alias("value"))
+    over = drift_statistic(ref_over, cur, "value", method="auto").first()
+    assert over["method"] == "wasserstein"
+    expected_wd = wasserstein(ref_over, cur, "value").first()["wasserstein"]
+    assert over["drift_score"] == round(expected_wd, 6)
+
+    # Null reference values don't count toward the threshold.
+    ref_nulls = ref_over.select(
+        F.when(F.col("value") < 1.0, None).otherwise(F.col("value")).alias("value")
+    )
+    assert (
+        drift_statistic(ref_nulls, cur, "value", method="auto").first()["method"]
+        == "ks"
+    )
