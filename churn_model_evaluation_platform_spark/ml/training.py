@@ -245,10 +245,21 @@ def tune_threshold(
     label_col: str = TARGET_COLUMN,
     proba_col: str = "proba",
     grid: list[float] | None = None,
+    precision_floor: float | None = None,
 ) -> tuple[float, float]:
     """Decision-threshold tuning on F1 (churn_model_training.py:266-273),
     t ∈ [0.1, 0.9]. ONE aggregation pass evaluates the whole grid: per
-    threshold, conditional-sum tp/fp/fn — no per-trial job storm."""
+    threshold, conditional-sum tp/fp/fn — no per-trial job storm.
+
+    ``precision_floor``: maximize F1 SUBJECT TO precision ≥ floor (a
+    precision-SLO objective — churn outreach is precision-sensitive:
+    every false positive is a discount mailed to a customer who was
+    staying). Thresholds below the floor are dropped before the F1
+    argmax; if NO grid point reaches the floor, falls back to the
+    unconstrained pick rather than failing the fit. Unconstrained F1
+    tends to select a low threshold that buys recall with precision
+    (the r7 parity gap: holdout P 0.885 vs published 0.92); the floor
+    recovers the reference's operating point — see ml/parity.py."""
     ts = grid or [round(0.1 + 0.02 * i, 2) for i in range(41)]
     lbl = F.col(label_col)
     p = F.col(proba_col)
@@ -261,14 +272,23 @@ def tune_threshold(
             F.sum(((lbl == 1) & (pred == 0)).cast("long")).alias(f"fn{i}"),
         ]
     row = proba_df.agg(*aggs).first()
-    best_t, best_f1 = ts[0], -1.0
-    for i, t in enumerate(ts):
-        tp, fp, fn = row[f"tp{i}"], row[f"fp{i}"], row[f"fn{i}"]
-        prec = tp / (tp + fp) if tp + fp else 0.0
-        rec = tp / (tp + fn) if tp + fn else 0.0
-        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
-        if f1 > best_f1:
-            best_t, best_f1 = t, f1
+
+    def pick(floor: float | None) -> tuple[float, float]:
+        best_t, best_f1 = None, -1.0
+        for i, t in enumerate(ts):
+            tp, fp, fn = row[f"tp{i}"], row[f"fp{i}"], row[f"fn{i}"]
+            prec = tp / (tp + fp) if tp + fp else 0.0
+            rec = tp / (tp + fn) if tp + fn else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            if floor is not None and prec < floor:
+                continue
+            if f1 > best_f1:
+                best_t, best_f1 = t, f1
+        return best_t, best_f1
+
+    best_t, best_f1 = pick(precision_floor)
+    if best_t is None:  # nothing met the floor — unconstrained fallback
+        best_t, best_f1 = pick(None)
     return best_t, best_f1
 
 
@@ -286,6 +306,7 @@ def fit_pipeline(
     feature_cols: list[str] | None = None,
     label_col: str = TARGET_COLUMN,
     val_df: DataFrame | None = None,
+    precision_floor: float | None = None,
     **gbt_params,
 ) -> TrainedModel:
     """train → margin → calibrate → tune threshold (the reference's
@@ -306,7 +327,7 @@ def fit_pipeline(
         model.transform(assemble(val_df, cols)), model
     )
     proba = calibrated_proba(tune_src, calibrator)
-    t, f1 = tune_threshold(proba, label_col)
+    t, f1 = tune_threshold(proba, label_col, precision_floor=precision_floor)
     return TrainedModel(model, calibrator, t, f1, cols)
 
 

@@ -4,8 +4,11 @@ The reference publishes holdout precision/recall/F1 = 0.92/0.81/0.86
 for its Optuna-tuned XGBoost on customer_churn_0.csv
 (churn_model_training.ipynb cell 19).  The engine's GBT path will not
 match bit-for-bit (GBT != XGB, randomSplit != sklearn split), so the
-contract is a floor: P >= 0.85, R >= 0.75, F1 >= 0.80.  Actuals at the
-pinned defaults: P 0.885 / R 0.92 / F1 0.902 (2026-08-13).
+contract is a floor: P >= 0.90, R >= 0.75, F1 >= 0.86 (raised from
+0.85/0.75/0.80 in r8 when threshold selection gained the validation
+precision-SLO constraint, VERDICT r7 #5).  Actuals at the pinned
+defaults: P 0.92 / R 0.92 / F1 0.92 (2026-08-14) — published precision
+matched exactly.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ pytestmark = pytest.mark.skipif(
     reason="reference churn CSV not present",
 )
 
-FLOORS = {"precision": 0.85, "recall": 0.75, "f1score": 0.80}
+FLOORS = {"precision": 0.90, "recall": 0.75, "f1score": 0.86}
 
 
 def test_load_reference_churn_shape(spark):
@@ -47,3 +50,24 @@ def test_holdout_scores_meet_floor(spark):
     # the tuned threshold must come from the validation slice and be a
     # real probability cut, not a degenerate end of the grid
     assert 0.1 <= scores["threshold"] <= 0.9
+
+
+def test_tune_threshold_precision_floor(spark):
+    # Synthetic probas where unconstrained F1 picks a low threshold
+    # (high recall, P=0.6) but the floor forces the high-precision cut;
+    # an unreachable floor falls back to the unconstrained pick.
+    from churn_model_evaluation_platform_spark.ml.training import tune_threshold
+
+    rows = (
+        [(0.95, 1)] * 6            # confident true churners
+        + [(0.30, 1)] * 4          # churners only a low cut catches
+        + [(0.30, 0)] * 6          # ...at the cost of these FPs
+        + [(0.05, 0)] * 10
+    )
+    df = spark.createDataFrame(rows, "proba double, churn int")
+    t_free, _ = tune_threshold(df)
+    t_floor, _ = tune_threshold(df, precision_floor=0.9)
+    assert t_free <= 0.3            # unconstrained: recall-heavy cut
+    assert t_floor > 0.3            # floor: only the confident slice
+    t_fallback, _ = tune_threshold(df, precision_floor=1.01)  # unreachable
+    assert t_fallback == t_free
