@@ -76,6 +76,13 @@ SINGLE_ROW_CROSS_OK = {
     "robust_scale_stats",
     # single-row edge-count aggregate broadcast into the degree-balance sum
     "graph_modularity",
+    # wasserstein branch: single-row (t_ref, t_cur) totals crossed in
+    "value_drift_auto",
+    # tiny distinct-windows frame (dashboard x-axis grain) broadcast-
+    # crossed into the bin-count-sized ref_bins — both sides bounded by
+    # bins × windows, never data (operators/drift.py:psi_from_binned)
+    "value_drift_psi_window",
+    "stream_value_drift",
 }
 
 # QA/audit operators whose all-pairs side IS the measurand: the exact
