@@ -762,17 +762,26 @@ def ngram_novelty(
     Scale: a shingle is novel for EXACTLY the doc that is its global
     min-id owner, so ``n_novel`` per doc is a count over the
     (shingle → first_id) aggregate itself — no join back onto the
-    exploded shingle set. The plan's only full-size shuffle is the
-    groupBy(shingle_hash) min (map-side combined, shuffles 8-byte
-    hashes — never text); both follow-up aggregates partial-combine to
-    ≤ n_docs rows per task before their shuffle, and the final join is
-    doc-count × doc-count. (The previous formulation joined ``first``
-    back onto the shingle set — a second distinct-shingle-sized shuffle
-    plus a shingle-keyed join; dropping it cut the 4× scale slope,
-    VERDICT r7 #7.)
+    exploded shingle set. And ``n_sh`` is just the SIZE of the doc's
+    distinct-shingle array — a map-side projection on the scan, no
+    explode, no shuffle. The whole plan therefore explodes the corpus
+    ONCE and has ONE full-size shuffle: the groupBy(shingle_hash) min
+    (map-side combined, shuffles 8-byte hashes — never text); the
+    follow-up novelty count partial-combines to ≤ n_docs rows per task,
+    and the final join is doc-count × doc-count. (The r7 formulation
+    joined ``first`` back onto the shingle set — a second
+    distinct-shingle-sized shuffle plus a shingle-keyed join — and
+    computed n_sh from a second explode; VERDICT r7 #7.)
     """
+    per_doc = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(shingle_hashes(F.col(text_col), n)).alias("n_sh"),
+        )
+        .where(F.col("n_sh").isNotNull())
+    )
     sh = _doc_shingles(df, text_col, id_col, n)
-    per_doc = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     novel = (
         sh.groupBy("sh")
         .agg(F.min("id").alias("first_id"))
