@@ -112,6 +112,60 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# txnlog_metrics_store — the metrics store on the TRANSACTIONAL parquet
+# table (sources/txnlog.py): three exactly-once appends (one replayed
+# with a duplicate batch_id and provably skipped), an atomic
+# compaction, and a time-travel read. The oracle predicts both the v1
+# snapshot (first append only) and the latest snapshot (all rows,
+# replay NOT double-counted, compaction row-preserving) from the source
+# table alone — any torn read, double append, or lossy compaction
+# breaks the hash.
+# ---------------------------------------------------------------------------
+
+_TXNLOG_SQL = """
+SELECT 'v1' AS snapshot, event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events WHERE event_type = 'click' GROUP BY 2
+UNION ALL
+SELECT 'latest', event_type, count(*), round(sum(value), 2)
+FROM events GROUP BY 2
+"""
+
+
+@register("txnlog_metrics_store", _TXNLOG_SQL)
+def q_txnlog_metrics_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sources.txnlog import TxnTable
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_txnlog_{base}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TxnTable(spark, path)
+    t.append(ev.where(F.col("event_type") == "click"), batch_id=1)
+    t.append(ev.where(F.col("event_type") == "view"), batch_id=2)
+    t.append(
+        ev.where(~F.col("event_type").isin("click", "view")), batch_id=3
+    )
+    # Crash-replay of batch 2: exactly-once contract — must be a no-op.
+    t.append(ev.where(F.col("event_type") == "view"), batch_id=2)
+    t.compact(partitions=4)  # atomic OPTIMIZE; rows preserved
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ).select(F.lit(label).alias("snapshot"), "event_type", "n", "sum_value")
+
+    return agg(t.snapshot(version=1), "v1").unionAll(
+        agg(t.snapshot(), "latest")
+    )
+
+
+# ---------------------------------------------------------------------------
 # value_drift_auto — Evidently's numerical-preset auto-selection as a
 # MODE (VERDICT r7 #6): KS while the reference column has <= 1000
 # non-null rows, Wasserstein above. The oracle replicates the RULE, not
