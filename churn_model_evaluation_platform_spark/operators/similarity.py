@@ -335,6 +335,56 @@ def cosine_topk_ivf(
     return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus PARTITIONED BY its IVF cell — the layout
+    that turns ``cosine_topk_ivf``'s probe filter into PARTITION
+    PRUNING: the scan's ``PartitionFilters`` carries ``cell IN
+    (probes)`` and only ``nprobe/n_cells`` of a 100 TB corpus is ever
+    listed or read (proven against the physical plan in
+    tests/test_ivf_recall.py::test_partitioned_corpus_prunes_scan).
+    Assignment is the zero-shuffle codegen expression; the write's only
+    wide op is the directory fan-out."""
+    df.withColumn(cell_col, ivf_cell_expr(F.col(vec_col), centroids)).write.mode(
+        mode
+    ).partitionBy(cell_col).parquet(path)
+
+
+def cosine_topk_ivf_pruned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k over a corpus written by ``write_ivf_partitioned``:
+    the probe-cell filter is a partition-column predicate, so Spark
+    prunes directories BEFORE reading a byte — the physical realization
+    of the nprobe/n_cells fraction-scan claim. Result is identical to
+    ``cosine_topk_ivf`` over the same corpus and centroids (cells are
+    precomputed at write time from the same expression)."""
+    by_dist = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (q - c) * (q - c) for q, c in zip(query_vec, centroids[i])
+        ),
+    )
+    probe = [int(c) for c in by_dist[: max(1, nprobe)]]
+    sliced = spark.read.parquet(path).where(F.col(cell_col).isin(probe))
+    return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
+
+
 def ivf_recall(
     df: DataFrame,
     centroids: list[list[float]],
@@ -479,6 +529,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_ivf_pinned",
+    "cosine_topk_ivf_pruned",
     "cosine_topk_lsh",
     "fit_ivf_centroids",
     "ivf_cell_expr",
@@ -487,6 +538,7 @@ __all__ = [
     "lsh_bucket_expr",
     "minhash_perms",
     "random_hyperplanes",
+    "write_ivf_partitioned",
 ]
 
 

@@ -74,3 +74,37 @@ def test_pinned_missing_ids_raise(spark):
     )
     with pytest.raises(ValueError, match="lacks required"):
         ivf_recall_pinned(small, (0,), n_cells=16, nprobe=4, k=5)
+
+
+def test_partitioned_corpus_prunes_scan(spark, emb, tmp_path):
+    # The 100 TB claim made physical: a corpus written partitioned by
+    # ivf_cell turns the probe filter into PartitionFilters (directory
+    # pruning before any byte is read), and the pruned result equals
+    # the unpartitioned IVF path exactly.
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_pruned,
+        fit_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    cents = fit_ivf_centroids(emb, n_cells=8, seed=42)
+    path = str(tmp_path / "ivf_corpus")
+    write_ivf_partitioned(emb, path, cents)
+
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    pruned = cosine_topk_ivf_pruned(
+        spark, path, qvec, cents, k=10, nprobe=3, exclude_id=0
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [ivf_cell" in scan  # pruning, not a data filter
+    # the cell predicate must live ONLY in PartitionFilters — the
+    # row-wise DataFilters may still carry the (pushed) exclude-id
+    data_filters = scan.split("DataFilters:")[1].split(", Format")[0]
+    assert "ivf_cell" not in data_filters
+
+    direct = cosine_topk_ivf(emb, qvec, cents, k=10, nprobe=3, exclude_id=0)
+    assert [
+        (r["vec_id"], round(r["cosine_sim"], 9)) for r in pruned.collect()
+    ] == [(r["vec_id"], round(r["cosine_sim"], 9)) for r in direct.collect()]
