@@ -98,17 +98,17 @@ def pagerank(
     *same* IEEE literal (1 - 0.85 != 0.15 in doubles).
 
     Scale notes:
-    - The out-degree is pre-joined into the edge list ONCE, and that
-      (src, dst, deg) frame is repartitioned by src and
-      localCheckpoint-ed before the loop: its partitioning survives the
-      checkpoint (LogicalRDD keeps outputPartitioning), so each
-      iteration's rank join reuses it without re-shuffling the edges —
-      only the (id, double) rank rows move per round. Measured 3× at
-      sf0.1 (3.5 s → 1.2 s) vs re-joining deg every iteration, and the
-      4× scale ratio fell 2.4 → ~1.5. The checkpoint materializes the
-      edge list to executor storage (memory, spilling to disk) — the
-      standard iterative-graph trade: pay storage once, save a
-      shuffle × iterations.
+    - The RAW edge list is localCheckpoint-ed ONCE before the loop
+      (narrow (src, dst) rows — the cheapest thing to materialize), so
+      the upstream edge-derivation plan (often a join+distinct) runs
+      exactly once instead of once per degree/vertex/iteration branch;
+      degrees pre-join into it lazily. Measured end-to-end (plan
+      construction + 3 iterations, noop-write best-of-2) at sf0.1:
+      5.5 s → 3.4 s, results bit-identical. Checkpointing the WIDER
+      (src, dst, deg) frame instead was tried and measured SLOWER
+      (5.2 s) — the extra materialized column costs more than the
+      per-iteration deg join it saves, since both sides of that join
+      now read from the cached edges.
     - Each round is then one shuffle: rank join on src + a
       partial-aggregated sum on dst. Contributions are (dst, double)
       pairs — never payloads.
@@ -120,9 +120,11 @@ def pagerank(
     - N is a driver scalar (one count) — the standard iterative-algo
       pattern, not a per-row collect.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    ed = e.join(deg, "src")
     verts = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
@@ -184,8 +186,18 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     co-purchase bench graph has ZERO degree-<2 vertices — median degree
     119 — so peeling adds a shuffle round for nothing; graphs with
     real degree-1 fringes can pre-filter before calling this.)
+
+    The edge list is localCheckpoint-ed once up front: the plan
+    references it from three branches (degrees, the oriented set, the
+    adjacency build), so an expensive upstream derivation — the benched
+    co-purchase edges are themselves a join+distinct — would otherwise
+    run three times. Narrow (u, v) rows, the same materialize-once
+    trade as pagerank's; ~10% end-to-end at sf0.1 here, more when the
+    edge derivation dominates.
     """
-    und = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    und = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint(eager=True)
     sym = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     ranked = sym.join(deg, "u").join(
