@@ -504,13 +504,22 @@ def binned_window_counts(
 ) -> DataFrame:
     """Per-window current-side bin counts ``(window_start, column, bin,
     n_cur)`` — the ONLY stateful piece of the PSI drift panel, and a
-    pure streaming groupBy-count: state is one counter per live
-    (window × column × bin), evicted by the watermark in append mode —
-    bounded regardless of corpus size. This is why the streaming panel
-    is PSI-based: KS needs the full value multiset per window (ECDF),
+    pure streaming groupBy-count. This is why the streaming panel is
+    PSI-based: KS needs the full value multiset per window (ECDF),
     which no mergeable bounded state can carry; binned counts are the
-    drift statistic that STREAMS. Works identically on batch and
-    streaming frames (projection + explode + groupBy only)."""
+    drift statistic that STREAMS.
+
+    Window key = ``date_trunc(unit, ts)`` — CALENDAR windows, matching
+    the batch dashboard and the DuckDB oracle exactly. Caveat (r8
+    review): date_trunc does not propagate the event-time watermark
+    attribute (only ``F.window``/``session_window`` do), so a streaming
+    aggregation on THIS shape runs in complete/update mode with state
+    for every window ever seen — fine for a bounded drain
+    (``stream_value_drift``) or a dashboard-span history, NOT for an
+    unbounded 100 TB stream. For watermark-EVICTED bounded state use
+    ``binned_window_counts_append`` (tumbling ``F.window`` keys,
+    append-mode capable); same output schema, so ``psi_from_binned``
+    finishes either one."""
     cols = F.array(
         *[
             F.struct(
@@ -529,6 +538,48 @@ def binned_window_counts(
         .where(F.col("bin").isNotNull())
         .groupBy("window_start", "column", "bin")
         .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+
+
+def binned_window_counts_append(
+    cur: DataFrame,
+    columns: dict[str, float],
+    ts_col: str,
+    window_duration: str = "7 days",
+) -> DataFrame:
+    """``binned_window_counts`` with TUMBLING ``F.window`` keys instead
+    of calendar ``date_trunc`` — the shape whose grouping carries the
+    event-time watermark, so an APPEND-mode streaming aggregation is
+    accepted and state is EVICTED once the watermark passes a window:
+    live state = (open windows × columns × bins), bounded regardless of
+    stream length — the 100 TB deployment shape (the input must carry
+    ``withWatermark(ts_col, ...)``). Output schema matches
+    ``binned_window_counts`` (window_start = the tumbling window's
+    start), so ``psi_from_binned`` finishes the drained counts
+    unchanged. Trade-off vs the calendar variant: epoch-aligned 7-day
+    windows, not ISO weeks — use it where bounded state matters more
+    than calendar alignment (proven equivalent per-window in
+    tests/test_stream_drift.py)."""
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.floor(F.col(c).cast("double") / F.lit(w)).alias("bin"),
+            )
+            for c, w in columns.items()
+        ]
+    )
+    return (
+        cur.select(F.col(ts_col), F.explode(cols).alias("cb"))
+        .select(ts_col, "cb.column", "cb.bin")
+        .where(F.col("bin").isNotNull())
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"), "column", "bin"
+        )
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+        .select(
+            F.col("w.start").alias("window_start"), "column", "bin", "n_cur"
+        )
     )
 
 

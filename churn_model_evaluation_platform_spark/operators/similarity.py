@@ -216,20 +216,46 @@ def fit_ivf_centroids(
 
 
 def ivf_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id (squared L2) as one JVM expression.
-
+    """Nearest-centroid id as one JVM expression:
     ``array_position(.., array_min(..))`` over the per-centroid distance
-    array — whole-stage-codegen friendly, no UDF, no shuffle.
-    """
-    dists = []
-    for c in centroids:
-        cl = F.array(*[F.lit(v) for v in c])
-        diff = F.zip_with(
-            vec, cl, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        )
-        dists.append(F.aggregate(diff, F.lit(0.0), lambda a, v: a + v))
+    array — whole-stage-codegen friendly, no UDF, no shuffle; first-min
+    (lowest cell id) wins exact ties.
+
+    Distances use the dot-product identity |e|² − 2e·c + |c|² with the
+    ``_dot`` sequential fold on every term — the SAME floating-point
+    computation as the pinned/audit paths and the driver-side probe
+    selection (``_select_probes``), so every consumer of a cell id
+    (production search, partitioned writer, recall audit, SQL oracle)
+    assigns near-tie vectors to the SAME cell. A zip_with (x−y)² form
+    is algebraically equal but rounds differently and was replaced for
+    exactly that reason (r8 review)."""
+    dee = _dot(vec, vec)
+    dcc = [_pydot(c, c) for c in centroids]
+    dists = [
+        dee
+        - F.lit(2.0) * _dot(vec, F.array(*[F.lit(v) for v in c]))
+        + F.lit(dcc[j])
+        for j, c in enumerate(centroids)
+    ]
     darr = F.array(*dists)
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def _select_probes(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cell ids nearest the query, by the same
+    dot-identity arithmetic as ``ivf_cell_expr`` (ties → lowest cell
+    id). Driver-side: n_cells × dim floats, never data. Shared by every
+    IVF entry point so probe selection cannot drift between the
+    production path, the partitioned-corpus reader, and the audits."""
+    dqq = _pydot(query_vec, query_vec)
+    qdist = [
+        dqq - 2.0 * _pydot(query_vec, c) + _pydot(c, c) for c in centroids
+    ]
+    return sorted(range(len(centroids)), key=lambda j: (qdist[j], j))[
+        : max(1, nprobe)
+    ]
 
 
 def cosine_topk_ivf_pinned(
@@ -280,27 +306,13 @@ def cosine_topk_ivf_pinned(
         )
     qvec = small[query_id]
     cvecs = [small[j] for j in range(1, n_cells + 1)]
-
-    dqq = _pydot(qvec, qvec)
-    dcc = [_pydot(c, c) for c in cvecs]
-    qdist = [dqq - 2.0 * _pydot(qvec, c) + dcc[j] for j, c in enumerate(cvecs)]
-    probe = [j for j in sorted(range(len(cvecs)), key=lambda j: (qdist[j], j))[
-        : max(1, nprobe)
-    ]]
-
-    vec = F.col(vec_col)
-    dee = _dot(vec, vec)
-    dists = [
-        dee
-        - F.lit(2.0) * _dot(vec, F.array(*[F.lit(v) for v in c]))
-        + F.lit(dcc[j])
-        for j, c in enumerate(cvecs)
-    ]
-    darr = F.array(*dists)
-    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-    sliced = df.withColumn("ivf_cell", cell).where(
-        F.col("ivf_cell").isin(probe)
-    )
+    # Shared assignment/probe helpers (identity-form distances) — the
+    # exact arithmetic the SQL oracle replays, and since r8 also what
+    # the production operators use.
+    probe = _select_probes(qvec, cvecs, nprobe)
+    sliced = df.withColumn(
+        "ivf_cell", ivf_cell_expr(F.col(vec_col), cvecs)
+    ).where(F.col("ivf_cell").isin(probe))
     return cosine_topk(sliced, qvec, k, id_col, vec_col, exclude_id=query_id)
 
 
@@ -323,15 +335,9 @@ def cosine_topk_ivf(
     partition pruning — a ``nprobe/n_cells`` fraction scan of 100 TB.
     ``nprobe == len(centroids)`` degrades to the exact baseline.
     """
-    by_dist = sorted(
-        range(len(centroids)),
-        key=lambda i: sum(
-            (q - c) * (q - c) for q, c in zip(query_vec, centroids[i])
-        ),
-    )
-    probe = by_dist[: max(1, nprobe)]
+    probe = _select_probes(query_vec, centroids, nprobe)
     celled = df.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), centroids))
-    sliced = celled.where(F.col("ivf_cell").isin([int(c) for c in probe]))
+    sliced = celled.where(F.col("ivf_cell").isin(probe))
     return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
 
 
@@ -374,13 +380,7 @@ def cosine_topk_ivf_pruned(
     of the nprobe/n_cells fraction-scan claim. Result is identical to
     ``cosine_topk_ivf`` over the same corpus and centroids (cells are
     precomputed at write time from the same expression)."""
-    by_dist = sorted(
-        range(len(centroids)),
-        key=lambda i: sum(
-            (q - c) * (q - c) for q, c in zip(query_vec, centroids[i])
-        ),
-    )
-    probe = [int(c) for c in by_dist[: max(1, nprobe)]]
+    probe = _select_probes(query_vec, centroids, nprobe)
     sliced = spark.read.parquet(path).where(F.col(cell_col).isin(probe))
     return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
 
@@ -422,29 +422,16 @@ def ivf_recall(
 
     if not query_vecs:
         raise ValueError("ivf_recall: query_vecs must be non-empty")
-    dcc = [_pydot(c, c) for c in centroids]
-    vec = F.col(vec_col)
-    dee = _dot(vec, vec)
-    dists = [
-        dee
-        - F.lit(2.0) * _dot(vec, F.array(*[F.lit(v) for v in c]))
-        + F.lit(dcc[j])
-        for j, c in enumerate(centroids)
-    ]
-    darr = F.array(*dists)
-    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-    celled = df.withColumn("ivf_cell", cell)
+    # SAME assignment + probe arithmetic as the production operators —
+    # the audit certifies the index production actually builds.
+    celled = df.withColumn(
+        "ivf_cell", ivf_cell_expr(F.col(vec_col), centroids)
+    )
 
     exact_frames: list[DataFrame] = []
     cand_frames: list[DataFrame] = []
     for qid, qvec in query_vecs.items():
-        dqq = _pydot(qvec, qvec)
-        qdist = [
-            dqq - 2.0 * _pydot(qvec, c) + dcc[j] for j, c in enumerate(centroids)
-        ]
-        probe = sorted(range(len(centroids)), key=lambda j: (qdist[j], j))[
-            : max(1, nprobe)
-        ]
+        probe = _select_probes(qvec, centroids, nprobe)
         exact_frames.append(
             cosine_topk(df, qvec, k, id_col, vec_col, exclude_id=qid).select(
                 F.lit(qid).alias("qid"), F.col(id_col)

@@ -53,6 +53,19 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def drain_stream(q, timeout_sec: int = 300) -> None:
+    """Block until an availableNow drain finishes; RAISE on timeout
+    instead of letting the caller read a partially-filled memory sink —
+    a partial drain produces a well-formed but wrong result that would
+    surface downstream as a phantom cross-engine parity bug (r8
+    review)."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_sec}s"
+        )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

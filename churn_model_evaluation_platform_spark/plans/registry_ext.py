@@ -20,7 +20,7 @@ from ..functions.hashing import (
 )
 from ..operators import dedup, similarity, text
 from ..sources.testdata import load_table
-from .registry import register
+from .registry import drain_stream, register
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB side of the text primitives)
@@ -678,7 +678,7 @@ def q_file_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q)
     return spark.table(name)
 
 

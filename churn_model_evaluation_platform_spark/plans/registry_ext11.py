@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity
 from ..sources.testdata import load_table
-from .registry import register
+from .registry import drain_stream, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -426,7 +426,7 @@ def q_stream_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q)
     ref, _ = _psi_ref_cur(spark, sf_dir)
     out = psi_from_binned(
         binned_ref_counts(ref, _PSI_COLUMNS), spark.table(name)

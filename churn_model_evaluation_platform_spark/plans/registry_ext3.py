@@ -35,6 +35,7 @@ from .registry import (
     _drift_inputs,
     _ks_sql_block,
     _scored,
+    drain_stream,
     register,
 )
 from .registry_ext import _bucket_sql
@@ -368,5 +369,5 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q)
     return spark.table(name)

@@ -16,7 +16,7 @@ from ..operators import similarity
 from ..sources.lifecycle import move_to_folder, read_log
 from ..sources.testdata import load_table
 from ..streaming.stateful import running_user_stats
-from .registry import register
+from .registry import drain_stream, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -265,7 +265,7 @@ def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q)
     return spark.table(name).select(
         "user_id", "n_events", F.round("total_value", 4).alias("total_value")
     )

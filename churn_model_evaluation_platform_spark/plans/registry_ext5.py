@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..sources.testdata import load_table
-from .registry import register
+from .registry import drain_stream, register
 from .registry_ext import (
     _BAND_KEYS_SQL,
     _BAND_MATCH_SQL,
@@ -752,7 +752,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q)
     return spark.table(name)
 
 

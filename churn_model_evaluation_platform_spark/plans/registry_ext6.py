@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..sources.testdata import load_table
-from .registry import register
+from .registry import drain_stream, register
 from .registry_ext import (
     _BAND_KEYS_SQL,
     _BAND_MATCH_SQL,
@@ -300,7 +300,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q)
     return spark.table(name)
 
 
@@ -907,7 +907,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q)
     return spark.table(name)
 
 

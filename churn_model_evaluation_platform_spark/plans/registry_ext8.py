@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
-from .registry import register
+from .registry import drain_stream, register
 
 # registry_ext5 (whose _PROBA_SQL/corpus fragments this module reuses)
 # composes oracle SQL from entries registered by the earlier extension
@@ -157,7 +157,7 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", src_dir + "_ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q)
     shutil.rmtree(src_dir + "_ckpt", ignore_errors=True)
     return state["df"]
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
-from .registry import register
+from .registry import drain_stream, register
 
 # Import the extension chain in registration order so standalone imports
 # (tests) see the same composed-oracle state as __spark_entry__.
@@ -576,7 +576,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q)
     return spark.table(name).select(
         "event_type",
         F.col("w.start").alias("bar_ts"),

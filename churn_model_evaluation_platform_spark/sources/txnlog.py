@@ -14,10 +14,17 @@ A commit file is the ATOMIC unit: it lists the relative data files the
 commit adds (and, for overwrite, implicitly retires every earlier
 file). Data files are written FIRST into a commit-unique directory —
 invisible until a log entry references them — then the log entry is
-created with create(overwrite=false), which fails if the version
-already exists. That failure IS the optimistic-concurrency check: the
-loser re-reads the log and retries at the next version (its data files
-are already in place; only the pointer write repeats).
+written to a hidden tmp file and RENAMED onto the version path;
+Hadoop's rename refuses an existing destination (local FS and HDFS —
+verified empirically), so the rename both claims the version and makes
+the fully-written entry appear atomically: a reader can never observe
+a torn or zero-length commit. A lost rename IS the
+optimistic-concurrency signal: the loser re-reads the log and retries
+at the next version (its data files are already in place; only the
+pointer write repeats). Read-modify-write operations (merge, compact)
+additionally commit CONDITIONALLY on the version their snapshot was
+resolved at, so an interleaved append is never silently erased — the
+lost-update anomaly forces a recompute instead.
 
 What this buys at 100 TB:
 - **Snapshot isolation**: a reader resolves the live file set from the
@@ -53,6 +60,7 @@ from .lifecycle import _fs_and_path
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
 _VERSION_DIGITS = 20
+_UNCHECKED = object()  # sentinel: _commit without a lost-update check
 
 
 class CommitConflict(RuntimeError):
@@ -117,9 +125,19 @@ class TxnTable:
     def files(self, version: int | None = None) -> list[str]:
         """Absolute data-file paths live at ``version`` (default
         latest): replay the log prefix — append adds, overwrite
-        replaces."""
+        replaces. An unknown ``version`` raises rather than silently
+        returning the nearest prefix — time travel to a typo'd version
+        must not masquerade as real data."""
+        commits = self._commits()
+        if version is not None and version not in {
+            c["version"] for c in commits
+        }:
+            raise ValueError(
+                f"version {version} does not exist in {self.path} "
+                f"(known: {[c['version'] for c in commits]})"
+            )
         live: list[str] = []
-        for c in self._commits():
+        for c in commits:
             if version is not None and c["version"] > version:
                 break
             if c["action"] == "overwrite":
@@ -149,26 +167,53 @@ class TxnTable:
         )
 
     def _try_commit(self, version: int, payload: dict) -> bool:
-        """Atomically create the version file; False if the version is
-        already claimed (optimistic-concurrency loss)."""
+        """Make the version file appear ATOMICALLY: write + close a
+        hidden tmp file (never visible to ``_commits`` — no ``.json``
+        suffix), then rename it onto the version path. Hadoop's
+        ``rename`` refuses an existing destination on local FS and HDFS
+        (verified empirically here; S3A needs a commit coordinator,
+        as Delta itself does — SCALE.md "Known limits"), so the rename
+        IS the version-claim check and a reader can never observe a
+        torn or zero-length log entry. Returns False ONLY on a lost
+        race; real FS errors (permissions, quota) propagate instead of
+        masquerading as conflicts."""
         target = self._log_path(version)
-        try:
-            out = self._fs.create(target, False)  # overwrite=False
-        except Exception:
-            return False
+        tmp = self._jpath(f"{self.path}/{_LOG_DIR}/.tmp-{uuid.uuid4().hex}")
+        out = self._fs.create(tmp, True)
         try:
             out.write(bytearray(json.dumps(payload).encode("utf-8")))
         finally:
             out.close()
-        return True
+        won = bool(self._fs.rename(tmp, target))
+        if not won:
+            self._fs.delete(tmp, False)
+        return won
 
     def _commit(
-        self, action: str, added: list[str], batch_id=None
+        self,
+        action: str,
+        added: list[str],
+        batch_id=None,
+        require_latest: int | None = _UNCHECKED,
     ) -> int:
+        """Claim the next version. ``require_latest`` (a version number
+        or None-for-empty-table) asserts the table has NOT advanced
+        past the snapshot a read-modify-write was computed from — if it
+        has, raise instead of silently clobbering the interleaved
+        commits (the lost-update anomaly). One log read per attempt."""
         for _ in range(self.max_retries):
-            latest = self.latest_version()
-            if batch_id is not None and batch_id in self.batch_ids():
+            commits = self._commits()
+            latest = commits[-1]["version"] if commits else None
+            if batch_id is not None and batch_id in {
+                c["batch_id"] for c in commits if c.get("batch_id") is not None
+            }:
                 return latest  # idempotent replay: already landed
+            if require_latest is not _UNCHECKED and latest != require_latest:
+                raise CommitConflict(
+                    f"table advanced (v{require_latest} -> v{latest}) since "
+                    f"the snapshot this {action} was computed from; recompute "
+                    f"and retry ({self.path})"
+                )
             version = (latest or 0) + 1
             payload = {
                 "version": version,
@@ -197,6 +242,27 @@ class TxnTable:
         """Replace the whole table content in one atomic pointer write."""
         return self._commit("overwrite", self._write_data(df), batch_id)
 
+    def _rmw(self, transform, rmw_retries: int = 3) -> int:
+        """Read-modify-write with LOST-UPDATE protection: remember the
+        version the snapshot was resolved at, and commit the rewrite
+        conditionally on the table still being at that version. A
+        commit that lands in between (e.g. a streaming append during a
+        long compaction) forces a recompute from the NEW snapshot
+        instead of being silently erased by the overwrite."""
+        last_err: CommitConflict | None = None
+        for _ in range(rmw_retries):
+            base = self.latest_version()
+            out = transform(self.snapshot(version=base))
+            try:
+                return self._commit(
+                    "overwrite",
+                    self._write_data(out),
+                    require_latest=base,
+                )
+            except CommitConflict as e:  # table advanced — recompute
+                last_err = e
+        raise last_err  # pragma: no cover - needs rmw_retries rivals
+
     def merge(
         self,
         changes: DataFrame,
@@ -206,17 +272,21 @@ class TxnTable:
     ) -> int:
         """MERGE a CDC changelog into the table (operators/cdc.py
         upsert semantics) and commit the merged snapshot atomically:
-        readers see either the pre- or post-merge table, never a mix."""
+        readers see either the pre- or post-merge table, never a mix,
+        and a commit that interleaves with the merge triggers a
+        recompute rather than a lost update (``_rmw``)."""
         from ..operators.cdc import cdc_apply
 
-        merged = cdc_apply(self.snapshot(), changes, keys, order_cols, op_col)
-        return self.overwrite(merged)
+        return self._rmw(
+            lambda snap: cdc_apply(snap, changes, keys, order_cols, op_col)
+        )
 
     def compact(self, partitions: int = 1) -> int:
         """Rewrite the live file set into ``partitions`` files and swap
         atomically — OPTIMIZE with a pointer flip instead of an
-        in-place rewrite; rows are preserved bit-for-bit."""
-        return self.overwrite(self.snapshot().coalesce(partitions))
+        in-place rewrite; rows preserved bit-for-bit, interleaved
+        commits never lost (``_rmw``)."""
+        return self._rmw(lambda snap: snap.coalesce(partitions))
 
     # -- read path ---------------------------------------------------------
 
@@ -233,20 +303,33 @@ class TxnTable:
             )
         return self.spark.read.parquet(*files)
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_seconds: float = 24 * 3600) -> int:
         """Delete data directories referenced by NO commit (failed
         commit attempts whose pointer write lost the race). Returns the
         number of directories removed. Never touches directories any
-        log version references, so time travel stays intact."""
+        log version references, so time travel stays intact.
+
+        ``retention_seconds``: an unreferenced directory is only
+        deleted once OLDER than this — the protocol writes data files
+        BEFORE the log pointer, so a young unreferenced dir may belong
+        to an IN-FLIGHT commit whose pointer hasn't landed yet; deleting
+        it would commit a version with missing files. Same reason
+        Delta's VACUUM has a retention window. Shorten only when no
+        writer can be active (tests use 0)."""
         referenced = set()
         for c in self._commits():
             for rel in c["added"]:
                 referenced.add(rel.split("/")[1])
         data_dir = self._jpath(f"{self.path}/{_DATA_DIR}")
+        cutoff_ms = (time.time() - retention_seconds) * 1000.0
         removed = 0
         for s in self._fs.listStatus(data_dir):
             name = s.getPath().getName()
-            if s.isDirectory() and name not in referenced:
+            if (
+                s.isDirectory()
+                and name not in referenced
+                and s.getModificationTime() < cutoff_ms
+            ):
                 self._fs.delete(s.getPath(), True)
                 removed += 1
         return removed

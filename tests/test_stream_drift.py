@@ -5,6 +5,7 @@ monitoring domain."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from churn_model_evaluation_platform_spark.operators.drift import (
@@ -99,3 +100,80 @@ def test_binned_counts_shared_by_batch_and_stream_paths(spark):
         binned_ref_counts(ref, cols), binned_window_counts(cur, cols, "ts", "week")
     ).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, composed))
+
+
+def test_append_mode_variant_bounded_state(spark, tmp_path):
+    # The r8-review fix: date_trunc grouping can't run append-mode (no
+    # watermark propagation) -- Spark rejects it -- while the tumbling
+    # F.window variant is accepted, drains with eviction, and its
+    # closed windows match the batch computation exactly.
+    from pyspark.sql.utils import AnalysisException
+
+    from churn_model_evaluation_platform_spark.operators.drift import (
+        binned_window_counts,
+        binned_window_counts_append,
+    )
+    from churn_model_evaluation_platform_spark.sources.testdata import (
+        normalize_event_ts,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = {"value": 25.0}
+
+    def stream():
+        s = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return normalize_event_ts(s).select("ts", "value").withWatermark(
+            "ts", "1 hour"
+        )
+
+    # 1) calendar (date_trunc) shape: append mode must be REJECTED.
+    with pytest.raises(AnalysisException):
+        (
+            binned_window_counts(stream(), cols, "ts", "week")
+            .writeStream.format("memory")
+            .queryName("psi_trunc_append")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # 2) tumbling-window shape: append mode runs, state evicted.
+    q = (
+        binned_window_counts_append(stream(), cols, "ts", "7 days")
+        .writeStream.format("memory")
+        .queryName("psi_window_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    drained = {
+        (r["window_start"], r["column"], r["bin"]): r["n_cur"]
+        for r in spark.table("psi_window_append").collect()
+    }
+    batch_cur = normalize_event_ts(raw).select("ts", "value")
+    batch = {
+        (r["window_start"], r["column"], r["bin"]): r["n_cur"]
+        for r in binned_window_counts_append(
+            batch_cur, cols, "ts", "7 days"
+        ).collect()
+    }
+    import datetime
+
+    max_ts = batch_cur.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=1)
+    # every drained (closed) window matches batch exactly...
+    assert drained and all(batch[k] == v for k, v in drained.items())
+    # ...and anything missing is an un-closed window at the watermark
+    for k in set(batch) - set(drained):
+        window_end = k[0] + datetime.timedelta(days=7)
+        assert window_end > horizon

@@ -118,13 +118,59 @@ def test_vacuum_removes_only_orphans(spark, table, tmp_path):
     table.append(_frame(spark, 0, 5))
     # Simulate a failed commit: data written, pointer never landed.
     orphan_rel = table._write_data(_frame(spark, 99, 100))
-    assert table.vacuum() == 1
+    # Default retention protects the young dir (it could be in-flight)…
+    assert table.vacuum() == 0
+    # …and retention 0 (no active writers) reclaims it.
+    assert table.vacuum(retention_seconds=0) == 1
     assert table.snapshot().count() == 5  # referenced data untouched
-    assert table.vacuum() == 0  # idempotent
+    assert table.vacuum(retention_seconds=0) == 0  # idempotent
     # every remaining data dir is referenced
     assert orphan_rel[0].split("/")[1] not in {
         f.split("/")[-2] for f in table.files()
     }
+
+
+def test_rmw_conflict_forces_recompute_not_lost_update(spark, table):
+    # An append that lands between compact()'s snapshot resolve and its
+    # overwrite commit must survive: the conditional commit detects the
+    # advance and recomputes from the NEW snapshot.
+    table.append(_frame(spark, 0, 5))
+    real_commit = table._commit
+    interleaved = {"done": False}
+
+    def racing_commit(action, added, batch_id=None, require_latest=None):
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            # rival append lands AFTER the snapshot was resolved
+            real_commit("append", table._write_data(_frame(spark, 100, 103)))
+        return real_commit(
+            action, added, batch_id=batch_id, require_latest=require_latest
+        )
+
+    table._commit = racing_commit
+    table.compact(partitions=1)
+    table._commit = real_commit
+    # the interleaved rows survived the compaction
+    ids = {r["id"] for r in table.snapshot().collect()}
+    assert {100, 101, 102} <= ids and ids >= set(range(5))
+
+
+def test_unknown_version_raises(spark, table):
+    table.append(_frame(spark, 0, 3))
+    with pytest.raises(ValueError, match="version 99 does not exist"):
+        table.snapshot(version=99)
+
+
+def test_torn_log_entries_impossible(spark, table):
+    # In-flight commits live as hidden .tmp-* files the log reader
+    # never parses; only fully-written renamed entries are visible.
+    table.append(_frame(spark, 0, 3))
+    tmp = table._jpath(f"{table.path}/_txnlog/.tmp-deadbeef")
+    out = table._fs.create(tmp, True)
+    out.write(bytearray(b"{ not json"))
+    out.close()
+    assert table.versions() == [1]  # reader unaffected by the tmp file
+    assert table.snapshot().count() == 3
 
 
 def test_empty_table_raises(spark, tmp_path):
