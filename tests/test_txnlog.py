@@ -213,3 +213,40 @@ def test_streaming_foreach_batch_sink(spark, tmp_path):
     before = t.snapshot().count()
     t.append(spark.range(3).selectExpr("id AS event_id"), batch_id=0)
     assert t.snapshot().count() == before
+
+
+def test_log_checkpoint_accelerates_and_preserves_semantics(spark, tmp_path):
+    # 25 commits with checkpoint_interval=10: .ckpt files land at v10
+    # and v20, state resolution replays only the post-checkpoint
+    # suffix, and every answer (latest, time travel before/at/after a
+    # checkpoint, batch_ids across an overwrite) matches the full
+    # replay of a checkpoint-free twin.
+    t = TxnTable(spark, str(tmp_path / "ck"), checkpoint_interval=10)
+    plain = TxnTable(spark, str(tmp_path / "plain"), checkpoint_interval=10**9)
+    for i in range(12):
+        f = _frame(spark, i * 2, i * 2 + 2)
+        t.append(f, batch_id=i)
+        plain.append(f, batch_id=i)
+    t.overwrite(_frame(spark, 0, 4)); plain.overwrite(_frame(spark, 0, 4))
+    for i in range(12):
+        f = _frame(spark, 100 + i, 101 + i)
+        t.append(f, batch_id=100 + i)
+        plain.append(f, batch_id=100 + i)
+
+    ckpts = t._log_listing()[1]
+    assert ckpts == [10, 20]
+    assert plain._log_listing()[1] == []
+    assert t.latest_version() == plain.latest_version() == 25
+    for v in (5, 10, 13, 20, 25):  # before/at/between/after checkpoints
+        assert sorted(map(tuple, t.snapshot(version=v).collect())) == sorted(
+            map(tuple, plain.snapshot(version=v).collect())
+        )
+    assert t.batch_ids() == plain.batch_ids()
+    # replay of a pre-overwrite batch id is still recognized
+    assert t.append(_frame(spark, 0, 2), batch_id=3) == 25
+    # an unreadable checkpoint degrades to full replay, not wrong data
+    bad = t._fs.create(t._ckpt_path(20), True)
+    bad.write(bytearray(b"{ corrupted")); bad.close()
+    assert sorted(map(tuple, t.snapshot().collect())) == sorted(
+        map(tuple, plain.snapshot().collect())
+    )
