@@ -92,6 +92,13 @@ HEADLINE = [
     # round-7 addition: the pinned-quantizer IVF twin — benches the
     # third ANN variant (brute force / LSH / IVF) end to end
     "similarity_topk_ivf_pinned",
+    # round-8 additions: the ANN recall audit (exact side dominates — a
+    # QA-scale composed plan), the streaming-capable PSI drift panel
+    # (batch twin), and the transactional metrics store end-to-end
+    # (3 appends + replay + compaction + time travel, all Spark jobs)
+    "similarity_ivf_recall",
+    "value_drift_psi_window",
+    "txnlog_metrics_store",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
