@@ -39,21 +39,43 @@ What this buys at 100 TB:
   idempotence contract (a replayed micro-batch after a crash between
   sink write and checkpoint commit never double-appends).
 
-Deliberately NOT Delta: no column stats / data skipping in the log, no
-schema evolution rules beyond exact-match, single-table transactions
-only. The point is the commit protocol, which is the part the platform
-needs and plain parquet lacks. Parity target: the reference's metrics
-store writes (churn_prediction_pipeline.py:78-84; the 935 double-write)
-— re-expressed with a log so they stop being read-torn.
+Delta-style DATA SKIPPING: every commit also records per-file column
+statistics (min / max / null count / NaN flag for the first
+``_STATS_MAX_COLS`` atomic columns — same default cap rationale as
+Delta's 32), computed by ONE narrow Spark aggregation over the freshly
+written files, grouped by ``input_file_name()``. ``scan(where=...)``
+then prunes the live file list DRIVER-SIDE against those stats before
+``spark.read`` ever sees a path — at 100 TB the difference between a
+time-range query touching 2 of 6,000 daily files and touching all of
+them. Pruning is strictly conservative: missing stats, unknown
+columns, type mismatches, and float columns that may contain NaN
+(Spark orders NaN above every value, so a recorded ``max`` understates
+the true upper bound) all KEEP the file; correctness never depends on
+a stat being present. ``optimize_zorder`` rewrites the table clustered
+by the Morton interleave of two columns (functions/zorder.py) so those
+per-file envelopes become tight in BOTH dimensions — Delta's
+``OPTIMIZE ZORDER BY`` as an ``_rmw`` pointer swap.
+
+Still deliberately NOT Delta: no schema evolution rules beyond
+exact-match, single-table transactions only. The point is the commit
+protocol + skipping, which is the part the platform needs and plain
+parquet lacks. Parity target: the reference's metrics store writes
+(churn_prediction_pipeline.py:78-84; the 935 double-write) —
+re-expressed with a log so they stop being read-torn.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
+import math
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .lifecycle import _fs_and_path
 
@@ -61,6 +83,52 @@ _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
 _VERSION_DIGITS = 20
 _UNCHECKED = object()  # sentinel: _commit without a lost-update check
+
+# Delta tracks stats for the first 32 columns by default; same cap here
+# keeps log entries small on wide tables (stats cost is per-file JSON).
+_STATS_MAX_COLS = 32
+
+_PRED_OPS = ("<", "<=", ">", ">=", "=", "between")
+
+
+def _enc_stat(v, round_min: bool = False, round_max: bool = False):
+    """JSON-safe, ORDER-PRESERVING encoding of a min/max scalar (or a
+    predicate literal — both sides of every pruning comparison go
+    through this, so only encode-vs-encode consistency matters).
+
+    - timestamps/dates → ISO-8601 strings, which sort chronologically
+      under plain string comparison even with variable-length
+      fractional seconds ('.' < '0'..'9' in ASCII);
+    - Decimal → float, widened one ULP outward (``round_min`` /
+      ``round_max``) so the lossy conversion can only LOOSEN a file's
+      envelope, never tighten it into a wrong prune;
+    - non-finite floats → None (unusable bound; the NaN flag is
+      tracked separately by the stats aggregation).
+    """
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, _decimal.Decimal):
+        f = float(v)
+        if not math.isfinite(f):
+            return None
+        if round_min:
+            return math.nextafter(f, -math.inf)
+        if round_max:
+            return math.nextafter(f, math.inf)
+        return f
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        return v
+    return None  # exotic type: no usable bound (conservative)
 
 
 class CommitConflict(RuntimeError):
@@ -77,11 +145,18 @@ class TxnTable:
         path: str,
         max_retries: int = 10,
         checkpoint_interval: int = 10,
+        stats_columns: list[str] | None = None,
     ):
+        """``stats_columns``: columns to record per-file min/max stats
+        for on every commit (data skipping). ``None`` = the first
+        ``_STATS_MAX_COLS`` atomic columns (Delta's default posture);
+        ``[]`` disables stats collection entirely — scans still work,
+        nothing prunes."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.max_retries = max_retries
         self.checkpoint_interval = max(1, checkpoint_interval)
+        self.stats_columns = stats_columns
         fs, root = _fs_and_path(spark, self.path)
         self._fs = fs
         self._jvm = spark._jvm
@@ -159,6 +234,7 @@ class TxnTable:
         target = version if version is not None else latest
         live: list[str] = []
         batch_ids: set = set()
+        stats: dict = {}
         base = 0
         usable = [c for c in ckpt_versions if target is not None and c <= target]
         if usable:
@@ -166,18 +242,28 @@ class TxnTable:
                 ck = self._read_json(self._ckpt_path(usable[-1]))
                 live = list(ck["live"])
                 batch_ids = set(ck["batch_ids"])
+                # pre-stats checkpoints lack the key: files stay
+                # unprunable (conservative), never wrong
+                stats = dict(ck.get("stats", {}))
                 base = usable[-1]
             except Exception:
                 base = 0  # unreadable checkpoint: fall back to full replay
-                live, batch_ids = [], set()
+                live, batch_ids, stats = [], set(), {}
         for c in self._commits(since=base, until=target):
             if c["action"] == "overwrite":
                 live = list(c["added"])
+                stats = dict(c.get("stats", {}))
             else:
                 live.extend(c["added"])
+                stats.update(c.get("stats", {}))
             if c.get("batch_id") is not None:
                 batch_ids.add(c["batch_id"])
-        return {"live": live, "batch_ids": batch_ids, "latest": latest}
+        return {
+            "live": live,
+            "batch_ids": batch_ids,
+            "latest": latest,
+            "stats": stats,
+        }
 
     def versions(self) -> list[int]:
         return self._log_listing()[0]
@@ -201,18 +287,94 @@ class TxnTable:
 
     # -- write path --------------------------------------------------------
 
-    def _write_data(self, df: DataFrame) -> list[str]:
+    def _write_data(self, df: DataFrame) -> tuple[list[str], dict]:
         """Materialize ``df`` into a commit-unique directory; returns
-        the relative paths of the part files. Invisible to readers
-        until a log entry references them."""
+        the relative paths of the part files plus their per-file column
+        stats. Invisible to readers until a log entry references them."""
         commit_dir = f"{_DATA_DIR}/{uuid.uuid4().hex}"
         df.write.mode("errorifexists").parquet(f"{self.path}/{commit_dir}")
         listing = self._fs.listStatus(self._jpath(f"{self.path}/{commit_dir}"))
-        return sorted(
+        relpaths = sorted(
             f"{commit_dir}/{s.getPath().getName()}"
             for s in listing
             if s.getPath().getName().endswith(".parquet")
         )
+        return relpaths, self._collect_stats(commit_dir, relpaths)
+
+    def _collect_stats(self, commit_dir: str, relpaths: list[str]) -> dict:
+        """Per-file min/max/null-count stats for the files just written
+        under ``commit_dir`` — ONE Spark aggregation grouped by
+        ``input_file_name()``, reading only the tracked columns of only
+        this commit's files (incremental: a commit's stats cost never
+        depends on table size). Exact-by-construction where parquet
+        footers are not: Spark's own min/max/comparison semantics,
+        explicit NaN detection (``max`` of a float column containing
+        NaN is NaN — Spark orders NaN greatest — so the flag, not the
+        bound, carries that information), and no footer string
+        truncation. The ``collect`` is bounded at one row per part file
+        of THIS commit."""
+        if self.stats_columns == []:
+            return {}
+        df = self.spark.read.parquet(f"{self.path}/{commit_dir}")
+        atomic = (
+            T.NumericType,
+            T.StringType,
+            T.BooleanType,
+            T.DateType,
+            T.TimestampType,
+            T.TimestampNTZType,
+        )
+        fields = [f for f in df.schema.fields if isinstance(f.dataType, atomic)]
+        if self.stats_columns is not None:
+            wanted = set(self.stats_columns)
+            fields = [f for f in fields if f.name in wanted]
+        fields = fields[:_STATS_MAX_COLS]
+        if not fields:
+            return {}
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        floaty = {
+            f.name
+            for f in fields
+            if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+        }
+        decimals = {
+            f.name for f in fields if isinstance(f.dataType, T.DecimalType)
+        }
+        for f in fields:
+            c = F.col(f.name)
+            aggs.append(F.min(c).alias(f"__min_{f.name}"))
+            aggs.append(F.max(c).alias(f"__max_{f.name}"))
+            aggs.append(
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(
+                    f"__nulls_{f.name}"
+                )
+            )
+            if f.name in floaty:
+                aggs.append(F.max(F.isnan(c)).alias(f"__nan_{f.name}"))
+        rows = (
+            df.groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()
+        )
+        by_base = {rel.rsplit("/", 1)[-1]: rel for rel in relpaths}
+        stats: dict = {}
+        for r in rows:
+            rel = by_base.get(r["__file"].rstrip("/").rsplit("/", 1)[-1])
+            if rel is None:  # pragma: no cover - foreign file in commit dir
+                continue
+            cols = {}
+            for f in fields:
+                dec = f.name in decimals
+                ent = {
+                    "min": _enc_stat(r[f"__min_{f.name}"], round_min=dec),
+                    "max": _enc_stat(r[f"__max_{f.name}"], round_max=dec),
+                    "nulls": int(r[f"__nulls_{f.name}"] or 0),
+                }
+                if f.name in floaty and bool(r[f"__nan_{f.name}"]):
+                    ent["nan"] = True
+                cols[f.name] = ent
+            stats[rel] = {"rows": int(r["__rows"]), "cols": cols}
+        return stats
 
     def _try_commit(self, version: int, payload: dict) -> bool:
         """Make the version file appear ATOMICALLY: write + close a
@@ -243,6 +405,7 @@ class TxnTable:
         added: list[str],
         batch_id=None,
         require_latest: int | None = _UNCHECKED,
+        stats: dict | None = None,
     ) -> int:
         """Claim the next version. ``require_latest`` (a version number
         or None-for-empty-table) asserts the table has NOT advanced
@@ -270,6 +433,7 @@ class TxnTable:
                 "added": added,
                 "batch_id": batch_id,
                 "committed_at": time.time(),
+                "stats": stats or {},
             }
             if self._try_commit(version, payload):
                 if version % self.checkpoint_interval == 0:
@@ -288,11 +452,13 @@ class TxnTable:
         or missing checkpoint degrades to full log replay, never to a
         wrong answer; commit files are never deleted, so time travel is
         unaffected."""
-        live = (
-            list(payload["added"])
-            if payload["action"] == "overwrite"
-            else list(prior["live"]) + list(payload["added"])
-        )
+        if payload["action"] == "overwrite":
+            live = list(payload["added"])
+            stats = dict(payload.get("stats", {}))
+        else:
+            live = list(prior["live"]) + list(payload["added"])
+            stats = dict(prior.get("stats", {}))
+            stats.update(payload.get("stats", {}))
         batch_ids = set(prior["batch_ids"])
         if payload.get("batch_id") is not None:
             batch_ids.add(payload["batch_id"])
@@ -300,6 +466,7 @@ class TxnTable:
             "version": version,
             "live": live,
             "batch_ids": sorted(batch_ids, key=repr),
+            "stats": stats,
         }
         try:
             tmp = self._jpath(
@@ -322,11 +489,13 @@ class TxnTable:
         from a streaming sink."""
         if batch_id is not None and batch_id in self.batch_ids():
             return self.latest_version()  # skip data write too
-        return self._commit("append", self._write_data(df), batch_id)
+        added, stats = self._write_data(df)
+        return self._commit("append", added, batch_id, stats=stats)
 
     def overwrite(self, df: DataFrame, batch_id=None) -> int:
         """Replace the whole table content in one atomic pointer write."""
-        return self._commit("overwrite", self._write_data(df), batch_id)
+        added, stats = self._write_data(df)
+        return self._commit("overwrite", added, batch_id, stats=stats)
 
     def _rmw(self, transform, rmw_retries: int = 3) -> int:
         """Read-modify-write with LOST-UPDATE protection: remember the
@@ -339,11 +508,13 @@ class TxnTable:
         for _ in range(rmw_retries):
             base = self.latest_version()
             out = transform(self.snapshot(version=base))
+            added, stats = self._write_data(out)
             try:
                 return self._commit(
                     "overwrite",
-                    self._write_data(out),
+                    added,
                     require_latest=base,
+                    stats=stats,
                 )
             except CommitConflict as e:  # table advanced — recompute
                 last_err = e
@@ -389,6 +560,81 @@ class TxnTable:
             )
         return self.spark.read.parquet(*files)
 
+    def scan(
+        self, where: list[tuple] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with DATA SKIPPING: prune the live file list
+        driver-side against the per-file stats in the log, read only
+        the survivors, then apply the SAME predicates as a residual
+        Spark filter (pruning is an optimization, never the filter).
+
+        ``where``: AND-list of ``(column, op, value)`` with op in
+        ``<, <=, >, >=, =`` — plus ``("col", "between", (lo, hi))``.
+        Comparisons are null-rejecting SQL semantics; there is no
+        IS NULL predicate (an all-null file is *pruned* for any
+        comparison, which is the same answer). Values may be numbers,
+        strings, ``datetime``/``date`` objects, or ISO strings for
+        timestamp columns. Files with no usable stats (pre-stats
+        commits, untracked columns, type mismatches, possible NaN on
+        an upper bound) are always KEPT."""
+        preds = _validate_where(where)
+        st = self._state(version)
+        if not st["live"]:
+            raise ValueError(
+                f"TxnTable at {self.path} has no committed data"
+                + (f" at version {version}" if version is not None else "")
+            )
+        kept = [
+            rel
+            for rel in st["live"]
+            if _file_may_match(st["stats"].get(rel), preds)
+        ]
+        if kept:
+            df = self.spark.read.parquet(
+                *[f"{self.path}/{rel}" for rel in kept]
+            )
+        else:  # everything pruned: empty frame, table schema preserved
+            df = self.spark.read.parquet(
+                *[f"{self.path}/{rel}" for rel in st["live"]]
+            ).limit(0)
+        residual = _residual_filter(preds)
+        return df.filter(residual) if residual is not None else df
+
+    def prune_report(
+        self, where: list[tuple] | None, version: int | None = None
+    ) -> dict:
+        """How effective skipping is for ``where`` at ``version``:
+        ``{"total": n, "kept": n, "pruned": n}`` — driver-side log
+        reads only, no data IO. The bench/test hook for asserting a
+        layout actually skips."""
+        preds = _validate_where(where)
+        st = self._state(version)
+        kept = sum(
+            1
+            for rel in st["live"]
+            if _file_may_match(st["stats"].get(rel), preds)
+        )
+        total = len(st["live"])
+        return {"total": total, "kept": kept, "pruned": total - kept}
+
+    def optimize_zorder(
+        self,
+        x: Column | str,
+        y: Column | str,
+        partitions: int = 8,
+    ) -> int:
+        """OPTIMIZE ZORDER BY: atomically rewrite the table clustered
+        by the Morton interleave of two (16-bit-scaled) column
+        expressions (functions/zorder.py), so each output file gets a
+        tight min/max envelope in BOTH dimensions and ``scan``
+        predicates on EITHER column prune. Same ``_rmw`` lost-update
+        protection as ``compact``: an interleaved append forces a
+        recompute, never disappears. Callers pre-scale non-integer
+        dimensions into 0..65535 (pass a Column expression)."""
+        from ..functions.zorder import zorder_by
+
+        return self._rmw(lambda snap: zorder_by(snap, x, y, partitions))
+
     def vacuum(self, retention_seconds: float = 24 * 3600) -> int:
         """Delete data directories referenced by NO commit (failed
         commit attempts whose pointer write lost the race). Returns the
@@ -419,6 +665,104 @@ class TxnTable:
                 self._fs.delete(s.getPath(), True)
                 removed += 1
         return removed
+
+
+def _validate_where(where: list[tuple] | None) -> list[tuple]:
+    """Normalize/validate a ``scan`` predicate list. Raises on shapes
+    that would otherwise fail silently (unknown op, None literal —
+    SQL comparisons with NULL match nothing, which is never what the
+    caller meant by a skip predicate)."""
+    if where is None:
+        return []
+    preds = []
+    for item in where:
+        if not (isinstance(item, (tuple, list)) and len(item) == 3):
+            raise ValueError(f"predicate must be (col, op, value): {item!r}")
+        col, op, v = item
+        if op not in _PRED_OPS:
+            raise ValueError(f"unknown predicate op {op!r} (use {_PRED_OPS})")
+        if op == "between":
+            if not (isinstance(v, (tuple, list)) and len(v) == 2):
+                raise ValueError("between takes a (lo, hi) pair")
+            if v[0] is None or v[1] is None:
+                raise ValueError("between bounds must be non-null")
+        elif v is None:
+            raise ValueError(
+                f"NULL literal in ({col!r}, {op!r}, None): comparisons "
+                "with NULL match no rows; IS NULL is not a skip predicate"
+            )
+        preds.append((col, op, v))
+    return preds
+
+
+def _file_may_match(entry: dict | None, preds: list[tuple]) -> bool:
+    """Can any row of a file with stats ``entry`` satisfy the AND of
+    ``preds``? Strictly conservative: every unknown (no stats, no
+    bound, type mismatch between the stat and the literal) answers
+    'maybe' → keep. A float file flagged ``nan`` has an unusable UPPER
+    bound (Spark orders NaN above everything, so ``col > v`` can match
+    a NaN row the recorded max doesn't reflect) but its min stays
+    usable (Spark's ``min`` never returns NaN unless all values are)."""
+    if entry is None or not preds:
+        return True
+    rows = entry.get("rows", 0)
+    for col, op, v in preds:
+        cs = entry.get("cols", {}).get(col)
+        if cs is None:
+            continue  # untracked column: no information
+        if rows and cs.get("nulls", 0) >= rows:
+            return False  # all-null: null-rejecting comparison matches 0
+        mn, mx = cs.get("min"), cs.get("max")
+        if cs.get("nan"):
+            mx = None  # upper bound unusable
+        try:
+            if op == "between":
+                lo, hi = _enc_stat(v[0]), _enc_stat(v[1])
+                if lo is None or hi is None:
+                    continue
+                if (mn is not None and mn > hi) or (
+                    mx is not None and mx < lo
+                ):
+                    return False
+                continue
+            ev = _enc_stat(v)
+            if ev is None:
+                continue  # NaN/unencodable literal: keep
+            if op == "<" and mn is not None and mn >= ev:
+                return False
+            if op == "<=" and mn is not None and mn > ev:
+                return False
+            if op == ">" and mx is not None and mx <= ev:
+                return False
+            if op == ">=" and mx is not None and mx < ev:
+                return False
+            if op == "=" and (
+                (mn is not None and ev < mn) or (mx is not None and ev > mx)
+            ):
+                return False
+        except TypeError:
+            continue  # cross-type comparison (e.g. str stat, int literal)
+    return True
+
+
+def _residual_filter(preds: list[tuple]) -> Column | None:
+    """The SAME predicates as a Spark filter — correctness never rides
+    on pruning."""
+    cond = None
+    for col, op, v in preds:
+        c = F.col(col)
+        if op == "between":
+            e = c.between(F.lit(v[0]), F.lit(v[1]))
+        else:
+            e = {
+                "<": c < F.lit(v),
+                "<=": c <= F.lit(v),
+                ">": c > F.lit(v),
+                ">=": c >= F.lit(v),
+                "=": c == F.lit(v),
+            }[op]
+        cond = e if cond is None else (cond & e)
+    return cond
 
 
 def foreach_batch_appender(table: TxnTable):

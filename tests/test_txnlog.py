@@ -117,7 +117,7 @@ def test_merge_is_atomic_snapshot_swap(spark, table):
 def test_vacuum_removes_only_orphans(spark, table, tmp_path):
     table.append(_frame(spark, 0, 5))
     # Simulate a failed commit: data written, pointer never landed.
-    orphan_rel = table._write_data(_frame(spark, 99, 100))
+    orphan_rel, _stats = table._write_data(_frame(spark, 99, 100))
     # Default retention protects the young dir (it could be in-flight)…
     assert table.vacuum() == 0
     # …and retention 0 (no active writers) reclaims it.
@@ -138,13 +138,18 @@ def test_rmw_conflict_forces_recompute_not_lost_update(spark, table):
     real_commit = table._commit
     interleaved = {"done": False}
 
-    def racing_commit(action, added, batch_id=None, require_latest=None):
+    def racing_commit(action, added, batch_id=None, require_latest=None, stats=None):
         if not interleaved["done"]:
             interleaved["done"] = True
             # rival append lands AFTER the snapshot was resolved
-            real_commit("append", table._write_data(_frame(spark, 100, 103)))
+            rival_added, rival_stats = table._write_data(_frame(spark, 100, 103))
+            real_commit("append", rival_added, stats=rival_stats)
         return real_commit(
-            action, added, batch_id=batch_id, require_latest=require_latest
+            action,
+            added,
+            batch_id=batch_id,
+            require_latest=require_latest,
+            stats=stats,
         )
 
     table._commit = racing_commit

@@ -1,0 +1,291 @@
+"""Data skipping on the transactional table (sources/txnlog.py):
+per-file column stats in the commit log, conservative driver-side
+pruning, and OPTIMIZE ZORDER BY. The invariant under test everywhere:
+``scan(where)`` ≡ ``snapshot().filter(where)`` — pruning is an
+optimization, never the filter — plus quantitative floors proving the
+pruning actually happens for layouts that should support it."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from churn_model_evaluation_platform_spark.sources.txnlog import (
+    TxnTable,
+    _enc_stat,
+    _file_may_match,
+)
+
+
+def _ranged(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") * 2.0).alias("v"),
+        F.concat(F.lit("k"), F.format_string("%04d", "id")).alias("s"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    # three appends with disjoint tight id ranges -> three prunable files
+    t.append(_ranged(spark, 0, 100).coalesce(1))
+    t.append(_ranged(spark, 100, 200).coalesce(1))
+    t.append(_ranged(spark, 200, 300).coalesce(1))
+    return t
+
+
+def test_stats_recorded_per_file(table):
+    st_ = table._state()
+    assert len(st_["live"]) == 3
+    assert set(st_["stats"]) == set(st_["live"])
+    mins = sorted(e["cols"]["id"]["min"] for e in st_["stats"].values())
+    maxs = sorted(e["cols"]["id"]["max"] for e in st_["stats"].values())
+    assert mins == [0, 100, 200]
+    assert maxs == [99, 199, 299]
+    for e in st_["stats"].values():
+        assert e["rows"] == 100
+        assert e["cols"]["id"]["nulls"] == 0
+        # string stats tracked too
+        assert e["cols"]["s"]["min"].startswith("k")
+
+
+@pytest.mark.parametrize(
+    "where,kept",
+    [
+        ([("id", "<", 100)], 1),
+        ([("id", "<=", 100)], 2),
+        ([("id", ">", 199)], 1),
+        ([("id", ">=", 199)], 2),
+        ([("id", "=", 150)], 1),
+        ([("id", "between", (50, 150))], 2),
+        ([("id", ">=", 50), ("id", "<", 150)], 2),
+        ([("s", ">=", "k0250")], 1),  # string bounds prune as well
+        ([("id", ">", 1000)], 0),
+        (None, 3),
+    ],
+)
+def test_prune_counts_and_equivalence(spark, table, where, kept):
+    assert table.prune_report(where)["kept"] == kept
+    got = sorted(r["id"] for r in table.scan(where).collect())
+    full = table.snapshot()
+    from churn_model_evaluation_platform_spark.sources.txnlog import (
+        _residual_filter,
+        _validate_where,
+    )
+
+    cond = _residual_filter(_validate_where(where))
+    want = sorted(
+        r["id"] for r in (full.filter(cond) if cond is not None else full).collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    op=st.sampled_from(["<", "<=", ">", ">=", "="]),
+    v=st.integers(min_value=-50, max_value=350),
+)
+def test_scan_equals_filter_property(spark, shared_skip_table, op, v):
+    """Random single-predicate scans over the shared 3-file table:
+    pruned scan and plain filter agree exactly, and pruning never keeps
+    fewer files than contain matching rows."""
+    t = shared_skip_table
+    where = [("id", op, v)]
+    got = sorted(r["id"] for r in t.scan(where).collect())
+    cmp = {
+        "<": F.col("id") < v,
+        "<=": F.col("id") <= v,
+        ">": F.col("id") > v,
+        ">=": F.col("id") >= v,
+        "=": F.col("id") == v,
+    }[op]
+    want = sorted(r["id"] for r in t.snapshot().filter(cmp).collect())
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def shared_skip_table(spark, tmp_path_factory):
+    t = TxnTable(spark, str(tmp_path_factory.mktemp("skiptbl") / "tbl"))
+    t.append(_ranged(spark, 0, 100).coalesce(1))
+    t.append(_ranged(spark, 100, 200).coalesce(1))
+    t.append(_ranged(spark, 200, 300).coalesce(1))
+    return t
+
+
+def test_all_null_file_pruned(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [Row(id=i, v=None) for i in range(5)], "id long, v double"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [Row(id=i, v=float(i)) for i in range(5, 10)], "id long, v double"
+        ).coalesce(1)
+    )
+    # comparison on v can never match the all-null file
+    assert t.prune_report([("v", ">=", 0.0)])["kept"] == 1
+    assert t.scan([("v", ">=", 0.0)]).count() == 5
+
+
+def test_nan_keeps_upper_bound_unusable(spark, tmp_path):
+    """A float file containing NaN must stay unprunable for >-style
+    predicates: Spark orders NaN above every value, so the recorded
+    finite max understates the file's true upper bound."""
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [Row(v=1.0), Row(v=2.0), Row(v=float("nan"))], "v double"
+        ).coalesce(1)
+    )
+    (entry,) = t._state()["stats"].values()
+    assert entry["cols"]["v"].get("nan") is True
+    # recorded max is 2.0 (or unusable) but the file MUST be kept:
+    # Spark's NaN > 100.0 evaluates true, so the row is reachable
+    assert t.prune_report([("v", ">", 100.0)])["kept"] == 1
+    assert t.scan([("v", ">", 100.0)]).count() == t.snapshot().filter(
+        F.col("v") > 100.0
+    ).count()
+    # ...while the min side stays usable for pruning
+    assert t.prune_report([("v", "<", 0.5)])["kept"] == 0
+
+
+def test_stats_disabled_and_mixed_history(spark, tmp_path):
+    """stats_columns=[] writes no stats; a later handle with default
+    stats still scans the mixed history correctly — pre-stats files are
+    simply unprunable, never wrong."""
+    path = str(tmp_path / "tbl")
+    legacy = TxnTable(spark, path, stats_columns=[])
+    legacy.append(_ranged(spark, 0, 100).coalesce(1))
+    t = TxnTable(spark, path)  # default stats posture
+    t.append(_ranged(spark, 100, 200).coalesce(1))
+    rep = t.prune_report([("id", ">=", 150)])
+    assert rep == {"total": 2, "kept": 2, "pruned": 0}  # legacy file kept
+    rep2 = t.prune_report([("id", "<", 50)])
+    assert rep2["kept"] == 1  # stats-bearing file pruned, legacy kept
+    assert sorted(r["id"] for r in t.scan([("id", ">=", 150)]).collect()) == list(
+        range(150, 200)
+    )
+
+
+def test_checkpoint_carries_stats(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"), checkpoint_interval=2)
+    for b in range(4):
+        t.append(_ranged(spark, b * 100, (b + 1) * 100).coalesce(1))
+    # fresh handle resolves from the v4 checkpoint; pruning must still
+    # see every file's stats
+    t2 = TxnTable(spark, str(tmp_path / "tbl"), checkpoint_interval=2)
+    assert t2.prune_report([("id", "<", 100)])["kept"] == 1
+    assert t2.scan([("id", "<", 100)]).count() == 100
+
+
+def test_compact_rebuilds_stats(spark, table):
+    table.compact(partitions=2)
+    st_ = table._state()
+    assert len(st_["live"]) <= 2
+    assert set(st_["stats"]) == set(st_["live"])
+    assert table.scan([("id", "<", 100)]).count() == 100
+
+
+def test_time_travel_scan(spark, table):
+    assert t_ids(table.scan([("id", "<", 250)], version=1)) == list(range(100))
+    assert t_ids(table.scan([("id", ">=", 250)], version=1)) == []
+
+
+def t_ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_predicate_validation(table):
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        table.scan([("id", "!=", 3)])
+    with pytest.raises(ValueError, match="NULL literal"):
+        table.scan([("id", "=", None)])
+    with pytest.raises(ValueError, match="between"):
+        table.scan([("id", "between", (1, 2, 3))])
+
+
+def test_cross_type_predicate_is_conservative(table):
+    # string literal against an int column: prune layer must keep the
+    # file (TypeError -> maybe); the residual filter then applies
+    # Spark's own cast semantics
+    assert table.prune_report([("id", ">", "x")])["kept"] == 3
+
+
+def test_enc_stat_order_preserving():
+    import datetime as dt
+    from decimal import Decimal
+
+    a = _enc_stat(dt.datetime(2024, 1, 8, 0, 0, 7))
+    b = _enc_stat(dt.datetime(2024, 1, 8, 0, 0, 7, 500000))
+    c = _enc_stat(dt.datetime(2024, 1, 8, 0, 0, 8))
+    assert a < b < c  # ISO strings sort chronologically
+    assert _enc_stat(float("inf")) is None
+    assert _enc_stat(float("nan")) is None
+    # decimal widening only loosens the envelope
+    x = Decimal("1.1")
+    assert _enc_stat(x, round_min=True) <= float(x) <= _enc_stat(
+        x, round_max=True
+    )
+
+
+def test_file_may_match_missing_stats():
+    assert _file_may_match(None, [("id", "=", 1)]) is True
+    assert (
+        _file_may_match({"rows": 5, "cols": {}}, [("id", "=", 1)]) is True
+    )
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order the (x, y) grid into 16 range files; a box predicate on
+    either single dimension must prune at least half the files, and box
+    scans stay exact."""
+    n = 1 << 12
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / F.lit(64)).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(df)
+    # scale 0..63 -> 16-bit so the interleave sees high bits
+    t.optimize_zorder(
+        F.shiftleft(F.col("x"), 10), F.shiftleft(F.col("y"), 10), partitions=16
+    )
+    assert len(t.files()) == 16
+    box = [("x", "between", (0, 15)), ("y", "between", (0, 15))]
+    rep = t.prune_report(box)
+    assert rep["total"] == 16
+    assert rep["kept"] <= 4, rep  # a quarter-quadrant box stays local
+    for dim in ("x", "y"):
+        rep1 = t.prune_report([(dim, "<", 16)])
+        assert rep1["kept"] <= 8, (dim, rep1)
+    got = sorted(r["payload"] for r in t.scan(box).collect())
+    want = sorted(
+        r["payload"]
+        for r in df.filter(
+            F.col("x").between(0, 15) & F.col("y").between(0, 15)
+        ).collect()
+    )
+    assert got == want
+
+
+def test_zorder_preserves_content(spark, table):
+    before = sorted(r["id"] for r in table.snapshot().collect())
+    table.optimize_zorder("id", F.floor(F.col("v")).cast("long"), partitions=4)
+    after = sorted(r["id"] for r in table.snapshot().collect())
+    assert before == after
+    assert math.isclose(
+        table.snapshot().agg(F.sum("v")).first()[0],
+        sum(2.0 * i for i in range(300)),
+    )
