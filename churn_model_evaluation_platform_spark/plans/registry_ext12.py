@@ -106,6 +106,67 @@ def q_txnlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pruning floor.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# matview_incremental — incremental materialized aggregate over the txn
+# table (sources/matview.py). Three ingest slices; the view is seeded by
+# a full refresh then maintained by two INCREMENTAL refreshes that read
+# only the newly committed files (proven by plan in
+# tests/test_matview.py::test_refresh_reads_only_new_files). The oracle
+# recomputes the same aggregates from scratch — any fold error (double
+# count, lost slice, wrong avg weighting) breaks the hash — and the
+# pinned last_mode column proves the incremental path (not a silent
+# full recompute) produced the result.
+# ---------------------------------------------------------------------------
+
+_MATVIEW_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(avg(value), 6) AS avg_value,
+       'incremental' AS last_mode
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("matview_incremental", _MATVIEW_SQL)
+def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.matview import MaterializedAggregate
+    from ..sources.txnlog import TxnTable
+
+    path = _tmp_table_path(sf_dir, "matview")
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    t = TxnTable(spark, f"{path}/src")
+    view = MaterializedAggregate(
+        t,
+        f"{path}/view",
+        group_cols=["event_type"],
+        aggs={
+            "n": ("count",),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+            "avg_value": ("avg", "value"),
+        },
+    )
+    day = F.dayofmonth("ts")
+    t.append(ev.where(day <= 10).drop("ts"))
+    view.refresh()  # full: seeds the state
+    t.append(ev.where((day > 10) & (day <= 20)).drop("ts"))
+    mode1 = view.refresh()["mode"]
+    t.append(ev.where(day > 20).drop("ts"))
+    mode2 = view.refresh()["mode"]
+    last_mode = mode2 if mode1 == "incremental" else "full"
+    return (
+        view.read()
+        .withColumn("sum_value", F.round("sum_value", 2))
+        .withColumn("avg_value", F.round("avg_value", 6))
+        .withColumn("last_mode", F.lit(last_mode))
+    )
+
+
 _ZBOX_SQL = """
 WITH hit AS (
   SELECT event_type, user_id, value FROM events

@@ -1,0 +1,201 @@
+"""Incremental materialized aggregates over a transactional table —
+the 100 TB dashboard pattern the commit log makes possible.
+
+The reference recomputes its monitoring aggregates from the full
+metrics store on every pipeline run (churn_prediction_pipeline.py:
+read-everything → pandas groupby). At 100 TB that full scan is the
+whole cost of the dashboard. With a TxnTable the log itself says what
+changed: a refresh reads ONLY the data files added by commits after
+the last refreshed version and folds their partial aggregates into the
+stored state — O(new data), not O(table).
+
+Scope (documented, enforced):
+- Aggregates must be DISTRIBUTIVE or ALGEBRAIC over row insertion:
+  count / sum / min / max directly, avg as sum+count (folded at read
+  time). Non-decomposable aggregates (median, distinct count) need a
+  different structure (sketches) and are rejected at construction.
+- Append-only incrementality: an ``overwrite`` commit in the refresh
+  window (compaction, MERGE) invalidates per-row deltas, so the view
+  falls back to a FULL recompute for that refresh — detected from the
+  log, never guessed. ``compact()`` preserves rows, but the log does
+  not know that; correctness beats cleverness here.
+- The view state is itself a TxnTable: refreshes are atomic pointer
+  swaps (a dashboard reader never sees a half-refreshed view), and the
+  refresh high-water mark rides in the state table's commit as the
+  ``batch_id`` — replaying a crashed refresh of the same source
+  version is idempotent by the txn table's own exactly-once contract.
+
+Spark-first: partial aggregation of the delta files is one narrow
+``groupBy`` over just those files (map-side combine, shuffle bounded
+by group cardinality); the fold is a ``unionByName`` + re-aggregate of
+state × delta — state is group-cardinality-sized, not data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .txnlog import TxnTable
+
+_SUPPORTED = ("count", "sum", "min", "max", "avg")
+
+
+class MaterializedAggregate:
+    """An incrementally-maintained ``GROUP BY`` over a ``TxnTable``.
+
+    ``aggs``: mapping of output column → ``("count",)`` /
+    ``("sum", col)`` / ``("min", col)`` / ``("max", col)`` /
+    ``("avg", col)``.
+    """
+
+    def __init__(
+        self,
+        source: TxnTable,
+        state_path: str,
+        group_cols: list[str],
+        aggs: dict[str, tuple],
+    ):
+        if not aggs:
+            raise ValueError("at least one aggregate required")
+        for name, spec in aggs.items():
+            if not spec or spec[0] not in _SUPPORTED:
+                raise ValueError(
+                    f"aggregate {name!r}: {spec!r} not in {_SUPPORTED} — "
+                    "non-decomposable aggregates (median, count distinct) "
+                    "cannot be folded incrementally; use a sketch"
+                )
+            if spec[0] != "count" and len(spec) != 2:
+                raise ValueError(f"aggregate {name!r}: {spec!r} needs a column")
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.aggs = dict(aggs)
+        self.state = TxnTable(source.spark, state_path)
+
+    # -- internal columns: every aggregate kept in fold-able form ---------
+
+    def _partial_exprs(self) -> list:
+        """Aggregate a ROW batch into internal partial columns."""
+        out = []
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind == "count":
+                out.append(F.count(F.lit(1)).alias(f"__cnt_{name}"))
+            elif kind == "sum":
+                out.append(F.sum(spec[1]).alias(f"__sum_{name}"))
+            elif kind == "min":
+                out.append(F.min(spec[1]).alias(f"__min_{name}"))
+            elif kind == "max":
+                out.append(F.max(spec[1]).alias(f"__max_{name}"))
+            elif kind == "avg":  # algebraic: carry (sum, count)
+                out.append(F.sum(spec[1]).alias(f"__sum_{name}"))
+                out.append(
+                    F.count(F.when(F.col(spec[1]).isNotNull(), 1)).alias(
+                        f"__cnt_{name}"
+                    )
+                )
+        return out
+
+    def _fold_exprs(self) -> list:
+        """Fold partial columns across state ∪ delta: counts/sums add,
+        min/max re-min/max."""
+        out = []
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind == "count":
+                out.append(F.sum(f"__cnt_{name}").alias(f"__cnt_{name}"))
+            elif kind == "sum":
+                out.append(F.sum(f"__sum_{name}").alias(f"__sum_{name}"))
+            elif kind == "min":
+                out.append(F.min(f"__min_{name}").alias(f"__min_{name}"))
+            elif kind == "max":
+                out.append(F.max(f"__max_{name}").alias(f"__max_{name}"))
+            elif kind == "avg":
+                out.append(F.sum(f"__sum_{name}").alias(f"__sum_{name}"))
+                out.append(F.sum(f"__cnt_{name}").alias(f"__cnt_{name}"))
+        return out
+
+    def _partial(self, rows: DataFrame) -> DataFrame:
+        return rows.groupBy(*self.group_cols).agg(*self._partial_exprs())
+
+    # -- refresh ----------------------------------------------------------
+
+    def refreshed_version(self) -> int | None:
+        """Source version the state currently reflects (the state
+        table's newest batch_id), or None before the first refresh."""
+        ids = self.state.batch_ids()
+        return max(ids) if ids else None
+
+    def refresh(self) -> dict:
+        """Bring the view up to the source's latest version. Returns
+        ``{"mode": "noop"|"incremental"|"full", "from": v, "to": v}``.
+
+        Incremental when every commit in ``(from, to]`` is an append:
+        aggregate ONLY those commits' files and fold into state. Any
+        overwrite in the window → full recompute (per-row deltas are
+        unknowable from the log). Either way the new state lands as ONE
+        atomic overwrite of the state table, stamped with the source
+        version as batch_id — a replayed refresh of the same version
+        is skipped by the state table's exactly-once contract."""
+        last = self.refreshed_version()
+        latest = self.source.latest_version()
+        if latest is None:
+            raise ValueError(f"source {self.source.path} has no commits")
+        if last == latest:
+            return {"mode": "noop", "from": last, "to": latest}
+        window = self.source._commits(since=last or 0, until=latest)
+        incremental = last is not None and all(
+            c["action"] == "append" for c in window
+        )
+        if incremental:
+            new_files = [
+                f"{self.source.path}/{rel}"
+                for c in window
+                for rel in c["added"]
+            ]
+            mode = "incremental"
+            if new_files:
+                delta = self._partial(
+                    self.source.spark.read.parquet(*new_files)
+                )
+                folded = (
+                    self.state.snapshot()
+                    .unionByName(delta)
+                    .groupBy(*self.group_cols)
+                    .agg(*self._fold_exprs())
+                )
+            else:  # empty appends: state unchanged, just advance the mark
+                folded = self.state.snapshot()
+        else:
+            mode = "full"
+            folded = self._partial(self.source.snapshot(version=latest))
+        self.state.overwrite(folded, batch_id=latest)
+        return {"mode": mode, "from": last, "to": latest}
+
+    # -- read -------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """The user-facing view: internal partials rendered as the
+        requested aggregates (avg = sum/count at read time)."""
+        cols = [F.col(c) for c in self.group_cols]
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind == "count":
+                cols.append(F.col(f"__cnt_{name}").alias(name))
+            elif kind == "sum":
+                cols.append(F.col(f"__sum_{name}").alias(name))
+            elif kind == "min":
+                cols.append(F.col(f"__min_{name}").alias(name))
+            elif kind == "max":
+                cols.append(F.col(f"__max_{name}").alias(name))
+            elif kind == "avg":
+                cols.append(
+                    (
+                        F.col(f"__sum_{name}")
+                        / F.nullif(F.col(f"__cnt_{name}"), F.lit(0))
+                    ).alias(name)
+                )
+        return self.state.snapshot().select(*cols)
+
+
+__all__ = ["MaterializedAggregate"]

@@ -1,0 +1,171 @@
+"""Incremental materialized aggregates (sources/matview.py): refresh
+folds ONLY the files added since the last refreshed version, falls back
+to a full recompute when the log window contains an overwrite, and the
+state swap is atomic + idempotent via the state table's batch_id
+contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from churn_model_evaluation_platform_spark.sources.matview import (
+    MaterializedAggregate,
+)
+from churn_model_evaluation_platform_spark.sources.txnlog import TxnTable
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+
+@pytest.fixture()
+def mv(spark, tmp_path):
+    src = TxnTable(spark, str(tmp_path / "src"))
+    view = MaterializedAggregate(
+        src,
+        str(tmp_path / "view"),
+        group_cols=["k"],
+        aggs={
+            "n": ("count",),
+            "sv": ("sum", "v"),
+            "mn": ("min", "v"),
+            "mx": ("max", "v"),
+            "av": ("avg", "v"),
+        },
+    )
+    return src, view
+
+
+def _expect(spark, src):
+    return {
+        r["k"]: r
+        for r in src.snapshot()
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.avg("v").alias("av"),
+        )
+        .collect()
+    }
+
+
+def _assert_matches(view, want):
+    got = {r["k"]: r for r in view.read().collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["n"] == w["n"]
+        assert math.isclose(g["sv"], w["sv"], rel_tol=1e-9)
+        assert g["mn"] == w["mn"] and g["mx"] == w["mx"]
+        assert math.isclose(g["av"], w["av"], rel_tol=1e-9)
+
+
+def test_incremental_refresh_matches_full(spark, mv):
+    src, view = mv
+    src.append(_batch(spark, 0, 50))
+    assert view.refresh()["mode"] == "full"  # first refresh seeds state
+    src.append(_batch(spark, 50, 120))
+    r = view.refresh()
+    assert r == {"mode": "incremental", "from": 1, "to": 2}
+    _assert_matches(view, _expect(spark, src))
+    src.append(_batch(spark, 120, 121))  # single-row delta
+    assert view.refresh()["mode"] == "incremental"
+    _assert_matches(view, _expect(spark, src))
+
+
+def test_refresh_reads_only_new_files(spark, mv, monkeypatch):
+    src, view = mv
+    src.append(_batch(spark, 0, 50))
+    view.refresh()
+    v1_files = set(src.files())
+    src.append(_batch(spark, 50, 80))
+    seen = {}
+    orig = MaterializedAggregate._partial
+
+    def spy(self, rows):
+        seen["inputs"] = set(rows.inputFiles())
+        return orig(self, rows)
+
+    monkeypatch.setattr(MaterializedAggregate, "_partial", spy)
+    assert view.refresh()["mode"] == "incremental"
+    new_files = set(src.files()) - v1_files
+    # normalize scheme prefixes (inputFiles reports file:/...) and compare
+    norm = {f.split(":", 1)[-1].lstrip("/") for f in seen["inputs"]}
+    want = {f.split(":", 1)[-1].lstrip("/") for f in new_files}
+    assert norm == want
+
+
+def test_overwrite_forces_full_recompute(spark, mv):
+    src, view = mv
+    src.append(_batch(spark, 0, 50))
+    view.refresh()
+    src.append(_batch(spark, 50, 60))
+    src.compact(partitions=1)  # overwrite action in the window
+    r = view.refresh()
+    assert r["mode"] == "full"
+    _assert_matches(view, _expect(spark, src))
+
+
+def test_noop_and_idempotent_replay(spark, mv):
+    src, view = mv
+    src.append(_batch(spark, 0, 30))
+    view.refresh()
+    assert view.refresh()["mode"] == "noop"
+    # crash-replay of the same refresh: the state table's batch_id
+    # contract skips the duplicate overwrite
+    latest = src.latest_version()
+    before = view.state.latest_version()
+    view.state.overwrite(view.state.snapshot(), batch_id=latest)
+    assert view.state.latest_version() == before
+    _assert_matches(view, _expect(spark, src))
+
+
+def test_nulls_in_avg_and_minmax(spark, tmp_path):
+    src = TxnTable(spark, str(tmp_path / "src"))
+    view = MaterializedAggregate(
+        src,
+        str(tmp_path / "view"),
+        group_cols=["k"],
+        aggs={"n": ("count",), "av": ("avg", "v"), "mn": ("min", "v")},
+    )
+    src.append(
+        spark.createDataFrame(
+            [Row(k="a", v=2.0), Row(k="a", v=None)], "k string, v double"
+        )
+    )
+    view.refresh()
+    src.append(
+        spark.createDataFrame(
+            [Row(k="a", v=4.0), Row(k="b", v=None)], "k string, v double"
+        )
+    )
+    assert view.refresh()["mode"] == "incremental"
+    got = {r["k"]: r for r in view.read().collect()}
+    assert got["a"]["n"] == 3  # count(*) counts null rows
+    assert got["a"]["av"] == 3.0  # avg ignores nulls: (2+4)/2
+    assert got["a"]["mn"] == 2.0
+    assert got["b"]["n"] == 1
+    assert got["b"]["av"] is None  # all-null group: 0/0 -> NULL, not error
+    assert got["b"]["mn"] is None
+
+
+def test_rejects_non_decomposable(spark, tmp_path):
+    src = TxnTable(spark, str(tmp_path / "src"))
+    with pytest.raises(ValueError, match="sketch"):
+        MaterializedAggregate(
+            src, str(tmp_path / "v"), ["k"], {"m": ("median", "v")}
+        )
+    with pytest.raises(ValueError, match="needs a column"):
+        MaterializedAggregate(src, str(tmp_path / "v"), ["k"], {"s": ("sum",)})
+    with pytest.raises(ValueError, match="at least one"):
+        MaterializedAggregate(src, str(tmp_path / "v"), ["k"], {})
