@@ -511,6 +511,337 @@ def ivf_recall_pinned(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search") — the COMPRESSED-residency ANN path.
+# IVF prunes which vectors to score; PQ shrinks what a score costs: the
+# corpus is stored as m small codes (m bytes at ks<=256) instead of dim
+# floats — 64 float32 dims -> 4 bytes is a 64× memory/IO reduction —
+# and a query scans CODES ONLY via an m-lookup distance table (ADC),
+# never touching the original embeddings. At 100 TB of vectors this is
+# the difference between an index that fits in cluster memory and one
+# that doesn't.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks_pinned(
+    df: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """PINNED deterministic PQ codebooks: subspace ``s``'s ``ks``
+    centroids are the ``s``-th subvectors of corpus vectors 1..ks —
+    the same frozen random-sample init as ``cosine_topk_ivf_pinned``,
+    so encoding, ADC scoring, and the recall audit are exact arithmetic
+    a SQL oracle replays bit-for-bit. (Production would k-means each
+    subspace exactly like ``fit_ivf_centroids``; pinning trades
+    codebook quality for hash-checkability, measured — not hidden —
+    by ``pq_recall_pinned``.) Returns ``codebooks[s][i] = centroid i
+    of subspace s`` (length dim/m each). ONE bounded driver collect of
+    ``ks`` rows."""
+    rows = {
+        r[id_col]: [float(v) for v in r[vec_col]]
+        for r in df.where(F.col(id_col).isin(list(range(1, ks + 1))))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    missing = [i for i in range(1, ks + 1) if i not in rows]
+    if missing:
+        raise ValueError(
+            f"pq_codebooks_pinned: corpus lacks required {id_col} values "
+            f"{missing} (pinned codebook rows are ids 1..{ks})"
+        )
+    dim = len(rows[1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    return [
+        [rows[i][s * d_sub : (s + 1) * d_sub] for i in range(1, ks + 1)]
+        for s in range(m)
+    ]
+
+
+def _pq_subdist_arrays(
+    vec: Column, codebooks: list[list[list[float]]]
+) -> list[Column]:
+    """Per subspace: the array of squared distances from ``vec``'s
+    subvector to each codebook centroid — identity form |x|²−2x·c+|c|²
+    with the ``_dot`` sequential fold on every term (the proven
+    ivf_cell_expr parity), pure codegen expressions."""
+    d_sub = len(codebooks[0][0])
+    out = []
+    for s, cb in enumerate(codebooks):
+        sub = F.slice(vec, s * d_sub + 1, d_sub)
+        dss = _dot(sub, sub)
+        out.append(
+            F.array(
+                *[
+                    dss
+                    - F.lit(2.0)
+                    * _dot(sub, F.array(*[F.lit(v) for v in c]))
+                    + F.lit(_pydot(c, c))
+                    for c in cb
+                ]
+            )
+        )
+    return out
+
+
+def pq_encode_expr(
+    vec: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """``array<int>`` of m codes: per subspace, the first-min argmin
+    over the centroid distance array (lowest code wins exact ties, both
+    engines)."""
+    return F.array(
+        *[
+            (F.array_position(d, F.array_min(d)) - 1).cast("int")
+            for d in _pq_subdist_arrays(vec, codebooks)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Compress the corpus: one map-side projection adding the m-code
+    column. Store ``(id, pq_code)`` and DROP the embedding column —
+    that's the 100 TB residency story (re-ranking against the original
+    embeddings is a separate fetch of k rows, not a scan)."""
+    return df.withColumn(code_col, pq_encode_expr(F.col(vec_col), codebooks))
+
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """PRODUCTION PQ codebooks: seeded MLlib KMeans per subspace (the
+    actual Jégou et al. training), returned as plain float lists so
+    encoding/ADC stay pure Catalyst expressions. m small fits over the
+    sliced corpus (sample at 100 TB — codebooks only need the
+    distribution's shape, same argument as ``fit_ivf_centroids``).
+    Seed-deterministic but not SQL-replayable (KMeans iterations), so
+    its registry entries are rows-only — the hash-green twin is the
+    pinned path, the quality number is ``pq_recall`` over THESE
+    codebooks."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed)
+    dim = len(train.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    out = []
+    for s in range(m):
+        sub = train.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+            ).alias("features")
+        )
+        model = KMeans(k=ks, seed=seed + s, maxIter=20).fit(sub)
+        out.append([[float(v) for v in c] for c in model.clusterCenters()])
+    return out
+
+
+def pq_adc_topk_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC shortlist + EXACT re-rank — the standard two-stage PQ query
+    (Jégou et al. §V): the cheap code-only scan nominates
+    ``shortlist`` (default 4k) candidates, then only those rows' full
+    embeddings are fetched and cosine-ranked. Recovers most of the
+    recall the quantization loses while still never scanning raw
+    vectors: the re-rank side is a k-sized broadcast semi-join, not a
+    corpus scan. Fully deterministic given the codebooks — the pinned
+    variant is SQL-oracle-checkable end to end."""
+    n_short = shortlist or 4 * k
+    short = pq_adc_topk(
+        df, query_vec, codebooks, n_short, id_col, code_col, exclude_id
+    ).select(id_col)
+    candidates = df.join(F.broadcast(short), id_col, "left_semi")
+    return cosine_topk(
+        candidates, query_vec, k, id_col, vec_col, exclude_id=exclude_id
+    )
+
+
+def pq_adc_tables(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Asymmetric distance tables: ``tabs[s][i]`` = squared distance
+    from the query's subvector s to centroid i — m×ks driver-side
+    floats (the classic ADC precompute), same identity-form arithmetic
+    as ``_select_probes``."""
+    d_sub = len(codebooks[0][0])
+    tabs = []
+    for s, cb in enumerate(codebooks):
+        qs = query_vec[s * d_sub : (s + 1) * d_sub]
+        dqq = _pydot(qs, qs)
+        tabs.append(
+            [dqq - 2.0 * _pydot(qs, c) + _pydot(c, c) for c in cb]
+        )
+    return tabs
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k by ADC over the CODES ONLY: the approx
+    distance is m array-literal lookups summed left-to-right — no
+    embedding column in the plan, so the scan reads id + m bytes per
+    row. Ends in TakeOrderedAndProject (per-partition heap, no sort
+    shuffle). Ascending distance, id tiebreak."""
+    tabs = pq_adc_tables(query_vec, codebooks)
+    adc: Column | None = None
+    for s, tab in enumerate(tabs):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in tab]), F.col(code_col)[s] + 1
+        )
+        adc = term if adc is None else adc + term
+    out = df.select(id_col, adc.alias("adc_dist"))
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != F.lit(exclude_id))
+    return out.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
+
+
+def pq_recall(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_ids: tuple[int, ...] = (0, 101, 202, 303, 404),
+    k: int = 10,
+    rerank: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the PQ/ADC path vs the exact brute-force
+    top-k — completes the audit family (dedup LSH/containment/SimHash,
+    IVF): every approximate path in the engine ships with quality
+    evidence. Same summary row shape as ``ivf_recall``. Code-only ADC
+    ranks by compressed L2 while 'exact' is full-precision cosine, so
+    recall measures the WHOLE approximation (quantization + metric
+    gap); ``rerank=True`` audits the two-stage shortlist+re-rank query
+    instead — the number a user deciding between paths actually
+    needs."""
+    from functools import reduce
+
+    need = sorted(set(query_ids))
+    qrows = {
+        r[id_col]: [float(v) for v in r[vec_col]]
+        for r in df.where(F.col(id_col).isin(need))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    missing = [i for i in need if i not in qrows]
+    if missing:
+        raise ValueError(
+            f"pq_recall: corpus lacks query {id_col} values {missing}"
+        )
+    encoded = pq_encode(df, codebooks, vec_col=vec_col)
+
+    exact_frames: list[DataFrame] = []
+    cand_frames: list[DataFrame] = []
+    for qid in query_ids:
+        qvec = qrows[qid]
+        exact_frames.append(
+            cosine_topk(df, qvec, k, id_col, vec_col, exclude_id=qid).select(
+                F.lit(qid).alias("qid"), F.col(id_col)
+            )
+        )
+        if rerank:
+            approx = pq_adc_topk_rerank(
+                encoded,
+                qvec,
+                codebooks,
+                k,
+                id_col=id_col,
+                vec_col=vec_col,
+                exclude_id=qid,
+            )
+        else:
+            approx = pq_adc_topk(
+                encoded, qvec, codebooks, k, id_col, exclude_id=qid
+            )
+        cand_frames.append(
+            approx.select(F.lit(qid).alias("qid"), F.col(id_col))
+        )
+    exact = reduce(DataFrame.unionAll, exact_frames)
+    cand = reduce(DataFrame.unionAll, cand_frames).withColumn(
+        "__hit", F.lit(1)
+    )
+    return (
+        exact.join(cand, ["qid", id_col], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hits"),
+        )
+        .select(
+            F.lit(len(query_ids)).cast("int").alias("n_queries"),
+            F.lit(k).cast("int").alias("k"),
+            "n_exact",
+            "n_hits",
+            F.when(F.col("n_exact") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
+        )
+    )
+
+
+def pq_recall_pinned(
+    df: DataFrame,
+    query_ids: tuple[int, ...] = (0, 101, 202, 303, 404),
+    m: int = 4,
+    ks: int = 8,
+    k: int = 10,
+    rerank: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``pq_recall`` with the PINNED codebooks — every input is exact
+    corpus arithmetic, so the whole audit is SQL-oracle-replayable
+    (the hash-checkable twin of the KMeans-codebook audit)."""
+    codebooks = pq_codebooks_pinned(
+        df, m=m, ks=ks, id_col=id_col, vec_col=vec_col
+    )
+    return pq_recall(
+        df,
+        codebooks,
+        query_ids=query_ids,
+        k=k,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 __all__ = [
     "cosine_expr",
     "cosine_topk",
@@ -524,6 +855,15 @@ __all__ = [
     "ivf_recall_pinned",
     "lsh_bucket_expr",
     "minhash_perms",
+    "fit_pq_codebooks",
+    "pq_adc_tables",
+    "pq_adc_topk",
+    "pq_adc_topk_rerank",
+    "pq_codebooks_pinned",
+    "pq_encode",
+    "pq_encode_expr",
+    "pq_recall",
+    "pq_recall_pinned",
     "random_hyperplanes",
     "write_ivf_partitioned",
 ]

@@ -23,6 +23,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import similarity
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -209,3 +210,311 @@ def q_txnlog_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("skipped", F.lit(rep["kept"] < rep["total"]))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/similarity.py pq_*) — the compressed
+# ANN path: corpus stored as m=4 one-byte codes instead of 64 floats,
+# queries scored by ADC table lookups over the CODES ONLY. Codebooks
+# pinned to subvectors of corpus rows 1..8 (the frozen random-sample
+# init, same trick as cosine_topk_ivf_pinned), so encoding + ADC are
+# exact arithmetic DuckDB replays bit-for-bit: identity-form squared
+# distances with sequential-fold dots, first-min argmin, left-assoc
+# ADC sum — every term matches the proven IVF parity machinery.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_KS, _PQ_K = 4, 8, 10
+_PQ_DSUB = 16  # embeddings dim 64 / m
+_PQ_QIDS = (0, 101, 202, 303, 404)
+
+
+def _pq_cte_block() -> str:
+    """Shared CTEs: per-subspace corpus slices, codebooks, assignments."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS "
+        "DOUBLE)) AS ev FROM embeddings)"
+    ]
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+        parts.append(
+            f"sub{s} AS (SELECT vec_id, list_slice(ev, {lo}, {hi}) AS sv "
+            "FROM e)"
+        )
+        parts.append(
+            f"cb{s} AS (SELECT CAST(vec_id - 1 AS INT) AS code, "
+            f"list_slice(ev, {lo}, {hi}) AS cv FROM e "
+            f"WHERE vec_id BETWEEN 1 AND {_PQ_KS})"
+        )
+        parts.append(
+            f"a{s} AS (SELECT vec_id, code FROM ("
+            f"SELECT s.vec_id, c.code, row_number() OVER ("
+            "PARTITION BY s.vec_id ORDER BY "
+            "list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) "
+            "+ list_dot_product(cv, cv), c.code) AS rn "
+            f"FROM sub{s} s CROSS JOIN cb{s} c) WHERE rn = 1)"
+        )
+    return ",\n".join(parts)
+
+
+def _pq_topk_sql() -> str:
+    dts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+        dts.append(
+            f"dt{s} AS (SELECT c.code, "
+            "list_dot_product(qs.qsv, qs.qsv) "
+            "- 2 * list_dot_product(qs.qsv, c.cv) "
+            "+ list_dot_product(c.cv, c.cv) AS d "
+            f"FROM cb{s} c CROSS JOIN (SELECT list_slice(ev, {lo}, {hi}) "
+            "AS qsv FROM e WHERE vec_id = 0) qs)"
+        )
+    joins = " ".join(
+        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id JOIN dt{s} ON dt{s}.code = "
+        f"a{s}.code"
+        if s
+        else "JOIN dt0 ON dt0.code = a0.code"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"dt{s}.d" for s in range(_PQ_M))
+    return f"""
+WITH {_pq_cte_block()},
+{",".join(dts)}
+SELECT vec_id, round(adc, 6) AS adc_dist FROM (
+  SELECT a0.vec_id, {adc} AS adc
+  FROM a0 {joins}
+  WHERE a0.vec_id <> 0)
+ORDER BY adc, vec_id LIMIT {_PQ_K}
+"""
+
+
+@register("similarity_topk_pq_pinned", _pq_topk_sql())
+def q_similarity_topk_pq_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks_pinned(emb, m=_PQ_M, ks=_PQ_KS)
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    enc = similarity.pq_encode(emb, cbs)
+    return similarity.pq_adc_topk(
+        enc, qvec, cbs, k=_PQ_K, exclude_id=0
+    ).withColumn("adc_dist", F.round("adc_dist", 6))
+
+
+def _pq_recall_sql() -> str:
+    dts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+        dts.append(
+            f"dtq{s} AS (SELECT q.vec_id AS qid, c.code, "
+            "list_dot_product(q.qsv, q.qsv) "
+            "- 2 * list_dot_product(q.qsv, c.cv) "
+            "+ list_dot_product(c.cv, c.cv) AS d "
+            f"FROM cb{s} c CROSS JOIN (SELECT vec_id, list_slice(ev, {lo}, "
+            f"{hi}) AS qsv FROM e WHERE vec_id IN {tuple(_PQ_QIDS)!r}) q)"
+        )
+    joins = " ".join(
+        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id "
+        f"JOIN dtq{s} ON dtq{s}.code = a{s}.code AND dtq{s}.qid = dtq0.qid"
+        if s
+        else "JOIN dtq0 ON dtq0.code = a0.code"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"dtq{s}.d" for s in range(_PQ_M))
+    return f"""
+WITH {_pq_cte_block()},
+{",".join(dts)},
+qs AS (SELECT vec_id AS qid, ev AS qv FROM e
+       WHERE vec_id IN {tuple(_PQ_QIDS)!r}),
+pairs AS (
+  SELECT qid, e.vec_id,
+         list_dot_product(ev, qv)
+           / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+           AS cos
+  FROM qs CROSS JOIN e WHERE e.vec_id <> qid
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+    FROM pairs) WHERE rn <= {_PQ_K}
+),
+pq AS (
+  SELECT qid, vec_id FROM (
+    SELECT dtq0.qid, a0.vec_id,
+           row_number() OVER (PARTITION BY dtq0.qid
+             ORDER BY {adc}, a0.vec_id) AS rn
+    FROM a0 {joins}
+    WHERE a0.vec_id <> dtq0.qid) WHERE rn <= {_PQ_K}
+)
+SELECT CAST({len(_PQ_QIDS)} AS INT) AS n_queries, CAST({_PQ_K} AS INT) AS k,
+       count(*) AS n_exact, count(p.vec_id) AS n_hits,
+       CASE WHEN count(*) = 0 THEN 1.0
+            ELSE round(CAST(count(p.vec_id) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) END AS recall
+FROM exact x LEFT JOIN pq p ON p.qid = x.qid AND p.vec_id = x.vec_id
+"""
+
+
+@register("similarity_pq_recall", _pq_recall_sql())
+def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Completes the recall-audit family: every approximate path (LSH,
+    # containment, SimHash, IVF, now PQ) ships measured quality
+    # evidence; both sides of the ratio are the independently
+    # hash-verified exact and PQ plans.
+    return similarity.pq_recall_pinned(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=_PQ_QIDS,
+        m=_PQ_M,
+        ks=_PQ_KS,
+        k=_PQ_K,
+    )
+
+
+def _pq_rerank_sql() -> str:
+    """Two-stage PQ query: ADC shortlist (4k) then exact cosine
+    re-rank — both stages the already-verified arithmetic."""
+    dts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+        dts.append(
+            f"dt{s} AS (SELECT c.code, "
+            "list_dot_product(qs.qsv, qs.qsv) "
+            "- 2 * list_dot_product(qs.qsv, c.cv) "
+            "+ list_dot_product(c.cv, c.cv) AS d "
+            f"FROM cb{s} c CROSS JOIN (SELECT list_slice(ev, {lo}, {hi}) "
+            "AS qsv FROM e WHERE vec_id = 0) qs)"
+        )
+    joins = " ".join(
+        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id JOIN dt{s} ON dt{s}.code = "
+        f"a{s}.code"
+        if s
+        else "JOIN dt0 ON dt0.code = a0.code"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"dt{s}.d" for s in range(_PQ_M))
+    return f"""
+WITH {_pq_cte_block()},
+{",".join(dts)},
+short AS (
+  SELECT a0.vec_id
+  FROM a0 {joins}
+  WHERE a0.vec_id <> 0
+  ORDER BY {adc}, a0.vec_id LIMIT {4 * _PQ_K}
+),
+q AS (SELECT ev AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       list_dot_product(ev, qv)
+         / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+         AS cosine_sim
+FROM e JOIN short USING (vec_id) CROSS JOIN q
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT {_PQ_K}
+"""
+
+
+@register("similarity_topk_pq_rerank", _pq_rerank_sql())
+def q_similarity_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The realistic two-stage PQ query (Jégou et al. §V): code-only ADC
+    # nominates 4k candidates, exact cosine re-ranks only those rows —
+    # raw embeddings are touched for 40 ids, never scanned. Recovers
+    # the recall the 8-centroid quantization loses (see
+    # similarity_pq_rerank_recall) while keeping the scan compressed.
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks_pinned(emb, m=_PQ_M, ks=_PQ_KS)
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    enc = similarity.pq_encode(emb, cbs)
+    return similarity.pq_adc_topk_rerank(
+        enc, qvec, cbs, k=_PQ_K, shortlist=4 * _PQ_K, exclude_id=0
+    )
+
+
+def _pq_rerank_recall_sql() -> str:
+    """Recall audit of the two-stage query: per-qid ADC shortlist
+    (rn <= 4k), cosine re-rank within it (rn <= k), hits vs exact."""
+    dts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+        dts.append(
+            f"dtq{s} AS (SELECT q.vec_id AS qid, c.code, "
+            "list_dot_product(q.qsv, q.qsv) "
+            "- 2 * list_dot_product(q.qsv, c.cv) "
+            "+ list_dot_product(c.cv, c.cv) AS d "
+            f"FROM cb{s} c CROSS JOIN (SELECT vec_id, list_slice(ev, {lo}, "
+            f"{hi}) AS qsv FROM e WHERE vec_id IN {tuple(_PQ_QIDS)!r}) q)"
+        )
+    joins = " ".join(
+        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id "
+        f"JOIN dtq{s} ON dtq{s}.code = a{s}.code AND dtq{s}.qid = dtq0.qid"
+        if s
+        else "JOIN dtq0 ON dtq0.code = a0.code"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"dtq{s}.d" for s in range(_PQ_M))
+    return f"""
+WITH {_pq_cte_block()},
+{",".join(dts)},
+qs AS (SELECT vec_id AS qid, ev AS qv FROM e
+       WHERE vec_id IN {tuple(_PQ_QIDS)!r}),
+pairs AS (
+  SELECT qid, e.vec_id,
+         list_dot_product(ev, qv)
+           / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+           AS cos
+  FROM qs CROSS JOIN e WHERE e.vec_id <> qid
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+    FROM pairs) WHERE rn <= {_PQ_K}
+),
+short AS (
+  SELECT qid, vec_id FROM (
+    SELECT dtq0.qid, a0.vec_id,
+           row_number() OVER (PARTITION BY dtq0.qid
+             ORDER BY {adc}, a0.vec_id) AS rn
+    FROM a0 {joins}
+    WHERE a0.vec_id <> dtq0.qid) WHERE rn <= {4 * _PQ_K}
+),
+rr AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, p.vec_id,
+           row_number() OVER (PARTITION BY p.qid ORDER BY p.cos DESC, p.vec_id)
+             AS rn
+    FROM pairs p JOIN short sl ON sl.qid = p.qid AND sl.vec_id = p.vec_id)
+  WHERE rn <= {_PQ_K}
+)
+SELECT CAST({len(_PQ_QIDS)} AS INT) AS n_queries, CAST({_PQ_K} AS INT) AS k,
+       count(*) AS n_exact, count(r.vec_id) AS n_hits,
+       CASE WHEN count(*) = 0 THEN 1.0
+            ELSE round(CAST(count(r.vec_id) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) END AS recall
+FROM exact x LEFT JOIN rr r ON r.qid = x.qid AND r.vec_id = x.vec_id
+"""
+
+
+@register("similarity_pq_rerank_recall", _pq_rerank_recall_sql())
+def q_similarity_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall audit of the two-stage shortlist+re-rank query; the oracle
+    # replays ADC nomination AND cosine re-ranking per query id.
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks_pinned(emb, m=_PQ_M, ks=_PQ_KS)
+    return similarity.pq_recall(
+        emb, cbs, query_ids=_PQ_QIDS, k=_PQ_K, rerank=True
+    )
+
+
+@register("similarity_pq_recall_kmeans")  # rows-only: seeded-KMeans codebooks
+def q_similarity_pq_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The PRODUCTION codebook path: per-subspace seeded KMeans
+    # (fit_pq_codebooks). Seed-deterministic, not SQL-replayable (KMeans
+    # iterations) -> rows-only, exactly like similarity_ivf_recall_kmeans;
+    # the pinned twin above carries the hash evidence, this carries the
+    # production quality number (SCALE.md "PQ recall").
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.fit_pq_codebooks(emb, m=_PQ_M, ks=_PQ_KS)
+    return similarity.pq_recall(emb, cbs, query_ids=_PQ_QIDS, k=_PQ_K)
