@@ -727,6 +727,75 @@ def pq_adc_topk(
     return out.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
 
 
+def cosine_topk_ivfpq_pinned(
+    df: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ks: int = 8,
+    k: int = 10,
+    query_id: int = 0,
+    rerank_shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. §IV): BOTH 100 TB levers composed — the
+    coarse quantizer prunes WHICH rows get scored (nprobe/n_cells of
+    the corpus; partition pruning when written by cell) and PQ shrinks
+    what each score COSTS (m code-bytes + table lookups, no embedding
+    column in the scoring scan). Classic IVFADC ranks by ADC within the
+    probed cells; pass ``rerank_shortlist`` to add the exact-cosine
+    re-rank stage on the shortlist ids. Pinned variant (centroids =
+    corpus rows 1..n_cells, codebooks = subvectors of rows 1..ks):
+    exact arithmetic end to end, SQL-oracle-checkable. Residuals
+    (encoding x − centroid[cell]) are the textbook refinement; omitted
+    here so codes stay cell-independent — one codebook, simpler
+    storage, the standard 'PQ without residual' variant."""
+    small = {
+        r[id_col]: [float(v) for v in r[vec_col]]
+        for r in df.where(
+            F.col(id_col).isin(
+                sorted({query_id, *range(1, max(n_cells, ks) + 1)})
+            )
+        )
+        .select(id_col, vec_col)
+        .collect()
+    }
+    need = sorted({query_id, *range(1, max(n_cells, ks) + 1)})
+    missing = [j for j in need if j not in small]
+    if missing:
+        raise ValueError(
+            f"cosine_topk_ivfpq_pinned: corpus lacks required {id_col} "
+            f"values {missing} (pinned centroids 1..{n_cells}, codebook "
+            f"rows 1..{ks}, query {query_id})"
+        )
+    qvec = small[query_id]
+    centroids = [small[j] for j in range(1, n_cells + 1)]
+    codebooks = pq_codebooks_pinned(
+        df, m=m, ks=ks, id_col=id_col, vec_col=vec_col
+    )
+    probe = _select_probes(qvec, centroids, nprobe)
+    sliced = (
+        df.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), centroids))
+        .where(F.col("ivf_cell").isin(probe))
+    )
+    encoded = pq_encode(sliced, codebooks, vec_col=vec_col)
+    if rerank_shortlist is None:
+        return pq_adc_topk(
+            encoded, qvec, codebooks, k, id_col, exclude_id=query_id
+        )
+    return pq_adc_topk_rerank(
+        encoded,
+        qvec,
+        codebooks,
+        k,
+        shortlist=rerank_shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_id=query_id,
+    )
+
+
 def pq_recall(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -848,6 +917,7 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_ivf_pinned",
     "cosine_topk_ivf_pruned",
+    "cosine_topk_ivfpq_pinned",
     "cosine_topk_lsh",
     "fit_ivf_centroids",
     "ivf_cell_expr",

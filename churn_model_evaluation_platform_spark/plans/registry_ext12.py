@@ -518,3 +518,142 @@ def q_similarity_pq_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = _t(spark, sf_dir, "embeddings")
     cbs = similarity.fit_pq_codebooks(emb, m=_PQ_M, ks=_PQ_KS)
     return similarity.pq_recall(emb, cbs, query_ids=_PQ_QIDS, k=_PQ_K)
+
+
+_IVFPQ_NCELLS, _IVFPQ_NPROBE = 16, 4
+
+
+def _ivfpq_sql() -> str:
+    """IVF-PQ composed oracle: the cell-assignment/probe CTEs of the
+    (green) IVF oracle filtering the (green) PQ/ADC scoring CTEs."""
+    dts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+        dts.append(
+            f"dt{s} AS (SELECT c.code, "
+            "list_dot_product(qs.qsv, qs.qsv) "
+            "- 2 * list_dot_product(qs.qsv, c.cv) "
+            "+ list_dot_product(c.cv, c.cv) AS d "
+            f"FROM cb{s} c CROSS JOIN (SELECT list_slice(ev, {lo}, {hi}) "
+            "AS qsv FROM e WHERE vec_id = 0) qs)"
+        )
+    joins = " ".join(
+        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id JOIN dt{s} ON dt{s}.code = "
+        f"a{s}.code"
+        if s
+        else "JOIN dt0 ON dt0.code = a0.code"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"dt{s}.d" for s in range(_PQ_M))
+    return f"""
+WITH {_pq_cte_block()},
+{",".join(dts)},
+qfull AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+cents AS (
+  SELECT CAST(vec_id - 1 AS INT) AS cid, ev AS cv
+  FROM e WHERE vec_id BETWEEN 1 AND {_IVFPQ_NCELLS}
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid,
+           row_number() OVER (ORDER BY
+             list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+             + list_dot_product(cv, cv), cid) AS rn
+    FROM qfull CROSS JOIN cents) WHERE rn <= {_IVFPQ_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(ev, ev) - 2 * list_dot_product(ev, cv)
+             + list_dot_product(cv, cv), c.cid) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1
+)
+SELECT vec_id, round(adc, 6) AS adc_dist FROM (
+  SELECT a0.vec_id, {adc} AS adc
+  FROM a0 {joins}
+  JOIN assign ON assign.vec_id = a0.vec_id
+  WHERE a0.vec_id <> 0
+    AND assign.cid IN (SELECT cid FROM probes))
+ORDER BY adc, vec_id LIMIT {_PQ_K}
+"""
+
+
+@register("similarity_topk_ivfpq_pinned", _ivfpq_sql())
+def q_similarity_topk_ivfpq_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both 100 TB levers composed (operators/similarity.py
+    # cosine_topk_ivfpq_pinned): IVF pruning decides WHICH rows are
+    # scored (nprobe/n_cells of the corpus; partition-prunable when
+    # written by cell), PQ decides what each score COSTS (codes +
+    # table lookups, no embedding column in the scoring scan).
+    return similarity.cosine_topk_ivfpq_pinned(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=_IVFPQ_NCELLS,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        ks=_PQ_KS,
+        k=_PQ_K,
+    ).withColumn("adc_dist", F.round("adc_dist", 6))
+
+
+# ---------------------------------------------------------------------------
+# matview_hll_distinct — incrementally-maintained APPROX DISTINCT via
+# DataSketches HLL (the sketch the matview's rejection message points
+# at). The state is a binary sketch per group; per-refresh partials
+# UNION to the identical sketch a single pass would build (register
+# max is associative — pinned in tests/test_matview.py). The estimate
+# itself isn't SQL-predictable (DataSketches internals), so the oracle
+# pins the exact distinct count and the est_ok claim |est-exact|/exact
+# <= 5% — at lgK=12 the sketch's relative error is ~1.6%, so the bound
+# has real slack without being vacuous.
+# ---------------------------------------------------------------------------
+
+_HLL_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       CAST(TRUE AS BOOLEAN) AS est_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("matview_hll_distinct", _HLL_SQL)
+def q_matview_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.matview import MaterializedAggregate
+    from ..sources.txnlog import TxnTable
+
+    path = _tmp_table_path(sf_dir, "matviewhll")
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    t = TxnTable(spark, f"{path}/src")
+    view = MaterializedAggregate(
+        t,
+        f"{path}/view",
+        group_cols=["event_type"],
+        aggs={"n_users_est": ("approx_distinct", "user_id")},
+    )
+    day = F.dayofmonth("ts")
+    t.append(ev.where(day <= 15).drop("ts"))
+    view.refresh()
+    t.append(ev.where(day > 15).drop("ts"))  # users overlap both halves:
+    view.refresh()  # the union must dedup across refreshes
+    exact = (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    return (
+        view.read()
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(
+                    F.col("n_users_est").cast("double")
+                    - F.col("n_users_exact").cast("double")
+                )
+                / F.col("n_users_exact").cast("double")
+                <= 0.05
+            ).alias("est_ok"),
+        )
+    )

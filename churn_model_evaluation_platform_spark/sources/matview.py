@@ -12,8 +12,13 @@ stored state — O(new data), not O(table).
 Scope (documented, enforced):
 - Aggregates must be DISTRIBUTIVE or ALGEBRAIC over row insertion:
   count / sum / min / max directly, avg as sum+count (folded at read
-  time). Non-decomposable aggregates (median, distinct count) need a
-  different structure (sketches) and are rejected at construction.
+  time), and approx_distinct as a DataSketches HLL sketch (the state
+  is a binary sketch column; per-bucket register max is associative
+  and commutative, so unioning per-refresh partials yields the SAME
+  sketch as a single pass over all rows — incremental maintenance is
+  exact with respect to the sketch, tested). Genuinely
+  non-decomposable aggregates (median, exact distinct count) are
+  rejected at construction.
 - Append-only incrementality: an ``overwrite`` commit in the refresh
   window (compaction, MERGE) invalidates per-row deltas, so the view
   falls back to a FULL recompute for that refresh — detected from the
@@ -38,7 +43,7 @@ from pyspark.sql import functions as F
 
 from .txnlog import TxnTable
 
-_SUPPORTED = ("count", "sum", "min", "max", "avg")
+_SUPPORTED = ("count", "sum", "min", "max", "avg", "approx_distinct")
 
 
 class MaterializedAggregate:
@@ -62,8 +67,11 @@ class MaterializedAggregate:
             if not spec or spec[0] not in _SUPPORTED:
                 raise ValueError(
                     f"aggregate {name!r}: {spec!r} not in {_SUPPORTED} — "
-                    "non-decomposable aggregates (median, count distinct) "
-                    "cannot be folded incrementally; use a sketch"
+                    "non-decomposable aggregates (median, exact count "
+                    "distinct) cannot be folded incrementally; distinct "
+                    "counts fold as 'approx_distinct' (an HLL sketch), "
+                    "quantiles need a sketch structure this view doesn't "
+                    "carry"
                 )
             if spec[0] != "count" and len(spec) != 2:
                 raise ValueError(f"aggregate {name!r}: {spec!r} needs a column")
@@ -94,6 +102,14 @@ class MaterializedAggregate:
                         f"__cnt_{name}"
                     )
                 )
+            elif kind == "approx_distinct":
+                # DataSketches HLL: the state IS mergeable — per-bucket
+                # register max is associative/commutative, so any
+                # grouping of the input into partials unions to the
+                # SAME sketch as a single pass (tested)
+                out.append(
+                    F.hll_sketch_agg(spec[1]).alias(f"__hll_{name}")
+                )
         return out
 
     def _fold_exprs(self) -> list:
@@ -113,6 +129,10 @@ class MaterializedAggregate:
             elif kind == "avg":
                 out.append(F.sum(f"__sum_{name}").alias(f"__sum_{name}"))
                 out.append(F.sum(f"__cnt_{name}").alias(f"__cnt_{name}"))
+            elif kind == "approx_distinct":
+                out.append(
+                    F.hll_union_agg(f"__hll_{name}").alias(f"__hll_{name}")
+                )
         return out
 
     def _partial(self, rows: DataFrame) -> DataFrame:
@@ -194,6 +214,10 @@ class MaterializedAggregate:
                         F.col(f"__sum_{name}")
                         / F.nullif(F.col(f"__cnt_{name}"), F.lit(0))
                     ).alias(name)
+                )
+            elif kind == "approx_distinct":
+                cols.append(
+                    F.hll_sketch_estimate(F.col(f"__hll_{name}")).alias(name)
                 )
         return self.state.snapshot().select(*cols)
 

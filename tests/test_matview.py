@@ -159,6 +159,53 @@ def test_nulls_in_avg_and_minmax(spark, tmp_path):
     assert got["b"]["mn"] is None
 
 
+def test_hll_incremental_equals_single_pass(spark, tmp_path):
+    """The HLL state is mergeable: unioning per-refresh partial
+    sketches must give the SAME estimate as one sketch over all rows —
+    incremental maintenance is exact w.r.t. the sketch."""
+    src = TxnTable(spark, str(tmp_path / "src"))
+    view = MaterializedAggregate(
+        src,
+        str(tmp_path / "view"),
+        group_cols=["k"],
+        aggs={"nd": ("approx_distinct", "uid")},
+    )
+
+    def b(lo, hi):
+        # overlapping uid ranges across batches: dedup must span them
+        return spark.range(lo, hi).select(
+            (F.col("id") % 2).cast("string").alias("k"),
+            (F.col("id") % 500).alias("uid"),
+        )
+
+    src.append(b(0, 400))
+    view.refresh()
+    src.append(b(300, 900))
+    assert view.refresh()["mode"] == "incremental"
+    src.append(b(850, 1300))
+    assert view.refresh()["mode"] == "incremental"
+    got = {r["k"]: r["nd"] for r in view.read().collect()}
+    single = {
+        r["k"]: r["nd"]
+        for r in src.snapshot()
+        .groupBy("k")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("nd")
+        )
+        .collect()
+    }
+    assert got == single  # identical sketches, not just close
+    exact = {
+        r["k"]: r["nd"]
+        for r in src.snapshot()
+        .groupBy("k")
+        .agg(F.countDistinct("uid").alias("nd"))
+        .collect()
+    }
+    for k in exact:
+        assert abs(got[k] - exact[k]) / exact[k] <= 0.05, (k, got[k], exact[k])
+
+
 def test_rejects_non_decomposable(spark, tmp_path):
     src = TxnTable(spark, str(tmp_path / "src"))
     with pytest.raises(ValueError, match="sketch"):
