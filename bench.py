@@ -99,6 +99,14 @@ HEADLINE = [
     "similarity_ivf_recall",
     "value_drift_psi_window",
     "txnlog_metrics_store",
+    # round-8 batch-2 additions: the table-format + compressed-ANN
+    # capabilities — stats-pruned time-range scan over a 6-commit txn
+    # table (pruning cost is driver-side log reads), the two-stage
+    # PQ query (code-only ADC shortlist + broadcast-semi-join exact
+    # re-rank), and the IVF-PQ composition of both ANN levers
+    "txnlog_data_skipping",
+    "similarity_topk_pq_rerank",
+    "similarity_topk_ivfpq_pinned",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
@@ -145,6 +153,11 @@ SLOPE_QUERIES = [
     # users, not per-user event density) and the hourly quantile panel
     "attribution_linear",
     "percentiles_hourly",
+    # round-8 addition: the compressed-ANN two-stage query — encode +
+    # ADC scan are map-side (expect ~linear), the re-rank stage is a
+    # fixed-size broadcast semi-join (vec_id offsets keep pinned
+    # codebook rows 1..8 and query 0 present in the 4x corpus)
+    "similarity_topk_pq_rerank",
 ]
 # Every listed column gets the same per-copy id offset, so join keys
 # stay CONSISTENT within a copy (4 disjoint subgraphs — structure-

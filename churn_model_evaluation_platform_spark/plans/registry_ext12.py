@@ -657,3 +657,102 @@ def q_matview_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_txnlog_matview — the full 100 TB dashboard loop as ONE query:
+# file-drop stream -> exactly-once txn-table ingest (foreachBatch epoch
+# id as the commit batch_id) -> per-batch INCREMENTAL matview refresh
+# -> dashboard read. After the drain, batch 0 is replayed by hand (the
+# crash-between-sink-write-and-checkpoint-commit scenario): the commit
+# log must skip it and the view refresh must be a noop. The oracle is
+# the plain batch aggregate over the source table — any double-append,
+# torn ingest, or fold error breaks the hash — plus pinned last_mode /
+# replay_noop flags proving the incremental path and the exactly-once
+# contract actually executed.
+# ---------------------------------------------------------------------------
+
+_STREAM_MV_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       'incremental' AS last_mode,
+       CAST(TRUE AS BOOLEAN) AS replay_noop
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_txnlog_matview", _STREAM_MV_SQL)
+def q_stream_txnlog_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from pyspark.sql import types as T
+
+    from ..sources.matview import MaterializedAggregate
+    from ..sources.txnlog import TxnTable
+    from .registry import drain_stream
+
+    base = _tmp_table_path(sf_dir, f"streammv_{os.getpid()}")
+    src_dir = f"{base}/drops"
+    os.makedirs(src_dir, exist_ok=True)
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    day = F.dayofmonth("ts")
+    slices = [ev.where(day <= 10), ev.where((day > 10) & (day <= 20)), ev.where(day > 20)]
+    for i, sl in enumerate(slices):
+        tmp = f"{src_dir}/b{i}_tmp"
+        sl.drop("ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src_dir}/b{i}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    t = TxnTable(spark, f"{base}/table")
+    view = MaterializedAggregate(
+        t,
+        f"{base}/view",
+        group_cols=["event_type"],
+        aggs={"n": ("count",), "sum_value": ("sum", "value")},
+    )
+    modes: list[str] = []
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        t.append(batch_df, batch_id=batch_id)
+        modes.append(view.refresh()["mode"])
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_stream(q)
+    # first refresh seeds (full); every later one must be incremental
+    incremental_ok = len(modes) == 3 and all(
+        m == "incremental" for m in modes[1:]
+    )
+    # crash-replay of epoch 0: exactly-once — no new version, noop refresh
+    v_before = t.latest_version()
+    t.append(slices[0].drop("ts"), batch_id=0)
+    replay_noop = (
+        t.latest_version() == v_before and view.refresh()["mode"] == "noop"
+    )
+    return (
+        view.read()
+        .withColumn("sum_value", F.round("sum_value", 2))
+        .withColumn(
+            "last_mode",
+            F.lit("incremental" if incremental_ok else "full"),
+        )
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+    )
