@@ -56,10 +56,19 @@ by the Morton interleave of two columns (functions/zorder.py) so those
 per-file envelopes become tight in BOTH dimensions — Delta's
 ``OPTIMIZE ZORDER BY`` as an ``_rmw`` pointer swap.
 
-Still deliberately NOT Delta: no schema evolution rules beyond
-exact-match, single-table transactions only. The point is the commit
-protocol + skipping, which is the part the platform needs and plain
-parquet lacks. Parity target: the reference's metrics store writes
+Schema governance (Delta-style, r8): the LOG owns the table schema —
+each commit records the (possibly evolved) table schema, appends are
+validated against it per commit ATTEMPT (``schema_mode="exact"``
+rejects any drift; ``"additive"`` lets appends add or omit columns but
+never change a type), and every read pins ``spark.read.schema`` to the
+log's schema, so a mixed-schema history reads deterministically
+(absent columns as NULL) with no footer merging and no
+first-file-wins ambiguity.
+
+Still deliberately NOT Delta: single-table transactions only, no
+column renames/drops (additive evolution only). The point is the
+commit protocol + skipping + schema governance, which is the part the
+platform needs and plain parquet lacks. Parity target: the reference's metrics store writes
 (churn_prediction_pipeline.py:78-84; the 935 double-write) —
 re-expressed with a log so they stop being read-torn.
 """
@@ -136,6 +145,64 @@ class CommitConflict(RuntimeError):
     only if retries are exhausted)."""
 
 
+class SchemaMismatch(ValueError):
+    """An append's schema is incompatible with the table's under the
+    table's ``schema_mode`` — raised BEFORE any data lands."""
+
+
+def _normalize_schema_json(schema) -> str:
+    """Canonical JSON of a StructType: nullable forced True (parquet
+    roundtrips make everything nullable; nullability must not fail a
+    commit), metadata dropped."""
+    from pyspark.sql import types as _T
+
+    return json.dumps(
+        _T.StructType(
+            [_T.StructField(f.name, f.dataType, True) for f in schema.fields]
+        ).jsonValue(),
+        sort_keys=True,
+    )
+
+
+def _evolve_schema(
+    current_json: str | None, df_schema, mode: str, action: str
+) -> str:
+    """The table schema AFTER committing a frame with ``df_schema``.
+    ``overwrite`` (and the first commit) redefines it; ``append``
+    validates: a column present on both sides must keep its exact
+    type; ``additive`` mode lets appends add new columns (evolving the
+    table schema — old files read them as NULL) or omit existing ones
+    (read back as NULL), ``exact`` mode rejects either."""
+    from pyspark.sql import types as _T
+
+    if action == "overwrite" or current_json is None:
+        return _normalize_schema_json(df_schema)
+    cur = _T.StructType.fromJson(json.loads(current_json))
+    cur_types = {f.name: f.dataType for f in cur.fields}
+    added = []
+    for f in df_schema.fields:
+        have = cur_types.get(f.name)
+        if have is None:
+            added.append(f)
+        elif have != f.dataType:
+            raise SchemaMismatch(
+                f"column {f.name!r}: table has {have.simpleString()}, "
+                f"append has {f.dataType.simpleString()} — type changes "
+                "are never allowed (rewrite via overwrite/merge instead)"
+            )
+    missing = sorted(set(cur_types) - {f.name for f in df_schema.fields})
+    if mode == "exact" and (added or missing):
+        raise SchemaMismatch(
+            "append schema differs from the table schema "
+            f"(new columns: {[f.name for f in added]}, missing columns: "
+            f"{missing}); use schema_mode='additive' to evolve"
+        )
+    evolved = list(cur.fields) + [
+        _T.StructField(f.name, f.dataType, True) for f in added
+    ]
+    return _normalize_schema_json(_T.StructType(evolved))
+
+
 class TxnTable:
     """Handle on a transactional parquet table rooted at ``path``."""
 
@@ -146,17 +213,34 @@ class TxnTable:
         max_retries: int = 10,
         checkpoint_interval: int = 10,
         stats_columns: list[str] | None = None,
+        schema_mode: str = "exact",
     ):
         """``stats_columns``: columns to record per-file min/max stats
         for on every commit (data skipping). ``None`` = the first
         ``_STATS_MAX_COLS`` atomic columns (Delta's default posture);
         ``[]`` disables stats collection entirely — scans still work,
-        nothing prunes."""
+        nothing prunes.
+
+        ``schema_mode``: the LOG owns the table schema (recorded per
+        commit, Delta-style) and every read pins ``spark.read.schema``
+        to it — no footer merging, no first-file-wins ambiguity.
+        ``"exact"`` (default) rejects appends whose columns differ from
+        the table's; ``"additive"`` allows appends to ADD new columns
+        (table schema evolves; old files read the new columns as NULL)
+        and to OMIT existing ones (read back as NULL), but never to
+        change a column's type. ``overwrite`` always redefines the
+        schema — it starts a new table content-wise."""
+        if schema_mode not in ("exact", "additive"):
+            raise ValueError(
+                f"schema_mode must be 'exact' or 'additive', got "
+                f"{schema_mode!r}"
+            )
         self.spark = spark
         self.path = path.rstrip("/")
         self.max_retries = max_retries
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.stats_columns = stats_columns
+        self.schema_mode = schema_mode
         fs, root = _fs_and_path(spark, self.path)
         self._fs = fs
         self._jvm = spark._jvm
@@ -235,6 +319,7 @@ class TxnTable:
         live: list[str] = []
         batch_ids: set = set()
         stats: dict = {}
+        schema: str | None = None
         base = 0
         usable = [c for c in ckpt_versions if target is not None and c <= target]
         if usable:
@@ -245,10 +330,11 @@ class TxnTable:
                 # pre-stats checkpoints lack the key: files stay
                 # unprunable (conservative), never wrong
                 stats = dict(ck.get("stats", {}))
+                schema = ck.get("schema")
                 base = usable[-1]
             except Exception:
                 base = 0  # unreadable checkpoint: fall back to full replay
-                live, batch_ids, stats = [], set(), {}
+                live, batch_ids, stats, schema = [], set(), {}, None
         for c in self._commits(since=base, until=target):
             if c["action"] == "overwrite":
                 live = list(c["added"])
@@ -258,11 +344,14 @@ class TxnTable:
                 stats.update(c.get("stats", {}))
             if c.get("batch_id") is not None:
                 batch_ids.add(c["batch_id"])
+            # pre-schema commits carry no key: keep the last known one
+            schema = c.get("table_schema") or schema
         return {
             "live": live,
             "batch_ids": batch_ids,
             "latest": latest,
             "stats": stats,
+            "schema": schema,
         }
 
     def versions(self) -> list[int]:
@@ -406,6 +495,7 @@ class TxnTable:
         batch_id=None,
         require_latest: int | None = _UNCHECKED,
         stats: dict | None = None,
+        df_schema=None,
     ) -> int:
         """Claim the next version. ``require_latest`` (a version number
         or None-for-empty-table) asserts the table has NOT advanced
@@ -427,6 +517,16 @@ class TxnTable:
                     f"and retry ({self.path})"
                 )
             version = (latest or 0) + 1
+            # schema validated per ATTEMPT against the state this commit
+            # will actually land on — a rival writer evolving the schema
+            # mid-flight is re-checked, not clobbered
+            table_schema = (
+                _evolve_schema(
+                    state["schema"], df_schema, self.schema_mode, action
+                )
+                if df_schema is not None
+                else None
+            )
             payload = {
                 "version": version,
                 "action": action,
@@ -434,6 +534,7 @@ class TxnTable:
                 "batch_id": batch_id,
                 "committed_at": time.time(),
                 "stats": stats or {},
+                "table_schema": table_schema,
             }
             if self._try_commit(version, payload):
                 if version % self.checkpoint_interval == 0:
@@ -467,6 +568,7 @@ class TxnTable:
             "live": live,
             "batch_ids": sorted(batch_ids, key=repr),
             "stats": stats,
+            "schema": payload.get("table_schema") or prior.get("schema"),
         }
         try:
             tmp = self._jpath(
@@ -489,13 +591,24 @@ class TxnTable:
         from a streaming sink."""
         if batch_id is not None and batch_id in self.batch_ids():
             return self.latest_version()  # skip data write too
+        # fail fast: validate BEFORE materializing any data files (the
+        # same check re-runs inside _commit against the state each
+        # attempt actually lands on)
+        _evolve_schema(
+            self._state()["schema"], df.schema, self.schema_mode, "append"
+        )
         added, stats = self._write_data(df)
-        return self._commit("append", added, batch_id, stats=stats)
+        return self._commit(
+            "append", added, batch_id, stats=stats, df_schema=df.schema
+        )
 
     def overwrite(self, df: DataFrame, batch_id=None) -> int:
-        """Replace the whole table content in one atomic pointer write."""
+        """Replace the whole table content in one atomic pointer write.
+        Always redefines the table schema — content-wise a new table."""
         added, stats = self._write_data(df)
-        return self._commit("overwrite", added, batch_id, stats=stats)
+        return self._commit(
+            "overwrite", added, batch_id, stats=stats, df_schema=df.schema
+        )
 
     def _rmw(self, transform, rmw_retries: int = 3) -> int:
         """Read-modify-write with LOST-UPDATE protection: remember the
@@ -515,6 +628,7 @@ class TxnTable:
                     added,
                     require_latest=base,
                     stats=stats,
+                    df_schema=out.schema,
                 )
             except CommitConflict as e:  # table advanced — recompute
                 last_err = e
@@ -547,18 +661,33 @@ class TxnTable:
 
     # -- read path ---------------------------------------------------------
 
+    def _read_files(self, state: dict, rels: list[str]) -> DataFrame:
+        """Read ``rels`` pinned to the LOG's table schema (Delta-style:
+        the log owns the schema, so a mixed-schema history — additive
+        evolution — reads deterministically with absent columns as
+        NULL, no footer merging, no first-file-wins ambiguity).
+        Pre-schema tables (no recorded schema) read plain."""
+        reader = self.spark.read
+        if state.get("schema"):
+            from pyspark.sql import types as _T
+
+            reader = reader.schema(
+                _T.StructType.fromJson(json.loads(state["schema"]))
+            )
+        return reader.parquet(*[f"{self.path}/{rel}" for rel in rels])
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         """DataFrame over exactly the files live at ``version``
-        (default: latest). The file list is resolved NOW — the returned
-        plan is pinned to this snapshot and unaffected by later
-        commits."""
-        files = self.files(version)
-        if not files:
+        (default: latest). The file list AND the table schema are
+        resolved NOW from the log — the returned plan is pinned to this
+        snapshot and unaffected by later commits."""
+        st = self._state(version)
+        if not st["live"]:
             raise ValueError(
                 f"TxnTable at {self.path} has no committed data"
                 + (f" at version {version}" if version is not None else "")
             )
-        return self.spark.read.parquet(*files)
+        return self._read_files(st, st["live"])
 
     def scan(
         self, where: list[tuple] | None = None, version: int | None = None
@@ -590,13 +719,9 @@ class TxnTable:
             if _file_may_match(st["stats"].get(rel), preds)
         ]
         if kept:
-            df = self.spark.read.parquet(
-                *[f"{self.path}/{rel}" for rel in kept]
-            )
+            df = self._read_files(st, kept)
         else:  # everything pruned: empty frame, table schema preserved
-            df = self.spark.read.parquet(
-                *[f"{self.path}/{rel}" for rel in st["live"]]
-            ).limit(0)
+            df = self._read_files(st, st["live"]).limit(0)
         residual = _residual_filter(preds)
         return df.filter(residual) if residual is not None else df
 
@@ -782,4 +907,9 @@ def foreach_batch_appender(table: TxnTable):
     return _append
 
 
-__all__ = ["CommitConflict", "TxnTable", "foreach_batch_appender"]
+__all__ = [
+    "CommitConflict",
+    "SchemaMismatch",
+    "TxnTable",
+    "foreach_batch_appender",
+]

@@ -138,19 +138,16 @@ def test_rmw_conflict_forces_recompute_not_lost_update(spark, table):
     real_commit = table._commit
     interleaved = {"done": False}
 
-    def racing_commit(action, added, batch_id=None, require_latest=None, stats=None):
+    def racing_commit(action, added, **kw):
         if not interleaved["done"]:
             interleaved["done"] = True
             # rival append lands AFTER the snapshot was resolved
-            rival_added, rival_stats = table._write_data(_frame(spark, 100, 103))
-            real_commit("append", rival_added, stats=rival_stats)
-        return real_commit(
-            action,
-            added,
-            batch_id=batch_id,
-            require_latest=require_latest,
-            stats=stats,
-        )
+            rival = _frame(spark, 100, 103)
+            rival_added, rival_stats = table._write_data(rival)
+            real_commit(
+                "append", rival_added, stats=rival_stats, df_schema=rival.schema
+            )
+        return real_commit(action, added, **kw)
 
     table._commit = racing_commit
     table.compact(partitions=1)
