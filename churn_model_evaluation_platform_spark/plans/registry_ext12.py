@@ -756,3 +756,79 @@ def q_stream_txnlog_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("replay_noop", F.lit(bool(replay_noop)))
     )
+
+
+# ---------------------------------------------------------------------------
+# matview_stats_panel — the drift-dashboard statistics maintained
+# INCREMENTALLY: sample stddev/variance fold as (sum, sum-of-squares,
+# count) partials; the p90 folds as a mergeable bounded-range histogram
+# sketch (error <= half a bin width vs the ceil(p*n)-th order
+# statistic — the sketch's stated convention). Oracle: DuckDB's
+# stddev_samp/var_samp over the same rows (different summation
+# algorithm — the rounded agreement IS the evidence the ssq fold
+# didn't lose precision) plus the p90 band claim, with the exact order
+# statistic computed Spark-side from the snapshot.
+# ---------------------------------------------------------------------------
+
+_STATS_PANEL_SQL = """
+SELECT event_type,
+       round(stddev_samp(value), 6) AS stddev_value,
+       round(var_samp(value), 6) AS var_value,
+       CAST(TRUE AS BOOLEAN) AS p90_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("matview_stats_panel", _STATS_PANEL_SQL)
+def q_matview_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..sources.matview import MaterializedAggregate
+    from ..sources.txnlog import TxnTable
+
+    path = _tmp_table_path(sf_dir, "matviewstats")
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    t = TxnTable(spark, f"{path}/src")
+    qopts = {"p": 0.9, "lo": 0.0, "hi": 600.0, "bins": 60}
+    view = MaterializedAggregate(
+        t,
+        f"{path}/view",
+        group_cols=["event_type"],
+        aggs={
+            "stddev_value": ("stddev", "value"),
+            "var_value": ("var", "value"),
+            "p90_est": ("approx_quantile", "value", qopts),
+        },
+    )
+    day = F.dayofmonth("ts")
+    t.append(ev.where(day <= 15).drop("ts"))
+    view.refresh()
+    t.append(ev.where(day > 15).drop("ts"))
+    view.refresh()
+    width = (qopts["hi"] - qopts["lo"]) / qopts["bins"]
+    # exact ceil(p*n)-th order statistic per group, computed from the
+    # snapshot (audit side only — the production number is the sketch)
+    exact = (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.element_at(
+                F.sort_array(F.collect_list("value")),
+                F.ceil(F.lit(qopts["p"]) * F.count("value")).cast("int"),
+            ).alias("p90_exact")
+        )
+    )
+    return (
+        view.read()
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round("stddev_value", 6).alias("stddev_value"),
+            F.round("var_value", 6).alias("var_value"),
+            (
+                F.abs(F.col("p90_est") - F.col("p90_exact"))
+                <= F.lit(width / 2 + 1e-9)
+            ).alias("p90_ok"),
+        )
+    )

@@ -43,7 +43,19 @@ from pyspark.sql import functions as F
 
 from .txnlog import TxnTable
 
-_SUPPORTED = ("count", "sum", "min", "max", "avg", "approx_distinct")
+_SUPPORTED = (
+    "count",
+    "sum",
+    "min",
+    "max",
+    "avg",
+    "var",
+    "stddev",
+    "approx_distinct",
+    "approx_quantile",
+)
+
+_DEFAULT_QBINS = 64
 
 
 class MaterializedAggregate:
@@ -67,13 +79,32 @@ class MaterializedAggregate:
             if not spec or spec[0] not in _SUPPORTED:
                 raise ValueError(
                     f"aggregate {name!r}: {spec!r} not in {_SUPPORTED} — "
-                    "non-decomposable aggregates (median, exact count "
-                    "distinct) cannot be folded incrementally; distinct "
-                    "counts fold as 'approx_distinct' (an HLL sketch), "
-                    "quantiles need a sketch structure this view doesn't "
-                    "carry"
+                    "non-decomposable aggregates (exact median, exact "
+                    "count distinct) cannot be folded incrementally; "
+                    "distinct counts fold as 'approx_distinct' (an HLL "
+                    "sketch), quantiles as 'approx_quantile' (a mergeable "
+                    "bounded-range histogram sketch)"
                 )
-            if spec[0] != "count" and len(spec) != 2:
+            if spec[0] == "approx_quantile":
+                if len(spec) != 3 or not isinstance(spec[2], dict):
+                    raise ValueError(
+                        f"aggregate {name!r}: approx_quantile takes "
+                        "(col, {'p': q, 'lo': lo, 'hi': hi[, 'bins': n]}) — "
+                        "the [lo, hi] range bounds the sketch's error at "
+                        "(hi-lo)/bins"
+                    )
+                opts = spec[2]
+                missing = [k for k in ("p", "lo", "hi") if k not in opts]
+                if missing:
+                    raise ValueError(
+                        f"aggregate {name!r}: approx_quantile opts missing "
+                        f"{missing}"
+                    )
+                if not (0.0 < float(opts["p"]) < 1.0):
+                    raise ValueError(f"aggregate {name!r}: p must be in (0,1)")
+                if not float(opts["lo"]) < float(opts["hi"]):
+                    raise ValueError(f"aggregate {name!r}: need lo < hi")
+            elif spec[0] != "count" and len(spec) != 2:
                 raise ValueError(f"aggregate {name!r}: {spec!r} needs a column")
         self.source = source
         self.group_cols = list(group_cols)
@@ -102,6 +133,17 @@ class MaterializedAggregate:
                         f"__cnt_{name}"
                     )
                 )
+            elif kind in ("var", "stddev"):
+                # algebraic: (sum, sum of squares, non-null count).
+                # Textbook ssq form, not Welford — folding partials is
+                # exact either way; the cancellation caveat only bites
+                # when |mean| >> stddev, documented
+                c = F.col(spec[1]).cast("double")
+                out.append(F.sum(c).alias(f"__sum_{name}"))
+                out.append(F.sum(c * c).alias(f"__ssq_{name}"))
+                out.append(
+                    F.count(F.when(c.isNotNull(), 1)).alias(f"__cnt_{name}")
+                )
             elif kind == "approx_distinct":
                 # DataSketches HLL: the state IS mergeable — per-bucket
                 # register max is associative/commutative, so any
@@ -110,7 +152,37 @@ class MaterializedAggregate:
                 out.append(
                     F.hll_sketch_agg(spec[1]).alias(f"__hll_{name}")
                 )
+            elif kind == "approx_quantile":
+                # mergeable bounded-range histogram: bin counts are a
+                # vector the fold adds elementwise — like the HLL, any
+                # grouping of rows into partials sums to the IDENTICAL
+                # state a single pass would build. Error <= bin width
+                # = (hi-lo)/bins; out-of-range values clamp to the
+                # edge bins (quantile then saturates at lo/hi)
+                bucket = self._qbucket(spec)
+                nbins = int(spec[2].get("bins", _DEFAULT_QBINS))
+                out.append(
+                    F.array(
+                        *[
+                            F.sum(
+                                F.when(bucket == i, 1).otherwise(0)
+                            ).cast("long")
+                            for i in range(nbins)
+                        ]
+                    ).alias(f"__qh_{name}")
+                )
         return out
+
+    @staticmethod
+    def _qbucket(spec: tuple):
+        opts = spec[2]
+        lo, hi = float(opts["lo"]), float(opts["hi"])
+        nbins = int(opts.get("bins", _DEFAULT_QBINS))
+        width = (hi - lo) / nbins
+        raw = F.floor((F.col(spec[1]).cast("double") - F.lit(lo)) / F.lit(width))
+        return F.least(
+            F.lit(nbins - 1), F.greatest(F.lit(0), raw)
+        ).cast("int")
 
     def _fold_exprs(self) -> list:
         """Fold partial columns across state ∪ delta: counts/sums add,
@@ -129,9 +201,25 @@ class MaterializedAggregate:
             elif kind == "avg":
                 out.append(F.sum(f"__sum_{name}").alias(f"__sum_{name}"))
                 out.append(F.sum(f"__cnt_{name}").alias(f"__cnt_{name}"))
+            elif kind in ("var", "stddev"):
+                out.append(F.sum(f"__sum_{name}").alias(f"__sum_{name}"))
+                out.append(F.sum(f"__ssq_{name}").alias(f"__ssq_{name}"))
+                out.append(F.sum(f"__cnt_{name}").alias(f"__cnt_{name}"))
             elif kind == "approx_distinct":
                 out.append(
                     F.hll_union_agg(f"__hll_{name}").alias(f"__hll_{name}")
+                )
+            elif kind == "approx_quantile":
+                nbins = int(spec[2].get("bins", _DEFAULT_QBINS))
+                out.append(
+                    F.array(
+                        *[
+                            F.sum(F.element_at(f"__qh_{name}", i + 1)).cast(
+                                "long"
+                            )
+                            for i in range(nbins)
+                        ]
+                    ).alias(f"__qh_{name}")
                 )
         return out
 
@@ -215,11 +303,74 @@ class MaterializedAggregate:
                         / F.nullif(F.col(f"__cnt_{name}"), F.lit(0))
                     ).alias(name)
                 )
+            elif kind in ("var", "stddev"):
+                n = F.col(f"__cnt_{name}")
+                # (ssq − sum²/n)/(n−1), clamped at 0 (float cancellation
+                # can go a hair negative); n<2 → NULL, not a 0/0 error
+                var = F.greatest(
+                    F.lit(0.0),
+                    (
+                        F.col(f"__ssq_{name}")
+                        - F.col(f"__sum_{name}") * F.col(f"__sum_{name}")
+                        / n.cast("double")
+                    )
+                    / (n - 1).cast("double"),
+                )
+                var = F.when(n >= 2, var)
+                cols.append(
+                    (F.sqrt(var) if kind == "stddev" else var).alias(name)
+                )
             elif kind == "approx_distinct":
                 cols.append(
                     F.hll_sketch_estimate(F.col(f"__hll_{name}")).alias(name)
                 )
+            elif kind == "approx_quantile":
+                cols.append(self._qread(name, spec).alias(name))
         return self.state.snapshot().select(*cols)
+
+    @staticmethod
+    def _qread(name: str, spec: tuple):
+        """Histogram → quantile estimate, pure Catalyst: one HOF fold
+        finds the first bin whose cumulative count reaches ceil(p·n);
+        the estimate is that bin's midpoint. Convention: this targets
+        the ceil(p·n)-th ORDER STATISTIC (the lower empirical
+        quantile, type-1 in the Hyndman–Fan taxonomy), not an
+        interpolated percentile — the estimate is within half a bin
+        width of that order statistic (tested)."""
+        opts = spec[2]
+        lo, hi = float(opts["lo"]), float(opts["hi"])
+        nbins = int(opts.get("bins", _DEFAULT_QBINS))
+        width = (hi - lo) / nbins
+        p = float(opts["p"])
+        arr = F.col(f"__qh_{name}")
+        total = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        target = F.ceil(F.lit(p) * total.cast("double")).cast("long")
+        init = F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(-1).alias("idx"),
+            F.lit(0).alias("pos"),
+        )
+        scan = F.aggregate(
+            arr,
+            init,
+            lambda a, x: F.struct(
+                (a["cum"] + x).alias("cum"),
+                F.when(a["idx"] >= 0, a["idx"])
+                .otherwise(
+                    F.when(a["cum"] + x >= target, a["pos"]).otherwise(
+                        F.lit(-1)
+                    )
+                )
+                .alias("idx"),
+                (a["pos"] + 1).alias("pos"),
+            ),
+        )
+        return F.when(
+            total > 0,
+            F.lit(lo) + (scan["idx"].cast("double") + 0.5) * F.lit(width),
+        )
 
 
 __all__ = ["MaterializedAggregate"]

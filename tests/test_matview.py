@@ -206,6 +206,106 @@ def test_hll_incremental_equals_single_pass(spark, tmp_path):
         assert abs(got[k] - exact[k]) / exact[k] <= 0.05, (k, got[k], exact[k])
 
 
+def test_var_stddev_incremental(spark, tmp_path):
+    src = TxnTable(spark, str(tmp_path / "src"))
+    view = MaterializedAggregate(
+        src,
+        str(tmp_path / "view"),
+        group_cols=["k"],
+        aggs={"sd": ("stddev", "v"), "vr": ("var", "v")},
+    )
+    src.append(_batch(spark, 0, 60))
+    view.refresh()
+    src.append(_batch(spark, 60, 200))
+    assert view.refresh()["mode"] == "incremental"
+    got = {r["k"]: r for r in view.read().collect()}
+    want = {
+        r["k"]: r
+        for r in src.snapshot()
+        .groupBy("k")
+        .agg(F.stddev("v").alias("sd"), F.var_samp("v").alias("vr"))
+        .collect()
+    }
+    for k, w in want.items():
+        assert math.isclose(got[k]["sd"], w["sd"], rel_tol=1e-9)
+        assert math.isclose(got[k]["vr"], w["vr"], rel_tol=1e-9)
+
+
+def test_var_single_row_group_is_null(spark, tmp_path):
+    from pyspark.sql import Row
+
+    src = TxnTable(spark, str(tmp_path / "src"))
+    view = MaterializedAggregate(
+        src, str(tmp_path / "view"), ["k"], {"vr": ("var", "v")}
+    )
+    src.append(
+        spark.createDataFrame(
+            [Row(k="solo", v=3.0), Row(k="duo", v=1.0), Row(k="duo", v=2.0)],
+            "k string, v double",
+        )
+    )
+    view.refresh()
+    got = {r["k"]: r["vr"] for r in view.read().collect()}
+    assert got["solo"] is None  # n < 2: undefined, not a 0/0 crash
+    assert math.isclose(got["duo"], 0.5)
+
+
+def test_approx_quantile_incremental_and_bounds(spark, tmp_path):
+    src = TxnTable(spark, str(tmp_path / "src"))
+    qopts = {"p": 0.9, "lo": 0.0, "hi": 300.0, "bins": 100}
+    view = MaterializedAggregate(
+        src,
+        str(tmp_path / "view"),
+        group_cols=["k"],
+        aggs={"p90": ("approx_quantile", "v", qopts)},
+    )
+    src.append(_batch(spark, 0, 70))
+    view.refresh()
+    src.append(_batch(spark, 70, 200))
+    assert view.refresh()["mode"] == "incremental"
+    got = {r["k"]: r["p90"] for r in view.read().collect()}
+    # identical to the single-pass sketch (mergeable state)...
+    single = MaterializedAggregate(
+        src,
+        str(tmp_path / "view2"),
+        group_cols=["k"],
+        aggs={"p90": ("approx_quantile", "v", qopts)},
+    )
+    single.refresh()
+    assert got == {r["k"]: r["p90"] for r in single.read().collect()}
+    # ...and within half a bin width of the ceil(p*n)-th order
+    # statistic (the sketch's stated convention)
+    width = (qopts["hi"] - qopts["lo"]) / qopts["bins"]
+    vals: dict[str, list[float]] = {}
+    for r in src.snapshot().collect():
+        vals.setdefault(r["k"], []).append(r["v"])
+    for k, vs in vals.items():
+        vs.sort()
+        os_ = vs[math.ceil(qopts["p"] * len(vs)) - 1]
+        assert abs(got[k] - os_) <= width / 2 + 1e-9, (k, got[k], os_)
+
+
+def test_approx_quantile_clamps_out_of_range(spark, tmp_path):
+    from pyspark.sql import Row
+
+    src = TxnTable(spark, str(tmp_path / "src"))
+    view = MaterializedAggregate(
+        src,
+        str(tmp_path / "view"),
+        ["k"],
+        {"p50": ("approx_quantile", "v", {"p": 0.5, "lo": 0.0, "hi": 10.0, "bins": 10})},
+    )
+    src.append(
+        spark.createDataFrame(
+            [Row(k="a", v=-100.0), Row(k="a", v=500.0), Row(k="a", v=500.0)],
+            "k string, v double",
+        )
+    )
+    view.refresh()
+    (row,) = view.read().collect()
+    assert 9.0 <= row["p50"] <= 10.0  # saturates at the hi edge bin
+
+
 def test_rejects_non_decomposable(spark, tmp_path):
     src = TxnTable(spark, str(tmp_path / "src"))
     with pytest.raises(ValueError, match="sketch"):
@@ -216,3 +316,21 @@ def test_rejects_non_decomposable(spark, tmp_path):
         MaterializedAggregate(src, str(tmp_path / "v"), ["k"], {"s": ("sum",)})
     with pytest.raises(ValueError, match="at least one"):
         MaterializedAggregate(src, str(tmp_path / "v"), ["k"], {})
+    with pytest.raises(ValueError, match="approx_quantile takes"):
+        MaterializedAggregate(
+            src, str(tmp_path / "v"), ["k"], {"q": ("approx_quantile", "v")}
+        )
+    with pytest.raises(ValueError, match="missing \\['hi'\\]"):
+        MaterializedAggregate(
+            src,
+            str(tmp_path / "v"),
+            ["k"],
+            {"q": ("approx_quantile", "v", {"p": 0.5, "lo": 0.0})},
+        )
+    with pytest.raises(ValueError, match="p must be"):
+        MaterializedAggregate(
+            src,
+            str(tmp_path / "v"),
+            ["k"],
+            {"q": ("approx_quantile", "v", {"p": 1.5, "lo": 0.0, "hi": 1.0})},
+        )
