@@ -471,3 +471,97 @@ def lm_score(
             ),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones; the Okapi
+    formula): top-``k`` docs for a bag of query terms, scored
+
+        Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). The IR-depth
+    complement to ``tfidf_top_terms`` (which characterizes docs;
+    this RANKS them for a query) — the retrieval half of a RAG-style
+    corpus pipeline.
+
+    Plan shape: token lengths ride along from the same projection that
+    explodes tokens (no second doc-table join); the explode is
+    immediately filtered to the query's terms, so everything after the
+    scan is bounded by docs-containing-a-term, not corpus tokens; the
+    (term, df) table is |query| rows, broadcast; corpus N/avgdl is a
+    single-row broadcast crossJoin (the established scalar pattern);
+    the final ranking is TakeOrderedAndProject. Per-term weights are
+    rounded before the sum and the summed score re-rounded, so
+    libm-vs-JVM ln noise and addition order cannot flip the ranking
+    (the tfidf_top_terms parity recipe).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    corpus = base.select(
+        F.col(id_col), F.size("__toks").alias("__dl"), F.col("__toks")
+    )
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        corpus.select(
+            id_col, "__dl", F.explode("__toks").alias("token")
+        )
+        .where(F.col("token").isin(terms))
+        .groupBy(id_col, "__dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__w",
+            F.round(
+                F.col("__idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b * F.col("__dl") / F.col("__avgdl")
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__w"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )
