@@ -887,3 +887,42 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=_BM25_K
     )
+
+
+# ---------------------------------------------------------------------------
+# txnlog_describe_history — Delta's DESCRIBE HISTORY analog, built
+# ENTIRELY from the commit log (zero data IO): per commit, the action
+# and the rows it added (from the commit's recorded stats). The oracle
+# predicts the whole history arithmetically from the source table —
+# six 5-day appends land their bucket's row count at versions 1..6,
+# the compaction overwrite lands the total at version 7 — so a stats
+# under/over-count, a lost commit, or a replay that landed all break
+# the hash.
+# ---------------------------------------------------------------------------
+
+_HISTORY_SQL = """
+WITH b AS (
+  SELECT CAST(floor((day(ts) - 1) / 5) AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT CAST(bucket + 1 AS BIGINT) AS version, 'append' AS action, n AS rows_added
+FROM b
+UNION ALL
+SELECT 7, 'overwrite', (SELECT CAST(count(*) AS BIGINT) FROM events)
+"""
+
+
+@register("txnlog_describe_history", _HISTORY_SQL)
+def q_txnlog_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog import TxnTable
+
+    path = _tmp_table_path(sf_dir, "txnhistory")
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    t = TxnTable(spark, path)
+    bucket = F.floor((F.dayofmonth("ts") - 1) / 5)
+    for b in range(6):
+        t.append(ev.where(bucket == b), batch_id=b)
+    t.append(ev.where(bucket == 2), batch_id=2)  # replay: must NOT land
+    t.compact(partitions=2)
+    return t.history().select("version", "action", "rows_added")

@@ -760,6 +760,44 @@ class TxnTable:
 
         return self._rmw(lambda snap: zorder_by(snap, x, y, partitions))
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY: one row per commit — version, action,
+        file count, rows added (from the commit's recorded stats;
+        NULL for pre-stats commits), batch id. Built ENTIRELY from the
+        log (driver-side O(#commits) tiny JSON reads, zero data IO) —
+        the operational audit a store admin reads before trusting a
+        table: ingest cadence, replay gaps, compactions."""
+        from pyspark.sql import types as _T
+
+        rows = []
+        for c in self._commits():
+            stats = c.get("stats") or {}
+            rows_added = (
+                sum(int(e.get("rows", 0)) for e in stats.values())
+                if stats
+                else None
+            )
+            b = c.get("batch_id")
+            rows.append(
+                (
+                    int(c["version"]),
+                    str(c["action"]),
+                    len(c.get("added", [])),
+                    rows_added,
+                    None if b is None else str(b),
+                )
+            )
+        schema = _T.StructType(
+            [
+                _T.StructField("version", _T.LongType(), False),
+                _T.StructField("action", _T.StringType(), False),
+                _T.StructField("n_files", _T.IntegerType(), False),
+                _T.StructField("rows_added", _T.LongType(), True),
+                _T.StructField("batch_id", _T.StringType(), True),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def vacuum(self, retention_seconds: float = 24 * 3600) -> int:
         """Delete data directories referenced by NO commit (failed
         commit attempts whose pointer write lost the race). Returns the

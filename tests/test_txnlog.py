@@ -252,3 +252,22 @@ def test_log_checkpoint_accelerates_and_preserves_semantics(spark, tmp_path):
     assert sorted(map(tuple, t.snapshot().collect())) == sorted(
         map(tuple, plain.snapshot().collect())
     )
+
+
+def test_history_metadata_only(spark, table):
+    table.append(_frame(spark, 0, 5), batch_id="b0")
+    table.append(_frame(spark, 5, 8))
+    table.compact(partitions=1)
+    h = {r["version"]: r for r in table.history().collect()}
+    assert set(h) == {1, 2, 3}
+    assert (h[1]["action"], h[1]["rows_added"], h[1]["batch_id"]) == (
+        "append",
+        5,
+        "b0",
+    )
+    assert (h[2]["action"], h[2]["rows_added"], h[2]["batch_id"]) == (
+        "append",
+        3,
+        None,
+    )
+    assert (h[3]["action"], h[3]["rows_added"]) == ("overwrite", 8)
