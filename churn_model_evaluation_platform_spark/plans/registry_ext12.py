@@ -926,3 +926,92 @@ def q_txnlog_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(ev.where(bucket == 2), batch_id=2)  # replay: must NOT land
     t.compact(partitions=2)
     return t.history().select("version", "action", "rows_added")
+
+
+# ---------------------------------------------------------------------------
+# txnlog_delete_where / txnlog_update_where — copy-on-write DML with
+# stats-bounded rewrites: DELETE/UPDATE prune the live file set to the
+# files that MAY contain matching rows and rewrite only those,
+# re-referencing the rest (Delta's mechanism; cost is O(files that may
+# match), not O(table)). The oracle predicts both the surviving /
+# updated content AND files_rewritten — the same distinct-5-day-bucket
+# arithmetic as txnlog_data_skipping, but now certifying the WRITE
+# path's pruning.
+# ---------------------------------------------------------------------------
+
+def _six_bucket_table(spark, sf_dir: str, tag: str):
+    from ..sources.txnlog import TxnTable
+
+    path = _tmp_table_path(sf_dir, tag)
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    t = TxnTable(spark, path)
+    bucket = F.floor((F.dayofmonth("ts") - 1) / 5)
+    for b in range(6):
+        t.append(ev.where(bucket == b).coalesce(1), batch_id=b)
+    return t
+
+
+_DELETE_SQL = f"""
+WITH hit AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '{_SKIP_LO} 00:00:00'
+    AND ts <  TIMESTAMP '{_SKIP_HI} 00:00:00'
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       (SELECT CAST(count(DISTINCT floor((day(ts) - 1) / 5)) AS BIGINT)
+        FROM hit) AS files_rewritten
+FROM events
+WHERE NOT (ts >= TIMESTAMP '{_SKIP_LO} 00:00:00'
+           AND ts < TIMESTAMP '{_SKIP_HI} 00:00:00')
+GROUP BY event_type
+"""
+
+
+@register("txnlog_delete_where", _DELETE_SQL)
+def q_txnlog_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _six_bucket_table(spark, sf_dir, "txndelete")
+    rep = t.delete([("ts", ">=", _SKIP_LO), ("ts", "<", _SKIP_HI)])
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn(
+            "files_rewritten", F.lit(rep["files_rewritten"]).cast("long")
+        )
+    )
+
+
+_UPDATE_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN ts >= TIMESTAMP '{_SKIP_LO} 00:00:00'
+                       AND ts <  TIMESTAMP '{_SKIP_HI} 00:00:00'
+                      THEN value * 2 ELSE value END), 2) AS sum_value,
+       (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE ts >= TIMESTAMP '{_SKIP_LO} 00:00:00'
+          AND ts <  TIMESTAMP '{_SKIP_HI} 00:00:00') AS n_updated
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("txnlog_update_where", _UPDATE_SQL)
+def q_txnlog_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _six_bucket_table(spark, sf_dir, "txnupdate")
+    where = [("ts", ">=", _SKIP_LO), ("ts", "<", _SKIP_HI)]
+    pre = t.scan(where).count()  # rows the predicate hits (for the audit)
+    t.update(where, {"value": F.col("value") * 2})
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("n_updated", F.lit(pre).cast("long"))
+    )

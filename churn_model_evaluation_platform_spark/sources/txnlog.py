@@ -760,6 +760,107 @@ class TxnTable:
 
         return self._rmw(lambda snap: zorder_by(snap, x, y, partitions))
 
+    def _cow_rewrite(self, preds: list[tuple], transform) -> dict:
+        """Copy-on-write DML core (DELETE/UPDATE): stats-prune the live
+        set to the files that MAY contain matching rows, rewrite ONLY
+        those through ``transform``, and commit untouched + rewritten
+        as one atomic overwrite CONDITIONAL on the base version (the
+        same lost-update protection as ``_rmw``). Untouched files are
+        re-referenced by relpath — no data movement; ``vacuum`` keeps
+        them because the new commit references them. At 100 TB this is
+        the whole point of per-file stats on the write path: a
+        predicate-scoped DELETE costs O(files that may match), not
+        O(table)."""
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            st = self._state()
+            if not st["live"]:
+                raise ValueError(
+                    f"TxnTable at {self.path} has no committed data"
+                )
+            base = st["latest"]
+            touched = [
+                rel
+                for rel in st["live"]
+                if _file_may_match(st["stats"].get(rel), preds)
+            ]
+            untouched = [rel for rel in st["live"] if rel not in set(touched)]
+            if not touched:
+                return {
+                    "version": base,
+                    "files_rewritten": 0,
+                    "files_untouched": len(untouched),
+                }
+            rewritten_df = transform(self._read_files(st, touched))
+            added, stats = self._write_data(rewritten_df)
+            merged_stats = {
+                rel: st["stats"][rel]
+                for rel in untouched
+                if rel in st["stats"]
+            }
+            merged_stats.update(stats)
+            try:
+                version = self._commit(
+                    "overwrite",
+                    untouched + added,
+                    require_latest=base,
+                    stats=merged_stats,
+                    df_schema=rewritten_df.schema,
+                )
+                return {
+                    "version": version,
+                    "files_rewritten": len(touched),
+                    "files_untouched": len(untouched),
+                }
+            except CommitConflict as e:  # table advanced: recompute
+                last_err = e
+        raise last_err  # pragma: no cover - needs 3 straight rivals
+
+    def delete(self, where: list[tuple]) -> dict:
+        """DELETE WHERE: SQL semantics — rows where the predicate is
+        TRUE are removed; rows where it is NULL are KEPT (a bare
+        ``~pred`` filter would silently drop them). Returns
+        ``{version, files_rewritten, files_untouched}``."""
+        preds = _validate_where(where)
+        if not preds:
+            raise ValueError(
+                "delete() requires a predicate; use overwrite() to "
+                "truncate deliberately"
+            )
+        cond = _residual_filter(preds)
+        return self._cow_rewrite(
+            preds,
+            lambda df: df.filter(~F.coalesce(cond, F.lit(False))),
+        )
+
+    def update(self, where: list[tuple], set_exprs: dict) -> dict:
+        """UPDATE ... SET: rows where the predicate is TRUE get each
+        ``set_exprs`` column replaced (values may be literals or
+        Column expressions over the row); other rows — including
+        NULL-predicate rows — pass through unchanged. Only files that
+        may contain matches are rewritten."""
+        preds = _validate_where(where)
+        if not preds:
+            raise ValueError("update() requires a predicate")
+        if not set_exprs:
+            raise ValueError("update() requires at least one SET column")
+        cond = _residual_filter(preds)
+        hit = F.coalesce(cond, F.lit(False))
+
+        def _apply(df: DataFrame) -> DataFrame:
+            unknown = [c for c in set_exprs if c not in df.columns]
+            if unknown:
+                raise ValueError(f"update(): unknown columns {unknown}")
+            out = df
+            for name, expr in set_exprs.items():
+                val = expr if isinstance(expr, Column) else F.lit(expr)
+                out = out.withColumn(
+                    name, F.when(hit, val).otherwise(F.col(name))
+                )
+            return out
+
+        return self._cow_rewrite(preds, _apply)
+
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per commit — version, action,
         file count, rows added (from the commit's recorded stats;

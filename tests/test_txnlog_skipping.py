@@ -289,3 +289,59 @@ def test_zorder_preserves_content(spark, table):
         table.snapshot().agg(F.sum("v")).first()[0],
         sum(2.0 * i for i in range(300)),
     )
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(_ranged(spark, 0, 100).coalesce(1))
+    t.append(_ranged(spark, 100, 200).coalesce(1))
+    t.append(_ranged(spark, 200, 300).coalesce(1))
+    rep = t.delete([("id", "between", (120, 180))])
+    assert rep["files_rewritten"] == 1 and rep["files_untouched"] == 2
+    ids = sorted(r["id"] for r in t.snapshot().collect())
+    assert ids == [i for i in range(300) if not (120 <= i <= 180)]
+    # untouched files are re-referenced, not rewritten: still prunable
+    assert t.prune_report([("id", "<", 100)])["kept"] == 1
+    # time travel still sees the pre-delete table
+    assert t.snapshot(version=3).count() == 300
+    # no-op delete: nothing may match -> version unchanged, no rewrite
+    v = t.latest_version()
+    rep2 = t.delete([("id", ">", 10_000)])
+    assert rep2 == {
+        "version": v,
+        "files_rewritten": 0,
+        "files_untouched": 3,
+    }
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    from pyspark.sql import Row
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [Row(id=1, v=5.0), Row(id=2, v=None), Row(id=3, v=50.0)],
+            "id long, v double",
+        )
+    )
+    t.delete([("v", ">", 10.0)])
+    got = sorted(r["id"] for r in t.snapshot().collect())
+    assert got == [1, 2]  # NULL-predicate row KEPT (SQL DELETE semantics)
+
+
+def test_update_where(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(_ranged(spark, 0, 100).coalesce(1))
+    t.append(_ranged(spark, 100, 200).coalesce(1))
+    rep = t.update(
+        [("id", "<", 50)], {"v": F.col("v") * 10, "s": F.lit("bumped")}
+    )
+    assert rep["files_rewritten"] == 1 and rep["files_untouched"] == 1
+    rows = {r["id"]: (r["v"], r["s"]) for r in t.snapshot().collect()}
+    assert rows[10] == (200.0, "bumped")  # 10*2.0*10
+    assert rows[60] == (120.0, "k0060")  # same file, untouched row
+    assert rows[150] == (300.0, "k0150")  # untouched file
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update([("id", "<", 5)], {"nope": 1})
+    with pytest.raises(ValueError, match="requires a predicate"):
+        t.delete([])
