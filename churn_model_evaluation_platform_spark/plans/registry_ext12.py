@@ -1015,3 +1015,53 @@ def q_txnlog_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_updated", F.lit(pre).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# txnlog_set_skipping — categorical pruning via per-file VALUE SETS:
+# ingest partitioned by event type (one append per type — the natural
+# per-source ingest shape), then an IN scan. Range min/max alone
+# cannot prune 'click' from a file spanning 'click'..'view'; the
+# complete per-file value set prunes it exactly. files_scanned is the
+# distinct-type count among matching rows — the same oracle-predictable
+# arithmetic as txnlog_data_skipping, certifying the categorical path.
+# ---------------------------------------------------------------------------
+
+_SET_TYPES = ("click", "view")
+
+_SET_SKIP_SQL = f"""
+WITH hit AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN {tuple(_SET_TYPES)!r}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM hit)
+         AS files_scanned
+FROM hit
+GROUP BY event_type
+"""
+
+
+@register("txnlog_set_skipping", _SET_SKIP_SQL)
+def q_txnlog_set_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog import TxnTable
+
+    path = _tmp_table_path(sf_dir, "txnset")
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    t = TxnTable(spark, path, set_columns=["event_type"])
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    for i, et in enumerate(sorted(types)):
+        t.append(ev.where(F.col("event_type") == et).coalesce(1), batch_id=i)
+    where = [("event_type", "in", _SET_TYPES)]
+    scanned = t.prune_report(where)["kept"]
+    return (
+        t.scan(where)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("files_scanned", F.lit(scanned).cast("long"))
+    )

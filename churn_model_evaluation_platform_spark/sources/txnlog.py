@@ -97,7 +97,12 @@ _UNCHECKED = object()  # sentinel: _commit without a lost-update check
 # keeps log entries small on wide tables (stats cost is per-file JSON).
 _STATS_MAX_COLS = 32
 
-_PRED_OPS = ("<", "<=", ">", ">=", "=", "between")
+_PRED_OPS = ("<", "<=", ">", ">=", "=", "between", "in")
+
+# Cap on a per-file distinct-value set (set_columns): a file whose
+# column exceeds it records NO set (conservative), so log entries stay
+# small no matter the data.
+_SET_CAP_DEFAULT = 32
 
 
 def _enc_stat(v, round_min: bool = False, round_max: bool = False):
@@ -214,12 +219,22 @@ class TxnTable:
         checkpoint_interval: int = 10,
         stats_columns: list[str] | None = None,
         schema_mode: str = "exact",
+        set_columns: list[str] | None = None,
+        set_cap: int = _SET_CAP_DEFAULT,
     ):
         """``stats_columns``: columns to record per-file min/max stats
         for on every commit (data skipping). ``None`` = the first
         ``_STATS_MAX_COLS`` atomic columns (Delta's default posture);
         ``[]`` disables stats collection entirely — scans still work,
         nothing prunes.
+
+        ``set_columns``: opt-in per-file DISTINCT-VALUE SETS for
+        low-cardinality columns (ingest source, event type, tenant):
+        range min/max cannot prune an equality predicate on an
+        unordered categorical — 'click'..'view' covers everything —
+        but a complete value set prunes it exactly. A file whose
+        distinct count exceeds ``set_cap`` records NO set
+        (conservative; the log entry stays bounded).
 
         ``schema_mode``: the LOG owns the table schema (recorded per
         commit, Delta-style) and every read pins ``spark.read.schema``
@@ -241,6 +256,8 @@ class TxnTable:
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.stats_columns = stats_columns
         self.schema_mode = schema_mode
+        self.set_columns = list(set_columns or [])
+        self.set_cap = max(1, int(set_cap))
         fs, root = _fs_and_path(spark, self.path)
         self._fs = fs
         self._jvm = spark._jvm
@@ -440,6 +457,15 @@ class TxnTable:
             )
             if f.name in floaty:
                 aggs.append(F.max(F.isnan(c)).alias(f"__nan_{f.name}"))
+            if f.name in self.set_columns:
+                # distinct-value set, capped AFTER the agg: slice keeps
+                # the executor-side state bounded for the pathological
+                # case (a high-cardinality column listed by mistake)
+                aggs.append(
+                    F.slice(
+                        F.sort_array(F.collect_set(c)), 1, self.set_cap + 1
+                    ).alias(f"__set_{f.name}")
+                )
         rows = (
             df.groupBy(F.input_file_name().alias("__file"))
             .agg(*aggs)
@@ -461,6 +487,12 @@ class TxnTable:
                 }
                 if f.name in floaty and bool(r[f"__nan_{f.name}"]):
                     ent["nan"] = True
+                if f.name in self.set_columns:
+                    vals = r[f"__set_{f.name}"] or []
+                    if len(vals) <= self.set_cap:  # complete set only
+                        enc = [_enc_stat(v) for v in vals]
+                        if None not in enc:
+                            ent["set"] = enc
                 cols[f.name] = ent
             stats[rel] = {"rows": int(r["__rows"]), "cols": cols}
         return stats
@@ -950,6 +982,13 @@ def _validate_where(where: list[tuple] | None) -> list[tuple]:
                 raise ValueError("between takes a (lo, hi) pair")
             if v[0] is None or v[1] is None:
                 raise ValueError("between bounds must be non-null")
+        elif op == "in":
+            if not (isinstance(v, (tuple, list)) and len(v) >= 1):
+                raise ValueError("in takes a non-empty value list")
+            if any(x is None for x in v):
+                raise ValueError(
+                    "NULL in an IN list matches no rows; drop it"
+                )
         elif v is None:
             raise ValueError(
                 f"NULL literal in ({col!r}, {op!r}, None): comparisons "
@@ -989,9 +1028,23 @@ def _file_may_match(entry: dict | None, preds: list[tuple]) -> bool:
                 ):
                     return False
                 continue
+            if op == "in":
+                evs = [_enc_stat(x) for x in v]
+                if None in evs:
+                    continue
+                vset = cs.get("set")
+                if vset is not None and not any(e in vset for e in evs):
+                    return False  # complete value set: no member present
+                if (mn is not None and max(evs) < mn) or (
+                    mx is not None and min(evs) > mx
+                ):
+                    return False
+                continue
             ev = _enc_stat(v)
             if ev is None:
                 continue  # NaN/unencodable literal: keep
+            if op == "=" and cs.get("set") is not None and ev not in cs["set"]:
+                return False
             if op == "<" and mn is not None and mn >= ev:
                 return False
             if op == "<=" and mn is not None and mn > ev:
@@ -1017,6 +1070,8 @@ def _residual_filter(preds: list[tuple]) -> Column | None:
         c = F.col(col)
         if op == "between":
             e = c.between(F.lit(v[0]), F.lit(v[1]))
+        elif op == "in":
+            e = c.isin(list(v))
         else:
             e = {
                 "<": c < F.lit(v),

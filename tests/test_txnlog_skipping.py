@@ -345,3 +345,47 @@ def test_update_where(spark, tmp_path):
         t.update([("id", "<", 5)], {"nope": 1})
     with pytest.raises(ValueError, match="requires a predicate"):
         t.delete([])
+
+
+def test_value_set_prunes_categorical_equality(spark, tmp_path):
+    """Range stats cannot prune event_type = 'a' when every file spans
+    'a'..'z'; a complete per-file value set can."""
+    t = TxnTable(spark, str(tmp_path / "tbl"), set_columns=["cat"])
+    for cats in (("a", "b"), ("c", "d"), ("e", "f")):
+        t.append(
+            spark.range(100)
+            .select(
+                F.col("id"),
+                F.element_at(
+                    F.array(*[F.lit(c) for c in cats]),
+                    (F.col("id") % 2 + 1).cast("int"),
+                ).alias("cat"),
+            )
+            .coalesce(1)
+        )
+    assert t.prune_report([("cat", "=", "c")])["kept"] == 1
+    assert t.prune_report([("cat", "in", ("a", "f"))])["kept"] == 2
+    assert t.prune_report([("cat", "=", "zz")])["kept"] == 0
+    assert t.scan([("cat", "=", "c")]).count() == 50
+    assert t.scan([("cat", "in", ("a", "f"))]).count() == 100
+    # IN range-prunes via min/max even without a set (id has no set)
+    assert t.prune_report([("id", "in", (5000, 6000))])["kept"] == 0
+
+
+def test_value_set_cap_is_conservative(spark, tmp_path):
+    t = TxnTable(
+        spark, str(tmp_path / "tbl"), set_columns=["s"], set_cap=4
+    )
+    t.append(_ranged(spark, 0, 100).coalesce(1))  # 100 distinct s values
+    (entry,) = t._state()["stats"].values()
+    assert "set" not in entry["cols"]["s"]  # over cap: no set recorded
+    # equality still prunes via RANGE stats where they help
+    assert t.prune_report([("s", "=", "zzz")])["kept"] == 0  # > max
+    assert t.prune_report([("s", "=", "k0050")])["kept"] == 1
+
+
+def test_in_predicate_validation(table):
+    with pytest.raises(ValueError, match="non-empty"):
+        table.scan([("id", "in", ())])
+    with pytest.raises(ValueError, match="NULL in an IN list"):
+        table.scan([("id", "in", (1, None))])
