@@ -1065,3 +1065,47 @@ def q_txnlog_set_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("files_scanned", F.lit(scanned).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# txnlog_version_drift — TIME TRAVEL feeding the drift family: PSI of
+# the store's current content against its OWN version-3 snapshot
+# (days 1-15 of the six 5-day ingests) — "drift vs last week's table"
+# without ever copying a reference dataset: the commit log IS the
+# reference archive. Oracle replays the same binned-PSI arithmetic
+# with ref = the day-range version 3 contains.
+# ---------------------------------------------------------------------------
+
+_VERSION_DRIFT_SQL = """
+WITH pooled AS (
+  SELECT value AS v,
+         CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref,
+         1 AS is_cur
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT CAST(FLOOR(v / 10.0) AS BIGINT) AS bin,
+         SUM(is_ref) AS n_ref, SUM(is_cur) AS n_cur
+  FROM pooled GROUP BY 1
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts),
+j AS (SELECT * FROM counts, tot)
+SELECT round(SUM(
+  (greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6)
+   - greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6))
+  * ln(greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6)
+       / greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6))
+), 6) AS psi FROM j
+"""
+
+
+@register("txnlog_version_drift", _VERSION_DRIFT_SQL)
+def q_txnlog_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import psi
+
+    t = _six_bucket_table(spark, sf_dir, "txndrift")
+    ref = t.snapshot(version=3).select("value")  # days 1-15 as-of v3
+    cur = t.snapshot().select("value")  # today's full store
+    return psi(ref, cur, "value", 10.0).select(
+        F.round("psi", 6).alias("psi")
+    )
