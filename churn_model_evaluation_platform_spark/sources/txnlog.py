@@ -824,6 +824,19 @@ class TxnTable:
                     "files_untouched": len(untouched),
                 }
             rewritten_df = transform(self._read_files(st, touched))
+            if untouched and st.get("schema"):
+                # a partial rewrite must keep the table schema: the
+                # untouched files stay on disk with the OLD physical
+                # types, and a type-changed log schema would break
+                # every later read of them. (A full rewrite — no
+                # untouched files — may redefine, like overwrite.)
+                if _normalize_schema_json(rewritten_df.schema) != st["schema"]:
+                    raise SchemaMismatch(
+                        "partial copy-on-write rewrite would change the "
+                        "table schema while untouched files keep the old "
+                        "physical types; use overwrite()/merge() for "
+                        "schema-changing rewrites"
+                    )
             added, stats = self._write_data(rewritten_df)
             merged_stats = {
                 rel: st["stats"][rel]

@@ -389,3 +389,27 @@ def test_in_predicate_validation(table):
         table.scan([("id", "in", ())])
     with pytest.raises(ValueError, match="NULL in an IN list"):
         table.scan([("id", "in", (1, None))])
+
+
+def test_partial_rewrite_cannot_change_schema(spark, tmp_path):
+    """UPDATE that retypes a column while other files keep the old
+    physical type must be rejected — the log schema would break every
+    later read of the untouched files."""
+    from churn_model_evaluation_platform_spark.sources.txnlog import (
+        SchemaMismatch,
+    )
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(_ranged(spark, 0, 100).coalesce(1))
+    t.append(_ranged(spark, 100, 200).coalesce(1))
+    # CASE WHEN coercion widens id (long) to double -> a type change
+    with pytest.raises(SchemaMismatch, match="partial copy-on-write"):
+        t.update([("id", "<", 50)], {"id": F.lit(0.5)})
+    # table unharmed
+    assert t.snapshot().count() == 200
+    assert t.snapshot().schema["id"].dataType.simpleString() == "bigint"
+    # a FULL rewrite (every file touched) may redefine, like overwrite
+    t2 = TxnTable(spark, str(tmp_path / "tbl2"))
+    t2.append(_ranged(spark, 0, 100).coalesce(1))
+    t2.update([("id", ">=", 0)], {"id": F.lit(0.5)})
+    assert t2.snapshot().schema["id"].dataType.simpleString() == "double"
