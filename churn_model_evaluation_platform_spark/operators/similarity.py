@@ -771,9 +771,16 @@ def cosine_topk_ivfpq_pinned(
         )
     qvec = small[query_id]
     centroids = [small[j] for j in range(1, n_cells + 1)]
-    codebooks = pq_codebooks_pinned(
-        df, m=m, ks=ks, id_col=id_col, vec_col=vec_col
-    )
+    # codebooks are subvector slices of rows 1..ks, which the single
+    # collect above already fetched — no second driver job (r8 review)
+    dim = len(small[1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    codebooks = [
+        [small[i][s * d_sub : (s + 1) * d_sub] for i in range(1, ks + 1)]
+        for s in range(m)
+    ]
     probe = _select_probes(qvec, centroids, nprobe)
     sliced = (
         df.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), centroids))

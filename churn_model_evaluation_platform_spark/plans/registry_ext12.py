@@ -72,14 +72,7 @@ GROUP BY event_type
 
 @register("txnlog_data_skipping", _SKIPPING_SQL)
 def q_txnlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.txnlog import TxnTable
-
-    path = _tmp_table_path(sf_dir, "txnskip")
-    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
-    t = TxnTable(spark, path)
-    bucket = F.floor((F.dayofmonth("ts") - 1) / 5)
-    for b in range(6):  # six 5-day ingest slices -> six files with
-        t.append(ev.where(bucket == b).coalesce(1), batch_id=b)  # tight ts stats
+    t = _six_bucket_table(spark, sf_dir, "txnskip")
     where = [("ts", ">=", _SKIP_LO), ("ts", "<", _SKIP_HI)]
     scanned = t.prune_report(where)["kept"]
     return (
@@ -256,26 +249,68 @@ def _pq_cte_block() -> str:
     return ",\n".join(parts)
 
 
-def _pq_topk_sql() -> str:
+def _pq_dt_ctes(per_qid: bool = False) -> list[str]:
+    """Query→codebook distance-table CTEs, one per subspace: ``dt{s}``
+    for the single pinned query (vec_id = 0), ``dtq{s}`` carrying a
+    qid column for the multi-query audits. ONE definition — every PQ
+    oracle assembles from here, so the ADC arithmetic cannot silently
+    diverge between them (r8 review)."""
     dts = []
     for s in range(_PQ_M):
         lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
-        dts.append(
-            f"dt{s} AS (SELECT c.code, "
-            "list_dot_product(qs.qsv, qs.qsv) "
-            "- 2 * list_dot_product(qs.qsv, c.cv) "
-            "+ list_dot_product(c.cv, c.cv) AS d "
-            f"FROM cb{s} c CROSS JOIN (SELECT list_slice(ev, {lo}, {hi}) "
-            "AS qsv FROM e WHERE vec_id = 0) qs)"
+        if per_qid:
+            dts.append(
+                f"dtq{s} AS (SELECT q.vec_id AS qid, c.code, "
+                "list_dot_product(q.qsv, q.qsv) "
+                "- 2 * list_dot_product(q.qsv, c.cv) "
+                "+ list_dot_product(c.cv, c.cv) AS d "
+                f"FROM cb{s} c CROSS JOIN (SELECT vec_id, list_slice(ev, "
+                f"{lo}, {hi}) AS qsv FROM e "
+                f"WHERE vec_id IN {tuple(_PQ_QIDS)!r}) q)"
+            )
+        else:
+            dts.append(
+                f"dt{s} AS (SELECT c.code, "
+                "list_dot_product(qs.qsv, qs.qsv) "
+                "- 2 * list_dot_product(qs.qsv, c.cv) "
+                "+ list_dot_product(c.cv, c.cv) AS d "
+                f"FROM cb{s} c CROSS JOIN (SELECT list_slice(ev, {lo}, {hi}) "
+                "AS qsv FROM e WHERE vec_id = 0) qs)"
+            )
+    return dts
+
+
+def _pq_joins(per_qid: bool = False) -> str:
+    """The a{s}/dt{s} join chain scoring every corpus vector's codes
+    against the distance tables."""
+    if per_qid:
+        return " ".join(
+            f"JOIN a{s} ON a{s}.vec_id = a0.vec_id "
+            f"JOIN dtq{s} ON dtq{s}.code = a{s}.code AND dtq{s}.qid = dtq0.qid"
+            if s
+            else "JOIN dtq0 ON dtq0.code = a0.code"
+            for s in range(_PQ_M)
         )
-    joins = " ".join(
+    return " ".join(
         f"JOIN a{s} ON a{s}.vec_id = a0.vec_id JOIN dt{s} ON dt{s}.code = "
         f"a{s}.code"
         if s
         else "JOIN dt0 ON dt0.code = a0.code"
         for s in range(_PQ_M)
     )
-    adc = " + ".join(f"dt{s}.d" for s in range(_PQ_M))
+
+
+def _pq_adc(per_qid: bool = False) -> str:
+    """Left-associated ADC sum — must match the Spark build's addition
+    order term for term."""
+    p = "dtq" if per_qid else "dt"
+    return " + ".join(f"{p}{s}.d" for s in range(_PQ_M))
+
+
+def _pq_topk_sql() -> str:
+    dts = _pq_dt_ctes()
+    joins = _pq_joins()
+    adc = _pq_adc()
     return f"""
 WITH {_pq_cte_block()},
 {",".join(dts)}
@@ -302,25 +337,9 @@ def q_similarity_topk_pq_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_recall_sql() -> str:
-    dts = []
-    for s in range(_PQ_M):
-        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
-        dts.append(
-            f"dtq{s} AS (SELECT q.vec_id AS qid, c.code, "
-            "list_dot_product(q.qsv, q.qsv) "
-            "- 2 * list_dot_product(q.qsv, c.cv) "
-            "+ list_dot_product(c.cv, c.cv) AS d "
-            f"FROM cb{s} c CROSS JOIN (SELECT vec_id, list_slice(ev, {lo}, "
-            f"{hi}) AS qsv FROM e WHERE vec_id IN {tuple(_PQ_QIDS)!r}) q)"
-        )
-    joins = " ".join(
-        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id "
-        f"JOIN dtq{s} ON dtq{s}.code = a{s}.code AND dtq{s}.qid = dtq0.qid"
-        if s
-        else "JOIN dtq0 ON dtq0.code = a0.code"
-        for s in range(_PQ_M)
-    )
-    adc = " + ".join(f"dtq{s}.d" for s in range(_PQ_M))
+    dts = _pq_dt_ctes(per_qid=True)
+    joins = _pq_joins(per_qid=True)
+    adc = _pq_adc(per_qid=True)
     return f"""
 WITH {_pq_cte_block()},
 {",".join(dts)},
@@ -374,25 +393,9 @@ def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_rerank_sql() -> str:
     """Two-stage PQ query: ADC shortlist (4k) then exact cosine
     re-rank — both stages the already-verified arithmetic."""
-    dts = []
-    for s in range(_PQ_M):
-        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
-        dts.append(
-            f"dt{s} AS (SELECT c.code, "
-            "list_dot_product(qs.qsv, qs.qsv) "
-            "- 2 * list_dot_product(qs.qsv, c.cv) "
-            "+ list_dot_product(c.cv, c.cv) AS d "
-            f"FROM cb{s} c CROSS JOIN (SELECT list_slice(ev, {lo}, {hi}) "
-            "AS qsv FROM e WHERE vec_id = 0) qs)"
-        )
-    joins = " ".join(
-        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id JOIN dt{s} ON dt{s}.code = "
-        f"a{s}.code"
-        if s
-        else "JOIN dt0 ON dt0.code = a0.code"
-        for s in range(_PQ_M)
-    )
-    adc = " + ".join(f"dt{s}.d" for s in range(_PQ_M))
+    dts = _pq_dt_ctes()
+    joins = _pq_joins()
+    adc = _pq_adc()
     return f"""
 WITH {_pq_cte_block()},
 {",".join(dts)},
@@ -435,25 +438,9 @@ def q_similarity_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_rerank_recall_sql() -> str:
     """Recall audit of the two-stage query: per-qid ADC shortlist
     (rn <= 4k), cosine re-rank within it (rn <= k), hits vs exact."""
-    dts = []
-    for s in range(_PQ_M):
-        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
-        dts.append(
-            f"dtq{s} AS (SELECT q.vec_id AS qid, c.code, "
-            "list_dot_product(q.qsv, q.qsv) "
-            "- 2 * list_dot_product(q.qsv, c.cv) "
-            "+ list_dot_product(c.cv, c.cv) AS d "
-            f"FROM cb{s} c CROSS JOIN (SELECT vec_id, list_slice(ev, {lo}, "
-            f"{hi}) AS qsv FROM e WHERE vec_id IN {tuple(_PQ_QIDS)!r}) q)"
-        )
-    joins = " ".join(
-        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id "
-        f"JOIN dtq{s} ON dtq{s}.code = a{s}.code AND dtq{s}.qid = dtq0.qid"
-        if s
-        else "JOIN dtq0 ON dtq0.code = a0.code"
-        for s in range(_PQ_M)
-    )
-    adc = " + ".join(f"dtq{s}.d" for s in range(_PQ_M))
+    dts = _pq_dt_ctes(per_qid=True)
+    joins = _pq_joins(per_qid=True)
+    adc = _pq_adc(per_qid=True)
     return f"""
 WITH {_pq_cte_block()},
 {",".join(dts)},
@@ -526,25 +513,9 @@ _IVFPQ_NCELLS, _IVFPQ_NPROBE = 16, 4
 def _ivfpq_sql() -> str:
     """IVF-PQ composed oracle: the cell-assignment/probe CTEs of the
     (green) IVF oracle filtering the (green) PQ/ADC scoring CTEs."""
-    dts = []
-    for s in range(_PQ_M):
-        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
-        dts.append(
-            f"dt{s} AS (SELECT c.code, "
-            "list_dot_product(qs.qsv, qs.qsv) "
-            "- 2 * list_dot_product(qs.qsv, c.cv) "
-            "+ list_dot_product(c.cv, c.cv) AS d "
-            f"FROM cb{s} c CROSS JOIN (SELECT list_slice(ev, {lo}, {hi}) "
-            "AS qsv FROM e WHERE vec_id = 0) qs)"
-        )
-    joins = " ".join(
-        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id JOIN dt{s} ON dt{s}.code = "
-        f"a{s}.code"
-        if s
-        else "JOIN dt0 ON dt0.code = a0.code"
-        for s in range(_PQ_M)
-    )
-    adc = " + ".join(f"dt{s}.d" for s in range(_PQ_M))
+    dts = _pq_dt_ctes()
+    joins = _pq_joins()
+    adc = _pq_adc()
     return f"""
 WITH {_pq_cte_block()},
 {",".join(dts)},

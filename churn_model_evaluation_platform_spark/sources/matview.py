@@ -180,9 +180,13 @@ class MaterializedAggregate:
         nbins = int(opts.get("bins", _DEFAULT_QBINS))
         width = (hi - lo) / nbins
         raw = F.floor((F.col(spec[1]).cast("double") - F.lit(lo)) / F.lit(width))
-        return F.least(
+        clamped = F.least(
             F.lit(nbins - 1), F.greatest(F.lit(0), raw)
         ).cast("int")
+        # NULLs must stay NULL: greatest/least SKIP null operands, so
+        # the bare clamp would silently bucket a NULL value at bin 0
+        # and drag every quantile toward lo (r8 review)
+        return F.when(F.col(spec[1]).isNotNull(), clamped)
 
     def _fold_exprs(self) -> list:
         """Fold partial columns across state ∪ delta: counts/sums add,
@@ -244,41 +248,61 @@ class MaterializedAggregate:
         unknowable from the log). Either way the new state lands as ONE
         atomic overwrite of the state table, stamped with the source
         version as batch_id — a replayed refresh of the same version
-        is skipped by the state table's exactly-once contract."""
-        last = self.refreshed_version()
-        latest = self.source.latest_version()
-        if latest is None:
-            raise ValueError(f"source {self.source.path} has no commits")
-        if last == latest:
-            return {"mode": "noop", "from": last, "to": latest}
-        window = self.source._commits(since=last or 0, until=latest)
-        incremental = last is not None and all(
-            c["action"] == "append" for c in window
-        )
-        if incremental:
-            new_files = [
-                f"{self.source.path}/{rel}"
-                for c in window
-                for rel in c["added"]
-            ]
-            mode = "incremental"
-            if new_files:
-                delta = self._partial(
-                    self.source.spark.read.parquet(*new_files)
+        is skipped by the state table's exactly-once contract, and the
+        overwrite is CONDITIONAL on the state version the fold was
+        computed from, so two concurrent refreshes cannot lose a
+        source commit (the faster one wins; the slower recomputes from
+        the new state — r8 review)."""
+        from .txnlog import CommitConflict
+
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            state_base = self.state.latest_version()
+            ids = (
+                self.state._state(version=state_base)["batch_ids"]
+                if state_base is not None
+                else set()
+            )
+            last = max(ids) if ids else None
+            latest = self.source.latest_version()
+            if latest is None:
+                raise ValueError(f"source {self.source.path} has no commits")
+            if last == latest:
+                return {"mode": "noop", "from": last, "to": latest}
+            src_state = self.source._state(version=latest)
+            window = self.source._commits(since=last or 0, until=latest)
+            incremental = last is not None and all(
+                c["action"] == "append" for c in window
+            )
+            if incremental:
+                new_rels = [rel for c in window for rel in c["added"]]
+                mode = "incremental"
+                if new_rels:
+                    # read through the source's log schema (additive
+                    # evolution: a delta file may omit columns the
+                    # table — and the aggregates — still carry)
+                    delta = self._partial(
+                        self.source._read_files(src_state, new_rels)
+                    )
+                    folded = (
+                        self.state.snapshot(version=state_base)
+                        .unionByName(delta)
+                        .groupBy(*self.group_cols)
+                        .agg(*self._fold_exprs())
+                    )
+                else:  # empty appends: state unchanged, advance the mark
+                    folded = self.state.snapshot(version=state_base)
+            else:
+                mode = "full"
+                folded = self._partial(self.source.snapshot(version=latest))
+            try:
+                self.state.overwrite(
+                    folded, batch_id=latest, require_latest=state_base
                 )
-                folded = (
-                    self.state.snapshot()
-                    .unionByName(delta)
-                    .groupBy(*self.group_cols)
-                    .agg(*self._fold_exprs())
-                )
-            else:  # empty appends: state unchanged, just advance the mark
-                folded = self.state.snapshot()
-        else:
-            mode = "full"
-            folded = self._partial(self.source.snapshot(version=latest))
-        self.state.overwrite(folded, batch_id=latest)
-        return {"mode": mode, "from": last, "to": latest}
+                return {"mode": mode, "from": last, "to": latest}
+            except CommitConflict as e:  # rival refresh landed: redo
+                last_err = e
+        raise last_err  # pragma: no cover - needs 3 straight rival refreshes
 
     # -- read -------------------------------------------------------------
 

@@ -79,6 +79,7 @@ import datetime as _dt
 import decimal as _decimal
 import json
 import math
+import re
 import time
 import uuid
 
@@ -137,12 +138,71 @@ def _enc_stat(v, round_min: bool = False, round_max: bool = False):
             return math.nextafter(f, math.inf)
         return f
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            # tz-aware literal vs the naive session-local stats: the
+            # comparison is ambiguous (isoformat appends '+HH:MM',
+            # which sorts ABOVE a naive prefix and could prune a file
+            # whose max exactly matches). No usable bound → keep.
+            return None
         return v.isoformat()
     if isinstance(v, _dt.date):
-        return v.isoformat()
+        # day-start anchored so a DATE stat compares correctly against
+        # a datetime literal (and vice versa): bare '2024-01-08' would
+        # sort strictly below '2024-01-08T00:00:00' despite being the
+        # same instant under Spark's date->timestamp cast semantics
+        return v.isoformat() + "T00:00:00"
     if isinstance(v, str):
         return v
     return None  # exotic type: no usable bound (conservative)
+
+
+_BARE_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_DATETIME_ISH_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]")
+
+
+def _enc_literal(v, kind: str | None):
+    """Encode a PREDICATE literal for comparison against stats of a
+    column whose type KIND is known (recorded at stats-write time).
+    Type-blind encoding is not order-safe across kinds — a bare date
+    string sorts below the same instant's 'T00:00:00' form, a string
+    against a numeric stat has no defined order — so any literal that
+    cannot be brought into the column's own encoding answers None
+    (no usable bound → the file is kept; the residual filter decides).
+    ``kind`` None = legacy stats without a kind tag: fall back to the
+    raw encoding, with same-Python-type comparisons only (the
+    TypeError guard upstream)."""
+    if v is None:
+        return None
+    if kind is None:
+        return _enc_stat(v)
+    if kind == "num":
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (int, float, _decimal.Decimal)):
+            return _enc_stat(v)
+        return None
+    if kind == "bool":
+        if isinstance(v, bool):
+            return int(v)
+        return v if isinstance(v, int) else None
+    if kind == "str":
+        return v if isinstance(v, str) else None
+    if kind in ("ts", "date"):
+        if isinstance(v, _dt.datetime):
+            return None if v.tzinfo is not None else v.isoformat()
+        if isinstance(v, _dt.date):
+            return v.isoformat() + "T00:00:00"
+        if isinstance(v, str):
+            if _BARE_DATE_RE.match(v):
+                # day-start anchor: Spark casts a bare date literal to
+                # the day's first instant; the bare form would sort
+                # BELOW it and prune a file whose max is exactly that
+                return v + "T00:00:00"
+            if _DATETIME_ISH_RE.match(v):
+                return v.replace(" ", "T", 1)
+            return None
+        return None
+    return None  # pragma: no cover - unknown kind tag
 
 
 class CommitConflict(RuntimeError):
@@ -446,6 +506,19 @@ class TxnTable:
         decimals = {
             f.name for f in fields if isinstance(f.dataType, T.DecimalType)
         }
+
+        def _kind(dt) -> str:
+            if isinstance(dt, T.BooleanType):
+                return "bool"
+            if isinstance(dt, T.NumericType):
+                return "num"
+            if isinstance(dt, T.DateType):
+                return "date"
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return "ts"
+            return "str"
+
+        kinds = {f.name: _kind(f.dataType) for f in fields}
         for f in fields:
             c = F.col(f.name)
             aggs.append(F.min(c).alias(f"__min_{f.name}"))
@@ -484,6 +557,7 @@ class TxnTable:
                     "min": _enc_stat(r[f"__min_{f.name}"], round_min=dec),
                     "max": _enc_stat(r[f"__max_{f.name}"], round_max=dec),
                     "nulls": int(r[f"__nulls_{f.name}"] or 0),
+                    "kind": kinds[f.name],
                 }
                 if f.name in floaty and bool(r[f"__nan_{f.name}"]):
                     ent["nan"] = True
@@ -495,6 +569,11 @@ class TxnTable:
                             ent["set"] = enc
                 cols[f.name] = ent
             stats[rel] = {"rows": int(r["__rows"]), "cols": cols}
+        # a part file absent from the grouped result contains ZERO rows
+        # (the agg scanned every file of this commit dir): record that
+        # explicitly so scans can prune it outright
+        for rel in relpaths:
+            stats.setdefault(rel, {"rows": 0, "cols": {}})
         return stats
 
     def _try_commit(self, version: int, payload: dict) -> bool:
@@ -634,12 +713,26 @@ class TxnTable:
             "append", added, batch_id, stats=stats, df_schema=df.schema
         )
 
-    def overwrite(self, df: DataFrame, batch_id=None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        batch_id=None,
+        require_latest: int | None = _UNCHECKED,
+    ) -> int:
         """Replace the whole table content in one atomic pointer write.
-        Always redefines the table schema — content-wise a new table."""
+        Always redefines the table schema — content-wise a new table.
+        ``require_latest`` makes the overwrite CONDITIONAL on the table
+        still being at that version (lost-update protection for
+        callers whose content was computed from a snapshot — e.g. a
+        matview refresh)."""
         added, stats = self._write_data(df)
         return self._commit(
-            "overwrite", added, batch_id, stats=stats, df_schema=df.schema
+            "overwrite",
+            added,
+            batch_id,
+            require_latest=require_latest,
+            stats=stats,
+            df_schema=df.schema,
         )
 
     def _rmw(self, transform, rmw_retries: int = 3) -> int:
@@ -816,7 +909,8 @@ class TxnTable:
                 for rel in st["live"]
                 if _file_may_match(st["stats"].get(rel), preds)
             ]
-            untouched = [rel for rel in st["live"] if rel not in set(touched)]
+            touched_set = set(touched)
+            untouched = [rel for rel in st["live"] if rel not in touched_set]
             if not touched:
                 return {
                     "version": base,
@@ -1021,19 +1115,23 @@ def _file_may_match(entry: dict | None, preds: list[tuple]) -> bool:
     usable (Spark's ``min`` never returns NaN unless all values are)."""
     if entry is None or not preds:
         return True
-    rows = entry.get("rows", 0)
+    rows = entry.get("rows")
+    if rows == 0:
+        return False  # empty file: no predicate can match anything
     for col, op, v in preds:
         cs = entry.get("cols", {}).get(col)
         if cs is None:
             continue  # untracked column: no information
         if rows and cs.get("nulls", 0) >= rows:
             return False  # all-null: null-rejecting comparison matches 0
+        kind = cs.get("kind")
         mn, mx = cs.get("min"), cs.get("max")
         if cs.get("nan"):
             mx = None  # upper bound unusable
         try:
             if op == "between":
-                lo, hi = _enc_stat(v[0]), _enc_stat(v[1])
+                lo = _enc_literal(v[0], kind)
+                hi = _enc_literal(v[1], kind)
                 if lo is None or hi is None:
                     continue
                 if (mn is not None and mn > hi) or (
@@ -1042,7 +1140,7 @@ def _file_may_match(entry: dict | None, preds: list[tuple]) -> bool:
                     return False
                 continue
             if op == "in":
-                evs = [_enc_stat(x) for x in v]
+                evs = [_enc_literal(x, kind) for x in v]
                 if None in evs:
                     continue
                 vset = cs.get("set")
@@ -1053,9 +1151,9 @@ def _file_may_match(entry: dict | None, preds: list[tuple]) -> bool:
                 ):
                     return False
                 continue
-            ev = _enc_stat(v)
+            ev = _enc_literal(v, kind)
             if ev is None:
-                continue  # NaN/unencodable literal: keep
+                continue  # NaN/mismatched-kind literal: keep
             if op == "=" and cs.get("set") is not None and ev not in cs["set"]:
                 return False
             if op == "<" and mn is not None and mn >= ev:
@@ -1071,7 +1169,7 @@ def _file_may_match(entry: dict | None, preds: list[tuple]) -> bool:
             ):
                 return False
         except TypeError:
-            continue  # cross-type comparison (e.g. str stat, int literal)
+            continue  # cross-type comparison under legacy kindless stats
     return True
 
 

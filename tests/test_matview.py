@@ -334,3 +334,96 @@ def test_rejects_non_decomposable(spark, tmp_path):
             ["k"],
             {"q": ("approx_quantile", "v", {"p": 1.5, "lo": 0.0, "hi": 1.0})},
         )
+
+
+def test_approx_quantile_ignores_nulls(spark, tmp_path):
+    """NULL metric values must not be bucketed at lo (greatest/least
+    skip NULL operands — r8 review): the quantile over [NULL x 50,
+    100.0 x 5] is 100, not dragged toward 0."""
+    from pyspark.sql import Row
+
+    src = TxnTable(spark, str(tmp_path / "src"))
+    view = MaterializedAggregate(
+        src,
+        str(tmp_path / "view"),
+        ["k"],
+        {"p50": ("approx_quantile", "v", {"p": 0.5, "lo": 0.0, "hi": 200.0, "bins": 100})},
+    )
+    rows = [Row(k="a", v=None)] * 50 + [Row(k="a", v=100.0)] * 5
+    src.append(spark.createDataFrame(rows, "k string, v double"))
+    view.refresh()
+    (r,) = view.read().collect()
+    assert 99.0 <= r["p50"] <= 101.0, r["p50"]
+
+
+def test_refresh_handles_additive_source_history(spark, tmp_path):
+    """A legal additive-mode append that OMITS an aggregated column
+    must not crash the incremental refresh: the delta reads through
+    the source's log schema (NULL backfill) — r8 review."""
+    from pyspark.sql import Row
+
+    src = TxnTable(spark, str(tmp_path / "src"), schema_mode="additive")
+    view = MaterializedAggregate(
+        src,
+        str(tmp_path / "view"),
+        ["k"],
+        {"n": ("count",), "sv": ("sum", "v")},
+    )
+    src.append(
+        spark.createDataFrame(
+            [Row(k="a", v=1.0), Row(k="b", v=2.0)], "k string, v double"
+        )
+    )
+    view.refresh()
+    src.append(spark.createDataFrame([Row(k="a")], "k string"))  # no v
+    assert view.refresh()["mode"] == "incremental"
+    got = {r["k"]: (r["n"], r["sv"]) for r in view.read().collect()}
+    assert got["a"] == (2, 1.0)  # omitted column folded as NULL
+    assert got["b"] == (1, 2.0)
+
+
+def test_concurrent_refresh_no_lost_update(spark, tmp_path, monkeypatch):
+    """A rival refresh landing between this refresh's fold and its
+    state overwrite must NOT be clobbered: the conditional overwrite
+    detects the advance and the loser recomputes (r8 review)."""
+    src = TxnTable(spark, str(tmp_path / "src"))
+    mk = lambda: MaterializedAggregate(  # noqa: E731
+        src,
+        str(tmp_path / "view"),
+        ["k"],
+        {"n": ("count",), "sv": ("sum", "v")},
+    )
+    view_a, view_b = mk(), mk()
+    src.append(_batch(spark, 0, 40))
+    view_a.refresh()
+    src.append(_batch(spark, 40, 100))
+    fired = {}
+    orig = MaterializedAggregate._partial
+
+    def sneaky(self, rows):
+        if self is view_a and not fired.get("done"):
+            fired["done"] = True
+            # rival: a NEWER source commit lands AND is refreshed into
+            # the state while A is still folding toward the older
+            # target — the classic lost-update interleaving
+            src.append(_batch(spark, 100, 130))
+            view_b.refresh()
+        return orig(self, rows)
+
+    monkeypatch.setattr(MaterializedAggregate, "_partial", sneaky)
+    r = view_a.refresh()  # stale fold conflicts -> retry -> noop
+    assert r["mode"] == "noop"
+    monkeypatch.setattr(MaterializedAggregate, "_partial", orig)
+    # nothing lost: the view equals a scratch recompute over ALL rows
+    got = {r["k"]: (r["n"], r["sv"]) for r in view_a.read().collect()}
+    want = {
+        r["k"]: (r["n"], r["sv"])
+        for r in src.snapshot()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert math.isclose(got[k][1], want[k][1], rel_tol=1e-9)

@@ -413,3 +413,76 @@ def test_partial_rewrite_cannot_change_schema(spark, tmp_path):
     t2.append(_ranged(spark, 0, 100).coalesce(1))
     t2.update([("id", ">=", 0)], {"id": F.lit(0.5)})
     assert t2.snapshot().schema["id"].dataType.simpleString() == "double"
+
+
+def test_zero_row_file_always_pruned(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(_ranged(spark, 0, 100).coalesce(1))
+    t.append(_ranged(spark, 0, 0).coalesce(1))  # empty ingest slice
+    assert len(t.files()) >= 1
+    rep = t.prune_report([("id", ">=", 0)])
+    assert rep["kept"] == 1  # the empty file can never match anything
+    assert t.scan([("id", ">=", 0)]).count() == 100
+
+
+def test_tz_aware_literal_is_conservative(spark, tmp_path):
+    """A tz-aware datetime literal has no defined order against the
+    naive session-local stats: every file must be KEPT (the residual
+    filter still applies Spark's own semantics)."""
+    import datetime as dt
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, d, 12, 0), float(d)) for d in (1, 2, 3)],
+            "ts timestamp, v double",
+        ).coalesce(1)
+    )
+    aware = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+    assert t.prune_report([("ts", ">=", aware)])["kept"] == 1  # kept
+    got = t.scan([("ts", ">=", aware)]).count()
+    want = t.snapshot().filter(F.col("ts") >= F.lit(aware)).count()
+    assert got == want
+
+
+def test_date_column_boundary_literals(spark, tmp_path):
+    """DateType stats vs datetime / bare-date-string literals: the
+    day-start anchoring keeps the exact-boundary file and never prunes
+    a file whose rows the residual filter would match (r8 review)."""
+    import datetime as dt
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [(dt.date(2024, 1, d),) for d in (1, 5, 8)], "d date"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(dt.date(2024, 1, d),) for d in (9, 12, 15)], "d date"
+        ).coalesce(1)
+    )
+    # datetime literal exactly at the first file's max day start
+    lit = dt.datetime(2024, 1, 8, 0, 0, 0)
+    assert t.prune_report([("d", ">=", lit)])["kept"] == 2  # boundary kept
+    assert t.scan([("d", ">=", lit)]).count() == 4
+    # bare date STRING equality: must not be pruned away
+    assert t.prune_report([("d", "=", "2024-01-08")])["kept"] >= 1
+    assert t.scan([("d", "=", "2024-01-08")]).count() == 1
+    # and genuinely out-of-range dates still prune
+    assert t.prune_report([("d", "<", dt.date(2024, 1, 1))])["kept"] == 0
+
+
+def test_string_column_ignores_dateish_anchoring(spark, tmp_path):
+    """A STRING column whose values happen to look like dates keeps
+    plain string comparison semantics — the date anchoring applies
+    only to date/timestamp-kind stats."""
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [("2024-01-05",), ("2024-01-08",)], "s string"
+        ).coalesce(1)
+    )
+    assert t.prune_report([("s", "=", "2024-01-08")])["kept"] == 1
+    assert t.scan([("s", "=", "2024-01-08")]).count() == 1
+    assert t.prune_report([("s", "=", "2024-01-09")])["kept"] == 0
