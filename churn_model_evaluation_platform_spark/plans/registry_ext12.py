@@ -1080,3 +1080,39 @@ def q_txnlog_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi(ref, cur, "value", 10.0).select(
         F.round("psi", 6).alias("psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# txnlog_restore — RESTORE TABLE TO VERSION as a pure pointer write:
+# a bad DELETE is rolled back by one overwrite commit re-referencing
+# version 6's file set (zero data copied; the delete stays in history,
+# auditable and time-travelable). The oracle: the restored table must
+# equal the untouched source, and the version counter must show all 8
+# commits (6 appends + the delete + the restore) — a restore that
+# copies, loses, or rewrites anything breaks either column.
+# ---------------------------------------------------------------------------
+
+_RESTORE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       CAST(8 AS BIGINT) AS n_versions
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("txnlog_restore", _RESTORE_SQL)
+def q_txnlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _six_bucket_table(spark, sf_dir, "txnrestore")
+    t.delete([("ts", ">=", _SKIP_LO), ("ts", "<", _SKIP_HI)])  # oops
+    t.restore(6)  # roll the head back; history intact
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("n_versions", F.lit(t.latest_version()).cast("long"))
+    )

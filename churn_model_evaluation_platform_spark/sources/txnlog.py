@@ -1000,6 +1000,33 @@ class TxnTable:
 
         return self._cow_rewrite(preds, _apply)
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION: one overwrite commit that
+        re-references the file set (and stats, and schema) live at
+        ``version`` — a pure pointer write, zero data copied or moved,
+        exactly Delta's RESTORE. History is preserved: the bad commits
+        stay in the log (auditable, still time-travelable); the
+        restore is just a new head. Conditional on the current head so
+        a concurrent commit isn't silently erased."""
+        st = self._state(version=version)  # raises on unknown version
+        base = self.latest_version()
+        if base == version:
+            return base  # already there: no-op, don't burn a version
+        from pyspark.sql import types as _T
+
+        df_schema = (
+            _T.StructType.fromJson(json.loads(st["schema"]))
+            if st.get("schema")
+            else None
+        )
+        return self._commit(
+            "overwrite",
+            list(st["live"]),
+            require_latest=base,
+            stats=dict(st["stats"]),
+            df_schema=df_schema,
+        )
+
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per commit — version, action,
         file count, rows added (from the commit's recorded stats;

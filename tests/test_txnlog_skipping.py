@@ -486,3 +486,34 @@ def test_string_column_ignores_dateish_anchoring(spark, tmp_path):
     assert t.prune_report([("s", "=", "2024-01-08")])["kept"] == 1
     assert t.scan([("s", "=", "2024-01-08")]).count() == 1
     assert t.prune_report([("s", "=", "2024-01-09")])["kept"] == 0
+
+
+def test_restore_is_pointer_only_rollback(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(_ranged(spark, 0, 100).coalesce(1))
+    t.append(_ranged(spark, 100, 200).coalesce(1))
+    pre = sorted(r["id"] for r in t.snapshot().collect())
+    pre_files = set(t.files())
+    t.delete([("id", "between", (50, 150))])
+    assert t.snapshot().count() == 99  # 101 ids removed, inclusive ends
+    v = t.restore(2)
+    assert v == 4  # a NEW head; the delete stays in history
+    assert sorted(r["id"] for r in t.snapshot().collect()) == pre
+    assert set(t.files()) == pre_files  # pure re-reference, no copy
+    # stats rode along: pruning still works on the restored head
+    assert t.prune_report([("id", "<", 100)])["kept"] == 1
+    # the deleted state remains time-travelable
+    assert t.snapshot(version=3).count() == 99
+    # no-op restore doesn't burn a version
+    assert t.restore(4) == 4
+    with pytest.raises(ValueError, match="does not exist"):
+        t.restore(99)
+
+
+def test_restore_reverts_additive_schema(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"), schema_mode="additive")
+    t.append(_ranged(spark, 0, 10).coalesce(1))
+    t.append(_ranged(spark, 10, 20).withColumn("tag", F.lit("x")).coalesce(1))
+    assert "tag" in t.snapshot().columns
+    t.restore(1)
+    assert t.snapshot().columns == ["id", "v", "s"]  # schema as of v1
