@@ -1116,3 +1116,37 @@ def q_txnlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_versions", F.lit(t.latest_version()).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# txnlog_stats_agg — metadata-only aggregation: COUNT / MIN / MAX /
+# null counts answered ENTIRELY from the commit log (zero data IO —
+# Delta's answer-count(*)-from-stats). The oracle computes the same
+# aggregates by actually scanning the data; equality proves the log's
+# stats are an exact substitute. The API refuses whenever that could
+# be false (missing stats, NaN-tainted max, widened decimal bounds).
+# ---------------------------------------------------------------------------
+
+_STATS_AGG_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS event_id_nulls,
+       CAST(min(event_id) AS BIGINT) AS event_id_min,
+       CAST(max(event_id) AS BIGINT) AS event_id_max,
+       CAST(count(*) - count(user_id) AS BIGINT) AS user_id_nulls,
+       CAST(min(user_id) AS BIGINT) AS user_id_min,
+       CAST(max(user_id) AS BIGINT) AS user_id_max
+FROM events
+"""
+
+
+@register("txnlog_stats_agg", _STATS_AGG_SQL)
+def q_txnlog_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog import TxnTable
+
+    path = _tmp_table_path(sf_dir, "txnstatsagg")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    t = TxnTable(spark, path)
+    bucket = F.floor((F.dayofmonth("ts") - 1) / 5)
+    for b in range(6):
+        t.append(ev.where(bucket == b).drop("ts"), batch_id=b)
+    return t.stats_aggregate(["event_id", "user_id"])

@@ -561,6 +561,10 @@ class TxnTable:
                 }
                 if f.name in floaty and bool(r[f"__nan_{f.name}"]):
                     ent["nan"] = True
+                if dec:
+                    # decimal bounds are ULP-widened (pruning-safe but
+                    # not exact) — metadata-only aggregates must refuse
+                    ent["approx_bounds"] = True
                 if f.name in self.set_columns:
                     vals = r[f"__set_{f.name}"] or []
                     if len(vals) <= self.set_cap:  # complete set only
@@ -999,6 +1003,80 @@ class TxnTable:
             return out
 
         return self._cow_rewrite(preds, _apply)
+
+    def stats_aggregate(
+        self, columns: list[str], version: int | None = None
+    ) -> DataFrame:
+        """Metadata-only aggregation: row count, per-column null count
+        and min/max answered ENTIRELY from the commit log — zero data
+        IO, Delta's answer-count(*)-from-stats trick. At 100 TB this is
+        the difference between a dashboard row-count tile costing
+        milliseconds of driver JSON reads and a full scan.
+
+        STRICT about exactness: raises if any live file lacks stats
+        (pre-stats commits), a requested column is untracked or has
+        ULP-widened decimal bounds, or a float column's NaN flag makes
+        its max unusable (Spark's max would return NaN) — a metadata
+        answer that might differ from the data answer is worse than a
+        scan. Returns ONE row: ``n_rows`` + ``{col}_nulls/_min/_max``
+        (min/max NULL for an all-null column, matching SQL)."""
+        from pyspark.sql import types as _T
+
+        st = self._state(version)
+        entries = []
+        for rel in st["live"]:
+            e = st["stats"].get(rel)
+            if e is None:
+                raise ValueError(
+                    f"stats_aggregate: no stats recorded for {rel} "
+                    "(pre-stats commit) — metadata-only answer unavailable"
+                )
+            entries.append(e)
+        out: dict = {"n_rows": sum(e["rows"] for e in entries)}
+        for c in columns:
+            nulls = 0
+            mins: list = []
+            maxs: list = []
+            for e in entries:
+                if e["rows"] == 0:
+                    continue
+                cs = e["cols"].get(c)
+                if cs is None:
+                    raise ValueError(
+                        f"stats_aggregate: column {c!r} untracked in some "
+                        "files' stats"
+                    )
+                if cs.get("approx_bounds"):
+                    raise ValueError(
+                        f"stats_aggregate: column {c!r} has ULP-widened "
+                        "decimal bounds — not exact"
+                    )
+                if cs.get("nan"):
+                    raise ValueError(
+                        f"stats_aggregate: column {c!r} contains NaN in "
+                        "some file — the recorded max is not the SQL max"
+                    )
+                nulls += cs.get("nulls", 0)
+                if cs.get("min") is not None:
+                    mins.append(cs["min"])
+                if cs.get("max") is not None:
+                    maxs.append(cs["max"])
+            out[f"{c}_nulls"] = nulls
+            out[f"{c}_min"] = min(mins) if mins else None
+            out[f"{c}_max"] = max(maxs) if maxs else None
+        fields = []
+        for k, v in out.items():
+            if isinstance(v, int) or v is None and k.endswith("_nulls"):
+                fields.append(_T.StructField(k, _T.LongType(), True))
+            elif isinstance(v, float):
+                fields.append(_T.StructField(k, _T.DoubleType(), True))
+            elif isinstance(v, str):
+                fields.append(_T.StructField(k, _T.StringType(), True))
+            else:  # None bound: type unknown -> string (ISO for dates/ts)
+                fields.append(_T.StructField(k, _T.StringType(), True))
+        return self.spark.createDataFrame(
+            [tuple(out[f.name] for f in fields)], _T.StructType(fields)
+        )
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION: one overwrite commit that

@@ -517,3 +517,36 @@ def test_restore_reverts_additive_schema(spark, tmp_path):
     assert "tag" in t.snapshot().columns
     t.restore(1)
     assert t.snapshot().columns == ["id", "v", "s"]  # schema as of v1
+
+
+def test_stats_aggregate_metadata_only(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(_ranged(spark, 0, 100).coalesce(1))
+    t.append(_ranged(spark, 100, 250).coalesce(1))
+    (r,) = t.stats_aggregate(["id", "s"]).collect()
+    assert r["n_rows"] == 250
+    assert (r["id_min"], r["id_max"], r["id_nulls"]) == (0, 249, 0)
+    assert (r["s_min"], r["s_max"]) == ("k0000", "k0249")
+    # version-pinned metadata answer
+    (r1,) = t.stats_aggregate(["id"], version=1).collect()
+    assert (r1["n_rows"], r1["id_max"]) == (100, 99)
+    # strictness: NaN-bearing float column refuses
+    t.append(
+        spark.createDataFrame(
+            [Row(id=1, v=float("nan"), s="x")], "id long, v double, s string"
+        ).coalesce(1)
+    )
+    with pytest.raises(ValueError, match="contains NaN"):
+        t.stats_aggregate(["v"])
+    # ...but untainted columns still answer
+    (r2,) = t.stats_aggregate(["id"]).collect()
+    assert r2["n_rows"] == 251
+
+
+def test_stats_aggregate_refuses_statless_history(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    legacy = TxnTable(spark, path, stats_columns=[])
+    legacy.append(_ranged(spark, 0, 10).coalesce(1))
+    t = TxnTable(spark, path)
+    with pytest.raises(ValueError, match="no stats recorded"):
+        t.stats_aggregate(["id"])
