@@ -1150,3 +1150,81 @@ def q_txnlog_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(6):
         t.append(ev.where(bucket == b).drop("ts"), batch_id=b)
     return t.stats_aggregate(["event_id", "user_id"])
+
+
+# ---------------------------------------------------------------------------
+# stream_txnlog_merge — streaming CDC MERGE through the TRANSACTIONAL
+# table: the orders changelog replayed as three time-range micro-batches
+# (the exact stream_cdc_upsert scenario), each batch MERGEd atomically
+# into the txn table via its conditional-commit machinery instead of a
+# driver-held localCheckpoint snapshot. Reuses stream_cdc_upsert's
+# oracle verbatim — the two implementations must agree row for row —
+# so the ACID path is proven equivalent to the established semantics,
+# and readers during the drain could never see a half-merged store.
+# ---------------------------------------------------------------------------
+
+
+def _stream_txnlog_merge_sql() -> str:
+    from .registry_ext8 import _stream_cdc_sql
+
+    return _stream_cdc_sql()
+
+
+@register("stream_txnlog_merge", _stream_txnlog_merge_sql())
+def q_stream_txnlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..sources.txnlog import TxnTable
+    from .registry import drain_stream
+    from .registry_ext8 import _CDC_BATCH_BOUNDS
+
+    orders = _t(spark, sf_dir, "orders")
+    base = _tmp_table_path(sf_dir, f"streammerge_{os.getpid()}")
+    src_dir = f"{base}/drops"
+    os.makedirs(src_dir, exist_ok=True)
+    for i, (where, _) in enumerate(_CDC_BATCH_BOUNDS):
+        tmp = f"{src_dir}/b{i}_tmp"
+        orders.where(F.expr(where)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src_dir}/b{i}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    t = TxnTable(spark, f"{base}/table")
+    t.overwrite(
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        changes = batch_df.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "o_orderdate",
+            "o_orderkey",
+            F.col("o_totalprice").alias("c_acctbal"),
+        )
+        t.merge(
+            changes,
+            keys=["c_custkey"],
+            order_cols=["o_orderdate", "o_orderkey"],
+            op_col="op",
+        )
+
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    drain_stream(q)
+    return t.snapshot()
