@@ -47,6 +47,8 @@ SINGLE_ROW_CROSS_OK = {
     "lift_curve",  # same single-row totals broadcast via prefix sum
     "tfidf_top_terms",  # single-row corpus-size broadcast
     "lm_score",  # single-row (T, V) totals broadcast
+    "bm25_search",  # single-row (n_docs, avgdl) corpus-stats broadcast
+    "txnlog_version_drift",  # psi's single-row bin-totals broadcast
     # deliberate replicate-small-dim cross: the broadcast build side is
     # the distinct window-start frame (dashboard x-axis grain — tens to
     # hundreds of rows) crossed into the broadcast-sized reference
