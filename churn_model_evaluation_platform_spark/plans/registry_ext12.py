@@ -1228,3 +1228,56 @@ def q_stream_txnlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drain_stream(q)
     return t.snapshot()
+
+
+# ---------------------------------------------------------------------------
+# txnlog_check_constraints — governed ingest: ALTER TABLE ADD
+# CONSTRAINT CHECK on the txn table, enforced before any commit lands.
+# A poisoned micro-batch (negated values) must be rejected WITHOUT a
+# trace — the oracle pins the clean aggregate, the rejected flag, and
+# the version counter (6 appends + 1 metadata commit; the poisoned
+# batch must not have burned a version).
+# ---------------------------------------------------------------------------
+
+_CHECK_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       CAST(TRUE AS BOOLEAN) AS rejected,
+       CAST(7 AS BIGINT) AS n_versions
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("txnlog_check_constraints", _CHECK_SQL)
+def q_txnlog_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog import ConstraintViolation, TxnTable
+
+    path = _tmp_table_path(sf_dir, "txncheck")
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    t = TxnTable(spark, path)
+    bucket = F.floor((F.dayofmonth("ts") - 1) / 5)
+    t.append(ev.where(bucket == 0).drop("ts"), batch_id=0)
+    t.add_constraint("value_nonneg", "value >= 0")  # validates existing
+    for b in range(1, 6):
+        t.append(ev.where(bucket == b).drop("ts"), batch_id=b)
+    rejected = False
+    try:  # poisoned batch: negated values must never land
+        t.append(
+            ev.where(bucket == 2)
+            .drop("ts")
+            .withColumn("value", -F.col("value") - 1)
+        )
+    except ConstraintViolation:
+        rejected = True
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("rejected", F.lit(rejected))
+        .withColumn("n_versions", F.lit(t.latest_version()).cast("long"))
+    )

@@ -215,6 +215,12 @@ class SchemaMismatch(ValueError):
     table's ``schema_mode`` — raised BEFORE any data lands."""
 
 
+class ConstraintViolation(ValueError):
+    """Rows violate a table CHECK constraint — raised before the
+    commit lands (append) or before the constraint is added
+    (``add_constraint`` over existing data)."""
+
+
 def _normalize_schema_json(schema) -> str:
     """Canonical JSON of a StructType: nullable forced True (parquet
     roundtrips make everything nullable; nullability must not fail a
@@ -397,6 +403,7 @@ class TxnTable:
         batch_ids: set = set()
         stats: dict = {}
         schema: str | None = None
+        constraints: dict = {}
         base = 0
         usable = [c for c in ckpt_versions if target is not None and c <= target]
         if usable:
@@ -408,14 +415,18 @@ class TxnTable:
                 # unprunable (conservative), never wrong
                 stats = dict(ck.get("stats", {}))
                 schema = ck.get("schema")
+                constraints = dict(ck.get("constraints", {}))
                 base = usable[-1]
             except Exception:
                 base = 0  # unreadable checkpoint: fall back to full replay
-                live, batch_ids, stats, schema = [], set(), {}, None
+                live, batch_ids, stats = [], set(), {}
+                schema, constraints = None, {}
         for c in self._commits(since=base, until=target):
             if c["action"] == "overwrite":
                 live = list(c["added"])
                 stats = dict(c.get("stats", {}))
+            elif c["action"] == "meta":
+                pass  # metadata-only commit: file set unchanged
             else:
                 live.extend(c["added"])
                 stats.update(c.get("stats", {}))
@@ -423,12 +434,15 @@ class TxnTable:
                 batch_ids.add(c["batch_id"])
             # pre-schema commits carry no key: keep the last known one
             schema = c.get("table_schema") or schema
+            if "constraints" in c:
+                constraints = dict(c["constraints"] or {})
         return {
             "live": live,
             "batch_ids": batch_ids,
             "latest": latest,
             "stats": stats,
             "schema": schema,
+            "constraints": constraints,
         }
 
     def versions(self) -> list[int]:
@@ -611,6 +625,7 @@ class TxnTable:
         require_latest: int | None = _UNCHECKED,
         stats: dict | None = None,
         df_schema=None,
+        constraints: dict | None = None,
     ) -> int:
         """Claim the next version. ``require_latest`` (a version number
         or None-for-empty-table) asserts the table has NOT advanced
@@ -650,6 +665,13 @@ class TxnTable:
                 "committed_at": time.time(),
                 "stats": stats or {},
                 "table_schema": table_schema,
+                # None = carry the table's current constraint set; a
+                # dict (possibly empty) = redefine it (add/drop)
+                "constraints": (
+                    state.get("constraints", {})
+                    if constraints is None
+                    else constraints
+                ),
             }
             if self._try_commit(version, payload):
                 if version % self.checkpoint_interval == 0:
@@ -684,6 +706,9 @@ class TxnTable:
             "batch_ids": sorted(batch_ids, key=repr),
             "stats": stats,
             "schema": payload.get("table_schema") or prior.get("schema"),
+            "constraints": payload.get(
+                "constraints", prior.get("constraints", {})
+            ),
         }
         try:
             tmp = self._jpath(
@@ -707,11 +732,11 @@ class TxnTable:
         if batch_id is not None and batch_id in self.batch_ids():
             return self.latest_version()  # skip data write too
         # fail fast: validate BEFORE materializing any data files (the
-        # same check re-runs inside _commit against the state each
+        # schema check re-runs inside _commit against the state each
         # attempt actually lands on)
-        _evolve_schema(
-            self._state()["schema"], df.schema, self.schema_mode, "append"
-        )
+        pre = self._state()
+        _evolve_schema(pre["schema"], df.schema, self.schema_mode, "append")
+        self._check_constraints(df, pre.get("constraints", {}))
         added, stats = self._write_data(df)
         return self._commit(
             "append", added, batch_id, stats=stats, df_schema=df.schema
@@ -729,6 +754,7 @@ class TxnTable:
         still being at that version (lost-update protection for
         callers whose content was computed from a snapshot — e.g. a
         matview refresh)."""
+        self._check_constraints(df, self._state().get("constraints", {}))
         added, stats = self._write_data(df)
         return self._commit(
             "overwrite",
@@ -739,7 +765,12 @@ class TxnTable:
             df_schema=df.schema,
         )
 
-    def _rmw(self, transform, rmw_retries: int = 3) -> int:
+    def _rmw(
+        self,
+        transform,
+        rmw_retries: int = 3,
+        validate_constraints: bool = True,
+    ) -> int:
         """Read-modify-write with LOST-UPDATE protection: remember the
         version the snapshot was resolved at, and commit the rewrite
         conditionally on the table still being at that version. A
@@ -750,6 +781,10 @@ class TxnTable:
         for _ in range(rmw_retries):
             base = self.latest_version()
             out = transform(self.snapshot(version=base))
+            if validate_constraints:
+                self._check_constraints(
+                    out, self._state().get("constraints", {})
+                )
             added, stats = self._write_data(out)
             try:
                 return self._commit(
@@ -785,8 +820,12 @@ class TxnTable:
         """Rewrite the live file set into ``partitions`` files and swap
         atomically — OPTIMIZE with a pointer flip instead of an
         in-place rewrite; rows preserved bit-for-bit, interleaved
-        commits never lost (``_rmw``)."""
-        return self._rmw(lambda snap: snap.coalesce(partitions))
+        commits never lost (``_rmw``). Row-preserving by construction,
+        so CHECK constraints are not re-validated."""
+        return self._rmw(
+            lambda snap: snap.coalesce(partitions),
+            validate_constraints=False,
+        )
 
     # -- read path ---------------------------------------------------------
 
@@ -887,9 +926,17 @@ class TxnTable:
         dimensions into 0..65535 (pass a Column expression)."""
         from ..functions.zorder import zorder_by
 
-        return self._rmw(lambda snap: zorder_by(snap, x, y, partitions))
+        return self._rmw(
+            lambda snap: zorder_by(snap, x, y, partitions),
+            validate_constraints=False,  # row-preserving rewrite
+        )
 
-    def _cow_rewrite(self, preds: list[tuple], transform) -> dict:
+    def _cow_rewrite(
+        self,
+        preds: list[tuple],
+        transform,
+        validate_constraints: bool = False,
+    ) -> dict:
         """Copy-on-write DML core (DELETE/UPDATE): stats-prune the live
         set to the files that MAY contain matching rows, rewrite ONLY
         those through ``transform``, and commit untouched + rewritten
@@ -922,6 +969,10 @@ class TxnTable:
                     "files_untouched": len(untouched),
                 }
             rewritten_df = transform(self._read_files(st, touched))
+            if validate_constraints:
+                self._check_constraints(
+                    rewritten_df, st.get("constraints", {})
+                )
             if untouched and st.get("schema"):
                 # a partial rewrite must keep the table schema: the
                 # untouched files stay on disk with the OLD physical
@@ -1002,7 +1053,64 @@ class TxnTable:
                 )
             return out
 
-        return self._cow_rewrite(preds, _apply)
+        # an UPDATE can write violating values; a DELETE cannot
+        return self._cow_rewrite(preds, _apply, validate_constraints=True)
+
+    def _check_constraints(self, df: DataFrame, constraints: dict) -> None:
+        """One aggregate pass counting violations of every CHECK
+        constraint (SQL semantics: a row violates only when the
+        expression is FALSE; NULL passes). Raises with per-constraint
+        counts before anything commits."""
+        if not constraints:
+            return
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+            ).alias(n)
+            for n, e in constraints.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {
+            n: int(row[n]) for n in constraints if row[n] and int(row[n]) > 0
+        }
+        if bad:
+            raise ConstraintViolation(
+                f"CHECK constraint violations in {self.path}: "
+                + ", ".join(
+                    f"{n!r} ({constraints[n]}): {c} rows"
+                    for n, c in sorted(bad.items())
+                )
+            )
+
+    def constraints(self) -> dict:
+        """The table's active CHECK constraints: {name: sql_expr}."""
+        return dict(self._state().get("constraints", {}))
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates the
+        EXISTING data first (one scan — Delta does the same), then
+        records the constraint in the log via a metadata-only commit.
+        Every subsequent append/overwrite/merge/update is checked
+        against it before its commit lands. Caveat (same as Delta
+        without metadata conflict detection): a write racing the
+        ADD CONSTRAINT itself may commit unvalidated rows."""
+        if not name or not isinstance(expr, str) or not expr.strip():
+            raise ValueError("add_constraint needs a name and a SQL expr")
+        current = self._state()
+        merged = dict(current.get("constraints", {}))
+        if name in merged:
+            raise ValueError(f"constraint {name!r} already exists")
+        if current["live"]:
+            self._check_constraints(self.snapshot(), {name: expr})
+        merged[name] = expr
+        return self._commit("meta", [], constraints=merged)
+
+    def drop_constraint(self, name: str) -> int:
+        current = self.constraints()
+        if name not in current:
+            raise ValueError(f"constraint {name!r} does not exist")
+        current.pop(name)
+        return self._commit("meta", [], constraints=current)
 
     def stats_aggregate(
         self, columns: list[str], version: int | None = None
