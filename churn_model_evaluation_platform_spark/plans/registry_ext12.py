@@ -1281,3 +1281,53 @@ def q_txnlog_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rejected", F.lit(rejected))
         .withColumn("n_versions", F.lit(t.latest_version()).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# txnlog_optimize — selective small-file compaction (Delta OPTIMIZE):
+# one settled big file plus six tiny ingest slices; optimize() must
+# bin-pack ONLY the tinies (re-referencing the big file untouched),
+# leaving exactly 2 live files. The oracle pins content preservation
+# and the predicted file count; the threshold is derived from the
+# table's own recorded sizes so the construction is SF-independent.
+# ---------------------------------------------------------------------------
+
+_OPTIMIZE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       CAST(2 AS BIGINT) AS files_after,
+       CAST(6 AS BIGINT) AS files_rewritten
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("txnlog_optimize", _OPTIMIZE_SQL)
+def q_txnlog_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog import TxnTable
+
+    path = _tmp_table_path(sf_dir, "txnoptimize")
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    day = F.dayofmonth("ts")
+    t = TxnTable(spark, path)
+    t.append(ev.where(day <= 15).drop("ts").coalesce(1))  # settled big file
+    for i in range(6):  # six tiny ingests covering days 16..31
+        lo = 15 + 2 * i
+        cond = (day > lo) & (day <= lo + 2) if i < 5 else (day > lo)
+        t.append(ev.where(cond).drop("ts").coalesce(1), batch_id=i)
+    sizes = [e["bytes"] for e in t._state()["stats"].values()]
+    big = max(sizes)
+    rep = t.optimize(target_bytes=20 * big, small_threshold=big)
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("files_after", F.lit(len(t.files())).cast("long"))
+        .withColumn(
+            "files_rewritten", F.lit(rep["files_rewritten"]).cast("long")
+        )
+    )

@@ -474,12 +474,18 @@ class TxnTable:
         commit_dir = f"{_DATA_DIR}/{uuid.uuid4().hex}"
         df.write.mode("errorifexists").parquet(f"{self.path}/{commit_dir}")
         listing = self._fs.listStatus(self._jpath(f"{self.path}/{commit_dir}"))
-        relpaths = sorted(
-            f"{commit_dir}/{s.getPath().getName()}"
+        sizes = {
+            f"{commit_dir}/{s.getPath().getName()}": int(s.getLen())
             for s in listing
             if s.getPath().getName().endswith(".parquet")
-        )
-        return relpaths, self._collect_stats(commit_dir, relpaths)
+        }
+        relpaths = sorted(sizes)
+        stats = self._collect_stats(commit_dir, relpaths)
+        for rel, entry in stats.items():
+            # byte size recorded at write time: OPTIMIZE decides what's
+            # 'small' from the log alone, no FS listing at plan time
+            entry["bytes"] = sizes.get(rel)
+        return relpaths, stats
 
     def _collect_stats(self, commit_dir: str, relpaths: list[str]) -> dict:
         """Per-file min/max/null-count stats for the files just written
@@ -826,6 +832,81 @@ class TxnTable:
             lambda snap: snap.coalesce(partitions),
             validate_constraints=False,
         )
+
+    def optimize(
+        self,
+        target_bytes: int = 128 * 1024 * 1024,
+        small_threshold: int | None = None,
+    ) -> dict:
+        """Delta's OPTIMIZE: bin-pack ONLY the small files into
+        ~``target_bytes`` outputs, re-referencing every file already at
+        a healthy size — unlike ``compact``, which rewrites the whole
+        table. 'Small' = recorded byte size (stamped into the stats at
+        write time — no FS listing here) below ``small_threshold``
+        (default ``target_bytes // 2``, Delta's minFileSize posture);
+        files with no recorded size (pre-stats commits) count as small,
+        which is safe — rewriting preserves rows. At 100 TB a
+        streaming-ingested table accretes thousands of tiny files per
+        day; this rewrite touches only those, never the settled data.
+        Same conditional-commit lost-update protection as every other
+        rewrite. Returns ``{version, files_rewritten, files_kept,
+        files_written}``."""
+        thresh = (
+            int(small_threshold)
+            if small_threshold is not None
+            else target_bytes // 2
+        )
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            st = self._state()
+            if not st["live"]:
+                raise ValueError(
+                    f"TxnTable at {self.path} has no committed data"
+                )
+            base = st["latest"]
+
+            def _size(rel: str):
+                e = st["stats"].get(rel)
+                return None if e is None else e.get("bytes")
+
+            small = [
+                rel
+                for rel in st["live"]
+                if _size(rel) is None or _size(rel) < thresh
+            ]
+            keep = [rel for rel in st["live"] if rel not in set(small)]
+            if len(small) < 2:  # nothing to gain from a rewrite
+                return {
+                    "version": base,
+                    "files_rewritten": 0,
+                    "files_kept": len(st["live"]),
+                    "files_written": 0,
+                }
+            total = sum(_size(rel) or thresh for rel in small)
+            n_bins = max(1, math.ceil(total / target_bytes))
+            rewritten_df = self._read_files(st, small).coalesce(n_bins)
+            added, stats = self._write_data(rewritten_df)
+            merged = {
+                rel: st["stats"][rel] for rel in keep if rel in st["stats"]
+            }
+            merged.update(stats)
+            try:
+                version = self._commit(
+                    "overwrite",
+                    keep + added,
+                    require_latest=base,
+                    stats=merged,
+                    df_schema=rewritten_df.schema,
+                )
+                return {
+                    "version": version,
+                    "files_rewritten": len(small),
+                    "files_kept": len(keep),
+                    "files_written": len(added),
+                }
+            except CommitConflict as e:
+                last_err = e
+        raise last_err  # pragma: no cover - needs 3 straight rivals
 
     # -- read path ---------------------------------------------------------
 

@@ -550,3 +550,39 @@ def test_stats_aggregate_refuses_statless_history(spark, tmp_path):
     t = TxnTable(spark, path)
     with pytest.raises(ValueError, match="no stats recorded"):
         t.stats_aggregate(["id"])
+
+
+def test_optimize_rewrites_only_small_files(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(_ranged(spark, 0, 5000).coalesce(1))  # the settled big file
+    for lo in range(5000, 5400, 100):  # four tiny ingest files
+        t.append(_ranged(spark, lo, lo + 100).coalesce(1))
+    st_ = t._state()
+    sizes = sorted(e["bytes"] for e in st_["stats"].values())
+    assert all(b is not None for b in sizes)
+    big = max(sizes)
+    rep = t.optimize(target_bytes=10 * big, small_threshold=big)
+    assert rep["files_rewritten"] == 4
+    assert rep["files_kept"] == 1
+    assert rep["files_written"] == 1  # four tinies packed into one
+    assert len(t.files()) == 2
+    assert t.snapshot().count() == 5400  # rows preserved bit-for-bit
+    # the kept big file's stats survived: still prunable
+    assert t.prune_report([("id", "<", 5000)])["kept"] == 1
+    # idempotent: a second optimize has at most one small file left
+    v = t.latest_version()
+    rep2 = t.optimize(target_bytes=10 * big, small_threshold=big)
+    assert rep2["files_rewritten"] == 0 and rep2["version"] == v
+
+
+def test_optimize_single_small_file_is_noop(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.append(_ranged(spark, 0, 10).coalesce(1))
+    v = t.latest_version()
+    rep = t.optimize()
+    assert rep == {
+        "version": v,
+        "files_rewritten": 0,
+        "files_kept": 1,
+        "files_written": 0,
+    }
