@@ -579,8 +579,21 @@ class TxnTable:
                     "nulls": int(r[f"__nulls_{f.name}"] or 0),
                     "kind": kinds[f.name],
                 }
-                if f.name in floaty and bool(r[f"__nan_{f.name}"]):
-                    ent["nan"] = True
+                if f.name in floaty:
+                    if bool(r[f"__nan_{f.name}"]):
+                        ent["nan"] = True
+                    # +/-Infinity is a real float value Spark's min/max
+                    # returns but _enc_stat cannot encode (it answers
+                    # None — a conservative no-bound for PRUNING, but a
+                    # silently-dropped bound for stats_aggregate, which
+                    # must raise instead: ADVICE r8 medium).
+                    raw_mn = r[f"__min_{f.name}"]
+                    raw_mx = r[f"__max_{f.name}"]
+                    if any(
+                        v is not None and math.isinf(v)
+                        for v in (raw_mn, raw_mx)
+                    ):
+                        ent["inf"] = True
                 if dec:
                     # decimal bounds are ULP-widened (pruning-safe but
                     # not exact) — metadata-only aggregates must refuse
@@ -1245,6 +1258,13 @@ class TxnTable:
                         f"stats_aggregate: column {c!r} contains NaN in "
                         "some file — the recorded max is not the SQL max"
                     )
+                if cs.get("inf"):
+                    raise ValueError(
+                        f"stats_aggregate: column {c!r} contains "
+                        "+/-Infinity in some file — the non-finite bound "
+                        "cannot be encoded, so a metadata min/max would "
+                        "silently drop it"
+                    )
                 nulls += cs.get("nulls", 0)
                 if cs.get("min") is not None:
                     mins.append(cs["min"])
@@ -1269,8 +1289,8 @@ class TxnTable:
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION: one overwrite commit that
-        re-references the file set (and stats, and schema) live at
-        ``version`` — a pure pointer write, zero data copied or moved,
+        re-references the file set (and stats, schema, and CHECK
+        constraints) live at ``version`` — a pure pointer write, zero data copied or moved,
         exactly Delta's RESTORE. History is preserved: the bad commits
         stay in the log (auditable, still time-travelable); the
         restore is just a new head. Conditional on the current head so
@@ -1292,25 +1312,47 @@ class TxnTable:
             require_latest=base,
             stats=dict(st["stats"]),
             df_schema=df_schema,
+            # full state restoration: the target version's CHECK
+            # constraints come back too — restoring data under a
+            # LATER-added constraint it never satisfied would leave a
+            # table whose committed content violates its own checks
+            # (ADVICE r8; the pre-restore constraint set remains
+            # auditable in the log)
+            constraints=dict(st.get("constraints") or {}),
         )
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per commit — version, action,
-        file count, rows added (from the commit's recorded stats;
-        NULL for pre-stats commits), batch id. Built ENTIRELY from the
+        file count, rows added (from the recorded stats of the files
+        the commit actually WROTE — files merely re-referenced by an
+        optimize/CoW/restore overwrite are excluded; NULL for
+        pre-stats commits), batch id. Built ENTIRELY from the
         log (driver-side O(#commits) tiny JSON reads, zero data IO) —
         the operational audit a store admin reads before trusting a
         table: ingest cadence, replay gaps, compactions."""
         from pyspark.sql import types as _T
 
         rows = []
+        prior_live: set = set()
         for c in self._commits():
             stats = c.get("stats") or {}
+            added = c.get("added", [])
+            # overwrite commits from optimize()/_cow_rewrite()/restore()
+            # deliberately re-reference untouched files (and merge their
+            # stats into the commit): counting those would report the
+            # whole post-commit row count as "added" (ADVICE r8). Only
+            # files NOT live in the prior version count as written.
+            fresh = [rel for rel in added if rel not in prior_live]
+            fresh_stats = [stats[rel] for rel in fresh if rel in stats]
             rows_added = (
-                sum(int(e.get("rows", 0)) for e in stats.values())
-                if stats
+                sum(int(e.get("rows", 0)) for e in fresh_stats)
+                if stats and len(fresh_stats) == len(fresh)
                 else None
             )
+            if c["action"] == "overwrite":
+                prior_live = set(added)
+            elif c["action"] != "meta":
+                prior_live.update(added)
             b = c.get("batch_id")
             rows.append(
                 (
