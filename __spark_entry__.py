@@ -28,6 +28,7 @@ from churn_model_evaluation_platform_spark.plans import registry_ext9 as _regist
 from churn_model_evaluation_platform_spark.plans import registry_ext10 as _registry_ext10  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext11 as _registry_ext11  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext12 as _registry_ext12  # noqa: F401
+from churn_model_evaluation_platform_spark.plans import registry_ext13 as _registry_ext13  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

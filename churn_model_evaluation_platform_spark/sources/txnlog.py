@@ -81,6 +81,7 @@ import json
 import math
 import re
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -93,6 +94,15 @@ _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
 _VERSION_DIGITS = 20
 _UNCHECKED = object()  # sentinel: _commit without a lost-update check
+
+# Hive-style partition directories are written under a PREFIXED COPY of
+# each partition column (``__p_<col>=<val>/``): Spark's partitionBy
+# drops the partitioning column from the data files, but this table
+# reads leaf files directly under the log's pinned schema (no basePath
+# partition discovery), so the REAL column must stay in the data. The
+# prefixed copy exists only as the directory key; readers never see it.
+_PART_PREFIX = "__p_"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 # Delta tracks stats for the first 32 columns by default; same cap here
 # keeps log entries small on wide tables (stats cost is per-file JSON).
@@ -205,6 +215,61 @@ def _enc_literal(v, kind: str | None):
     return None  # pragma: no cover - unknown kind tag
 
 
+# One row per live data file — the schema of file_index() and of the
+# parquet file-index checkpoints. stats_json is the file's per-column
+# stats entry ('cols' dict) as canonical JSON; NULL = pre-stats commit.
+_FILE_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("relpath", T.StringType(), False),
+        T.StructField("rows", T.LongType(), True),
+        T.StructField("bytes", T.LongType(), True),
+        T.StructField("stats_json", T.StringType(), True),
+    ]
+)
+
+
+def _kind_of(dt) -> str:
+    """Stats 'kind' tag for an atomic Spark type — decides which
+    encoding space a predicate literal must be brought into."""
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.NumericType):
+        return "num"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    return "str"
+
+
+def _parse_partition_value(raw: str, dt):
+    """Encode a Hive partition-directory VALUE string (already
+    unquoted) into the stats encoding for a column of type ``dt`` —
+    the min==max bound a partition directory implies for every row in
+    its files. None = no usable bound (unparseable, non-finite, or a
+    type whose encoding is lossy — decimal bounds would need ULP
+    widening, which min==max equality pruning cannot tolerate)."""
+    try:
+        if isinstance(dt, T.BooleanType):
+            return int(raw == "true")
+        if isinstance(dt, T.DecimalType):
+            return None  # float(raw) rounds; a tightened == bound mis-prunes
+        if isinstance(dt, T.IntegralType):
+            return int(raw)
+        if isinstance(dt, T.FractionalType):
+            f = float(raw)
+            return f if math.isfinite(f) else None
+        if isinstance(dt, T.DateType):
+            return raw + "T00:00:00" if _BARE_DATE_RE.match(raw) else None
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return _enc_literal(raw, "ts")
+        if isinstance(dt, T.StringType):
+            return raw
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
 class CommitConflict(RuntimeError):
     """Another writer claimed the version (caught internally; surfaced
     only if retries are exhausted)."""
@@ -287,6 +352,7 @@ class TxnTable:
         schema_mode: str = "exact",
         set_columns: list[str] | None = None,
         set_cap: int = _SET_CAP_DEFAULT,
+        partition_by: list[str] | None = None,
     ):
         """``stats_columns``: columns to record per-file min/max stats
         for on every commit (data skipping). ``None`` = the first
@@ -310,7 +376,20 @@ class TxnTable:
         (table schema evolves; old files read the new columns as NULL)
         and to OMIT existing ones (read back as NULL), but never to
         change a column's type. ``overwrite`` always redefines the
-        schema — it starts a new table content-wise."""
+        schema — it starts a new table content-wise.
+
+        ``partition_by``: Hive-style partition layout — every commit
+        lands its files under ``__p_<col>=<value>/`` directories (one
+        level per column, in order), and each file's stats gain an
+        exact ``min==max`` bound for the partition columns DERIVED
+        FROM THE PATH, so partition predicates prune with zero data IO
+        even when the column is outside the stats cap or the literal
+        value set. The layout is a TABLE property: it is recorded in
+        the log on first use, later handles adopt it automatically
+        (pass None), and a conflicting explicit value raises. The
+        real columns stay in the data files (the directory key is a
+        prefixed copy), so leaf-file reads under the pinned log schema
+        are unaffected."""
         if schema_mode not in ("exact", "additive"):
             raise ValueError(
                 f"schema_mode must be 'exact' or 'additive', got "
@@ -329,6 +408,21 @@ class TxnTable:
         self._jvm = spark._jvm
         fs.mkdirs(self._jpath(f"{self.path}/{_LOG_DIR}"))
         fs.mkdirs(self._jpath(f"{self.path}/{_DATA_DIR}"))
+        # partition layout is a table-level property recorded in the
+        # log: adopt it when the caller didn't specify, refuse a
+        # conflicting respecification (a mixed-layout table would still
+        # READ correctly — stats carry the pruning — but the Hive
+        # directory contract would silently rot)
+        recorded = self._state().get("partition_by")
+        if partition_by is None:
+            self.partition_by = list(recorded or [])
+        else:
+            self.partition_by = list(partition_by)
+            if recorded and list(recorded) != self.partition_by:
+                raise ValueError(
+                    f"table at {self.path} is partitioned by {recorded}; "
+                    f"got partition_by={self.partition_by}"
+                )
 
     # -- log plumbing ------------------------------------------------------
 
@@ -345,6 +439,11 @@ class TxnTable:
             f"{self.path}/{_LOG_DIR}/{version:0{_VERSION_DIGITS}d}.ckpt"
         )
 
+    def _ckptpq_path(self, version: int):
+        return self._jpath(
+            f"{self.path}/{_LOG_DIR}/{version:0{_VERSION_DIGITS}d}.ckptpq"
+        )
+
     def _read_json(self, jpath) -> dict:
         stream = self._fs.open(jpath)
         try:
@@ -355,28 +454,32 @@ class TxnTable:
             stream.close()
         return json.loads(data.decode("utf-8"))
 
-    def _log_listing(self) -> tuple[list[int], list[int]]:
-        """ONE listStatus of the log dir → (commit versions, checkpoint
-        versions), both sorted. Names alone carry the versions — no
-        JSON reads here."""
+    def _log_listing(self) -> tuple[list[int], list[int], list[int]]:
+        """ONE listStatus of the log dir → (commit versions, JSON
+        checkpoint versions, parquet file-index checkpoint versions),
+        all sorted. Names alone carry the versions — no JSON reads
+        here."""
         log_dir = self._jpath(f"{self.path}/{_LOG_DIR}")
         if not self._fs.exists(log_dir):
-            return [], []
+            return [], [], []
         commits: list[int] = []
         ckpts: list[int] = []
+        pq_ckpts: list[int] = []
         for s in self._fs.listStatus(log_dir):
             name = s.getPath().getName()
             if name.endswith(".json"):
                 commits.append(int(name[: -len(".json")]))
+            elif name.endswith(".ckptpq"):
+                pq_ckpts.append(int(name[: -len(".ckptpq")]))
             elif name.endswith(".ckpt"):
                 ckpts.append(int(name[: -len(".ckpt")]))
-        return sorted(commits), sorted(ckpts)
+        return sorted(commits), sorted(ckpts), sorted(pq_ckpts)
 
     def _commits(self, since: int = 0, until: int | None = None) -> list[dict]:
         """Commit entries with ``since < version <= until`` in version
         order — O(range) small JSON reads, driver-side; never a
         data-file listing."""
-        versions, _ = self._log_listing()
+        versions, _, _ = self._log_listing()
         return [
             self._read_json(self._log_path(v))
             for v in versions
@@ -391,7 +494,7 @@ class TxnTable:
         O(checkpoint_interval) reads regardless of table age (the
         Delta-style log-checkpoint remedy for O(#commits) re-reads;
         r8 review)."""
-        commit_versions, ckpt_versions = self._log_listing()
+        commit_versions, ckpt_versions, _ = self._log_listing()
         latest = commit_versions[-1] if commit_versions else None
         if version is not None and version not in set(commit_versions):
             raise ValueError(
@@ -404,6 +507,7 @@ class TxnTable:
         stats: dict = {}
         schema: str | None = None
         constraints: dict = {}
+        partition_by: list[str] | None = None
         base = 0
         usable = [c for c in ckpt_versions if target is not None and c <= target]
         if usable:
@@ -416,11 +520,12 @@ class TxnTable:
                 stats = dict(ck.get("stats", {}))
                 schema = ck.get("schema")
                 constraints = dict(ck.get("constraints", {}))
+                partition_by = ck.get("partition_by")
                 base = usable[-1]
             except Exception:
                 base = 0  # unreadable checkpoint: fall back to full replay
                 live, batch_ids, stats = [], set(), {}
-                schema, constraints = None, {}
+                schema, constraints, partition_by = None, {}, None
         for c in self._commits(since=base, until=target):
             if c["action"] == "overwrite":
                 live = list(c["added"])
@@ -436,6 +541,7 @@ class TxnTable:
             schema = c.get("table_schema") or schema
             if "constraints" in c:
                 constraints = dict(c["constraints"] or {})
+            partition_by = c.get("partition_by") or partition_by
         return {
             "live": live,
             "batch_ids": batch_ids,
@@ -443,6 +549,7 @@ class TxnTable:
             "stats": stats,
             "schema": schema,
             "constraints": constraints,
+            "partition_by": partition_by,
         }
 
     def versions(self) -> list[int]:
@@ -470,17 +577,49 @@ class TxnTable:
     def _write_data(self, df: DataFrame) -> tuple[list[str], dict]:
         """Materialize ``df`` into a commit-unique directory; returns
         the relative paths of the part files plus their per-file column
-        stats. Invisible to readers until a log entry references them."""
+        stats. Invisible to readers until a log entry references them.
+        Partitioned tables land Hive-style ``__p_<col>=<val>/``
+        subdirectories (every rewrite path — compact, optimize, CoW
+        DML, z-order — flows through here, so the layout survives all
+        of them); the partition value becomes an exact ``min==max``
+        stats bound derived from the path alone."""
         commit_dir = f"{_DATA_DIR}/{uuid.uuid4().hex}"
-        df.write.mode("errorifexists").parquet(f"{self.path}/{commit_dir}")
-        listing = self._fs.listStatus(self._jpath(f"{self.path}/{commit_dir}"))
-        sizes = {
-            f"{commit_dir}/{s.getPath().getName()}": int(s.getLen())
-            for s in listing
-            if s.getPath().getName().endswith(".parquet")
-        }
+        target = f"{self.path}/{commit_dir}"
+        if self.partition_by:
+            missing = [c for c in self.partition_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"partition columns {missing} absent from the frame "
+                    f"being committed (table partitioned by "
+                    f"{self.partition_by})"
+                )
+            out = df
+            pcols = []
+            for c in self.partition_by:
+                pc = _PART_PREFIX + c
+                out = out.withColumn(pc, F.col(c))
+                pcols.append(pc)
+            out.write.mode("errorifexists").partitionBy(*pcols).parquet(
+                target
+            )
+        else:
+            df.write.mode("errorifexists").parquet(target)
+        # recursive listing: partitioned commits nest part files under
+        # the partition directories
+        root_abs = self._jpath(self.path).toUri().getPath()
+        sizes: dict[str, int] = {}
+        it = self._fs.listFiles(self._jpath(target), True)
+        while it.hasNext():
+            s = it.next()
+            name = s.getPath().getName()
+            if not name.endswith(".parquet"):
+                continue
+            p = s.getPath().toUri().getPath()
+            sizes[p[len(root_abs) + 1 :]] = int(s.getLen())
         relpaths = sorted(sizes)
         stats = self._collect_stats(commit_dir, relpaths)
+        if self.partition_by:
+            self._inject_partition_stats(stats, df.schema)
         for rel, entry in stats.items():
             # byte size recorded at write time: OPTIMIZE decides what's
             # 'small' from the log alone, no FS listing at plan time
@@ -510,7 +649,15 @@ class TxnTable:
             T.TimestampType,
             T.TimestampNTZType,
         )
-        fields = [f for f in df.schema.fields if isinstance(f.dataType, atomic)]
+        fields = [
+            f
+            for f in df.schema.fields
+            if isinstance(f.dataType, atomic)
+            # the __p_<col> directory-key copies surface as discovered
+            # partition columns on the commit-dir read; the REAL columns
+            # are in the data and tracked normally
+            and not f.name.startswith(_PART_PREFIX)
+        ]
         if self.stats_columns is not None:
             wanted = set(self.stats_columns)
             fields = [f for f in fields if f.name in wanted]
@@ -527,18 +674,7 @@ class TxnTable:
             f.name for f in fields if isinstance(f.dataType, T.DecimalType)
         }
 
-        def _kind(dt) -> str:
-            if isinstance(dt, T.BooleanType):
-                return "bool"
-            if isinstance(dt, T.NumericType):
-                return "num"
-            if isinstance(dt, T.DateType):
-                return "date"
-            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-                return "ts"
-            return "str"
-
-        kinds = {f.name: _kind(f.dataType) for f in fields}
+        kinds = {f.name: _kind_of(f.dataType) for f in fields}
         for f in fields:
             c = F.col(f.name)
             aggs.append(F.min(c).alias(f"__min_{f.name}"))
@@ -564,11 +700,24 @@ class TxnTable:
             .agg(*aggs)
             .collect()
         )
-        by_base = {rel.rsplit("/", 1)[-1]: rel for rel in relpaths}
+        # Map the agg's input_file_name() back to a relpath by the
+        # commit-dir SUFFIX, not the basename: a partitioned write can
+        # reuse the same part-file basename in every partition
+        # directory. input_file_name returns a URI form, so try the
+        # raw suffix first, then one level of percent-decoding.
+        relset = set(relpaths)
+        marker = f"{commit_dir}/"
         stats: dict = {}
+        unmatched = 0
         for r in rows:
-            rel = by_base.get(r["__file"].rstrip("/").rsplit("/", 1)[-1])
+            fpath = r["__file"].rstrip("/")
+            i = fpath.find(marker)
+            rel = fpath[i:] if i >= 0 else None
+            if rel is not None and rel not in relset:
+                dec = urllib.parse.unquote(rel)
+                rel = dec if dec in relset else None
             if rel is None:  # pragma: no cover - foreign file in commit dir
+                unmatched += 1
                 continue
             cols = {}
             for f in fields:
@@ -608,10 +757,56 @@ class TxnTable:
             stats[rel] = {"rows": int(r["__rows"]), "cols": cols}
         # a part file absent from the grouped result contains ZERO rows
         # (the agg scanned every file of this commit dir): record that
-        # explicitly so scans can prune it outright
-        for rel in relpaths:
-            stats.setdefault(rel, {"rows": 0, "cols": {}})
+        # explicitly so scans can prune it outright — but ONLY when
+        # every agg row was matched back to a relpath; an unmatched row
+        # means the inference doesn't hold and marking a file zero-row
+        # would let pruning drop real data
+        if not unmatched:
+            for rel in relpaths:
+                stats.setdefault(rel, {"rows": 0, "cols": {}})
         return stats
+
+    def _inject_partition_stats(self, stats: dict, df_schema) -> None:
+        """Fold each file's Hive partition-directory values into its
+        stats as exact ``min==max`` bounds (plus an all-null marker for
+        ``__HIVE_DEFAULT_PARTITION__`` files) — pruning on a partition
+        column needs no data read and survives the stats column cap.
+        The aggregated stats win when present (identical by
+        construction: every row in the file has the directory's
+        value)."""
+        types = {f.name: f.dataType for f in df_schema.fields}
+        for rel, entry in stats.items():
+            for seg in rel.split("/"):
+                if not seg.startswith(_PART_PREFIX) or "=" not in seg:
+                    continue
+                name, raw = seg[len(_PART_PREFIX) :].split("=", 1)
+                dt = types.get(name)
+                if dt is None:
+                    continue  # pragma: no cover - foreign directory
+                cols = entry.setdefault("cols", {})
+                if name in cols:
+                    continue  # agg already recorded exact bounds
+                kind = _kind_of(dt)
+                raw = urllib.parse.unquote(raw)
+                if raw == _HIVE_NULL:
+                    rows = entry.get("rows")
+                    if isinstance(rows, int) and rows > 0:
+                        cols[name] = {
+                            "min": None,
+                            "max": None,
+                            "nulls": rows,
+                            "kind": kind,
+                        }
+                    continue
+                enc = _parse_partition_value(raw, dt)
+                if enc is None:
+                    continue  # unencodable value: stays unprunable
+                cols[name] = {
+                    "min": enc,
+                    "max": enc,
+                    "nulls": 0,
+                    "kind": kind,
+                }
 
     def _try_commit(self, version: int, payload: dict) -> bool:
         """Make the version file appear ATOMICALLY: write + close a
@@ -691,6 +886,7 @@ class TxnTable:
                     if constraints is None
                     else constraints
                 ),
+                "partition_by": self.partition_by or None,
             }
             if self._try_commit(version, payload):
                 if version % self.checkpoint_interval == 0:
@@ -728,6 +924,8 @@ class TxnTable:
             "constraints": payload.get(
                 "constraints", prior.get("constraints", {})
             ),
+            "partition_by": payload.get("partition_by")
+            or prior.get("partition_by"),
         }
         try:
             tmp = self._jpath(
@@ -740,6 +938,39 @@ class TxnTable:
                 out.close()
             if not self._fs.rename(tmp, self._ckpt_path(version)):
                 self._fs.delete(tmp, False)
+        except Exception:
+            pass  # accelerator only; the commit already landed
+        # Parquet FILE-INDEX checkpoint (Delta's model): the same folded
+        # per-file state as a columnar snapshot Spark reads DISTRIBUTED
+        # — file_index()/scan(distributed=True) resolve the live set and
+        # compute pruning as a Spark filter over it, so snapshot
+        # planning scales past driver-side JSON at millions of files.
+        # Written to a tmp dir then renamed (directory rename is the
+        # same atomicity primitive as the commit itself); best-effort —
+        # a missing or torn index degrades to JSON-tail replay.
+        try:
+            rows = [
+                (
+                    rel,
+                    (stats.get(rel) or {}).get("rows"),
+                    (stats.get(rel) or {}).get("bytes"),
+                    json.dumps(
+                        (stats.get(rel) or {}).get("cols", {}),
+                        sort_keys=True,
+                    )
+                    if rel in stats
+                    else None,
+                )
+                for rel in live
+            ]
+            tmpdir = f"{self.path}/{_LOG_DIR}/.tmppq-{uuid.uuid4().hex}"
+            self.spark.createDataFrame(
+                rows, _FILE_INDEX_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(tmpdir)
+            if not self._fs.rename(
+                self._jpath(tmpdir), self._ckptpq_path(version)
+            ):
+                self._fs.delete(self._jpath(tmpdir), True)
         except Exception:
             pass  # accelerator only; the commit already landed
 
@@ -951,8 +1182,110 @@ class TxnTable:
             )
         return self._read_files(st, st["live"])
 
+    def file_index(self, version: int | None = None) -> DataFrame:
+        """The table's per-file snapshot AS A DATAFRAME — one row per
+        live data file at ``version`` (default latest): ``relpath``,
+        ``rows``, ``bytes``, ``stats_json`` (the file's per-column
+        stats entry). Delta's checkpoint model: resolution reads the
+        newest PARQUET file-index checkpoint at-or-below the target
+        (a distributed columnar scan, not driver JSON) and folds in
+        only the bounded commit tail after it — at millions of files
+        the snapshot never materializes on the driver; pruning becomes
+        a Spark filter over this frame (``scan(distributed=True)``)
+        and only the surviving relpaths are collected to build the
+        read. A commit tail containing an overwrite supersedes the
+        checkpoint entirely (the overwrite's stats carry the full
+        post-commit file set by construction — optimize/CoW/restore
+        merge re-referenced files' stats into their commit)."""
+        commit_versions, _, pq_versions = self._log_listing()
+        latest = commit_versions[-1] if commit_versions else None
+        if version is not None and version not in set(commit_versions):
+            raise ValueError(
+                f"version {version} does not exist in {self.path} "
+                f"(known: {commit_versions})"
+            )
+        target = version if version is not None else latest
+        if target is None:
+            raise ValueError(
+                f"TxnTable at {self.path} has no committed data"
+            )
+        usable = [v for v in pq_versions if v <= target]
+        base_v = usable[-1] if usable else 0
+        tail = self._commits(since=base_v, until=target)
+        last_ow = None
+        for i, c in enumerate(tail):
+            if c["action"] == "overwrite":
+                last_ow = i
+        frames: list[DataFrame] = []
+        if last_ow is not None:
+            tail = tail[last_ow:]
+        elif base_v:
+            try:
+                frames.append(
+                    self.spark.read.schema(_FILE_INDEX_SCHEMA).parquet(
+                        str(self._ckptpq_path(base_v))
+                    )
+                )
+            except Exception:
+                # torn/missing index: degrade to full log replay
+                frames = []
+                tail = self._commits(until=target)
+                last_ow = None
+                for i, c in enumerate(tail):
+                    if c["action"] == "overwrite":
+                        last_ow = i
+                if last_ow is not None:
+                    tail = tail[last_ow:]
+        rows = []
+        for c in tail:
+            stats = c.get("stats") or {}
+            for rel in c.get("added", []):
+                e = stats.get(rel)
+                rows.append(
+                    (
+                        rel,
+                        None if e is None else e.get("rows"),
+                        None if e is None else e.get("bytes"),
+                        None
+                        if e is None
+                        else json.dumps(e.get("cols", {}), sort_keys=True),
+                    )
+                )
+        if rows or not frames:
+            frames.append(
+                self.spark.createDataFrame(rows, _FILE_INDEX_SCHEMA)
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _prune_distributed(
+        self, preds: list[tuple], st: dict, version: int | None
+    ) -> list[str]:
+        """Stats pruning as a SPARK FILTER over ``file_index`` —
+        semantically the same conservative envelope test as
+        ``_file_may_match``, evaluated distributed (numeric bounds are
+        additionally ULP-widened before comparison, so the double
+        round-trip through JSON text can only keep more files, never
+        fewer; per-file distinct-value sets are not consulted — both
+        make this path at most MORE conservative than the driver
+        path, never less). Only the SURVIVING relpaths come back to
+        the driver — the minimum any engine needs to build the read."""
+        kinds = _kinds_from_schema_json(st.get("schema"))
+        idx = self.file_index(version)
+        keep = _file_keep_expr(preds, kinds)
+        kept_set = {
+            r["relpath"]
+            for r in idx.where(keep).select("relpath").collect()
+        }
+        return [rel for rel in st["live"] if rel in kept_set]
+
     def scan(
-        self, where: list[tuple] | None = None, version: int | None = None
+        self,
+        where: list[tuple] | None = None,
+        version: int | None = None,
+        distributed: bool = False,
     ) -> DataFrame:
         """Snapshot read with DATA SKIPPING: prune the live file list
         driver-side against the per-file stats in the log, read only
@@ -967,7 +1300,12 @@ class TxnTable:
         strings, ``datetime``/``date`` objects, or ISO strings for
         timestamp columns. Files with no usable stats (pre-stats
         commits, untracked columns, type mismatches, possible NaN on
-        an upper bound) are always KEPT."""
+        an upper bound) are always KEPT.
+
+        ``distributed=True`` computes the pruning as a Spark filter
+        over ``file_index()`` (the parquet-checkpoint snapshot) instead
+        of a driver-side Python loop — same conservative semantics,
+        scales past driver JSON at millions of files."""
         preds = _validate_where(where)
         st = self._state(version)
         if not st["live"]:
@@ -975,11 +1313,14 @@ class TxnTable:
                 f"TxnTable at {self.path} has no committed data"
                 + (f" at version {version}" if version is not None else "")
             )
-        kept = [
-            rel
-            for rel in st["live"]
-            if _file_may_match(st["stats"].get(rel), preds)
-        ]
+        if distributed and preds:
+            kept = self._prune_distributed(preds, st, version)
+        else:
+            kept = [
+                rel
+                for rel in st["live"]
+                if _file_may_match(st["stats"].get(rel), preds)
+            ]
         if kept:
             df = self._read_files(st, kept)
         else:  # everything pruned: empty frame, table schema preserved
@@ -988,19 +1329,26 @@ class TxnTable:
         return df.filter(residual) if residual is not None else df
 
     def prune_report(
-        self, where: list[tuple] | None, version: int | None = None
+        self,
+        where: list[tuple] | None,
+        version: int | None = None,
+        distributed: bool = False,
     ) -> dict:
         """How effective skipping is for ``where`` at ``version``:
         ``{"total": n, "kept": n, "pruned": n}`` — driver-side log
-        reads only, no data IO. The bench/test hook for asserting a
-        layout actually skips."""
+        reads only (or, with ``distributed=True``, a Spark filter over
+        the file_index snapshot), no data IO. The bench/test hook for
+        asserting a layout actually skips."""
         preds = _validate_where(where)
         st = self._state(version)
-        kept = sum(
-            1
-            for rel in st["live"]
-            if _file_may_match(st["stats"].get(rel), preds)
-        )
+        if distributed and preds:
+            kept = len(self._prune_distributed(preds, st, version))
+        else:
+            kept = sum(
+                1
+                for rel in st["live"]
+                if _file_may_match(st["stats"].get(rel), preds)
+            )
         total = len(st["live"])
         return {"total": total, "kept": kept, "pruned": total - kept}
 
@@ -1507,6 +1855,100 @@ def _file_may_match(entry: dict | None, preds: list[tuple]) -> bool:
         except TypeError:
             continue  # cross-type comparison under legacy kindless stats
     return True
+
+
+def _kinds_from_schema_json(schema_json: str | None) -> dict[str, str]:
+    """column → stats-kind map from the log's recorded table schema
+    (empty when the table predates schema tracking — every clause then
+    skips, i.e. no distributed pruning, conservatively)."""
+    if not schema_json:
+        return {}
+    try:
+        struct = T.StructType.fromJson(json.loads(schema_json))
+    except Exception:  # pragma: no cover - corrupt schema JSON
+        return {}
+    return {f.name: _kind_of(f.dataType) for f in struct.fields}
+
+
+def _file_keep_expr(preds: list[tuple], kinds: dict[str, str]) -> Column:
+    """``_file_may_match`` as a Catalyst expression over a
+    ``file_index`` row (``rows``, ``stats_json``): TRUE iff the file
+    may contain a matching row. Strictly conservative, like the driver
+    path — every unknown (missing stats, NULL JSON path, unencodable
+    literal) keeps the file; numeric bounds from the JSON text are
+    widened ~2 ULP outward before comparison so the text→double
+    round-trip can only loosen an envelope, never tighten it into a
+    wrong prune. Distinct-value sets are not consulted (min==max
+    equality bounds already cover partition-style columns)."""
+    stats = F.col("stats_json")
+    rows = F.col("rows")
+    # rows == 0 → no predicate can match (matches the driver rule)
+    cannot: Column = rows.isNotNull() & (rows == 0)
+    for col, op, v in preds:
+        kind = kinds.get(col)
+        base = f"$.{col}"
+        nulls = F.get_json_object(stats, base + ".nulls").cast("long")
+        # all-null file: null-rejecting comparisons match nothing
+        cannot = cannot | (
+            rows.isNotNull()
+            & (rows > 0)
+            & nulls.isNotNull()
+            & (nulls >= rows)
+        )
+        if kind is None:
+            continue  # column type unknown: cannot build a safe clause
+        mn_s = F.get_json_object(stats, base + ".min")
+        mx_s = F.get_json_object(stats, base + ".max")
+        if kind in ("num", "bool"):
+            mn_d = mn_s.cast("double")
+            mx_d = mx_s.cast("double")
+            mn_b = mn_d - F.greatest(
+                F.abs(mn_d) * F.lit(1e-15), F.lit(1e-307)
+            )
+            mx_b = mx_d + F.greatest(
+                F.abs(mx_d) * F.lit(1e-15), F.lit(1e-307)
+            )
+        else:
+            mn_b, mx_b = mn_s, mx_s  # ISO/string encodings are exact
+        nan = F.get_json_object(stats, base + ".nan")
+        # a NaN-flagged float file has an unusable upper bound
+        mx_b = F.when(
+            F.coalesce(nan == F.lit("true"), F.lit(False)), F.lit(None)
+        ).otherwise(mx_b)
+
+        def _enc(x):
+            return _enc_literal(x, kind)
+
+        if op == "between":
+            lo, hi = _enc(v[0]), _enc(v[1])
+            if lo is None or hi is None:
+                continue
+            cannot = cannot | (mn_b > F.lit(hi)) | (mx_b < F.lit(lo))
+        elif op == "in":
+            evs = [_enc(x) for x in v]
+            if any(e is None for e in evs):
+                continue
+            cannot = (
+                cannot
+                | (mn_b > F.lit(max(evs)))
+                | (mx_b < F.lit(min(evs)))
+            )
+        else:
+            ev = _enc(v)
+            if ev is None:
+                continue
+            lit = F.lit(ev)
+            clause = {
+                "<": mn_b >= lit,
+                "<=": mn_b > lit,
+                ">": mx_b <= lit,
+                ">=": mx_b < lit,
+                "=": (mn_b > lit) | (mx_b < lit),
+            }[op]
+            cannot = cannot | clause
+    # NULL anywhere (missing stats) must KEEP: a NULL 'cannot' means
+    # no clause proved a non-match
+    return ~F.coalesce(cannot, F.lit(False))
 
 
 def _residual_filter(preds: list[tuple]) -> Column | None:
