@@ -65,6 +65,65 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# txnlog_table_changes — the CDC feed OUT of the txn table (VERDICT r8
+# next #2): six 5-day appends (v1..v6), then a CoW DELETE of a 4-day
+# range (v7), read back as table_changes(from_version=4). The oracle
+# replays the commit arithmetic row-for-row: v5/v6 contribute their
+# buckets as inserts; v7 deletes ALL rows of the two files the
+# stats-pruned CoW rewrite touched (buckets 1-2 — file granularity is
+# the documented contract of CDC-by-file-diff) and re-inserts their
+# surviving rows. Any feed bug — a missed commit, wrong granularity,
+# data_change leak, wrong version stamp — breaks the hash.
+# ---------------------------------------------------------------------------
+
+_SKIP_LO, _SKIP_HI = "2024-01-08", "2024-01-12"
+
+_TABLE_CHANGES_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value, ts,
+         CAST(floor((day(ts) - 1) / 5) AS BIGINT) AS b
+  FROM events WHERE day(ts) <= 30
+),
+changes AS (
+  SELECT 'insert' AS _change_type, 5 AS _commit_version, event_type, value
+  FROM ev WHERE b = 4
+  UNION ALL
+  SELECT 'insert', 6, event_type, value FROM ev WHERE b = 5
+  UNION ALL
+  SELECT 'delete', 7, event_type, value FROM ev WHERE b IN (1, 2)
+  UNION ALL
+  SELECT 'insert', 7, event_type, value FROM ev
+  WHERE b IN (1, 2)
+    AND NOT (ts >= TIMESTAMP '{_SKIP_LO} 00:00:00'
+             AND ts < TIMESTAMP '{_SKIP_HI} 00:00:00')
+)
+SELECT _change_type,
+       CAST(_commit_version AS BIGINT) AS _commit_version,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM changes
+GROUP BY _change_type, _commit_version, event_type
+"""
+
+
+@register("txnlog_table_changes", _TABLE_CHANGES_SQL)
+def q_txnlog_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_ext12 import _six_bucket_table
+
+    t = _six_bucket_table(spark, sf_dir, "txncdc")  # v1..v6 appends
+    t.delete([("ts", ">=", _SKIP_LO), ("ts", "<", _SKIP_HI)])  # v7 CoW
+    return (
+        t.table_changes(from_version=4)
+        .groupBy("_change_type", "_commit_version", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 @register("txnlog_partition_pruning", _PARTPRUNE_SQL)
 def q_txnlog_partition_pruning(
     spark: SparkSession, sf_dir: str

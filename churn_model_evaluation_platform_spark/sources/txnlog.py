@@ -840,6 +840,7 @@ class TxnTable:
         stats: dict | None = None,
         df_schema=None,
         constraints: dict | None = None,
+        data_change: bool = True,
     ) -> int:
         """Claim the next version. ``require_latest`` (a version number
         or None-for-empty-table) asserts the table has NOT advanced
@@ -887,6 +888,10 @@ class TxnTable:
                     else constraints
                 ),
                 "partition_by": self.partition_by or None,
+                # False = the rewrite moved bytes, not rows (compact /
+                # optimize / z-order): table_changes skips it, exactly
+                # Delta's dataChange=false AddFile semantics
+                "data_change": bool(data_change),
             }
             if self._try_commit(version, payload):
                 if version % self.checkpoint_interval == 0:
@@ -1020,6 +1025,7 @@ class TxnTable:
         transform,
         rmw_retries: int = 3,
         validate_constraints: bool = True,
+        data_change: bool = True,
     ) -> int:
         """Read-modify-write with LOST-UPDATE protection: remember the
         version the snapshot was resolved at, and commit the rewrite
@@ -1043,6 +1049,7 @@ class TxnTable:
                     require_latest=base,
                     stats=stats,
                     df_schema=out.schema,
+                    data_change=data_change,
                 )
             except CommitConflict as e:  # table advanced — recompute
                 last_err = e
@@ -1075,6 +1082,7 @@ class TxnTable:
         return self._rmw(
             lambda snap: snap.coalesce(partitions),
             validate_constraints=False,
+            data_change=False,  # row-preserving: the change feed skips it
         )
 
     def optimize(
@@ -1141,6 +1149,7 @@ class TxnTable:
                     require_latest=base,
                     stats=merged,
                     df_schema=rewritten_df.schema,
+                    data_change=False,  # bin-packing moves bytes, not rows
                 )
                 return {
                     "version": version,
@@ -1371,6 +1380,7 @@ class TxnTable:
         return self._rmw(
             lambda snap: zorder_by(snap, x, y, partitions),
             validate_constraints=False,  # row-preserving rewrite
+            data_change=False,  # the change feed skips it
         )
 
     def _cow_rewrite(
@@ -1722,6 +1732,104 @@ class TxnTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def table_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """The CHANGE FEED out of the table — the row-level changes the
+        commits in ``(from_version, to_version]`` imply, reconstructed
+        from the log's file diffs (Delta's ``table_changes`` surface,
+        at the granularity the log records without per-row change
+        tracking):
+
+        - rows of files a commit newly references → ``_change_type
+          = 'insert'``;
+        - rows of files it stops referencing → ``'delete'``;
+        - commits whose rewrite preserved content bit-for-bit
+          (``compact`` / ``optimize`` / ``optimize_zorder`` — recorded
+          as ``data_change: false``) are SKIPPED entirely, exactly
+          Delta's dataChange=false AddFile semantics; pre-flag commits
+          default to data_change=true (noisy but never lossy).
+
+        Every row carries ``_commit_version``. Copy-on-write DML is
+        file-granular: a rewritten file's surviving rows appear as a
+        delete+insert pair — the standard behavior of CDC-by-file-diff
+        (applying the feed in (delete, insert) order per version still
+        reproduces the table exactly). All files remain readable
+        because commits are never deleted and ``vacuum`` keeps every
+        referenced directory — the same guarantee time travel rides
+        on. Reads are pinned to the ``to_version`` schema (additive
+        evolution: superset; removed files' absent columns read NULL).
+
+        ``from_version=0`` replays the whole history as a feed.
+        Cost: O(commits in range) log reads + one Spark read per
+        changed file set — the shape a CDC consumer polls with bounded
+        windows (see ``ChangeFeedReader``)."""
+        commit_versions, _, _ = self._log_listing()
+        if not commit_versions:
+            raise ValueError(
+                f"TxnTable at {self.path} has no commits"
+            )
+        latest = commit_versions[-1]
+        to = to_version if to_version is not None else latest
+        known = set(commit_versions)
+        for v, label in ((from_version, "from_version"), (to, "to_version")):
+            if v != 0 and v not in known:
+                raise ValueError(
+                    f"{label} {v} does not exist in {self.path} "
+                    f"(known: {commit_versions})"
+                )
+        if to < from_version:
+            raise ValueError(
+                f"to_version {to} < from_version {from_version}"
+            )
+        st_to = self._state(to if to in known else None)
+        live: list[str] = []
+        batches: list[tuple[int, str, list[str]]] = []
+        for c in self._commits(until=to):
+            action = c["action"]
+            if action == "overwrite":
+                new_live = list(c["added"])
+            elif action == "meta":
+                new_live = live
+            else:
+                new_live = live + list(c["added"])
+            if (
+                c["version"] > from_version
+                and action != "meta"
+                and c.get("data_change", True)
+            ):
+                pre = set(live)
+                post = set(new_live)
+                fresh = [r for r in new_live if r not in pre]
+                removed = [r for r in live if r not in post]
+                if fresh:
+                    batches.append((c["version"], "insert", fresh))
+                if removed:
+                    batches.append((c["version"], "delete", removed))
+            live = new_live
+        frames = [
+            self._read_files(st_to, rels)
+            .withColumn("_change_type", F.lit(kind))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+            for v, kind, rels in batches
+        ]
+        if not frames:
+            base = st_to["live"] or live
+            if not base:
+                raise ValueError(
+                    f"TxnTable at {self.path} has no committed data"
+                )
+            return (
+                self._read_files(st_to, base)
+                .limit(0)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(0).cast("long"))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def vacuum(self, retention_seconds: float = 24 * 3600) -> int:
         """Delete data directories referenced by NO commit (failed
         commit attempts whose pointer write lost the race). Returns the
@@ -1973,6 +2081,39 @@ def _residual_filter(preds: list[tuple]) -> Column | None:
     return cond
 
 
+class ChangeFeedReader:
+    """Pull-based incremental consumer of a TxnTable's change feed —
+    the public generalization of what the incremental matview does
+    privately (sources/matview.py refresh window reads): each
+    ``poll()`` returns ``(changes_df, new_cursor)`` covering every
+    commit since the last poll, or ``(None, cursor)`` when the table
+    hasn't advanced. Drives a foreachBatch-style downstream loop:
+
+        reader = ChangeFeedReader(table, start_version=0)
+        while True:
+            changes, v = reader.poll()
+            if changes is not None:
+                sink(changes, v)   # apply deletes, then inserts
+
+    The cursor is plain state (an int version): persist it wherever
+    the consumer checkpoints — e.g. as a batch_id on a downstream
+    TxnTable, which makes the whole loop exactly-once the same way
+    ``foreach_batch_appender`` is. Polling is cheap when idle: ONE
+    log-directory listing decides 'no change'."""
+
+    def __init__(self, table: TxnTable, start_version: int = 0):
+        self.table = table
+        self.cursor = int(start_version)
+
+    def poll(self) -> tuple[DataFrame | None, int]:
+        latest = self.table.latest_version()
+        if latest is None or latest <= self.cursor:
+            return None, self.cursor
+        df = self.table.table_changes(self.cursor, latest)
+        self.cursor = latest
+        return df, latest
+
+
 def foreach_batch_appender(table: TxnTable):
     """The exactly-once Structured Streaming sink for a TxnTable:
 
@@ -1991,6 +2132,7 @@ def foreach_batch_appender(table: TxnTable):
 
 
 __all__ = [
+    "ChangeFeedReader",
     "CommitConflict",
     "SchemaMismatch",
     "TxnTable",
