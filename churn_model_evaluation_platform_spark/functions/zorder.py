@@ -55,6 +55,75 @@ def morton_interleave_sql(x_expr: str, y_expr: str) -> str:
     )
 
 
+def morton_interleave_n(cols: list[Column], bits: int | None = None) -> Column:
+    """Morton code of ``n`` dimensions: bit ``b`` of dimension ``d``
+    lands at position ``b*n + d`` (the n-ary generalization of the
+    2-D even/odd interleave — column 0 gets the LOW lane, matching
+    ``morton_interleave``'s x-on-even-bits convention). Delta's
+    OPTIMIZE ZORDER BY accepts any column count; this is the same
+    surface.
+
+    ``bits`` defaults to the most resolution that fits a signed long:
+    ``min(16, 63 // n)`` bits per dimension (n=2 → 16, matching the
+    2-D path's domain; n=3 → 16 → 48 bits; n=4 → 15). Values are
+    masked into that many low bits — callers pre-scale each dimension
+    into ``0 .. 2^bits - 1`` exactly as in the 2-D API. The expansion
+    is ``bits × n`` shift/AND/OR terms — all long arithmetic inside
+    whole-stage codegen, with exact cross-engine parity (no float
+    noise), same as the magic-mask 2-D path."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton_interleave_n needs at least 2 columns")
+    if bits is None:
+        bits = min(16, 63 // n)
+    if bits < 1 or bits * n > 63:
+        raise ValueError(f"bits={bits} with {n} dims exceeds a signed long")
+    if n == 2 and bits == 16:
+        return morton_interleave(cols[0], cols[1])
+    z: Column | None = None
+    for d, c in enumerate(cols):
+        v = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            term = F.shiftleft(
+                F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + d
+            )
+            z = term if z is None else z.bitwiseOR(term)
+    return z
+
+
+def morton_interleave_n_sql(exprs: list[str], bits: int | None = None) -> str:
+    """The identical n-ary interleave as a SQL string (DuckDB-
+    compatible) — the oracle side of ``morton_interleave_n``."""
+    n = len(exprs)
+    if bits is None:
+        bits = min(16, 63 // n)
+    terms = []
+    for d, e in enumerate(exprs):
+        v = f"(({e}) & {(1 << bits) - 1})"
+        for b in range(bits):
+            terms.append(f"((({v} >> {b}) & 1) << {b * n + d})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_by_n(
+    df: DataFrame,
+    cols: list[Column | str],
+    num_partitions: int | None = None,
+    bits: int | None = None,
+) -> DataFrame:
+    """``zorder_by`` for any number of dimensions: range-partition +
+    intra-partition sort on the n-ary Morton code."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = morton_interleave_n(cs, bits=bits).alias("__z")
+    parts = [num_partitions] if num_partitions else []
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(*parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def zorder_by(
     df: DataFrame, x: Column | str, y: Column | str, num_partitions: int | None = None
 ) -> DataFrame:

@@ -66,6 +66,72 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# txnlog_zorder3_skipping — OPTIMIZE ZORDER BY over THREE columns
+# (VERDICT r8 next #9: Delta's any-column-count surface), then a 3-D
+# box scan. One overwrite, an atomic n-ary Morton rewrite clustered on
+# (user_id, centi-value, day-of-month), then a box predicate on ALL
+# three dimensions through the stats-pruned scan. The oracle proves
+# the rewrite lost/duplicated nothing and the residual filter is
+# exact; `skipped` pins that the layout pruned at least one file
+# (tests/test_zorder_n.py asserts the stronger quantitative floor).
+# ---------------------------------------------------------------------------
+
+_ZBOX3_SQL = """
+WITH hit AS (
+  SELECT event_type, user_id, value, ts FROM events
+  WHERE value >= 50.0 AND value <= 60.0
+    AND user_id <= 7
+    AND day(ts) BETWEEN 10 AND 20
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS sum_user,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(DISTINCT day(ts)) AS BIGINT) AS n_days,
+       CAST(TRUE AS BOOLEAN) AS skipped
+FROM hit
+GROUP BY event_type
+"""
+
+
+@register("txnlog_zorder3_skipping", _ZBOX3_SQL)
+def q_txnlog_zorder3_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog import TxnTable
+
+    path = _tmp_table_path(sf_dir, "txnz3")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value", "ts", F.dayofmonth("ts").alias("dd")
+    )
+    t = TxnTable(spark, path)
+    t.overwrite(ev)
+    # 16-bit z dims: user_id < 2^16 at every SF; value in centi-units
+    # (max ~56k < 2^16); day-of-month 1..31.
+    t.optimize_zorder(
+        F.col("user_id"),
+        F.least(F.lit(65535), F.floor(F.col("value") * 100)),
+        F.col("dd"),
+        partitions=16,
+    )
+    where = [
+        ("value", "between", (50.0, 60.0)),
+        ("user_id", "<=", 7),
+        ("dd", "between", (10, 20)),
+    ]
+    rep = t.prune_report(where)
+    return (
+        t.scan(where)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("sum_user"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("dd").alias("n_days"),
+        )
+        .withColumn("skipped", F.lit(rep["kept"] < rep["total"]))
+    )
+
+
+# ---------------------------------------------------------------------------
 # txnlog_table_changes — the CDC feed OUT of the txn table (VERDICT r8
 # next #2): six 5-day appends (v1..v6), then a CoW DELETE of a 4-day
 # range (v7), read back as table_changes(from_version=4). The oracle

@@ -1363,22 +1363,33 @@ class TxnTable:
 
     def optimize_zorder(
         self,
-        x: Column | str,
-        y: Column | str,
+        *cols: Column | str,
         partitions: int = 8,
     ) -> int:
         """OPTIMIZE ZORDER BY: atomically rewrite the table clustered
-        by the Morton interleave of two (16-bit-scaled) column
-        expressions (functions/zorder.py), so each output file gets a
-        tight min/max envelope in BOTH dimensions and ``scan``
-        predicates on EITHER column prune. Same ``_rmw`` lost-update
-        protection as ``compact``: an interleaved append forces a
-        recompute, never disappears. Callers pre-scale non-integer
-        dimensions into 0..65535 (pass a Column expression)."""
-        from ..functions.zorder import zorder_by
+        by the Morton interleave of N column expressions
+        (functions/zorder.py — two dims use the 16-bit magic-mask
+        path, more use the n-ary interleave with ``min(16, 63//n)``
+        bits per dim, Delta's any-column-count surface), so each
+        output file gets a tight min/max envelope in EVERY listed
+        dimension and ``scan`` predicates on ANY of them prune. Same
+        ``_rmw`` lost-update protection as ``compact``: an interleaved
+        append forces a recompute, never disappears. Callers pre-scale
+        non-integer dimensions into the per-dim bit range (pass a
+        Column expression)."""
+        if len(cols) < 2:
+            raise ValueError("optimize_zorder needs at least 2 columns")
+        from ..functions.zorder import zorder_by, zorder_by_n
 
+        if len(cols) == 2:
+            x, y = cols
+            rewrite = lambda snap: zorder_by(snap, x, y, partitions)  # noqa: E731
+        else:
+            rewrite = lambda snap: zorder_by_n(  # noqa: E731
+                snap, list(cols), partitions
+            )
         return self._rmw(
-            lambda snap: zorder_by(snap, x, y, partitions),
+            rewrite,
             validate_constraints=False,  # row-preserving rewrite
             data_change=False,  # the change feed skips it
         )
