@@ -266,6 +266,7 @@ def cosine_topk_ivf_pinned(
     query_id: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """The IVF plan with a PINNED deterministic quantizer: centroids are
     the first ``n_cells`` corpus vectors (ids 1..n_cells — the classic
@@ -310,7 +311,14 @@ def cosine_topk_ivf_pinned(
     # exact arithmetic the SQL oracle replays, and since r8 also what
     # the production operators use.
     probe = _select_probes(qvec, cvecs, nprobe)
-    sliced = df.withColumn(
+    # FILTERED ANN: the predicate restricts CANDIDATES only — centroids
+    # and the query came from the unfiltered corpus above, so a filter
+    # that drops the pinned rows cannot break the quantizer. Applied
+    # BEFORE cell assignment: Catalyst pushes it into the scan, so
+    # filtered-out rows never cost an assignment expression (and on a
+    # cell-partitioned store it composes with partition pruning).
+    cand = df.where(candidate_filter) if candidate_filter is not None else df
+    sliced = cand.withColumn(
         "ivf_cell", ivf_cell_expr(F.col(vec_col), cvecs)
     ).where(F.col("ivf_cell").isin(probe))
     return cosine_topk(sliced, qvec, k, id_col, vec_col, exclude_id=query_id)
@@ -325,9 +333,13 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` cells nearest to the
-    query, exact cosine within them.
+    query, exact cosine within them. ``candidate_filter`` restricts the
+    CANDIDATE set (filtered ANN — "top-k similar where lang='en'");
+    probe selection is unaffected, and the filter is applied before
+    assignment so Catalyst pushes it into the scan.
 
     The scale path beyond sign-LSH: centroids adapt to the data (no empty
     buckets), and recall/cost trades off smoothly via ``nprobe``. Write
@@ -336,7 +348,10 @@ def cosine_topk_ivf(
     ``nprobe == len(centroids)`` degrades to the exact baseline.
     """
     probe = _select_probes(query_vec, centroids, nprobe)
-    celled = df.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), centroids))
+    cand = df.where(candidate_filter) if candidate_filter is not None else df
+    celled = cand.withColumn(
+        "ivf_cell", ivf_cell_expr(F.col(vec_col), centroids)
+    )
     sliced = celled.where(F.col("ivf_cell").isin(probe))
     return cosine_topk(sliced, query_vec, k, id_col, vec_col, exclude_id)
 
@@ -614,6 +629,71 @@ def pq_encode(
     that's the 100 TB residency story (re-ranking against the original
     embeddings is a separate fetch of k rows, not a scan)."""
     return df.withColumn(code_col, pq_encode_expr(F.col(vec_col), codebooks))
+
+
+def write_pq_encoded(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    cell_col: str = "ivf_cell",
+    mode: str = "overwrite",
+) -> None:
+    """WRITE-TIME PQ encoding (VERDICT r8 next #7): persist the corpus
+    as ``(id, [ivf_cell,] pq_code)`` with the embedding column DROPPED
+    — codes are computed ONCE at ingest, so queries over the store
+    never touch (or even have) the raw vectors. With ``centroids`` the
+    layout is additionally PARTITIONED BY the IVF cell, so the probe
+    filter of an IVF-PQ query becomes directory-level partition
+    pruning: a query scans ``nprobe/n_cells`` of the store and reads m
+    code bytes + an id per row — the full 100 TB residency story
+    (vs the query-time demos, which re-encode per query by design to
+    stay oracle-checkable; ``tests/test_pq_stored.py`` proves the two
+    agree bit-for-bit). Encoding/assignment are zero-shuffle codegen
+    expressions; the write's only wide op is the directory fan-out."""
+    enc = df.withColumn(code_col, pq_encode_expr(F.col(vec_col), codebooks))
+    if centroids is not None:
+        enc = enc.withColumn(
+            cell_col, ivf_cell_expr(F.col(vec_col), centroids)
+        )
+        enc.select(id_col, cell_col, code_col).write.mode(mode).partitionBy(
+            cell_col
+        ).parquet(path)
+    else:
+        enc.select(id_col, code_col).write.mode(mode).parquet(path)
+
+
+def pq_adc_topk_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cell_col: str = "ivf_cell",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over a corpus written by ``write_pq_encoded``: the
+    scan's schema CANNOT contain the embedding column (it was dropped
+    at write time — tests assert the plan's ReadSchema), distances are
+    m table lookups over the stored codes, and with
+    ``centroids``/``nprobe`` the probe filter is a partition-column
+    predicate pruned before a byte is read. Identical results to the
+    query-time ``pq_adc_topk`` over the same codebooks (codes are
+    deterministic ints; parquet roundtrips them exactly)."""
+    codes = spark.read.parquet(path)
+    if centroids is not None and nprobe is not None:
+        probe = _select_probes(query_vec, centroids, nprobe)
+        codes = codes.where(F.col(cell_col).isin(probe))
+    return pq_adc_topk(
+        codes, query_vec, codebooks, k, id_col, code_col, exclude_id
+    )
 
 
 def fit_pq_codebooks(

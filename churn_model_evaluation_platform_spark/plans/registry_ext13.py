@@ -32,6 +32,105 @@ def _tmp_table_path(sf_dir: str, tag: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# similarity_topk_filtered — FILTERED ANN (VERDICT r8 next #4): "top-k
+# similar where label = 1". The predicate restricts CANDIDATES only —
+# the pinned quantizer (centroids = corpus rows 1..16) and the query
+# vector come from the unfiltered corpus, so the filter cannot break
+# cell assignment — and is applied before assignment, so Catalyst
+# pushes it into the scan (composing with partition pruning on a
+# cell-partitioned store). The oracle replays assignment + probe
+# pruning + the filter + exact rescoring bit-for-bit; recall UNDER
+# FILTERING (selectivity changes the cell math) is measured in
+# tests/test_ann_filtered.py.
+# ---------------------------------------------------------------------------
+
+_EMB_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+_FILTERED_IVF_SQL = f"""
+WITH cents AS (
+  SELECT CAST(vec_id - 1 AS INT) AS cid, {_EMB_DBL} AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+),
+q AS (SELECT {_EMB_DBL} AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM cents, q
+  ORDER BY list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+           + list_dot_product(cv, cv), cid
+  LIMIT 4
+),
+e AS (SELECT vec_id, {_EMB_DBL} AS ev FROM embeddings
+      WHERE vec_id <> 0 AND label = 1),
+assign AS (
+  SELECT vec_id, ev FROM (
+    SELECT e.vec_id, e.ev, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(ev, ev) - 2 * list_dot_product(ev, cv)
+                      + list_dot_product(cv, cv), c.cid
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+)
+SELECT vec_id,
+       list_dot_product(ev, qv)
+         / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+         AS cosine_sim
+FROM assign, q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("similarity_topk_filtered", _FILTERED_IVF_SQL)
+def q_similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    return similarity.cosine_topk_ivf_pinned(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=16,
+        nprobe=4,
+        k=10,
+        candidate_filter=F.col("label") == 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_topk_pq_stored — WRITE-TIME PQ encoding (VERDICT r8 next
+# #7): the corpus is persisted as (vec_id, pq_code) with the embedding
+# column DROPPED (write_pq_encoded), then the ADC query runs over the
+# STORED codes — the scan cannot read embedding bytes because the file
+# has none (tests/test_pq_stored.py pins the plan's ReadSchema). Codes
+# are deterministic ints and parquet roundtrips them exactly, so the
+# oracle is the SAME arithmetic as the query-time PQ query — a result
+# difference would mean the store changed the codes.
+# ---------------------------------------------------------------------------
+
+
+def _pq_stored_sql() -> str:
+    from .registry_ext12 import _pq_topk_sql
+
+    return _pq_topk_sql()
+
+
+@register("similarity_topk_pq_stored", _pq_stored_sql())
+def q_similarity_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    from .registry_ext12 import _PQ_K, _PQ_KS, _PQ_M
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks_pinned(emb, m=_PQ_M, ks=_PQ_KS)
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    path = _tmp_table_path(sf_dir, "pqstore")
+    similarity.write_pq_encoded(emb, cbs, path)
+    return similarity.pq_adc_topk_stored(
+        spark, path, qvec, cbs, k=_PQ_K, exclude_id=0
+    ).withColumn("adc_dist", F.round("adc_dist", 6))
+
+
+# ---------------------------------------------------------------------------
 # txnlog_partition_pruning — Hive-layout partition pruning through the
 # DISTRIBUTED planner: the table is partitioned by the 5-day ingest
 # bucket (partition_by=["bucket"]), committed in ONE append whose
