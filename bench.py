@@ -107,6 +107,14 @@ HEADLINE = [
     "txnlog_data_skipping",
     "similarity_topk_pq_rerank",
     "similarity_topk_ivfpq_pinned",
+    # round-9 additions: distributed txn-table planning (Hive partition
+    # layout + file-index pruning as a Spark filter), the change feed
+    # out of the table, predicate-constrained ANN, and the write-time
+    # PQ store (codes persisted at ingest; the query scans codes only)
+    "txnlog_partition_pruning",
+    "txnlog_table_changes",
+    "similarity_topk_filtered",
+    "similarity_topk_pq_stored",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
