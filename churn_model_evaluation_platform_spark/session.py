@@ -56,6 +56,11 @@ def get_spark(
         # Testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type — read as long, converted in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource filter pushdown (4.1): lets format("txnlog")
+        # translate Catalyst's pushed predicates into commit-log file
+        # pruning (sources/txnlog_datasource.py). Runtime-settable; also
+        # set defensively by register_txnlog_source for foreign sessions.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
