@@ -115,6 +115,9 @@ HEADLINE = [
     "txnlog_table_changes",
     "similarity_topk_filtered",
     "similarity_topk_pq_stored",
+    # the Spark-native txnlog format: pushed-filter batch scan through
+    # the Python DataSource (files_scanned = scan partitions)
+    "txnlog_format_scan",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
