@@ -529,12 +529,16 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# JPEG baseline-sequential decode (ITU-T T.81): marker parse → Huffman
-# entropy decode → dequantize → dezigzag → 8x8 IDCT → level shift.
-# Pure Python + numpy for the IDCT matrix product; no codec libraries.
-# Supported: 8-bit baseline SOF0, grayscale or 4:4:4 YCbCr, no restart
-# intervals, no progressive/arithmetic coding — unsupported features
-# degrade to format-only, never raise.
+# JPEG decode (ITU-T T.81): marker parse → Huffman entropy decode →
+# dequantize → dezigzag → 8x8 IDCT → level shift. Pure Python + numpy
+# for the IDCT matrix product; no codec libraries. Supported: 8-bit
+# baseline SOF0 (single scan) AND progressive SOF2 (r9: DC
+# first/refinement with the successive-approximation point transform,
+# per-component AC band scans with EOB runs, AC refinement with
+# correction bits and coefficient insertion — T.81 G.2, the variant
+# most real corpus JPEGs use). Grayscale or 4:4:4 YCbCr; no restart
+# intervals, no arithmetic coding, no hierarchical — unsupported
+# features degrade to format-only, never raise.
 # ---------------------------------------------------------------------------
 
 # Zigzag index -> natural (row-major) position, ITU-T T.81 Figure A.6.
@@ -632,23 +636,38 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _jpeg_decode(b: bytes):
-    """Baseline-sequential JPEG → (values, width, height) where values
-    are grayscale bytes (1 component) or interleaved RGB (3 components,
-    4:4:4, JFIF YCbCr→RGB). None for any unsupported variant."""
+    """JPEG → (values, width, height) where values are grayscale bytes
+    (1 component) or interleaved RGB (3 components, 4:4:4, JFIF
+    YCbCr→RGB). Handles baseline-sequential (SOF0, single scan) AND
+    progressive (SOF2, r9): progressive scans accumulate coefficients
+    per T.81 G.2 — DC first/refinement with the successive-approximation
+    point transform, AC first scans with EOB runs, AC refinement with
+    correction bits — and EOI triggers dequant + IDCT of the
+    accumulated spectrum. None for any unsupported variant (arithmetic
+    coding, hierarchical, subsampling, restart intervals)."""
+    import numpy as np
+
     qt: dict[int, list[int]] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    store: list | None = None  # per-comp zigzag coeff arrays (SOF2)
+    scans = 0
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
-        if marker == 0xD9:  # EOI before any scan
-            return None
+        if marker == 0xD9:  # EOI — ends a progressive stream
+            if progressive and scans and frame is not None:
+                return _jpeg_assemble_prog(frame, store, qt)
+            return None  # baseline EOI before its single scan
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             i += 2
             continue
+        if i + 4 > len(b):
+            return None  # truncated segment header
         seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
         seg = b[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -659,7 +678,7 @@ def _jpeg_decode(b: bytes):
                     return None  # 16-bit tables: out of baseline scope
                 qt[tq] = list(seg[j + 1 : j + 65])
                 j += 65
-        elif marker == 0xC0:  # SOF0 baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if seg[0] != 8:
                 return None
             h = int.from_bytes(seg[1:3], "big")
@@ -674,9 +693,16 @@ def _jpeg_decode(b: bytes):
                     return None  # subsampling: out of scope (4:4:4 only)
                 comps.append((cid, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if marker == 0xC2:
+                progressive = True
+                bx, by = (w + 7) // 8, (h + 7) // 8
+                store = [
+                    np.zeros((bx * by, 64), dtype=np.int64)
+                    for _ in range(nc)
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # extended / arithmetic / hierarchical
         elif marker == 0xC4:  # DHT
             j = 0
             while j + 17 <= len(seg):
@@ -693,14 +719,28 @@ def _jpeg_decode(b: bytes):
         elif marker == 0xDD:  # DRI: restart intervals unsupported
             if int.from_bytes(seg[:2], "big") != 0:
                 return None
-        elif marker == 0xDA:  # SOS → decode the (single) scan
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
             ns = seg[0]
             sel = []
             for c in range(ns):
                 sel.append((seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15))
-            return _jpeg_scan(b, i + 2 + seg_len, frame, sel, qt, huff_dc, huff_ac)
+            if not progressive:
+                return _jpeg_scan(
+                    b, i + 2 + seg_len, frame, sel, qt, huff_dc, huff_ac
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            nxt = _jpeg_scan_prog(
+                b, i + 2 + seg_len, frame, sel, ss, se, ah, al,
+                huff_dc, huff_ac, store,
+            )
+            if nxt is None:
+                return None
+            scans += 1
+            i = nxt
+            continue
         i += 2 + seg_len
     return None
 
@@ -747,10 +787,19 @@ def _jpeg_scan(b, pos, frame, sel, qt, huff_dc, huff_ac):
                     k += 1
                 blk = _idct8(coeffs)
                 planes[ci, mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = blk
+    return _jpeg_finish(planes, w, h)
+
+
+def _jpeg_finish(planes, w: int, h: int):
+    """Crop the block-padded planes and map to output samples:
+    grayscale passthrough or JFIF YCbCr → RGB (T.871), rounded +
+    clamped per channel. Shared by the baseline and progressive
+    paths — the color science cannot diverge between them."""
+    import numpy as np
+
     planes = planes[:, :h, :w]
-    if len(plan) == 1:
+    if planes.shape[0] == 1:
         return [int(v) for v in planes[0].ravel()], w, h
-    # JFIF YCbCr → RGB (T.871), rounded + clamped per channel
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0
     cr = planes[2].astype(np.float64) - 128.0
@@ -764,6 +813,165 @@ def _jpeg_scan(b, pos, frame, sel, qt, huff_dc, huff_ac):
     )
     rgb = np.clip(np.round(rgb), 0, 255).astype(np.int64)
     return [int(v) for v in rgb.ravel()], w, h
+
+
+def _jpeg_scan_prog(
+    b, pos, frame, sel, ss, se, ah, al, huff_dc, huff_ac, store
+):
+    """One PROGRESSIVE scan (T.81 G.2): fold this scan's bits into the
+    per-component zigzag coefficient ``store`` and return the stream
+    position of the next marker (None = unsupported/corrupt).
+
+    - ``ss == 0``: DC scan (may interleave all components). First pass
+      (``ah == 0``) Huffman-decodes diffs and stores ``diff << al``;
+      refinement appends one bit at weight ``1 << al`` per block.
+    - ``ss > 0``: AC scan, exactly ONE component, non-interleaved over
+      its block grid. First pass decodes (run, size) symbols with EOB
+      RUNS (``size == 0``: a run of ``2^rlen + extra`` blocks ends);
+      refinement walks the band appending correction bits to
+      already-nonzero coefficients and inserting new ``±1 << al``
+      ones, including through EOB runs and ZRL.
+    """
+    w, h, comps = frame
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    nblocks = bx * by
+    comp_idx = {cid: k for k, (cid, _q) in enumerate(comps)}
+    r = _JpegBits(b, pos)
+    try:
+        if ss == 0:
+            if se != 0 or ah > 1 + al:
+                return None
+            plan = []
+            for cs, td, _ta in sel:
+                if cs not in comp_idx or (ah == 0 and td not in huff_dc):
+                    return None
+                plan.append((comp_idx[cs], huff_dc.get(td)))
+            preds = [0] * len(plan)
+            for mby in range(by):
+                for mbx in range(bx):
+                    blk = mby * bx + mbx
+                    for si, (ci, hdc) in enumerate(plan):
+                        if ah == 0:
+                            s = _jpeg_huff_decode(r, hdc)
+                            preds[si] += _jpeg_extend(r.read_bits(s), s)
+                            store[ci][blk, 0] = preds[si] << al
+                        elif r.read_bit():
+                            store[ci][blk, 0] |= 1 << al
+        else:
+            if len(sel) != 1 or se > 63 or ss > se:
+                return None
+            cs, _td, ta = sel[0]
+            if cs not in comp_idx or ta not in huff_ac:
+                return None
+            hac = huff_ac[ta]
+            coefs = store[comp_idx[cs]]
+            eobrun = 0
+            if ah == 0:  # AC first pass
+                blk = 0
+                while blk < nblocks:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        blk += 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _jpeg_huff_decode(r, hac)
+                        rlen, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if rlen == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << rlen) - 1
+                            if rlen:
+                                eobrun += r.read_bits(rlen)
+                            break
+                        k += rlen
+                        if k > se:
+                            return None
+                        coefs[blk, k] = (
+                            _jpeg_extend(r.read_bits(size), size) << al
+                        )
+                        k += 1
+                    blk += 1
+            else:  # AC refinement
+                p1, m1 = 1 << al, -(1 << al)
+                blk = 0
+                while blk < nblocks:
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _jpeg_huff_decode(r, hac)
+                            rlen, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if rlen != 15:
+                                    eobrun = 1 << rlen
+                                    if rlen:
+                                        eobrun += r.read_bits(rlen)
+                                    break
+                                val = 0  # ZRL: pass 16 zero-history slots
+                            elif size == 1:
+                                val = p1 if r.read_bit() else m1
+                            else:
+                                return None  # size>1 illegal in refinement
+                            while k <= se:
+                                if coefs[blk, k] != 0:
+                                    if r.read_bit() and not (
+                                        coefs[blk, k] & p1
+                                    ):
+                                        coefs[blk, k] += (
+                                            p1 if coefs[blk, k] > 0 else m1
+                                        )
+                                else:
+                                    if rlen == 0:
+                                        if val:
+                                            coefs[blk, k] = val
+                                        k += 1
+                                        break
+                                    rlen -= 1
+                                k += 1
+                    if eobrun > 0:
+                        while k <= se:  # correction bits through the run
+                            if coefs[blk, k] != 0:
+                                if r.read_bit() and not (
+                                    coefs[blk, k] & p1
+                                ):
+                                    coefs[blk, k] += (
+                                        p1 if coefs[blk, k] > 0 else m1
+                                    )
+                            k += 1
+                        eobrun -= 1
+                    blk += 1
+    except ValueError:
+        return None
+    # the scan's entropy bits end at the next real marker
+    j = r.i
+    while j + 1 < len(b) and not (b[j] == 0xFF and b[j + 1] != 0x00):
+        j += 1
+    return j
+
+
+def _jpeg_assemble_prog(frame, store, qt):
+    """Dequantize + IDCT the accumulated progressive spectrum → the
+    same (values, w, h) contract as the baseline path."""
+    import numpy as np
+
+    w, h, comps = frame
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    planes = np.zeros((len(comps), by * 8, bx * 8), dtype=np.int64)
+    for ci, (_cid, tq) in enumerate(comps):
+        if tq not in qt:
+            return None
+        q = qt[tq]
+        for blk in range(bx * by):
+            zz = store[ci][blk]
+            coeffs = [0] * 64
+            for k in range(64):
+                coeffs[_JPEG_ZIGZAG[k]] = int(zz[k]) * q[k]
+            mby, mbx = divmod(blk, bx)
+            planes[
+                ci, mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+            ] = _idct8(coeffs)
+    return _jpeg_finish(planes, w, h)
 
 
 def decode_media_bytes(content: bytes | None) -> dict:
@@ -1054,6 +1262,175 @@ def synth_jpeg_bytes(media_id: int) -> bytes:
             bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
         bw.write(0, 1)  # EOB
     return b"\xff\xd8" + dqt + sof + dht + sos + bw.finish() + b"\xff\xd9"
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict:
+    """symbol → (code, length) for the encoder side (canonical, the
+    inverse of _jpeg_build_huff)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _prog_headers(w: int, h: int, ac_syms: list[int]) -> bytes:
+    """SOI + DQT(uniform 8s) + SOF2 + DHT for a grayscale progressive
+    fixture: the baseline synth's 8-symbol DC table plus a small
+    canonical AC table carrying exactly ``ac_syms``."""
+    import struct
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    sof = (
+        b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01"
+        + bytes([1, 0x11, 0])
+    )
+    dc_bits = [0, 0, 0, 8] + [0] * 12
+    dc_vals = list(range(8))
+    n = len(ac_syms)
+    ac_bits = [0, 0, n] + [0] * 13  # n symbols, all 3-bit codes (n <= 8)
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + 8) + b"\x00"
+        + bytes(dc_bits) + bytes(dc_vals)
+        + b"\xff\xc4" + struct.pack(">H", 2 + 17 + n) + b"\x10"
+        + bytes(ac_bits) + bytes(ac_syms)
+    )
+    return b"\xff\xd8" + dqt + sof + dht
+
+
+def _sos(ss: int, se: int, ah: int, al: int) -> bytes:
+    import struct
+
+    return (
+        b"\xff\xda"
+        + struct.pack(">H", 8)
+        + b"\x01"
+        + bytes([1, 0x00])
+        + bytes([ss, se, (ah << 4) | al])
+    )
+
+
+def _write_dc_first(bw: _JpegBitWriter, dcs: list[int], al: int) -> None:
+    """DC first scan payload: Huffman diffs of ``dc >> al`` (the
+    successive-approximation point transform), baseline synth's
+    canonical 4-bit-code DC table (symbol s == code s)."""
+    pred = 0
+    for dc in dcs:
+        d = dc >> al
+        diff = d - pred
+        pred = d
+        s = abs(diff).bit_length()
+        bw.write(s, 4)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def synth_progressive_jpeg_bytes(media_id: int) -> bytes:
+    """Deterministic VALID PROGRESSIVE (SOF2) grayscale JPEG per id,
+    decoding to EXACTLY the same flat DC-only blocks as
+    ``synth_jpeg_bytes`` (block bi = ((id + 7*bi) % 128) + 64, same
+    dims) — so the SAME arithmetic oracle predicts it, while the bits
+    travel the progressive machinery: a DC FIRST scan at Al=1 (coarse
+    halves), an AC FIRST scan over the full 1..63 band whose content is
+    one EOB RUN spanning every block, and a DC REFINEMENT scan
+    appending each block's low bit. A decoder that ignores the point
+    transform, mis-folds the refinement bit, or mis-counts the EOB run
+    produces different pixels and breaks the hash."""
+    m = int(media_id)
+    bx, by = 1 + m % 4, 1 + m % 3
+    w, h = 8 * bx, 8 * by
+    nb = bx * by
+    ac = _huff_codes([0, 0, 4] + [0] * 13, [0x00, 0x10, 0x20, 0x30])
+    out = bytearray(_prog_headers(w, h, [0x00, 0x10, 0x20, 0x30]))
+    dcs = [((m + 7 * bi) % 128) - 64 for bi in range(nb)]
+    # scan 1: DC first, Al=1
+    out += _sos(0, 0, 0, 1)
+    bw = _JpegBitWriter()
+    _write_dc_first(bw, dcs, 1)
+    out += bw.finish()
+    # scan 2: AC first 1..63 — all zero: one EOB run covering nb blocks
+    out += _sos(1, 63, 0, 0)
+    bw = _JpegBitWriter()
+    rlen = nb.bit_length() - 1  # 2^rlen <= nb
+    code, ln = ac[rlen << 4]
+    bw.write(code, ln)
+    if rlen:
+        bw.write(nb - (1 << rlen), rlen)
+    out += bw.finish()
+    # scan 3: DC refinement, Al=0 — one raw bit per block
+    out += _sos(0, 0, 1, 0)
+    bw = _JpegBitWriter()
+    for dc in dcs:
+        bw.write(dc & 1, 1)
+    out += bw.finish()
+    return bytes(out) + b"\xff\xd9"
+
+
+def synth_progressive_jpeg_ac_bytes(media_id: int) -> bytes:
+    """The AC-path progressive fixture (16x16 grayscale, 4 blocks):
+    exercises every remaining G.2 branch the DC-only fixture cannot —
+    a nonzero AC coefficient in the FIRST pass (block 0, zigzag 1,
+    final value 7 = 3<<1 coarse + correction bit), a coefficient
+    NEWLY INSERTED by the REFINEMENT pass (block 1, zigzag 2, +1 after
+    a 1-position zero-history run), per-block EOBs, a multi-block EOB
+    run WITH correction-bit traversal, and the DC refinement. Expected
+    pixels are closed-form: tests/test_multimodal_progressive.py
+    recomputes them from the final coefficient spectrum with an
+    independent IDCT."""
+    m = int(media_id)
+    w = h = 16
+    dcs = [((m + 7 * bi) % 128) - 64 for bi in range(4)]
+    syms = [0x00, 0x02, 0x10, 0x11, 0x20]
+    ac = _huff_codes([0, 0, len(syms)] + [0] * 13, syms)
+    out = bytearray(_prog_headers(w, h, syms))
+    # scan 1: DC first, Al=1
+    out += _sos(0, 0, 0, 1)
+    bw = _JpegBitWriter()
+    _write_dc_first(bw, dcs, 1)
+    out += bw.finish()
+    # scan 2: AC first 1..63, Al=1 — block0 carries 3 (=7>>1) at zz=1,
+    # then one EOB run over all 4 blocks
+    out += _sos(1, 63, 0, 1)
+    bw = _JpegBitWriter()
+    code, ln = ac[0x02]  # run 0, size 2
+    bw.write(code, ln)
+    bw.write(3, 2)  # amplitude +3
+    code, ln = ac[0x20]  # EOBRUN rlen=2 → 4 blocks
+    bw.write(code, ln)
+    bw.write(0, 2)  # extra bits: 4 = 2^2 + 0
+    out += bw.finish()
+    # scan 3: AC refinement 1..63, Ah=1, Al=0
+    out += _sos(1, 63, 1, 0)
+    bw = _JpegBitWriter()
+    # block 0: EOB(run=1), correction walk hits zz=1 → bit 1 (6 → 7)
+    code, ln = ac[0x00]
+    bw.write(code, ln)
+    bw.write(1, 1)
+    # block 1: run of 1 zero-history slot, then NEW +1 at zz=2
+    code, ln = ac[0x11]
+    bw.write(code, ln)
+    bw.write(1, 1)  # sign bit: positive
+    # then EOB run of 3 (blocks 1..3 remainder; no nonzero history left)
+    code, ln = ac[0x10]
+    bw.write(code, ln)
+    bw.write(1, 1)  # 3 = 2^1 + 1
+    out += bw.finish()
+    # scan 4: DC refinement, Al=0
+    out += _sos(0, 0, 1, 0)
+    bw = _JpegBitWriter()
+    for dc in dcs:
+        bw.write(dc & 1, 1)
+    out += bw.finish()
+    return bytes(out) + b"\xff\xd9"
 
 
 def synth_decodable_media_bytes(media_id: int) -> bytes:
