@@ -412,17 +412,29 @@ class TxnTable:
         # log: adopt it when the caller didn't specify, refuse a
         # conflicting respecification (a mixed-layout table would still
         # READ correctly — stats carry the pruning — but the Hive
-        # directory contract would silently rot)
-        recorded = self._state().get("partition_by")
-        if partition_by is None:
-            self.partition_by = list(recorded or [])
-        else:
-            self.partition_by = list(partition_by)
-            if recorded and list(recorded) != self.partition_by:
-                raise ValueError(
-                    f"table at {self.path} is partitioned by {recorded}; "
-                    f"got partition_by={self.partition_by}"
-                )
+        # directory contract would silently rot). Resolution is LAZY
+        # (first access, cached): constructing a handle must not pay a
+        # checkpoint read + log-tail fold — every real operation
+        # resolves state anyway, and handle-per-operation is a common
+        # caller pattern (r9 review).
+        self._partition_by_arg = partition_by
+        self._partition_by: list[str] | None = None
+
+    @property
+    def partition_by(self) -> list[str]:
+        if self._partition_by is None:
+            recorded = self._state().get("partition_by")
+            arg = self._partition_by_arg
+            if arg is None:
+                self._partition_by = list(recorded or [])
+            else:
+                if recorded and list(recorded) != list(arg):
+                    raise ValueError(
+                        f"table at {self.path} is partitioned by "
+                        f"{recorded}; got partition_by={list(arg)}"
+                    )
+                self._partition_by = list(arg)
+        return self._partition_by
 
     # -- log plumbing ------------------------------------------------------
 
@@ -789,6 +801,15 @@ class TxnTable:
                 kind = _kind_of(dt)
                 raw = urllib.parse.unquote(raw)
                 if raw == _HIVE_NULL:
+                    # Spark's partitionBy routes BOTH null and
+                    # empty-string values of a STRING column into this
+                    # directory, so for string columns the all-null
+                    # marker would be a lie ('' rows would prune away
+                    # under any comparison — r9 review): leave string
+                    # columns unprunable here; non-string types cannot
+                    # hold '', so the directory genuinely means NULL.
+                    if isinstance(dt, T.StringType):
+                        continue
                     rows = entry.get("rows")
                     if isinstance(rows, int) and rows > 0:
                         cols[name] = {
@@ -1282,7 +1303,14 @@ class TxnTable:
         path, never less). Only the SURVIVING relpaths come back to
         the driver — the minimum any engine needs to build the read."""
         kinds = _kinds_from_schema_json(st.get("schema"))
-        idx = self.file_index(version)
+        # pin the index to the version ``st`` RESOLVED, never back to
+        # "latest": re-resolving here would race a concurrent writer —
+        # an interleaved overwrite would supersede every file in
+        # st['live'] and the intersection below would silently empty
+        # the scan (r9 review)
+        idx = self.file_index(
+            version if version is not None else st["latest"]
+        )
         keep = _file_keep_expr(preds, kinds)
         kept_set = {
             r["relpath"]
@@ -1377,6 +1405,17 @@ class TxnTable:
         append forces a recompute, never disappears. Callers pre-scale
         non-integer dimensions into the per-dim bit range (pass a
         Column expression)."""
+        for c in cols:
+            # fail FAST on a positional partition count (the pre-r9
+            # 2-arg signature allowed optimize_zorder(x, y, 4)): an int
+            # swallowed into *cols would surface as an AttributeError
+            # deep inside the rewrite, after the snapshot read
+            if not isinstance(c, (str, Column)):
+                raise TypeError(
+                    f"optimize_zorder columns must be str or Column, "
+                    f"got {type(c).__name__} ({c!r}); pass the "
+                    f"partition count as partitions="
+                )
         if len(cols) < 2:
             raise ValueError("optimize_zorder needs at least 2 columns")
         from ..functions.zorder import zorder_by, zorder_by_n
@@ -1702,7 +1741,7 @@ class TxnTable:
         from pyspark.sql import types as _T
 
         rows = []
-        prior_live: set = set()
+        seen: set = set()
         for c in self._commits():
             stats = c.get("stats") or {}
             added = c.get("added", [])
@@ -1710,18 +1749,21 @@ class TxnTable:
             # deliberately re-reference untouched files (and merge their
             # stats into the commit): counting those would report the
             # whole post-commit row count as "added" (ADVICE r8). Only
-            # files NOT live in the prior version count as written.
-            fresh = [rel for rel in added if rel not in prior_live]
+            # files NEVER referenced by any earlier commit count as
+            # written — restore() re-references files from versions
+            # OLDER than the immediately prior one, so the prior-live
+            # set alone misclassifies them as fresh (r9 review); file
+            # paths are commit-unique by construction (uuid dirs), so
+            # ever-seen is exact.
+            fresh = [rel for rel in added if rel not in seen]
             fresh_stats = [stats[rel] for rel in fresh if rel in stats]
             rows_added = (
                 sum(int(e.get("rows", 0)) for e in fresh_stats)
                 if stats and len(fresh_stats) == len(fresh)
                 else None
             )
-            if c["action"] == "overwrite":
-                prior_live = set(added)
-            elif c["action"] != "meta":
-                prior_live.update(added)
+            if c["action"] != "meta":
+                seen.update(added)
             b = c.get("batch_id")
             rows.append(
                 (
@@ -1794,9 +1836,19 @@ class TxnTable:
                 f"to_version {to} < from_version {from_version}"
             )
         st_to = self._state(to if to in known else None)
-        live: list[str] = []
+        # seed the pre-window live set from the checkpoint-anchored
+        # state at from_version instead of replaying the whole log: a
+        # bounded-window poll on a 10k-commit table must cost
+        # O(checkpoint_interval + window), not O(table age) — the
+        # docstring's stated cost (r9 review). from_version=0 (full
+        # history) starts empty as before.
+        live: list[str] = (
+            list(self._state(from_version)["live"])
+            if from_version in known
+            else []
+        )
         batches: list[tuple[int, str, list[str]]] = []
-        for c in self._commits(until=to):
+        for c in self._commits(since=from_version, until=to):
             action = c["action"]
             if action == "overwrite":
                 new_live = list(c["added"])

@@ -77,6 +77,28 @@ def _log_versions(path: str) -> list[int]:
     )
 
 
+def _ckpt_state(path: str, until: int) -> tuple[int, dict | None]:
+    """Newest readable ``.ckpt`` state snapshot at-or-below ``until``
+    → (base_version, state) — the same accelerator TxnTable._state
+    rides; (0, None) when absent/torn (degrade to full replay, never
+    to a wrong answer)."""
+    log_dir = os.path.join(_strip_scheme(path), _LOG_DIR)
+    ckpts = sorted(
+        int(name[: -len(".ckpt")])
+        for name in os.listdir(log_dir)
+        if name.endswith(".ckpt")
+    )
+    for v in reversed([c for c in ckpts if c <= until]):
+        try:
+            with open(
+                os.path.join(log_dir, f"{v:020d}.ckpt"), "rb"
+            ) as f:
+                return v, json.loads(f.read().decode("utf-8"))
+        except Exception:
+            continue
+    return 0, None
+
+
 def _commit(path: str, version: int) -> dict:
     p = os.path.join(
         _strip_scheme(path), _LOG_DIR, f"{version:020d}.json"
@@ -88,12 +110,17 @@ def _commit(path: str, version: int) -> dict:
 def _replay(path: str, until: int) -> dict:
     """Fold the log prefix (pure Python, tiny JSON): live file list,
     last recorded schema, and per-file stats. Mirrors TxnTable._state
-    without checkpoints — planning cost is O(#commits) reads of
-    O(stats) JSON, driver-side only, still zero data IO."""
-    live: list[str] = []
-    schema = None
-    stats: dict = {}
+    INCLUDING its checkpoint anchor — planning resolves from the
+    newest ``.ckpt`` at-or-below ``until`` and replays only the
+    bounded commit tail, so cost is O(checkpoint_interval), not
+    O(table age); driver-side only, zero data IO."""
+    base, ck = _ckpt_state(path, until)
+    live: list[str] = list(ck["live"]) if ck else []
+    schema = ck.get("schema") if ck else None
+    stats: dict = dict(ck.get("stats", {})) if ck else {}
     for v in _log_versions(path):
+        if v <= base:
+            continue
         if v > until:
             break
         c = _commit(path, v)
@@ -122,10 +149,18 @@ def _change_batches(
 ) -> list[tuple[int, str, list[str]]]:
     """(version, change_type, relpaths) batches for commits in
     ``(start_v, end_v]`` — the same file-diff arithmetic as
-    ``TxnTable.table_changes`` (data_change=false commits skipped)."""
-    live: list[str] = []
+    ``TxnTable.table_changes`` (data_change=false commits skipped).
+    The pre-window live set is seeded from the newest ``.ckpt``
+    at-or-below ``start_v``, so a bounded-window micro-batch plan
+    costs O(checkpoint_interval + window), not O(table age) — a
+    long-polled stream must not re-read a 10k-commit log per batch
+    (r9 review)."""
+    base, ck = _ckpt_state(path, start_v)
+    live: list[str] = list(ck["live"]) if ck else []
     out: list[tuple[int, str, list[str]]] = []
     for v in _log_versions(path):
+        if v <= base:
+            continue
         if v > end_v:
             break
         c = _commit(path, v)
@@ -264,6 +299,53 @@ class _TxnLogBatchReader(DataSourceReader):
         yield from _arrow_batches(partition, self._arrow_schema)
 
 
+class _TxnLogChangeBatchReader(DataSourceReader):
+    """Batch CDF (``spark.read`` + ``readChangeFeed=true``): the change
+    feed of commits in ``(startVersion, endVersion]`` as one frame with
+    ``_change_type`` / ``_commit_version`` — Delta's batch
+    ``readChangeFeed`` surface, same file-diff arithmetic as the
+    streaming reader (one planned partition per changed file; reads
+    are executor-side Arrow). Before r9 this shape silently fell
+    through to the snapshot reader, which stamped NULL CDC columns —
+    well-formed but wrong data (r9 review)."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._path = options["path"]
+        self._arrow_schema = to_arrow_schema(schema)
+        versions = _log_versions(self._path)
+        if not versions:
+            raise ValueError(f"TxnTable at {self._path} has no commits")
+        known = set(versions)
+        self._start = int(options.get("startversion", 0))
+        e = options.get("endversion")
+        self._end = int(e) if e is not None else versions[-1]
+        for v, label in ((self._start, "startVersion"), (self._end, "endVersion")):
+            if v != 0 and v not in known:
+                raise ValueError(
+                    f"{label} {v} does not exist in {self._path} "
+                    f"(known: {versions})"
+                )
+        if self._end < self._start:
+            raise ValueError(
+                f"endVersion {self._end} < startVersion {self._start}"
+            )
+
+    def partitions(self):
+        root = _strip_scheme(self._path)
+        return [
+            _FileSlice(os.path.join(root, rel), kind, v)
+            for v, kind, rels in _change_batches(
+                self._path, self._start, self._end
+            )
+            for rel in rels
+        ]
+
+    def read(self, partition: _FileSlice):
+        yield from _arrow_batches(partition, self._arrow_schema)
+
+
 # -- stream reader -------------------------------------------------------
 
 
@@ -361,10 +443,13 @@ class TxnLogDataSource(DataSource):
         versions = _log_versions(path)
         if not versions:
             raise ValueError(f"TxnTable at {path} has no commits")
-        v = opts.get("version")
+        cdf = str(opts.get("readchangefeed", "")).lower() in ("true", "1")
+        # CDF reads pin to the window's END schema (additive evolution:
+        # superset); snapshot reads pin to the time-travel version
+        v = opts.get("endversion") if cdf else opts.get("version")
         until = int(v) if v is not None else versions[-1]
         base = _table_struct(path, until)
-        if str(opts.get("readchangefeed", "")).lower() in ("true", "1"):
+        if cdf:
             return T.StructType(list(base.fields) + _CHANGE_FIELDS)
         return base
 
@@ -372,7 +457,10 @@ class TxnLogDataSource(DataSource):
         return {str(k).lower(): v for k, v in dict(self.options).items()}
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
-        return _TxnLogBatchReader(schema, self._opts())
+        opts = self._opts()
+        if str(opts.get("readchangefeed", "")).lower() in ("true", "1"):
+            return _TxnLogChangeBatchReader(schema, opts)
+        return _TxnLogBatchReader(schema, opts)
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return _TxnLogStreamReader(

@@ -106,13 +106,16 @@ def test_history_rows_added_optimize_counts_bin_packed_only(spark, table):
     assert hist[res["version"]]["rows_added"] == 30  # rewrote 30 rows
 
 
-def test_history_rows_added_restore_counts_restored_rows(spark, table):
+def test_history_rows_added_restore_writes_nothing(spark, table):
     table.append(_frame(spark, 0, 10).coalesce(1))   # v1
     table.overwrite(_frame(spark, 0, 5).coalesce(1))  # v2: drops v1 files
     v3 = table.restore(1)
     hist = {r["version"]: r for r in table.history().collect()}
-    # the restore re-adds v1's files relative to v2's live set
-    assert hist[v3]["rows_added"] == 10
+    # restore re-references v1's files but WRITES zero bytes: the
+    # written-rows audit must not report phantom writes (r9 review —
+    # freshness is judged against every file ever referenced, not just
+    # the immediately prior version's live set)
+    assert hist[v3]["rows_added"] == 0
 
 
 # -- finding 3: restore restores constraints ----------------------------

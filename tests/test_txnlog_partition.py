@@ -164,8 +164,11 @@ def test_new_handle_adopts_layout_and_conflict_raises(spark, tmp_path):
     assert t2.partition_by == ["b"]
     t2.append(_frame(spark, 40, 80))  # lands partitioned
     assert all("/__p_b=" in rel for rel in t2._state()["live"])
+    # conflict resolution is lazy (construction is log-read-free, r9
+    # review): the raise lands on first partition_by access / first use
+    conflicted = TxnTable(spark, path, partition_by=["cat"])
     with pytest.raises(ValueError, match="partitioned by"):
-        TxnTable(spark, path, partition_by=["cat"])
+        conflicted.partition_by
 
 
 def test_append_missing_partition_column_raises(spark, tmp_path):
