@@ -433,6 +433,39 @@ def q_txnlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# txnlog_batch_cdf — BATCH readChangeFeed through format("txnlog")
+# (spark.read + readChangeFeed=true + startVersion, Delta's batch CDF
+# shape; r9 review fix — this read used to fall through to the
+# snapshot reader and stamp NULL CDC columns). Same table build and
+# commit arithmetic as txnlog_table_changes, so the SAME oracle
+# applies: all three feed surfaces (library table_changes, streaming
+# source, batch format read) must agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@register("txnlog_batch_cdf", _TABLE_CHANGES_SQL)
+def q_txnlog_batch_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog_datasource import register_txnlog_source
+    from .registry_ext12 import _six_bucket_table
+
+    register_txnlog_source(spark)
+    t = _six_bucket_table(spark, sf_dir, "txnbatchcdf")  # v1..v6
+    t.delete([("ts", ">=", _SKIP_LO), ("ts", "<", _SKIP_HI)])  # v7 CoW
+    feed = (
+        spark.read.format("txnlog")
+        .option("readChangeFeed", "true")
+        .option("startVersion", 4)
+        .load(t.path)
+    )
+    return feed.groupBy(
+        "_change_type", "_commit_version", "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal_decode_jpeg_progressive — REAL PROGRESSIVE (SOF2) JPEG
 # decode (T.81 G.2: DC first + refinement under the successive-
 # approximation point transform, AC band scan with a multi-block EOB
