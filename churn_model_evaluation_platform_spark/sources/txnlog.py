@@ -353,6 +353,7 @@ class TxnTable:
         set_columns: list[str] | None = None,
         set_cap: int = _SET_CAP_DEFAULT,
         partition_by: list[str] | None = None,
+        log_store=None,
     ):
         """``stats_columns``: columns to record per-file min/max stats
         for on every commit (data skipping). ``None`` = the first
@@ -389,7 +390,14 @@ class TxnTable:
         (pass None), and a conflicting explicit value raises. The
         real columns stay in the data files (the directory key is a
         prefixed copy), so leaf-file reads under the pinned log schema
-        are unaffected."""
+        are unaffected.
+
+        ``log_store``: the atomic version-claim primitive
+        (sources/logstore.py). ``None`` = rename-as-claim
+        (``HadoopRenameLogStore`` — local FS / HDFS, whose rename
+        refuses an existing destination). Object stores pass a
+        conditional-put store instead (S3 ``If-None-Match`` — the
+        commit protocol itself is storage-agnostic)."""
         if schema_mode not in ("exact", "additive"):
             raise ValueError(
                 f"schema_mode must be 'exact' or 'additive', got "
@@ -408,6 +416,11 @@ class TxnTable:
         self._jvm = spark._jvm
         fs.mkdirs(self._jpath(f"{self.path}/{_LOG_DIR}"))
         fs.mkdirs(self._jpath(f"{self.path}/{_DATA_DIR}"))
+        if log_store is None:
+            from .logstore import HadoopRenameLogStore
+
+            log_store = HadoopRenameLogStore(fs, spark._jvm)
+        self._log_store = log_store
         # partition layout is a table-level property recorded in the
         # log: adopt it when the caller didn't specify, refuse a
         # conflicting respecification (a mixed-layout table would still
@@ -830,27 +843,20 @@ class TxnTable:
                 }
 
     def _try_commit(self, version: int, payload: dict) -> bool:
-        """Make the version file appear ATOMICALLY: write + close a
-        hidden tmp file (never visible to ``_commits`` — no ``.json``
-        suffix), then rename it onto the version path. Hadoop's
-        ``rename`` refuses an existing destination on local FS and HDFS
-        (verified empirically here; S3A needs a commit coordinator,
-        as Delta itself does — SCALE.md "Known limits"), so the rename
-        IS the version-claim check and a reader can never observe a
-        torn or zero-length log entry. Returns False ONLY on a lost
-        race; real FS errors (permissions, quota) propagate instead of
-        masquerading as conflicts."""
-        target = self._log_path(version)
-        tmp = self._jpath(f"{self.path}/{_LOG_DIR}/.tmp-{uuid.uuid4().hex}")
-        out = self._fs.create(tmp, True)
-        try:
-            out.write(bytearray(json.dumps(payload).encode("utf-8")))
-        finally:
-            out.close()
-        won = bool(self._fs.rename(tmp, target))
-        if not won:
-            self._fs.delete(tmp, False)
-        return won
+        """Make the version file appear ATOMICALLY via the table's
+        LOG STORE (sources/logstore.py): create-if-absent of the full
+        content IS the version-claim check, so a reader can never
+        observe a torn or zero-length log entry. The default store is
+        rename-as-claim (local FS / HDFS, whose rename refuses an
+        existing destination — verified empirically here); object
+        stores plug in a conditional put (S3 ``If-None-Match``)
+        instead. Returns False ONLY on a lost race; real storage
+        errors (permissions, quota) propagate instead of masquerading
+        as conflicts."""
+        return self._log_store.put_if_absent(
+            f"{self.path}/{_LOG_DIR}/{version:0{_VERSION_DIGITS}d}.json",
+            json.dumps(payload).encode("utf-8"),
+        )
 
     def _commit(
         self,
@@ -954,16 +960,14 @@ class TxnTable:
             or prior.get("partition_by"),
         }
         try:
-            tmp = self._jpath(
-                f"{self.path}/{_LOG_DIR}/.tmp-{uuid.uuid4().hex}"
+            # same create-if-absent primitive as the commit itself
+            # (losing the claim is fine: a rival checkpointing the same
+            # version wrote identical content)
+            self._log_store.put_if_absent(
+                f"{self.path}/{_LOG_DIR}/"
+                f"{version:0{_VERSION_DIGITS}d}.ckpt",
+                json.dumps(body).encode("utf-8"),
             )
-            out = self._fs.create(tmp, True)
-            try:
-                out.write(bytearray(json.dumps(body).encode("utf-8")))
-            finally:
-                out.close()
-            if not self._fs.rename(tmp, self._ckpt_path(version)):
-                self._fs.delete(tmp, False)
         except Exception:
             pass  # accelerator only; the commit already landed
         # Parquet FILE-INDEX checkpoint (Delta's model): the same folded
