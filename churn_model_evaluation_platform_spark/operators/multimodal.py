@@ -536,8 +536,10 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
 # first/refinement with the successive-approximation point transform,
 # per-component AC band scans with EOB runs, AC refinement with
 # correction bits and coefficient insertion — T.81 G.2, the variant
-# most real corpus JPEGs use). Grayscale or 4:4:4 YCbCr; no restart
-# intervals, no arithmetic coding, no hierarchical — unsupported
+# most real corpus JPEGs use). Baseline handles grayscale and YCbCr at
+# any integer-ratio sampling (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0) plus
+# restart intervals (r9); progressive handles grayscale/4:4:4 with
+# restarts. No arithmetic coding, no hierarchical — unsupported
 # features degrade to format-only, never raise.
 # ---------------------------------------------------------------------------
 
@@ -586,8 +588,8 @@ def _jpeg_build_huff(bits: list[int], vals: list[int]) -> dict:
 
 class _JpegBits:
     """MSB-first bit reader over the entropy-coded segment with 0xFF00
-    byte-unstuffing; any real marker in the stream is an error (restart
-    intervals are unsupported → caller degrades to format-only)."""
+    byte-unstuffing; a real marker in the stream is an error UNLESS the
+    caller consumes it as a restart boundary via ``restart()`` (r9)."""
 
     def __init__(self, data: bytes, pos: int):
         self.d = data
@@ -617,6 +619,20 @@ class _JpegBits:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self, m: int) -> None:
+        """Consume an RSTm marker at a restart boundary (T.81 E.2.4,
+        r9): discard the partial byte (the encoder pads to a byte
+        boundary before the marker) and require the exact in-sequence
+        marker — an out-of-sequence RST means dropped data."""
+        self.nbits = 0
+        if (
+            self.i + 1 >= len(self.d)
+            or self.d[self.i] != 0xFF
+            or self.d[self.i + 1] != 0xD0 + (m & 7)
+        ):
+            raise ValueError("jpeg: missing/out-of-sequence restart marker")
+        self.i += 2
+
 
 def _jpeg_huff_decode(r: _JpegBits, table: dict) -> int:
     code = 0
@@ -637,14 +653,16 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 def _jpeg_decode(b: bytes):
     """JPEG → (values, width, height) where values are grayscale bytes
-    (1 component) or interleaved RGB (3 components, 4:4:4, JFIF
-    YCbCr→RGB). Handles baseline-sequential (SOF0, single scan) AND
-    progressive (SOF2, r9): progressive scans accumulate coefficients
-    per T.81 G.2 — DC first/refinement with the successive-approximation
-    point transform, AC first scans with EOB runs, AC refinement with
-    correction bits — and EOI triggers dequant + IDCT of the
-    accumulated spectrum. None for any unsupported variant (arithmetic
-    coding, hierarchical, subsampling, restart intervals)."""
+    (1 component) or interleaved RGB (3 components, JFIF YCbCr→RGB).
+    Handles baseline-sequential (SOF0, single scan — any integer-ratio
+    chroma sampling incl. 4:2:0/4:2:2/4:4:0, and DRI restart intervals,
+    r9) AND progressive (SOF2, r9): progressive scans accumulate
+    coefficients per T.81 G.2 — DC first/refinement with the
+    successive-approximation point transform, AC first scans with EOB
+    runs, AC refinement with correction bits — and EOI triggers
+    dequant + IDCT of the accumulated spectrum (grayscale/4:4:4, with
+    restarts). None for any unsupported variant (arithmetic coding,
+    hierarchical, progressive subsampling)."""
     import numpy as np
 
     qt: dict[int, list[int]] = {}
@@ -654,6 +672,7 @@ def _jpeg_decode(b: bytes):
     progressive = False
     store: list | None = None  # per-comp zigzag coeff arrays (SOF2)
     scans = 0
+    ri = 0  # restart interval in MCUs (0 = none)
     i = 2
     while i + 2 <= len(b):
         if b[i] != 0xFF:
@@ -689,11 +708,23 @@ def _jpeg_decode(b: bytes):
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                if hv != 0x11:
-                    return None  # subsampling: out of scope (4:4:4 only)
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    return None
+                comps.append((cid, hi, vi, tq))
+            # each factor must divide the max (pixel-replication
+            # upsampling needs an integer ratio; every real 4:2:0 /
+            # 4:2:2 / 4:4:0 file satisfies this)
+            hmax = max(hi for _c, hi, _v, _q in comps)
+            vmax = max(vi for _c, _h, vi, _q in comps)
+            if any(
+                hmax % hi or vmax % vi for _c, hi, vi, _q in comps
+            ):
+                return None
             frame = (w, h, comps)
             if marker == 0xC2:
+                if hmax != 1 or vmax != 1:
+                    return None  # progressive subsampling: out of scope
                 progressive = True
                 bx, by = (w + 7) // 8, (h + 7) // 8
                 store = [
@@ -716,9 +747,8 @@ def _jpeg_decode(b: bytes):
                     bits, vals
                 )
                 j += 17 + n
-        elif marker == 0xDD:  # DRI: restart intervals unsupported
-            if int.from_bytes(seg[:2], "big") != 0:
-                return None
+        elif marker == 0xDD:  # DRI: restart every ri MCUs (r9)
+            ri = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
@@ -728,13 +758,14 @@ def _jpeg_decode(b: bytes):
                 sel.append((seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15))
             if not progressive:
                 return _jpeg_scan(
-                    b, i + 2 + seg_len, frame, sel, qt, huff_dc, huff_ac
+                    b, i + 2 + seg_len, frame, sel, qt, huff_dc, huff_ac,
+                    ri,
                 )
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
             nxt = _jpeg_scan_prog(
                 b, i + 2 + seg_len, frame, sel, ss, se, ah, al,
-                huff_dc, huff_ac, store,
+                huff_dc, huff_ac, store, ri,
             )
             if nxt is None:
                 return None
@@ -745,49 +776,99 @@ def _jpeg_decode(b: bytes):
     return None
 
 
-def _jpeg_scan(b, pos, frame, sel, qt, huff_dc, huff_ac):
+def _jpeg_scan(b, pos, frame, sel, qt, huff_dc, huff_ac, ri=0):
+    """Baseline entropy scan — generic MCU structure (T.81 A.2):
+    interleaved components contribute ``hi × vi`` blocks per MCU over
+    a ``ceil(w/8·Hmax) × ceil(h/8·Vmax)`` MCU grid (4:2:0 / 4:2:2 /
+    4:4:0 — r9); a single-component scan is non-interleaved (one block
+    per MCU over the component's own grid). ``ri > 0``: an RSTn marker
+    every ``ri`` MCUs resets the DC predictors (T.81 E.2.4).
+    Subsampled chroma is upsampled by PIXEL REPLICATION (libjpeg's
+    -nosmooth box filter; constant-chroma fixtures make the choice
+    invisible to the oracle, and tests pin it against an independent
+    computation)."""
     import numpy as np
 
     w, h, comps = frame
     if len(sel) != len(comps):
         return None  # multi-scan files: out of scope
-    bx, by = (w + 7) // 8, (h + 7) // 8
     plan = []
     for cs, td, ta in sel:
-        match = [q for cid, q in comps if cid == cs]
-        if not match or match[0] not in qt or td not in huff_dc or ta not in huff_ac:
+        match = [
+            (hi, vi, q) for cid, hi, vi, q in comps if cid == cs
+        ]
+        if (
+            not match
+            or match[0][2] not in qt
+            or td not in huff_dc
+            or ta not in huff_ac
+        ):
             return None
-        plan.append((qt[match[0]], huff_dc[td], huff_ac[ta]))
+        hi, vi, q = match[0]
+        plan.append((hi, vi, qt[q], huff_dc[td], huff_ac[ta]))
+    if len(plan) == 1:
+        # non-interleaved scan: one block per MCU over the component's
+        # own ceil-grid, sampling factors not consulted (T.81 A.2.2)
+        plan = [(1, 1) + plan[0][2:]]
+    hmax = max(p[0] for p in plan)
+    vmax = max(p[1] for p in plan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     r = _JpegBits(b, pos)
     preds = [0] * len(plan)
-    planes = np.zeros((len(plan), by * 8, bx * 8), dtype=np.int64)
-    for mby in range(by):
-        for mbx in range(bx):
-            for ci, (q, hdc, hac) in enumerate(plan):
-                coeffs = [0] * 64
-                s = _jpeg_huff_decode(r, hdc)
-                preds[ci] += _jpeg_extend(r.read_bits(s), s)
-                coeffs[0] = preds[ci] * q[0]
-                k = 1
-                while k < 64:
-                    rs = _jpeg_huff_decode(r, hac)
-                    rlen, size = rs >> 4, rs & 15
-                    if size == 0:
-                        if rlen == 15:  # ZRL: skip 16 zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += rlen
-                    if k > 63:
-                        return None
-                    # DQT/stream are zigzag-ordered; place naturally
-                    coeffs[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                        r.read_bits(size), size
-                    ) * q[k]
-                    k += 1
-                blk = _idct8(coeffs)
-                planes[ci, mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = blk
-    return _jpeg_finish(planes, w, h)
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.int64)
+        for hi, vi, _q, _d, _a in plan
+    ]
+    mcu_in_interval = 0
+    rst = 0
+    for mby in range(mcuy):
+        for mbx in range(mcux):
+            if ri and mcu_in_interval == ri:
+                r.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(plan)
+                mcu_in_interval = 0
+            for ci, (hi, vi, q, hdc, hac) in enumerate(plan):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        coeffs = [0] * 64
+                        s = _jpeg_huff_decode(r, hdc)
+                        preds[ci] += _jpeg_extend(r.read_bits(s), s)
+                        coeffs[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(r, hac)
+                            rlen, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if rlen == 15:  # ZRL: skip 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rlen
+                            if k > 63:
+                                return None
+                            # DQT/stream are zigzag-ordered; place
+                            # naturally
+                            coeffs[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                r.read_bits(size), size
+                            ) * q[k]
+                            k += 1
+                        y0 = (mby * vi + byi) * 8
+                        x0 = (mbx * hi + bxi) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = _idct8(
+                            coeffs
+                        )
+            mcu_in_interval += 1
+    full = np.stack(
+        [
+            np.repeat(
+                np.repeat(p, vmax // hv[1], axis=0), hmax // hv[0], axis=1
+            )
+            for p, hv in zip(planes, plan)
+        ]
+    )
+    return _jpeg_finish(full, w, h)
 
 
 def _jpeg_finish(planes, w: int, h: int):
@@ -816,7 +897,7 @@ def _jpeg_finish(planes, w: int, h: int):
 
 
 def _jpeg_scan_prog(
-    b, pos, frame, sel, ss, se, ah, al, huff_dc, huff_ac, store
+    b, pos, frame, sel, ss, se, ah, al, huff_dc, huff_ac, store, ri=0
 ):
     """One PROGRESSIVE scan (T.81 G.2): fold this scan's bits into the
     per-component zigzag coefficient ``store`` and return the stream
@@ -831,12 +912,19 @@ def _jpeg_scan_prog(
       refinement walks the band appending correction bits to
       already-nonzero coefficients and inserting new ``±1 << al``
       ones, including through EOB runs and ZRL.
+
+    ``ri > 0`` (r9): an RSTn marker every ``ri`` MCUs — one block
+    position per MCU in both scan shapes here (the frame is 4:4:4 /
+    grayscale) — resets the DC predictors AND ends any EOB run (an
+    EOB run never crosses a restart boundary, T.81 E.2.4).
     """
     w, h, comps = frame
     bx, by = (w + 7) // 8, (h + 7) // 8
     nblocks = bx * by
-    comp_idx = {cid: k for k, (cid, _q) in enumerate(comps)}
+    comp_idx = {cid: k for k, (cid, _h, _v, _q) in enumerate(comps)}
     r = _JpegBits(b, pos)
+    n_rst = 0  # units consumed in the current restart interval
+    rst = 0
     try:
         if ss == 0:
             if se != 0 or ah > 1 + al:
@@ -849,6 +937,11 @@ def _jpeg_scan_prog(
             preds = [0] * len(plan)
             for mby in range(by):
                 for mbx in range(bx):
+                    if ri and n_rst == ri:
+                        r.restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = [0] * len(plan)
+                        n_rst = 0
                     blk = mby * bx + mbx
                     for si, (ci, hdc) in enumerate(plan):
                         if ah == 0:
@@ -857,6 +950,7 @@ def _jpeg_scan_prog(
                             store[ci][blk, 0] = preds[si] << al
                         elif r.read_bit():
                             store[ci][blk, 0] |= 1 << al
+                    n_rst += 1
         else:
             if len(sel) != 1 or se > 63 or ss > se:
                 return None
@@ -869,6 +963,12 @@ def _jpeg_scan_prog(
             if ah == 0:  # AC first pass
                 blk = 0
                 while blk < nblocks:
+                    if ri and n_rst == ri:
+                        r.restart(rst)
+                        rst = (rst + 1) & 7
+                        eobrun = 0
+                        n_rst = 0
+                    n_rst += 1
                     if eobrun > 0:
                         eobrun -= 1
                         blk += 1
@@ -897,6 +997,12 @@ def _jpeg_scan_prog(
                 p1, m1 = 1 << al, -(1 << al)
                 blk = 0
                 while blk < nblocks:
+                    if ri and n_rst == ri:
+                        r.restart(rst)
+                        rst = (rst + 1) & 7
+                        eobrun = 0
+                        n_rst = 0
+                    n_rst += 1
                     k = ss
                     if eobrun == 0:
                         while k <= se:
@@ -958,7 +1064,7 @@ def _jpeg_assemble_prog(frame, store, qt):
     w, h, comps = frame
     bx, by = (w + 7) // 8, (h + 7) // 8
     planes = np.zeros((len(comps), by * 8, bx * 8), dtype=np.int64)
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, _hi, _vi, tq) in enumerate(comps):
         if tq not in qt:
             return None
         q = qt[tq]
@@ -977,14 +1083,16 @@ def _jpeg_assemble_prog(frame, store, qt):
 def decode_media_bytes(content: bytes | None) -> dict:
     """REAL pixel/sample decode for PNG (8-bit RGB, non-interlaced), BMP
     (24-bit BI_RGB), GIF (LZW → palette RGB, non-interlaced), WAV
-    (PCM16) and JPEG (baseline sequential, grayscale / 4:4:4 — Huffman +
-    dequant + IDCT, no codec libraries) from raw bytes — returns summary
-    statistics over the decoded values (pixel channel bytes / audio
-    samples). Progressive / subsampled / restart-interval JPEGs are out
-    of scope and return format-only, and — like ``parse_media_header``
-    — a malformed or truncated payload NEVER raises: it degrades to
-    format-only nulls so one bad blob in 100 TB cannot fail the Spark
-    job."""
+    (PCM16) and JPEG (baseline sequential — grayscale and YCbCr at any
+    integer-ratio sampling incl. 4:2:0, with restart intervals — plus
+    progressive grayscale/4:4:4; Huffman + dequant + IDCT, no codec
+    libraries) from raw bytes — returns summary statistics over the
+    decoded values (pixel channel bytes / audio samples).
+    Arithmetic-coded / hierarchical / progressive-subsampled JPEGs are
+    out of scope and return format-only, and — like
+    ``parse_media_header`` — a malformed or truncated payload NEVER
+    raises: it degrades to format-only nulls so one bad blob in 100 TB
+    cannot fail the Spark job."""
     import struct
     import zlib
 
@@ -1208,6 +1316,19 @@ class _JpegBitWriter:
                 self.out.append(0x00)
         return bytes(self.out)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align with 1-fill then emit RSTm VERBATIM (markers are
+        never byte-stuffed — T.81 E.2.4)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.buf = (self.buf << pad) | ((1 << pad) - 1)
+            self.out.append(self.buf)
+            if self.buf == 0xFF:
+                self.out.append(0x00)
+            self.buf = 0
+            self.nbits = 0
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def synth_jpeg_bytes(media_id: int) -> bytes:
     """Deterministic VALID baseline-sequential grayscale JPEG per id,
@@ -1261,6 +1382,146 @@ def synth_jpeg_bytes(media_id: int) -> bytes:
         if s:
             bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
         bw.write(0, 1)  # EOB
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.finish() + b"\xff\xd9"
+
+
+def synth_jpeg_restart_bytes(media_id: int) -> bytes:
+    """The grayscale baseline fixture of ``synth_jpeg_bytes`` with a
+    RESTART INTERVAL (r9): DRI = 2 MCUs, an in-sequence RSTn marker
+    (byte-aligned, 1-fill) between intervals, and DC predictors reset
+    at each — decoding to EXACTLY the same flat blocks, so the SAME
+    arithmetic oracle predicts it. A decoder that ignores DRI sees a
+    marker mid-stream; one that forgets the predictor reset or the
+    RST sequence check decodes wrong values — either breaks the hash."""
+    import struct
+
+    m = int(media_id)
+    bx, by = 1 + m % 4, 1 + m % 3
+    w, h = 8 * bx, 8 * by
+    ri = 2
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01"
+        + bytes([1, 0x11, 0])
+    )
+    dc_bits = bytes([0, 0, 0, 8] + [0] * 12)
+    dc_vals = bytes(range(8))
+    ac_bits = bytes([1] + [0] * 15)
+    ac_vals = bytes([0x00])
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(dc_vals)) + b"\x00"
+        + dc_bits + dc_vals
+        + b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(ac_vals)) + b"\x10"
+        + ac_bits + ac_vals
+    )
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", ri)
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">H", 8)
+        + b"\x01"
+        + bytes([1, 0x00])
+        + bytes([0, 63, 0])
+    )
+    bw = _JpegBitWriter()
+    pred = 0
+    rst = 0
+    for bi in range(bx * by):
+        if bi and bi % ri == 0:
+            bw.restart_marker(rst)
+            rst = (rst + 1) & 7
+            pred = 0
+        dc = ((m + 7 * bi) % 128) - 64
+        diff = dc - pred
+        pred = dc
+        s = abs(diff).bit_length()
+        bw.write(s, 4)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.write(0, 1)  # EOB
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.finish()
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_420_params(media_id: int) -> tuple[int, int, int, int]:
+    """(mcux, mcuy, cb, cr) for the 4:2:0 fixture of ``media_id`` —
+    shared by the encoder and the tests so the oracle arithmetic is
+    stated once. Chroma is constant per image, bounded to ±16 so no
+    RGB channel clamps and (verified over the whole domain) no rounded
+    value lands near .5 — numpy and SQL ``round`` agree exactly."""
+    m = int(media_id)
+    return 1 + m % 2, 1 + m % 3, (m % 33) - 16, (m * 3 % 33) - 16
+
+
+def synth_jpeg_420_bytes(media_id: int) -> bytes:
+    """Deterministic VALID 4:2:0 YCbCr baseline JPEG per id (r9):
+    Y sampled 2x2, Cb/Cr 1x1 — the dominant layout of real photo
+    corpora. Built for arithmetic oracle prediction: uniform quant 8s
+    and DC-only blocks, so luma block ``bi`` (raster order over the
+    luma block grid) is a flat ``((id + 7*bi) % 128) + 64`` and chroma
+    is constant per image (``_jpeg_420_params``); every RGB pixel is
+    then an exact closed-form function of (id, bi). Exercises the MCU
+    interleave (4 Y + Cb + Cr per MCU), per-component predictors, and
+    the replication upsample end to end."""
+    import struct
+
+    m = int(media_id)
+    mcux, mcuy, cb, cr = _jpeg_420_params(m)
+    w, h = 16 * mcux, 16 * mcuy
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + bytes([1, 0x22, 0])  # Y: 2x2 of table 0
+        + bytes([2, 0x11, 0])  # Cb
+        + bytes([3, 0x11, 0])  # Cr
+    )
+    dc_bits = bytes([0, 0, 0, 8] + [0] * 12)
+    dc_vals = bytes(range(8))
+    ac_bits = bytes([1] + [0] * 15)
+    ac_vals = bytes([0x00])
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(dc_vals)) + b"\x00"
+        + dc_bits + dc_vals
+        + b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(ac_vals)) + b"\x10"
+        + ac_bits + ac_vals
+    )
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">H", 12)
+        + b"\x03"
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00])
+        + bytes([0, 63, 0])
+    )
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def put(ci: int, dc: int) -> None:
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = abs(diff).bit_length()
+        bw.write(s, 4)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.write(0, 1)  # EOB
+
+    lumaw = 2 * mcux  # luma blocks per row
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for byi in range(2):
+                for bxi in range(2):
+                    bi = (my * 2 + byi) * lumaw + (mx * 2 + bxi)
+                    put(0, ((m + 7 * bi) % 128) - 64)
+            put(1, cb)
+            put(2, cr)
     return b"\xff\xd8" + dqt + sof + dht + sos + bw.finish() + b"\xff\xd9"
 
 

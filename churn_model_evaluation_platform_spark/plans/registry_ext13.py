@@ -528,3 +528,129 @@ def q_multimodal_decode_jpeg_progressive(
 
     media = docs.mapInPandas(synth, "media_id long, content binary")
     return decode_media(media)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_jpeg_restart — RESTART INTERVALS (DRI + RSTn, T.81
+# E.2.4, r9): the baseline grayscale fixture re-encoded with DRI=2 —
+# byte-aligned in-sequence RST markers between intervals and DC
+# predictors reset at each — decoding to EXACTLY the same flat blocks,
+# so the SAME arithmetic oracle applies. A decoder that ignores DRI
+# dies on the mid-stream marker (format-only nulls); one that forgets
+# the predictor reset decodes wrong DC values — either breaks the hash.
+# ---------------------------------------------------------------------------
+
+_JPEG_RESTART_SQL = """
+WITH g AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 4 AS INT) AS bx,
+         CAST(1 + doc_id % 3 AS INT) AS by
+  FROM documents
+),
+px AS (
+  SELECT media_id, bx, by, ((media_id + 7 * bi) % 128) + 64 AS v
+  FROM g CROSS JOIN generate_series(0, 11) bis(bi)
+  WHERE bi < bx * by
+)
+SELECT media_id, 'jpeg' AS format,
+       CAST(bx * 8 * by * 8 AS BIGINT) AS n_values,
+       round(avg(v), 6) AS mean_value,
+       CAST(min(v) AS DOUBLE) AS min_value,
+       CAST(max(v) AS DOUBLE) AS max_value
+FROM px GROUP BY media_id, bx, by
+"""
+
+
+@register("multimodal_decode_jpeg_restart", _JPEG_RESTART_SQL)
+def q_multimodal_decode_jpeg_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_media, synth_jpeg_restart_bytes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        synth_jpeg_restart_bytes(int(m))
+                        for m in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return decode_media(media)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_jpeg_420 — 4:2:0 CHROMA SUBSAMPLING (r9): color
+# YCbCr with luma sampled 2x2 — the dominant layout of real photo
+# corpora (the last big "degrades to format-only" class). Fixtures are
+# DC-only with constant per-image chroma bounded so no channel clamps
+# and (domain-verified) no rounded value lands near .5 — every RGB
+# pixel is a closed-form function of (id, luma block index), and the
+# oracle replays the MCU interleave, the YCbCr→RGB matrix (T.871) and
+# the rounding arithmetically. A decoder that mis-orders the 4Y+Cb+Cr
+# MCU, crosses the per-component predictors, or mis-upsamples breaks
+# the hash.
+# ---------------------------------------------------------------------------
+
+_JPEG_420_SQL = """
+WITH g AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 2 AS INT) AS mcux,
+         CAST(1 + doc_id % 3 AS INT) AS mcuy,
+         (doc_id % 33) - 16 AS cb,
+         (doc_id * 3 % 33) - 16 AS cr
+  FROM documents
+),
+px AS (
+  SELECT media_id, mcux, mcuy, cb, cr,
+         ((media_id + 7 * bi) % 128) + 64 AS y
+  FROM g CROSS JOIN generate_series(0, 23) bis(bi)
+  WHERE bi < 4 * mcux * mcuy
+),
+rgb AS (
+  SELECT media_id, mcux, mcuy,
+         round(y + 1.402 * cr) AS r,
+         round(y - 0.344136 * cb - 0.714136 * cr) AS gg,
+         round(y + 1.772 * cb) AS b
+  FROM px
+)
+SELECT media_id, 'jpeg' AS format,
+       CAST(mcux * 16 * mcuy * 16 * 3 AS BIGINT) AS n_values,
+       round(avg((r + gg + b) / 3.0), 6) AS mean_value,
+       CAST(min(least(r, gg, b)) AS DOUBLE) AS min_value,
+       CAST(max(greatest(r, gg, b)) AS DOUBLE) AS max_value
+FROM rgb GROUP BY media_id, mcux, mcuy
+"""
+
+
+@register("multimodal_decode_jpeg_420", _JPEG_420_SQL)
+def q_multimodal_decode_jpeg_420(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_media, synth_jpeg_420_bytes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        synth_jpeg_420_bytes(int(m)) for m in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return decode_media(media)
