@@ -397,6 +397,27 @@ def wasserstein(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     null is filled from the next bucket's min(v) (a per-bucket frame of
     a few hundred rows, broadcast).
     """
+    stepped = _ecdf_steps(ref, cur, column)
+    term = (
+        F.abs(
+            F.col("cum_is_ref") / F.col("tot_is_ref")
+            - F.col("cum_is_cur") / F.col("tot_is_cur")
+        )
+        * (F.col("__v_next") - F.col("v"))
+    )
+    return stepped.agg(
+        F.sum(F.when(F.col("__v_next").isNotNull(), term).otherwise(0.0)).alias(
+            "wasserstein"
+        )
+    )
+
+
+def _ecdf_steps(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+    """Shared ECDF step frame for the integral drift statistics
+    (wasserstein, energy): one row per pooled distinct value with both
+    sides' inclusive prefix sums, totals, and the next distinct value
+    ``__v_next`` (null on the global max). Same range-bucketed
+    prefix-sum shape as ``ks_2samp`` — no single-reducer window."""
     raw = _pool(ref, cur, column)
     pooled = raw.groupBy("v").agg(
         F.sum("is_ref").alias("is_ref"), F.sum("is_cur").alias("is_cur")
@@ -415,23 +436,36 @@ def wasserstein(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     next_mins = bucket_mins.select(
         "__bucket", F.lead("__minv").over(w_next).alias("__next_bucket_min")
     )
-    stepped = bucketed.join(F.broadcast(next_mins), "__bucket").select(
+    return bucketed.join(F.broadcast(next_mins), "__bucket").select(
         "*",
         F.coalesce(
             F.lead("v").over(w_b), F.col("__next_bucket_min")
         ).alias("__v_next"),
     )
-    term = (
-        F.abs(
-            F.col("cum_is_ref") / F.col("tot_is_ref")
-            - F.col("cum_is_cur") / F.col("tot_is_cur")
-        )
-        * (F.col("__v_next") - F.col("v"))
+
+
+def energy_distance(
+    ref: DataFrame, cur: DataFrame, column: str
+) -> DataFrame:
+    """Energy distance between the two samples (Székely & Rizzo;
+    Evidently's ``ed`` stat test, scipy.stats.energy_distance):
+    E = sqrt(2 · ∫ (ECDF_ref(v) − ECDF_cur(v))² dv) — the same exact
+    pooled-distinct-value step integral as ``wasserstein`` with the
+    squared difference, so the O(n²) pairwise definition is never
+    materialized."""
+    stepped = _ecdf_steps(ref, cur, column)
+    d = (
+        F.col("cum_is_ref") / F.col("tot_is_ref")
+        - F.col("cum_is_cur") / F.col("tot_is_cur")
     )
+    term = d * d * (F.col("__v_next") - F.col("v"))
     return stepped.agg(
-        F.sum(F.when(F.col("__v_next").isNotNull(), term).otherwise(0.0)).alias(
-            "wasserstein"
-        )
+        F.sqrt(
+            F.lit(2.0)
+            * F.sum(
+                F.when(F.col("__v_next").isNotNull(), term).otherwise(0.0)
+            )
+        ).alias("energy")
     )
 
 
@@ -739,6 +773,99 @@ def chi2_drift(
     )
 
 
+def hellinger(
+    ref: DataFrame, cur: DataFrame, column: str, bin_width: float
+) -> DataFrame:
+    """Hellinger distance between the two binned distributions
+    (Evidently's ``hellinger`` stat test): H = sqrt(0.5 · Σ (sqrt(p) −
+    sqrt(q))²) ∈ [0, 1]. Zero-count bins contribute their full
+    sqrt-mass difference — no epsilon floor needed (the statistic is
+    finite by construction). Same one-groupBy shape as ``psi``."""
+    counts = _binned_counts(ref, cur, column, bin_width)
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    d = F.sqrt(F.col("n_ref") / F.col("t_ref")) - F.sqrt(
+        F.col("n_cur") / F.col("t_cur")
+    )
+    return j.agg(F.sqrt(F.lit(0.5) * F.sum(d * d)).alias("hellinger"))
+
+
+def tvd(
+    ref: DataFrame, cur: DataFrame, column: str, bin_width: float
+) -> DataFrame:
+    """Total variation distance between the two binned distributions
+    (Evidently's ``TVD`` stat test): 0.5 · Σ |p − q| ∈ [0, 1]."""
+    counts = _binned_counts(ref, cur, column, bin_width)
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    d = F.abs(
+        F.col("n_ref") / F.col("t_ref") - F.col("n_cur") / F.col("t_cur")
+    )
+    return j.agg((F.lit(0.5) * F.sum(d)).alias("tvd"))
+
+
+def mannwhitney_u(
+    ref: DataFrame, cur: DataFrame, column: str
+) -> DataFrame:
+    """Mann–Whitney U rank test (Evidently's ``mannw`` stat test):
+    → (u_stat, z, p_approx, n_ref, n_cur). Midranks over the pooled
+    distinct values come from the same range-bucketed prefix sums as
+    ``ks_2samp`` — the tie group at value v spans ranks
+    (count below v, count at-or-below v], so its midrank is
+    cum_before + (t+1)/2 and R_cur = Σ n_cur(v) · midrank(v) needs no
+    per-row ranking. U = R_cur − n_cur(n_cur+1)/2; the p-value is the
+    standard tie-corrected asymptotic normal approximation WITHOUT
+    continuity correction (documented deviation from scipy's
+    use_continuity=True default; exact same closed form on any
+    engine). All-tied inputs (zero variance) report p = 1.0."""
+    raw = _pool(ref, cur, column)
+    pooled = raw.groupBy("v").agg(
+        F.sum("is_ref").alias("is_ref"), F.sum("is_cur").alias("is_cur")
+    )
+    bounds = range_boundaries(raw, "v")
+    cums = partitioned_prefix_sum(
+        pooled, "v", ["is_ref", "is_cur"], bounds=bounds, with_totals=True
+    )
+    t_size = F.col("is_ref") + F.col("is_cur")
+    cum_before = (
+        F.col("cum_is_ref") + F.col("cum_is_cur") - t_size
+    ).cast("double")
+    midrank = cum_before + (t_size.cast("double") + F.lit(1.0)) / F.lit(2.0)
+    agg = cums.agg(
+        F.sum(F.col("is_cur") * midrank).alias("r_cur"),
+        F.sum(t_size * t_size * t_size - t_size).alias("tie_term"),
+        F.max("tot_is_ref").alias("n1"),
+        F.max("tot_is_cur").alias("n2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    u = F.col("r_cur") - n2 * (n2 + F.lit(1.0)) / F.lit(2.0)
+    mean = n1 * n2 / F.lit(2.0)
+    var = (
+        n1
+        * n2
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie_term") / (n * (n - F.lit(1.0))))
+    )
+    z = (u - mean) / F.sqrt(var)
+    p = F.lit(2.0) * (F.lit(1.0) - _norm_cdf_expr(F.abs(z)))
+    guarded = F.when(
+        var > 0, F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    ).otherwise(F.lit(1.0))
+    return agg.select(
+        u.alias("u_stat"),
+        F.when(var > 0, z).otherwise(F.lit(0.0)).alias("z"),
+        guarded.alias("p_approx"),
+        F.col("n1").cast("bigint").alias("n_ref"),
+        F.col("n2").cast("bigint").alias("n_cur"),
+    )
+
+
 def _norm_cdf_expr(z: Column) -> Column:
     """Standard normal CDF via the Abramowitz–Stegun 7.1.26 erf
     polynomial (|err| < 1.5e-7) — pure closed form, bit-portable."""
@@ -775,6 +902,11 @@ def drift_statistic(
     - ``psi``          → (psi,) — binned population stability;
     - ``js``           → (js,) — binned Jensen–Shannon divergence;
     - ``chi2``         → (chi2, dof, p_approx) — binned homogeneity test;
+    - ``hellinger``    → (hellinger,) — binned Hellinger distance (r9);
+    - ``tvd``          → (tvd,) — binned total variation distance (r9);
+    - ``energy``       → (energy,) — exact ECDF energy distance (r9);
+    - ``mannw``        → (u_stat, z, p_approx, n_ref, n_cur) —
+      Mann–Whitney U rank test, tie-corrected asymptotic p (r9);
     - ``auto``         → (method, drift_score) — Evidently's numerical
       preset branch (the rule the reference's report actually executes,
       churn_prediction_pipeline.py:322): two-sample KS while the
@@ -810,9 +942,17 @@ def drift_statistic(
         return js_divergence(ref, cur, column, bin_width)
     if method == "chi2":
         return chi2_drift(ref, cur, column, bin_width)
+    if method == "hellinger":
+        return hellinger(ref, cur, column, bin_width)
+    if method == "tvd":
+        return tvd(ref, cur, column, bin_width)
+    if method == "energy":
+        return energy_distance(ref, cur, column)
+    if method == "mannw":
+        return mannwhitney_u(ref, cur, column)
     raise ValueError(
         f"unknown drift method {method!r}; "
-        "expected auto|ks|wasserstein|psi|js|chi2"
+        "expected auto|ks|wasserstein|psi|js|chi2|hellinger|tvd|energy|mannw"
     )
 
 

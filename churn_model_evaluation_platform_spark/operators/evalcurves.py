@@ -186,3 +186,31 @@ def auc_roc(
             / (p.cast("double") * (F.col("nn") - p))
         ).alias("auc")
     )
+
+
+def auc_pr(
+    df: DataFrame,
+    label_col: str = "churn",
+    score_col: str = "proba",
+    positive: int = 1,
+) -> DataFrame:
+    """Single-row (auc_pr) — AVERAGE PRECISION, the area under the PR
+    curve by right-step integration (sklearn's average_precision_score
+    semantics, r9): AP = Σ_i (R_i − R_{i−1}) · P_i over thresholds
+    descending. With thresholds at the distinct scores, the recall
+    increment of tie group g is pos_g / P, so
+    AP = Σ_g (pos_g / P) · cum_pos_g / (cum_pos_g + cum_neg_g) — one
+    prefix sum + one aggregation, the exact shape of ``auc_roc``; no
+    trapezoid (PR interpolation is ill-defined, per the sklearn doc)."""
+    counts = _score_counts(df, label_col, score_col, positive)
+    ps = partitioned_prefix_sum(
+        counts.withColumn("__neg_score", -F.col(score_col)),
+        "__neg_score",
+        ["pos", "neg"],
+        with_totals=True,
+    )
+    prec = F.col("cum_pos").cast("double") / (
+        F.col("cum_pos") + F.col("cum_neg")
+    )
+    term = F.col("pos").cast("double") / F.col("tot_pos") * prec
+    return ps.agg(F.sum(term).alias("auc_pr"))

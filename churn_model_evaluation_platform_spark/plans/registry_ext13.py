@@ -654,3 +654,177 @@ def q_multimodal_decode_jpeg_420(
 
     media = docs.mapInPandas(synth, "media_id long, content binary")
     return decode_media(media)
+
+
+# ---------------------------------------------------------------------------
+# Drift-method breadth (r9 batch 3) — four more Evidently stat tests on
+# the pluggable `drift_statistic` surface, same ref/cur fixture as the
+# existing family (ref = click values, cur = non-click values):
+# hellinger + TVD (binned, one groupBy), energy distance (the exact
+# pooled-ECDF step integral — scipy.stats.energy_distance semantics,
+# never the O(n²) pairwise form), and the Mann–Whitney U rank test
+# (midranks from the same range-bucketed prefix sums as ks_2samp; U and
+# z are exact-arithmetic — midranks are half-integers — so the oracle
+# matches bit-for-bit before rounding).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_drift_hellinger_tvd",
+    None,  # installed below from registry_ext4's shared binned CTE
+)
+def q_value_drift_hellinger_tvd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.drift import hellinger, tvd
+    from .registry_ext4 import _drift_binned_inputs
+
+    ref, cur = _drift_binned_inputs(spark, sf_dir)
+    h = hellinger(ref, cur, "value", 10.0).select(
+        F.round("hellinger", 6).alias("hellinger")
+    )
+    t = tvd(ref, cur, "value", 10.0).select(F.round("tvd", 6).alias("tvd"))
+    return h.crossJoin(t)  # two single-row frames
+
+
+@register(
+    "value_drift_energy",
+    """
+WITH pooled AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ir,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS ic
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (SELECT v, SUM(ir) AS r, SUM(ic) AS c FROM pooled GROUP BY v),
+t AS (SELECT SUM(r) AS tr, SUM(c) AS tc FROM agg),
+cum AS (
+  SELECT v,
+         SUM(r) OVER (ORDER BY v) AS cr,
+         SUM(c) OVER (ORDER BY v) AS cc,
+         lead(v) OVER (ORDER BY v) AS vn
+  FROM agg
+)
+SELECT round(sqrt(2.0 * SUM(
+         power(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc, 2)
+         * (vn - v))), 6) AS energy
+FROM cum, t WHERE vn IS NOT NULL
+""",
+)
+def q_value_drift_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import energy_distance
+    from .registry_ext4 import _drift_binned_inputs
+
+    ref, cur = _drift_binned_inputs(spark, sf_dir)
+    return energy_distance(ref, cur, "value").select(
+        F.round("energy", 6).alias("energy")
+    )
+
+
+@register(
+    "value_drift_mannwhitney",
+    """
+WITH pooled AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ir,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS ic
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (SELECT v, SUM(ir) AS r, SUM(ic) AS c FROM pooled GROUP BY v),
+cum AS (
+  SELECT r, c, r + c AS tg,
+         SUM(r + c) OVER (ORDER BY v) AS cum_t
+  FROM agg
+),
+tot AS (SELECT SUM(r) AS n1, SUM(c) AS n2 FROM agg),
+s AS (
+  SELECT SUM(c * (CAST(cum_t - tg AS DOUBLE) + (tg + 1.0) / 2.0)) AS r_cur,
+         SUM(CAST(tg AS DOUBLE) * tg * tg - tg) AS tie_term
+  FROM cum
+)
+SELECT round(r_cur - n2 * (n2 + 1.0) / 2.0, 6) AS u_stat,
+       round((r_cur - n2 * (n2 + 1.0) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                    * ((n1 + n2 + 1.0)
+                       - tie_term / (CAST(n1 + n2 AS DOUBLE)
+                                     * (n1 + n2 - 1.0)))), 6) AS z,
+       CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur
+FROM s, tot
+""",
+)
+def q_value_drift_mannwhitney(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # u_stat and z oracle-checked exactly (midranks are half-integers:
+    # the sums are exact doubles, no order sensitivity); the p_approx
+    # closed form is pinned in tests/test_drift_family_r9.py instead —
+    # same posture as value_drift_chi2.
+    from ..operators.drift import mannwhitney_u
+    from .registry_ext4 import _drift_binned_inputs
+
+    ref, cur = _drift_binned_inputs(spark, sf_dir)
+    return mannwhitney_u(ref, cur, "value").select(
+        F.round("u_stat", 6).alias("u_stat"),
+        F.round("z", 6).alias("z"),
+        "n_ref",
+        "n_cur",
+    )
+
+
+@register(
+    "auc_pr",
+    None,  # installed below (shares registry_ext5's scored fixture)
+)
+def q_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Average precision — right-step integration of the PR curve
+    # (sklearn average_precision_score semantics); completes the curve
+    # suite's ROC-side AUC with the PR-side one (imbalanced-label
+    # metric of record for churn-sized positive rates).
+    from ..operators.evalcurves import auc_pr
+    from .registry_ext5 import _proba_scored
+
+    return auc_pr(_proba_scored(spark, sf_dir)).select(
+        F.round("auc_pr", 6).alias("auc_pr")
+    )
+
+
+def _install_r9_drift_oracles() -> None:
+    """Oracles that reuse shared CTE text from earlier registry files
+    (import-time cycles avoided by installing after definition)."""
+    from .registry import _ORACLES
+    from .registry_ext4 import _BINNED_CTE
+    from .registry_ext5 import _PROBA_SQL
+
+    _ORACLES["value_drift_hellinger_tvd"] = (
+        _BINNED_CTE
+        + """
+SELECT round(sqrt(0.5 * SUM(
+         power(sqrt(CAST(n_ref AS DOUBLE) / t_ref)
+               - sqrt(CAST(n_cur AS DOUBLE) / t_cur), 2))), 6) AS hellinger,
+       round(0.5 * SUM(abs(CAST(n_ref AS DOUBLE) / t_ref
+                           - CAST(n_cur AS DOUBLE) / t_cur)), 6) AS tvd
+FROM j
+"""
+    )
+    _ORACLES["auc_pr"] = f"""
+WITH scored AS ({_PROBA_SQL}),
+agg AS (
+  SELECT proba,
+         SUM(CASE WHEN churn = 1 THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN churn <> 1 THEN 1 ELSE 0 END) AS neg
+  FROM scored GROUP BY proba
+),
+cum AS (
+  SELECT pos,
+         SUM(pos) OVER (ORDER BY proba DESC) AS tp,
+         SUM(neg) OVER (ORDER BY proba DESC) AS fp,
+         SUM(pos) OVER () AS p
+  FROM agg
+)
+SELECT round(SUM(CAST(pos AS DOUBLE) / p
+                 * (CAST(tp AS DOUBLE) / (tp + fp))), 6) AS auc_pr
+FROM cum
+"""
+
+
+_install_r9_drift_oracles()
