@@ -676,6 +676,75 @@ def psi_from_binned(
     )
 
 
+def stat_from_binned(
+    ref_bins: DataFrame,
+    cur_bins: DataFrame,
+    method: str = "psi",
+    epsilon: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Statistic-selectable finisher for the windowed drift panel (r9):
+    any of the BINNED statistics — ``psi`` | ``hellinger`` | ``tvd`` |
+    ``js`` — from the same ``(window_start, column, bin, n_*)`` count
+    frames ``binned_ref_counts`` / ``binned_window_counts`` /
+    ``binned_window_counts_append`` produce, so every one of them
+    STREAMS with the identical bounded state (the statistic choice
+    costs nothing at the stateful layer — it is pure arithmetic over
+    the drained counts). Output ``(window_start, column, <method>)``.
+    ``epsilon`` applies to ``psi`` only (hellinger/tvd/js are finite on
+    zero bins by construction); totals are clamped at 1e-12 everywhere
+    so an empty (window, column) slice stays finite and cross-engine
+    identical."""
+    if method == "psi":
+        return psi_from_binned(ref_bins, cur_bins, epsilon, round_to)
+    if method not in ("hellinger", "tvd", "js"):
+        raise ValueError(
+            f"unknown binned drift method {method!r}; "
+            "expected psi|hellinger|tvd|js"
+        )
+    from pyspark.sql import Window as W
+
+    windows = (
+        cur_bins.select(F.col("window_start").alias("__w"))
+        .distinct()
+        .withColumnRenamed("__w", "window_start")
+    )
+    base = ref_bins.crossJoin(F.broadcast(windows))
+    joined = base.join(
+        cur_bins, ["window_start", "column", "bin"], "full_outer"
+    ).select(
+        "window_start",
+        "column",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    w = W.partitionBy("window_start", "column")
+    p = F.col("n_ref").cast("double") / F.greatest(
+        F.sum("n_ref").over(w).cast("double"), F.lit(1e-12)
+    )
+    q = F.col("n_cur").cast("double") / F.greatest(
+        F.sum("n_cur").over(w).cast("double"), F.lit(1e-12)
+    )
+    if method == "hellinger":
+        d = F.sqrt(p) - F.sqrt(q)
+        term, finish = d * d, lambda s: F.sqrt(F.lit(0.5) * s)
+    elif method == "tvd":
+        term, finish = F.abs(p - q), lambda s: F.lit(0.5) * s
+    else:  # js
+        m = (p + q) / F.lit(2.0)
+        term = F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        ) + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(
+            F.lit(0.0)
+        )
+        finish = lambda s: s  # noqa: E731
+    return (
+        joined.select("window_start", "column", term.alias("term"))
+        .groupBy("window_start", "column")
+        .agg(F.round(finish(F.sum("term")), round_to).alias(method))
+    )
+
+
 def value_drift_psi_by_window(
     ref: DataFrame,
     cur: DataFrame,

@@ -828,3 +828,144 @@ FROM cum
 
 
 _install_r9_drift_oracles()
+
+
+# ---------------------------------------------------------------------------
+# value_drift_hellinger_window / stream_value_drift_hellinger — the
+# windowed drift panel with a SECOND streaming-capable statistic (r9):
+# the stateful layer is the identical per-(window, column, bin) count
+# that the PSI panel maintains — the statistic choice is pure
+# arithmetic over the drained counts (stat_from_binned), so Hellinger
+# streams with the same watermark-bounded state for free. Same fixture
+# and window arithmetic as value_drift_psi_window; the streaming twin
+# must reproduce the batch panel bit-for-bit through the shared oracle.
+# ---------------------------------------------------------------------------
+
+_HELLINGER_WINDOW_SQL = """
+WITH ref AS (SELECT value, CAST(user_id AS DOUBLE) AS user_id FROM events),
+cur AS (SELECT date_trunc('week', ts) AS window_start, value * 1.25 AS value,
+               CAST(user_id AS DOUBLE) AS user_id
+        FROM events WHERE event_type = 'view'),
+ref_bins AS (
+  SELECT 'value' AS col, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+         count(*) AS n_ref
+  FROM ref WHERE value IS NOT NULL GROUP BY 2
+  UNION ALL
+  SELECT 'user_id', CAST(floor(user_id / 10.0) AS BIGINT), count(*)
+  FROM ref WHERE user_id IS NOT NULL GROUP BY 2
+),
+cur_bins AS (
+  SELECT window_start, 'value' AS col,
+         CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n_cur
+  FROM cur WHERE value IS NOT NULL GROUP BY 1, 3
+  UNION ALL
+  SELECT window_start, 'user_id', CAST(floor(user_id / 10.0) AS BIGINT),
+         count(*)
+  FROM cur WHERE user_id IS NOT NULL GROUP BY 1, 3
+),
+wins AS (SELECT DISTINCT window_start FROM cur_bins),
+base AS (SELECT w.window_start, r.col, r.bin, r.n_ref
+         FROM ref_bins r CROSS JOIN wins w),
+joined AS (
+  SELECT COALESCE(b.window_start, c.window_start) AS window_start,
+         COALESCE(b.col, c.col) AS col,
+         COALESCE(b.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+  FROM base b FULL OUTER JOIN cur_bins c
+    ON c.window_start = b.window_start AND c.col = b.col AND c.bin = b.bin
+),
+probs AS (
+  SELECT window_start, col,
+    CAST(n_ref AS DOUBLE)
+      / greatest(CAST(SUM(n_ref) OVER (PARTITION BY window_start, col)
+                      AS DOUBLE), 1e-12) AS p_ref,
+    CAST(n_cur AS DOUBLE)
+      / greatest(CAST(SUM(n_cur) OVER (PARTITION BY window_start, col)
+                      AS DOUBLE), 1e-12) AS p_cur
+  FROM joined
+)
+SELECT CAST(window_start AS DATE) AS window_start, col AS column_name,
+       round(sqrt(0.5 * SUM(power(sqrt(p_ref) - sqrt(p_cur), 2))), 6)
+         AS hellinger
+FROM probs GROUP BY 1, 2
+"""
+
+
+def _hellinger_finish_select(out: DataFrame) -> DataFrame:
+    return out.select(
+        F.col("window_start").cast("date").alias("window_start"),
+        F.col("column").alias("column_name"),
+        "hellinger",
+    )
+
+
+@register("value_drift_hellinger_window", _HELLINGER_WINDOW_SQL)
+def q_value_drift_hellinger_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.drift import (
+        binned_ref_counts,
+        binned_window_counts,
+        stat_from_binned,
+    )
+    from .registry_ext11 import _PSI_COLUMNS, _psi_ref_cur
+
+    ref, cur = _psi_ref_cur(spark, sf_dir)
+    out = stat_from_binned(
+        binned_ref_counts(ref, _PSI_COLUMNS),
+        binned_window_counts(cur, _PSI_COLUMNS, "ts", "week"),
+        method="hellinger",
+    )
+    return _hellinger_finish_select(out)
+
+
+@register("stream_value_drift_hellinger", _HELLINGER_WINDOW_SQL)
+def q_stream_value_drift_hellinger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Identical streaming drain to stream_value_drift — the SAME
+    # stateful count layer — finished with the Hellinger arithmetic:
+    # the proof that the panel's statistic is swappable without
+    # touching streaming state.
+    from ..operators.drift import (
+        binned_ref_counts,
+        binned_window_counts,
+        stat_from_binned,
+    )
+    from ..sources.testdata import normalize_event_ts
+    from .registry import drain_stream
+    from .registry_ext11 import _PSI_COLUMNS, _psi_ref_cur
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cur = normalize_event_ts(stream).where(
+        F.col("event_type") == "view"
+    ).select(
+        "ts",
+        (F.col("value") * F.lit(1.25)).alias("value"),
+        F.col("user_id").cast("double").alias("user_id"),
+    )
+    counts = binned_window_counts(
+        cur.withWatermark("ts", "1 hour"), _PSI_COLUMNS, "ts", "week"
+    )
+    name = "stream_value_drift_hellinger_counts"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_stream(q)
+    ref, _ = _psi_ref_cur(spark, sf_dir)
+    out = stat_from_binned(
+        binned_ref_counts(ref, _PSI_COLUMNS),
+        spark.table(name),
+        method="hellinger",
+    )
+    return _hellinger_finish_select(out)

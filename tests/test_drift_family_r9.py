@@ -159,3 +159,33 @@ def test_auc_pr_ties_share_threshold(spark):
         spark, [(1, 0.5), (0, 0.5), (1, 0.3), (0, 0.3)]
     )
     assert auc_pr(df).first()["auc_pr"] == pytest.approx(0.5, abs=1e-12)
+
+
+# -- windowed binned panel: statistic-swappable finisher --------------------
+
+
+def test_stat_from_binned_matches_direct_stats(spark):
+    from churn_model_evaluation_platform_spark.operators.drift import (
+        binned_ref_counts,
+        js_divergence,
+        stat_from_binned,
+    )
+
+    ref = _vals(spark, [1, 2, 3, 11, 12, 31])
+    cur = _vals(spark, [2, 3, 12, 13, 25, 26])
+    # single-window cur bins: all rows share one window_start
+    cur_bins = (
+        binned_ref_counts(cur, {"value": 10.0})
+        .withColumnRenamed("n_ref", "n_cur")
+        .select(F.lit("2024-01-01").alias("window_start"), "column", "bin", "n_cur")
+    )
+    ref_bins = binned_ref_counts(ref, {"value": 10.0})
+    for method, direct in (
+        ("hellinger", hellinger(ref, cur, "value", 10.0).first()["hellinger"]),
+        ("tvd", tvd(ref, cur, "value", 10.0).first()["tvd"]),
+        ("js", js_divergence(ref, cur, "value", 10.0).first()["js"]),
+    ):
+        row = stat_from_binned(ref_bins, cur_bins, method=method).first()
+        assert row[method] == pytest.approx(direct, abs=1e-6), method
+    with pytest.raises(ValueError, match="unknown binned drift method"):
+        stat_from_binned(ref_bins, cur_bins, method="ks")
