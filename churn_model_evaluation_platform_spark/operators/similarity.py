@@ -641,6 +641,7 @@ def write_pq_encoded(
     code_col: str = "pq_code",
     cell_col: str = "ivf_cell",
     mode: str = "overwrite",
+    attr_cols: list[str] | None = None,
 ) -> None:
     """WRITE-TIME PQ encoding (VERDICT r8 next #7): persist the corpus
     as ``(id, [ivf_cell,] pq_code)`` with the embedding column DROPPED
@@ -653,17 +654,25 @@ def write_pq_encoded(
     (vs the query-time demos, which re-encode per query by design to
     stay oracle-checkable; ``tests/test_pq_stored.py`` proves the two
     agree bit-for-bit). Encoding/assignment are zero-shuffle codegen
-    expressions; the write's only wide op is the directory fan-out."""
+    expressions; the write's only wide op is the directory fan-out.
+
+    ``attr_cols`` (r9): FILTERABLE ATTRIBUTES stored next to the codes
+    (lang, quality, label, …) — filtered vector search needs the
+    predicate columns IN the index, or every query pays a join back to
+    the corpus; with them stored, ``pq_adc_topk_stored``'s
+    ``candidate_filter`` is a plain pushed parquet predicate composing
+    with the cell partition pruning."""
     enc = df.withColumn(code_col, pq_encode_expr(F.col(vec_col), codebooks))
+    attrs = list(attr_cols or [])
     if centroids is not None:
         enc = enc.withColumn(
             cell_col, ivf_cell_expr(F.col(vec_col), centroids)
         )
-        enc.select(id_col, cell_col, code_col).write.mode(mode).partitionBy(
-            cell_col
-        ).parquet(path)
+        enc.select(id_col, cell_col, code_col, *attrs).write.mode(
+            mode
+        ).partitionBy(cell_col).parquet(path)
     else:
-        enc.select(id_col, code_col).write.mode(mode).parquet(path)
+        enc.select(id_col, code_col, *attrs).write.mode(mode).parquet(path)
 
 
 def pq_adc_topk_stored(
@@ -678,6 +687,7 @@ def pq_adc_topk_stored(
     code_col: str = "pq_code",
     cell_col: str = "ivf_cell",
     exclude_id: int | None = None,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """ADC top-k over a corpus written by ``write_pq_encoded``: the
     scan's schema CANNOT contain the embedding column (it was dropped
@@ -686,11 +696,19 @@ def pq_adc_topk_stored(
     ``centroids``/``nprobe`` the probe filter is a partition-column
     predicate pruned before a byte is read. Identical results to the
     query-time ``pq_adc_topk`` over the same codebooks (codes are
-    deterministic ints; parquet roundtrips them exactly)."""
+    deterministic ints; parquet roundtrips them exactly).
+
+    ``candidate_filter`` (r9): a predicate over the store's attribute
+    columns (``write_pq_encoded(attr_cols=...)``) — FILTERED vector
+    search where the filter is a pushed parquet predicate on the code
+    store itself (PushedFilters in the plan), composing with the cell
+    partition pruning; no join back to the corpus."""
     codes = spark.read.parquet(path)
     if centroids is not None and nprobe is not None:
         probe = _select_probes(query_vec, centroids, nprobe)
         codes = codes.where(F.col(cell_col).isin(probe))
+    if candidate_filter is not None:
+        codes = codes.where(candidate_filter)
     return pq_adc_topk(
         codes, query_vec, codebooks, k, id_col, code_col, exclude_id
     )

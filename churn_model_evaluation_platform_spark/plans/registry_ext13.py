@@ -969,3 +969,62 @@ def q_stream_value_drift_hellinger(
         method="hellinger",
     )
     return _hellinger_finish_select(out)
+
+
+# ---------------------------------------------------------------------------
+# similarity_topk_pq_stored_filtered — FILTERED vector search over the
+# WRITE-TIME code store (r9): the store persists filterable attributes
+# next to the codes (write_pq_encoded(attr_cols=["label"])), so a
+# "top-k similar WHERE label = 1" is a pushed parquet predicate on the
+# code store itself — no join back to the corpus, composing with cell
+# partition pruning (tests/test_pq_stored.py pins PushedFilters AND
+# the embedding-free ReadSchema). Oracle: the shared PQ ADC arithmetic
+# restricted to label=1 rows.
+# ---------------------------------------------------------------------------
+
+
+def _pq_stored_filtered_sql() -> str:
+    from .registry_ext12 import (
+        _PQ_K,
+        _pq_adc,
+        _pq_cte_block,
+        _pq_dt_ctes,
+        _pq_joins,
+    )
+
+    return f"""
+WITH {_pq_cte_block()},
+{",".join(_pq_dt_ctes())}
+SELECT vec_id, round(adc, 6) AS adc_dist FROM (
+  SELECT a0.vec_id, {_pq_adc()} AS adc
+  FROM a0 {_pq_joins()}
+  WHERE a0.vec_id <> 0
+    AND a0.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1))
+ORDER BY adc, vec_id LIMIT {_PQ_K}
+"""
+
+
+@register("similarity_topk_pq_stored_filtered", _pq_stored_filtered_sql())
+def q_similarity_topk_pq_stored_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import similarity
+    from .registry_ext12 import _PQ_K, _PQ_KS, _PQ_M
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks_pinned(emb, m=_PQ_M, ks=_PQ_KS)
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    path = _tmp_table_path(sf_dir, "pqstorefilt")
+    similarity.write_pq_encoded(emb, cbs, path, attr_cols=["label"])
+    return similarity.pq_adc_topk_stored(
+        spark,
+        path,
+        qvec,
+        cbs,
+        k=_PQ_K,
+        exclude_id=0,
+        candidate_filter=F.col("label") == 1,
+    ).withColumn("adc_dist", F.round("adc_dist", 6))

@@ -123,3 +123,66 @@ def test_stored_rerank_against_source_embeddings(
         similarity.pq_encode(emb, cbs), qvec, cbs, k=K, exclude_id=0
     ).collect()
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+
+def test_filtered_store_pushes_predicate_no_embedding(
+    spark, emb, cbs, qvec, tmp_path
+):
+    """r9 filtered search over the code store: attributes stored next
+    to the codes, the filter a PUSHED parquet predicate — and the scan
+    still embedding-free."""
+    path = str(tmp_path / "codes_attr")
+    similarity.write_pq_encoded(emb, cbs, path, attr_cols=["label"])
+    assert set(spark.read.parquet(path).columns) == {
+        "vec_id",
+        "pq_code",
+        "label",
+    }
+    out = similarity.pq_adc_topk_stored(
+        spark, path, qvec, cbs, k=K, exclude_id=0,
+        candidate_filter=F.col("label") == 1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "embedding" not in scan
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    assert "label" in pushed  # the filter reached the parquet scan
+    # every hit satisfies the predicate, and results equal the
+    # query-time filtered encoding
+    rows = out.collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert rows and all(labels[r["vec_id"]] == 1 for r in rows)
+    live = similarity.pq_adc_topk(
+        similarity.pq_encode(emb.where(F.col("label") == 1), cbs),
+        qvec, cbs, k=K, exclude_id=0,
+    ).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in rows] == [
+        (r["vec_id"], r["adc_dist"]) for r in live
+    ]
+
+
+def test_filtered_cell_partitioned_store_composes(
+    spark, emb, cbs, qvec, cents, tmp_path
+):
+    """Filter + probe pruning together: the scan reads only probed
+    cell directories AND applies the pushed attribute predicate."""
+    path = str(tmp_path / "codes_attr_cells")
+    similarity.write_pq_encoded(
+        emb, cbs, path, centroids=cents, attr_cols=["label"]
+    )
+    out = similarity.pq_adc_topk_stored(
+        spark, path, qvec, cbs, k=K, exclude_id=0,
+        centroids=cents, nprobe=2,
+        candidate_filter=F.col("label") == 1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    rows = out.collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert rows and all(labels[r["vec_id"]] == 1 for r in rows)
