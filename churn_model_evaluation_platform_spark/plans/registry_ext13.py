@@ -1028,3 +1028,68 @@ def q_similarity_topk_pq_stored_filtered(
         exclude_id=0,
         candidate_filter=F.col("label") == 1,
     ).withColumn("adc_dist", F.round("adc_dist", 6))
+
+
+# ---------------------------------------------------------------------------
+# txnlog_optimize_where — Delta's OPTIMIZE ... WHERE (r9): bin-packing
+# scoped to the files whose stats envelope may match the predicate.
+# Twelve single-bucket small files (two per 5-day bucket); OPTIMIZE
+# WHERE bucket BETWEEN 4 AND 5 packs exactly the four in-scope files
+# into one and re-references the other eight untouched — files_after
+# and files_rewritten are arithmetic facts the oracle states as
+# literals, and the content aggregate proves the scoped rewrite lost
+# nothing.
+# ---------------------------------------------------------------------------
+
+_OPTIMIZE_WHERE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       CAST(9 AS BIGINT) AS files_after,
+       CAST(4 AS BIGINT) AS files_rewritten
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("txnlog_optimize_where", _OPTIMIZE_WHERE_SQL)
+def q_txnlog_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog import TxnTable
+
+    path = _tmp_table_path(sf_dir, "txnoptwhere")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "user_id",
+        F.least(
+            F.floor((F.dayofmonth("ts") - 1) / 5).cast("long"),
+            F.lit(5).cast("long"),
+        ).alias("bucket"),
+    )
+    t = TxnTable(spark, path, stats_columns=["bucket", "value"])
+    for b in range(6):  # two small single-bucket files per bucket
+        for half in (0, 1):
+            t.append(
+                ev.where(
+                    (F.col("bucket") == b)
+                    & (F.col("user_id") % 2 == half)
+                ).drop("user_id").coalesce(1),
+                batch_id=f"{b}-{half}",
+            )
+    rep = t.optimize(
+        target_bytes=1 << 30,  # everything is 'small': scope decides
+        where=[("bucket", "between", (4, 5))],
+    )
+    assert rep["files_rewritten"] == 4 and rep["files_kept"] == 8
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("files_after", F.lit(len(t.files())).cast("long"))
+        .withColumn(
+            "files_rewritten", F.lit(rep["files_rewritten"]).cast("long")
+        )
+    )

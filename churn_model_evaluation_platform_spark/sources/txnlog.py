@@ -1114,6 +1114,7 @@ class TxnTable:
         self,
         target_bytes: int = 128 * 1024 * 1024,
         small_threshold: int | None = None,
+        where: list[tuple] | None = None,
     ) -> dict:
         """Delta's OPTIMIZE: bin-pack ONLY the small files into
         ~``target_bytes`` outputs, re-referencing every file already at
@@ -1127,7 +1128,18 @@ class TxnTable:
         day; this rewrite touches only those, never the settled data.
         Same conditional-commit lost-update protection as every other
         rewrite. Returns ``{version, files_rewritten, files_kept,
-        files_written}``."""
+        files_written}``.
+
+        ``where`` (r9): Delta's ``OPTIMIZE ... WHERE`` — scope the
+        bin-packing to files whose stats envelope MAY match the
+        predicate (same conservative ``(column, op, value)`` language
+        as ``scan``; on a partitioned table a partition predicate
+        scopes exactly). Everything outside the scope is re-referenced
+        untouched — an ingest-heavy table compacts today's partition
+        without ever touching the settled history. Rows are preserved
+        either way (the envelope test only widens the rewrite set,
+        and rewriting preserves rows)."""
+        scope = _validate_where(where)
         thresh = (
             int(small_threshold)
             if small_threshold is not None
@@ -1149,7 +1161,8 @@ class TxnTable:
             small = [
                 rel
                 for rel in st["live"]
-                if _size(rel) is None or _size(rel) < thresh
+                if (_size(rel) is None or _size(rel) < thresh)
+                and _file_may_match(st["stats"].get(rel), scope)
             ]
             keep = [rel for rel in st["live"] if rel not in set(small)]
             if len(small) < 2:  # nothing to gain from a rewrite

@@ -229,3 +229,40 @@ def test_lazy_partition_conflict_raises_before_first_write(spark, tmp_path):
         )
     # nothing landed
     assert TxnTable(spark, path).snapshot().count() == 1
+
+
+# -- r9: OPTIMIZE ... WHERE (predicate-scoped bin-packing) ------------------
+
+
+def test_optimize_where_rewrites_only_matching_files(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "ow"), stats_columns=["id"])
+    for lo in (0, 10, 20, 30):
+        t.append(_frame(spark, lo, lo + 10))  # 4 small single-range files
+    before = set(t._state()["live"])
+    rep = t.optimize(target_bytes=1 << 30, where=[("id", ">=", 20)])
+    assert rep["files_rewritten"] == 2 and rep["files_kept"] == 2
+    after = t._state()["live"]
+    # the two out-of-scope files are re-referenced UNTOUCHED
+    untouched = [rel for rel in after if rel in before]
+    assert len(untouched) == 2
+    assert t.snapshot().count() == 40  # nothing lost
+    assert sorted(
+        r["id"] for r in t.scan([("id", "<", 20)]).collect()
+    ) == list(range(20))
+
+
+def test_optimize_where_none_is_unscoped(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "ow2"))
+    for lo in (0, 10, 20):
+        t.append(_frame(spark, lo, lo + 10))
+    rep = t.optimize(target_bytes=1 << 30, where=None)
+    assert rep["files_rewritten"] == 3  # everything small and in scope
+
+
+def test_optimize_where_single_match_is_noop(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "ow3"))
+    t.append(_frame(spark, 0, 10))
+    t.append(_frame(spark, 10, 20))
+    rep = t.optimize(target_bytes=1 << 30, where=[("id", ">=", 15)])
+    assert rep["files_rewritten"] == 0  # <2 in scope: nothing to gain
+    assert t.latest_version() == 2  # no commit written
