@@ -42,14 +42,17 @@ P_VALUE_DRIFT_THRESHOLD = 0.05  # churn_prediction_pipeline.py:419
 DATASET_DRIFT_SHARE = 0.5  # churn_prediction_pipeline.py:415
 
 
-def _pool(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+def _pool(
+    ref: DataFrame, cur: DataFrame, column: str, numeric: bool = True
+) -> DataFrame:
+    v = F.col(column).cast("double") if numeric else F.col(column)
     r = ref.select(
-        F.col(column).cast("double").alias("v"),
+        v.alias("v"),
         F.lit(1).alias("is_ref"),
         F.lit(0).alias("is_cur"),
     ).where(F.col("v").isNotNull())
     c = cur.select(
-        F.col(column).cast("double").alias("v"),
+        v.alias("v"),
         F.lit(0).alias("is_ref"),
         F.lit(1).alias("is_cur"),
     ).where(F.col("v").isNotNull())
@@ -470,13 +473,20 @@ def energy_distance(
 
 
 def _binned_counts(
-    ref: DataFrame, cur: DataFrame, column: str, bin_width: float
+    ref: DataFrame, cur: DataFrame, column: str, bin_width: float | None
 ) -> DataFrame:
     """Shared fixed-width binning for the binned drift family: one row
     per bin with both sides' counts (full-outer via conditional sums on
-    the pooled frame — a single groupBy, no join)."""
-    pooled = _pool(ref, cur, column)
-    b = F.floor(F.col("v") / F.lit(bin_width)).cast("long")
+    the pooled frame — a single groupBy, no join). ``bin_width=None``
+    (r9) keys by the RAW value — the CATEGORICAL form of the same
+    family (Evidently runs chi2/TVD on category frequencies directly),
+    valid for string columns too."""
+    pooled = _pool(ref, cur, column, numeric=bin_width is not None)
+    b = (
+        F.col("v")
+        if bin_width is None
+        else F.floor(F.col("v") / F.lit(bin_width)).cast("long")
+    )
     return pooled.groupBy(b.alias("bin")).agg(
         F.sum("is_ref").alias("n_ref"), F.sum("is_cur").alias("n_cur")
     )
@@ -486,7 +496,7 @@ def psi(
     ref: DataFrame,
     cur: DataFrame,
     column: str,
-    bin_width: float,
+    bin_width: float | None,
     epsilon: float = 1e-6,
 ) -> DataFrame:
     """Population Stability Index over fixed-width bins:
@@ -771,7 +781,7 @@ def value_drift_psi_by_window(
 
 
 def js_divergence(
-    ref: DataFrame, cur: DataFrame, column: str, bin_width: float
+    ref: DataFrame, cur: DataFrame, column: str, bin_width: float | None
 ) -> DataFrame:
     """Jensen–Shannon divergence (base e, in [0, ln 2]) between the two
     binned distributions: JS = 0.5 KL(p||m) + 0.5 KL(q||m), m=(p+q)/2.
@@ -790,7 +800,7 @@ def js_divergence(
 
 
 def chi2_drift(
-    ref: DataFrame, cur: DataFrame, column: str, bin_width: float
+    ref: DataFrame, cur: DataFrame, column: str, bin_width: float | None
 ) -> DataFrame:
     """Pearson chi-squared homogeneity test over the binned counts
     (Evidently's categorical drift method): the statistic from the
@@ -843,7 +853,7 @@ def chi2_drift(
 
 
 def hellinger(
-    ref: DataFrame, cur: DataFrame, column: str, bin_width: float
+    ref: DataFrame, cur: DataFrame, column: str, bin_width: float | None
 ) -> DataFrame:
     """Hellinger distance between the two binned distributions
     (Evidently's ``hellinger`` stat test): H = sqrt(0.5 · Σ (sqrt(p) −
@@ -862,7 +872,7 @@ def hellinger(
 
 
 def tvd(
-    ref: DataFrame, cur: DataFrame, column: str, bin_width: float
+    ref: DataFrame, cur: DataFrame, column: str, bin_width: float | None
 ) -> DataFrame:
     """Total variation distance between the two binned distributions
     (Evidently's ``TVD`` stat test): 0.5 · Σ |p − q| ∈ [0, 1]."""

@@ -1093,3 +1093,62 @@ def q_txnlog_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files_rewritten", F.lit(rep["files_rewritten"]).cast("long")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# value_drift_categorical — the CATEGORICAL form of the binned family
+# (r9): Evidently runs chi2 / TVD on category frequencies directly, so
+# _binned_counts(bin_width=None) keys by the raw (string) value — no
+# numeric cast, no bins. Fixture: event_type frequencies of the first
+# half of the month vs the second. One row: chi2 + dof (exact) and the
+# categorical TVD; the Wilson–Hilferty p_approx stays pinned in unit
+# tests (same posture as value_drift_chi2).
+# ---------------------------------------------------------------------------
+
+_CAT_DRIFT_SQL = """
+WITH pooled AS (
+  SELECT event_type AS v,
+         CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref,
+         CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS is_cur
+  FROM events WHERE event_type IS NOT NULL
+),
+counts AS (
+  SELECT v AS bin, SUM(is_ref) AS n_ref, SUM(is_cur) AS n_cur
+  FROM pooled GROUP BY 1
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts),
+j AS (SELECT * FROM counts, tot),
+stat AS (
+  SELECT SUM(CASE WHEN n_ref + n_cur > 0 THEN
+      power(n_ref - (n_ref + n_cur) * CAST(t_ref AS DOUBLE) / (t_ref + t_cur), 2)
+        / ((n_ref + n_cur) * CAST(t_ref AS DOUBLE) / (t_ref + t_cur))
+      + power(n_cur - (n_ref + n_cur) * CAST(t_cur AS DOUBLE) / (t_ref + t_cur), 2)
+        / ((n_ref + n_cur) * CAST(t_cur AS DOUBLE) / (t_ref + t_cur))
+      ELSE 0.0 END) AS chi2,
+    CAST(COUNT(*) - 1 AS DOUBLE) AS dof,
+    0.5 * SUM(abs(CAST(n_ref AS DOUBLE) / t_ref
+                  - CAST(n_cur AS DOUBLE) / t_cur)) AS tvd
+  FROM j
+)
+SELECT round(chi2, 4) AS chi2, CAST(dof AS BIGINT) AS dof,
+       round(tvd, 6) AS tvd
+FROM stat
+"""
+
+
+@register("value_drift_categorical", _CAT_DRIFT_SQL)
+def q_value_drift_categorical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.drift import chi2_drift, tvd
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.dayofmonth("ts") <= 15).select("event_type")
+    cur = ev.where(F.dayofmonth("ts") > 15).select("event_type")
+    c = chi2_drift(ref, cur, "event_type", bin_width=None).select(
+        F.round("chi2", 4).alias("chi2"), "dof"
+    )
+    t = tvd(ref, cur, "event_type", bin_width=None).select(
+        F.round("tvd", 6).alias("tvd")
+    )
+    return c.crossJoin(t)

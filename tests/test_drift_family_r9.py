@@ -189,3 +189,39 @@ def test_stat_from_binned_matches_direct_stats(spark):
         assert row[method] == pytest.approx(direct, abs=1e-6), method
     with pytest.raises(ValueError, match="unknown binned drift method"):
         stat_from_binned(ref_bins, cur_bins, method="ks")
+
+
+# -- categorical (bin_width=None) -------------------------------------------
+
+
+def test_categorical_counts_key_by_raw_string(spark):
+    from churn_model_evaluation_platform_spark.operators.drift import (
+        _binned_counts,
+        chi2_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "value string"
+    )
+    cur = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",)], "value string"
+    )
+    counts = {
+        r["bin"]: (r["n_ref"], r["n_cur"])
+        for r in _binned_counts(ref, cur, "value", None).collect()
+    }
+    assert counts == {"a": (2, 1), "b": (1, 2), "c": (0, 1)}
+    row = chi2_drift(ref, cur, "value", bin_width=None).first()
+    assert row["dof"] == 2  # 3 categories - 1
+    assert row["chi2"] > 0
+
+
+def test_categorical_tvd_hand_computed(spark):
+    from churn_model_evaluation_platform_spark.operators.drift import tvd
+
+    ref = spark.createDataFrame([("a",)] * 3 + [("b",)], "value string")
+    cur = spark.createDataFrame([("a",)] + [("b",)] * 3, "value string")
+    # p = (3/4, 1/4), q = (1/4, 3/4): TVD = 0.5*(0.5+0.5) = 0.5
+    assert tvd(ref, cur, "value", bin_width=None).first()[
+        "tvd"
+    ] == pytest.approx(0.5, abs=1e-12)
