@@ -75,6 +75,44 @@ def classification_scores(
     return wide.unpivot([], wide.columns, "metric_name", "value")
 
 
+def classification_scores_by_segment(
+    df: DataFrame,
+    segment_col: str,
+    actual_col: str = TARGET_COLUMN,
+    predicted_col: str = TARGET_PREDICTION_COLUMN,
+    positive: int = 1,
+) -> DataFrame:
+    """SLICING ANALYSIS (r9): the four classification scores PER
+    SEGMENT — ``(segment, n, accuracy, precision, recall, f1score)``,
+    one row per segment value. The model-monitoring question behind it
+    ("which cohort is the model failing on?") is the standard follow-up
+    to a global score drop. One grouped conditional aggregation — the
+    shuffle carries one partial CM row per segment after map-side
+    combine, never the scored rows; zero_division=0 semantics match
+    the global ``classification_scores``."""
+    a = F.col(actual_col)
+    p = F.col(predicted_col)
+    pos = F.lit(positive)
+    flag = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    cm = df.groupBy(F.col(segment_col).alias("segment")).agg(
+        flag((a == pos) & (p == pos)).alias("tp"),
+        flag((a != pos) & (p == pos)).alias("fp"),
+        flag((a == pos) & (p != pos)).alias("fn"),
+        flag((a != pos) & (p != pos)).alias("tn"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tp, fp, fn, tn, n = (F.col(c) for c in ("tp", "fp", "fn", "tn", "n"))
+    accuracy, precision, recall, f1 = _scores_from_cm(tp, fp, fn, tn, n)
+    return cm.select(
+        "segment",
+        "n",
+        accuracy.alias("accuracy"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1score"),
+    )
+
+
 def per_label_scores(
     df: DataFrame,
     actual_col: str = TARGET_COLUMN,

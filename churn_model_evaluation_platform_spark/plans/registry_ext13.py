@@ -1152,3 +1152,58 @@ def q_value_drift_categorical(
         F.round("tvd", 6).alias("tvd")
     )
     return c.crossJoin(t)
+
+
+# ---------------------------------------------------------------------------
+# classification_scores_by_segment — SLICING ANALYSIS (r9): the four
+# classification scores per segment (event_type), one grouped
+# conditional-agg pass — "which cohort is the model failing on?", the
+# standard follow-up to a global score drop. Same deterministic scored
+# fixture as classification_scores; zero_division=0 semantics.
+# ---------------------------------------------------------------------------
+
+_SEG_SCORES_SQL = """
+WITH scored AS (
+  SELECT event_type AS segment,
+         CAST(value > 50 AS INT) AS churn,
+         CAST(value + (user_id % 7) > 50 AS INT) AS churn_prediction
+  FROM events
+),
+cm AS (
+  SELECT segment,
+    CAST(SUM(CASE WHEN churn = 1 AND churn_prediction = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+    CAST(SUM(CASE WHEN churn <> 1 AND churn_prediction = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+    CAST(SUM(CASE WHEN churn = 1 AND churn_prediction <> 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fn,
+    CAST(SUM(CASE WHEN churn <> 1 AND churn_prediction <> 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tn,
+    COUNT(*) AS n
+  FROM scored GROUP BY segment
+),
+s AS (
+  SELECT segment, n, (tp + tn) / n AS accuracy,
+         CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS prec,
+         CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS rec
+  FROM cm
+)
+SELECT segment, CAST(n AS BIGINT) AS n, accuracy,
+       prec AS "precision", rec AS recall,
+       CASE WHEN prec + rec = 0 THEN 0.0
+            ELSE 2.0 * prec * rec / (prec + rec) END AS f1score
+FROM s
+"""
+
+
+@register("classification_scores_by_segment", _SEG_SCORES_SQL)
+def q_classification_scores_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import quality
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("event_type").alias("seg"),
+        (F.col("value") > 50).cast("int").alias("churn"),
+        ((F.col("value") + F.col("user_id") % 7) > 50)
+        .cast("int")
+        .alias("churn_prediction"),
+    )
+    return quality.classification_scores_by_segment(scored, "seg")

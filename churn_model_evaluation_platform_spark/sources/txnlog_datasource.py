@@ -372,13 +372,45 @@ class _TxnLogStreamReader(DataSourceStreamReader):
         self._ignore_changes = str(
             options.get("ignorechanges", "")
         ).lower() in ("true", "1")
+        # rate limiting (Delta's maxFilesPerTrigger analog, r9): cap a
+        # micro-batch at N commits so a stream started on a deep table
+        # (or catching up after downtime) backfills in bounded batches
+        # instead of one giant first batch. Offset arithmetic only —
+        # latestOffset never reads a commit body. Caveat: under
+        # Trigger.AvailableNow the Python DataSource API snapshots ONE
+        # latestOffset and stops there, so the cap bounds the single
+        # drained batch (re-running continues) — the cap is meant for
+        # RUNNING triggers; after a checkpoint restart the first
+        # latestOffset may trail the committed offset, which plans an
+        # empty (start==end) batch and then resumes, never wrong data.
+        m = options.get("maxcommitsperbatch")
+        self._max_commits = int(m) if m is not None else None
+        if self._max_commits is not None and self._max_commits < 1:
+            raise ValueError(
+                f"maxCommitsPerBatch must be >= 1, got {self._max_commits}"
+            )
+        self._last_end = self._start
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         versions = _log_versions(self._path)
-        return {"version": versions[-1] if versions else self._start}
+        latest = versions[-1] if versions else self._start
+        if self._max_commits is not None:
+            known = [
+                v
+                for v in versions
+                if self._last_end < v <= latest
+            ]
+            if known:
+                latest = known[
+                    min(self._max_commits, len(known)) - 1
+                ]
+            else:
+                latest = self._last_end
+        self._last_end = max(self._last_end, latest)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         root = _strip_scheme(self._path)

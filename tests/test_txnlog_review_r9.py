@@ -266,3 +266,58 @@ def test_optimize_where_single_match_is_noop(spark, tmp_path):
     rep = t.optimize(target_bytes=1 << 30, where=[("id", ">=", 15)])
     assert rep["files_rewritten"] == 0  # <2 in scope: nothing to gain
     assert t.latest_version() == 2  # no commit written
+
+
+# -- r9: streaming rate limit (maxCommitsPerBatch) --------------------------
+
+
+def test_stream_max_commits_per_batch_bounds_batches(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "rate"))
+    for lo in range(0, 60, 10):
+        t.append(_frame(spark, lo, lo + 10))  # 6 commits
+    feed = (
+        spark.readStream.format("txnlog")
+        .option("readChangeFeed", "true")
+        .option("maxCommitsPerBatch", 2)
+        .load(t.path)
+    )
+    sizes = []
+
+    def sink(df, _bid):
+        sizes.append(
+            {r["_commit_version"] for r in df.select("_commit_version").collect()}
+        )
+
+    # a RUNNING trigger (the rate limit's use case — availableNow
+    # snapshots one capped batch and stops; documented)
+    import time
+
+    q = feed.writeStream.foreachBatch(sink).start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sizes and set().union(*[s for s in sizes if s]) == set(
+            range(1, 7)
+        ):
+            break
+        time.sleep(0.5)
+    q.stop()
+    seen = [s for s in sizes if s]
+    # every micro-batch covers at most 2 commits; union is the full feed
+    assert seen and all(len(s) <= 2 for s in seen)
+    assert set().union(*seen) == {1, 2, 3, 4, 5, 6}
+    assert len(seen) >= 3  # the backfill actually split into batches
+
+
+def test_stream_max_commits_rejects_non_positive(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "rate2"))
+    t.append(_frame(spark, 0, 10))
+    feed = (
+        spark.readStream.format("txnlog")
+        .option("readChangeFeed", "true")
+        .option("maxCommitsPerBatch", 0)
+        .load(t.path)
+    )
+    q = feed.writeStream.format("noop").trigger(availableNow=True).start()
+    with pytest.raises(Exception, match="maxCommitsPerBatch"):
+        q.awaitTermination(120)
+        raise RuntimeError(str(q.exception() or "no error"))
