@@ -74,6 +74,15 @@ SINGLE_ROW_CROSS_OK = {
     "drift_mahalanobis",
     # single-row (n,k) and single-row q_hat aggregates broadcast in
     "conformal_coverage",
+    # r9 drift/eval additions — all the same single-row grand-totals
+    # broadcast pattern as their family (psi/wasserstein/auc_roc):
+    "value_drift_hellinger_tvd",  # bin-totals cross + 1-row x 1-row
+    "value_drift_energy",  # prefix-sum with_totals single-row cross
+    "value_drift_mannwhitney",  # same totals cross as ks_2samp
+    "auc_pr",  # single-row grand-totals broadcast (with_totals)
+    "value_drift_hellinger_window",  # value_drift_by_window's pattern
+    "stream_value_drift_hellinger",  # same panel finisher, drained counts
+    "value_drift_categorical",  # bin-totals cross + 1-row x 1-row
     # single-row quartile aggregate broadcast into the outlier pass
     "robust_scale_stats",
     # single-row edge-count aggregate broadcast into the degree-balance sum
