@@ -648,11 +648,26 @@ def psi_from_binned(
     column) slice with zero rows stays finite and cross-engine
     identical (0/0 is NULL on Spark but NaN on DuckDB); ln() is libm-
     dependent → the final sum is rounded on both engines."""
+    joined, p, q = _window_joined_pq(ref_bins, cur_bins)
+    p_ref = F.greatest(p, F.lit(epsilon))
+    p_cur = F.greatest(q, F.lit(epsilon))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        joined.select("window_start", "column", term.alias("term"))
+        .groupBy("window_start", "column")
+        .agg(F.round(F.sum("term"), round_to).alias("psi"))
+    )
+
+
+def _window_joined_pq(ref_bins: DataFrame, cur_bins: DataFrame):
+    """Shared (window_start, column, bin) -> clamped (p, q) scaffolding
+    for the windowed-panel finishers — ONE definition so a fix to the
+    join or the clamp applies to every statistic (r9 review). The alias
+    hop mints fresh attribute ids so base-vs-cur_bins is not a
+    self-join on the same plan (memory-sink sources otherwise hit
+    "conflicting references" in the full-outer join below)."""
     from pyspark.sql import Window as W
 
-    # The alias hop mints fresh attribute ids so base-vs-cur_bins is not
-    # a self-join on the same plan (memory-sink sources otherwise hit
-    # "conflicting references" in the full-outer join below).
     windows = (
         cur_bins.select(F.col("window_start").alias("__w"))
         .distinct()
@@ -668,22 +683,13 @@ def psi_from_binned(
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
     w = W.partitionBy("window_start", "column")
-    p_ref = F.greatest(
-        F.col("n_ref").cast("double")
-        / F.greatest(F.sum("n_ref").over(w).cast("double"), F.lit(1e-12)),
-        F.lit(epsilon),
+    p = F.col("n_ref").cast("double") / F.greatest(
+        F.sum("n_ref").over(w).cast("double"), F.lit(1e-12)
     )
-    p_cur = F.greatest(
-        F.col("n_cur").cast("double")
-        / F.greatest(F.sum("n_cur").over(w).cast("double"), F.lit(1e-12)),
-        F.lit(epsilon),
+    q = F.col("n_cur").cast("double") / F.greatest(
+        F.sum("n_cur").over(w).cast("double"), F.lit(1e-12)
     )
-    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
-    return (
-        joined.select("window_start", "column", term.alias("term"))
-        .groupBy("window_start", "column")
-        .agg(F.round(F.sum("term"), round_to).alias("psi"))
-    )
+    return joined, p, q
 
 
 def stat_from_binned(
@@ -712,29 +718,7 @@ def stat_from_binned(
             f"unknown binned drift method {method!r}; "
             "expected psi|hellinger|tvd|js"
         )
-    from pyspark.sql import Window as W
-
-    windows = (
-        cur_bins.select(F.col("window_start").alias("__w"))
-        .distinct()
-        .withColumnRenamed("__w", "window_start")
-    )
-    base = ref_bins.crossJoin(F.broadcast(windows))
-    joined = base.join(
-        cur_bins, ["window_start", "column", "bin"], "full_outer"
-    ).select(
-        "window_start",
-        "column",
-        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-    )
-    w = W.partitionBy("window_start", "column")
-    p = F.col("n_ref").cast("double") / F.greatest(
-        F.sum("n_ref").over(w).cast("double"), F.lit(1e-12)
-    )
-    q = F.col("n_cur").cast("double") / F.greatest(
-        F.sum("n_cur").over(w).cast("double"), F.lit(1e-12)
-    )
+    joined, p, q = _window_joined_pq(ref_bins, cur_bins)
     if method == "hellinger":
         d = F.sqrt(p) - F.sqrt(q)
         term, finish = d * d, lambda s: F.sqrt(F.lit(0.5) * s)
@@ -808,7 +792,10 @@ def chi2_drift(
     cube-root normal approximation (pure closed form — identical on any
     engine; exact chi2 CDF needs the incomplete gamma, out of scope
     without scipy and documented as approximate here)."""
-    counts = _binned_counts(ref, cur, column, bin_width)
+    return chi2_from_counts(_binned_counts(ref, cur, column, bin_width))
+
+
+def chi2_from_counts(counts: DataFrame) -> DataFrame:
     tot = counts.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
@@ -852,6 +839,32 @@ def chi2_drift(
     )
 
 
+def _counts_with_totals(counts: DataFrame) -> tuple[DataFrame, Column, Column]:
+    """Shared finisher input for the binned distances: the counts frame
+    crossed with its single-row totals, plus the clamped probability
+    expressions (totals floored at 1e-12 per the repo's zero-division
+    convention — an empty or all-null side yields a FINITE zero-measure
+    statistic, not a NULL a monitoring threshold silently ignores;
+    r9 review)."""
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("n_ref").cast("double") / F.greatest(
+        F.col("t_ref").cast("double"), F.lit(1e-12)
+    )
+    q = F.col("n_cur").cast("double") / F.greatest(
+        F.col("t_cur").cast("double"), F.lit(1e-12)
+    )
+    return j, p, q
+
+
+def hellinger_from_counts(counts: DataFrame) -> DataFrame:
+    j, p, q = _counts_with_totals(counts)
+    d = F.sqrt(p) - F.sqrt(q)
+    return j.agg(F.sqrt(F.lit(0.5) * F.sum(d * d)).alias("hellinger"))
+
+
 def hellinger(
     ref: DataFrame, cur: DataFrame, column: str, bin_width: float | None
 ) -> DataFrame:
@@ -860,15 +873,12 @@ def hellinger(
     sqrt(q))²) ∈ [0, 1]. Zero-count bins contribute their full
     sqrt-mass difference — no epsilon floor needed (the statistic is
     finite by construction). Same one-groupBy shape as ``psi``."""
-    counts = _binned_counts(ref, cur, column, bin_width)
-    tot = counts.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
-    )
-    j = counts.crossJoin(F.broadcast(tot))
-    d = F.sqrt(F.col("n_ref") / F.col("t_ref")) - F.sqrt(
-        F.col("n_cur") / F.col("t_cur")
-    )
-    return j.agg(F.sqrt(F.lit(0.5) * F.sum(d * d)).alias("hellinger"))
+    return hellinger_from_counts(_binned_counts(ref, cur, column, bin_width))
+
+
+def tvd_from_counts(counts: DataFrame) -> DataFrame:
+    j, p, q = _counts_with_totals(counts)
+    return j.agg((F.lit(0.5) * F.sum(F.abs(p - q))).alias("tvd"))
 
 
 def tvd(
@@ -876,15 +886,7 @@ def tvd(
 ) -> DataFrame:
     """Total variation distance between the two binned distributions
     (Evidently's ``TVD`` stat test): 0.5 · Σ |p − q| ∈ [0, 1]."""
-    counts = _binned_counts(ref, cur, column, bin_width)
-    tot = counts.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
-    )
-    j = counts.crossJoin(F.broadcast(tot))
-    d = F.abs(
-        F.col("n_ref") / F.col("t_ref") - F.col("n_cur") / F.col("t_cur")
-    )
-    return j.agg((F.lit(0.5) * F.sum(d)).alias("tvd"))
+    return tvd_from_counts(_binned_counts(ref, cur, column, bin_width))
 
 
 def mannwhitney_u(
@@ -914,9 +916,14 @@ def mannwhitney_u(
         F.col("cum_is_ref") + F.col("cum_is_cur") - t_size
     ).cast("double")
     midrank = cum_before + (t_size.cast("double") + F.lit(1.0)) / F.lit(2.0)
+    # cube in DOUBLE: a >2.09M-row tie group (routine for constant /
+    # low-cardinality columns at scale) overflows t³ in BIGINT — wrap
+    # under non-ANSI, throw under Spark 4's ANSI default, and diverge
+    # from the oracle, which casts before cubing (r9 review)
+    td = t_size.cast("double")
     agg = cums.agg(
         F.sum(F.col("is_cur") * midrank).alias("r_cur"),
-        F.sum(t_size * t_size * t_size - t_size).alias("tie_term"),
+        F.sum(td * td * td - td).alias("tie_term"),
         F.max("tot_is_ref").alias("n1"),
         F.max("tot_is_cur").alias("n2"),
     )

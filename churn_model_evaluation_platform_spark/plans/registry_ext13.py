@@ -676,14 +676,19 @@ def q_multimodal_decode_jpeg_420(
 def q_value_drift_hellinger_tvd(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.drift import hellinger, tvd
+    from ..operators.drift import (
+        _binned_counts,
+        hellinger_from_counts,
+        tvd_from_counts,
+    )
     from .registry_ext4 import _drift_binned_inputs
 
     ref, cur = _drift_binned_inputs(spark, sf_dir)
-    h = hellinger(ref, cur, "value", 10.0).select(
+    counts = _binned_counts(ref, cur, "value", 10.0)  # ONE shared pass
+    h = hellinger_from_counts(counts).select(
         F.round("hellinger", 6).alias("hellinger")
     )
-    t = tvd(ref, cur, "value", 10.0).select(F.round("tvd", 6).alias("tvd"))
+    t = tvd_from_counts(counts).select(F.round("tvd", 6).alias("tvd"))
     return h.crossJoin(t)  # two single-row frames
 
 
@@ -799,10 +804,16 @@ def _install_r9_drift_oracles() -> None:
         _BINNED_CTE
         + """
 SELECT round(sqrt(0.5 * SUM(
-         power(sqrt(CAST(n_ref AS DOUBLE) / t_ref)
-               - sqrt(CAST(n_cur AS DOUBLE) / t_cur), 2))), 6) AS hellinger,
-       round(0.5 * SUM(abs(CAST(n_ref AS DOUBLE) / t_ref
-                           - CAST(n_cur AS DOUBLE) / t_cur)), 6) AS tvd
+         power(sqrt(CAST(n_ref AS DOUBLE)
+                    / greatest(CAST(t_ref AS DOUBLE), 1e-12))
+               - sqrt(CAST(n_cur AS DOUBLE)
+                      / greatest(CAST(t_cur AS DOUBLE), 1e-12)), 2))), 6)
+         AS hellinger,
+       round(0.5 * SUM(abs(CAST(n_ref AS DOUBLE)
+                           / greatest(CAST(t_ref AS DOUBLE), 1e-12)
+                           - CAST(n_cur AS DOUBLE)
+                             / greatest(CAST(t_cur AS DOUBLE), 1e-12))), 6)
+         AS tvd
 FROM j
 """
     )
@@ -1126,8 +1137,10 @@ stat AS (
         / ((n_ref + n_cur) * CAST(t_cur AS DOUBLE) / (t_ref + t_cur))
       ELSE 0.0 END) AS chi2,
     CAST(COUNT(*) - 1 AS DOUBLE) AS dof,
-    0.5 * SUM(abs(CAST(n_ref AS DOUBLE) / t_ref
-                  - CAST(n_cur AS DOUBLE) / t_cur)) AS tvd
+    0.5 * SUM(abs(CAST(n_ref AS DOUBLE)
+                  / greatest(CAST(t_ref AS DOUBLE), 1e-12)
+                  - CAST(n_cur AS DOUBLE)
+                    / greatest(CAST(t_cur AS DOUBLE), 1e-12))) AS tvd
   FROM j
 )
 SELECT round(chi2, 4) AS chi2, CAST(dof AS BIGINT) AS dof,
@@ -1140,17 +1153,20 @@ FROM stat
 def q_value_drift_categorical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.drift import chi2_drift, tvd
+    from ..operators.drift import (
+        _binned_counts,
+        chi2_from_counts,
+        tvd_from_counts,
+    )
 
     ev = _t(spark, sf_dir, "events")
     ref = ev.where(F.dayofmonth("ts") <= 15).select("event_type")
     cur = ev.where(F.dayofmonth("ts") > 15).select("event_type")
-    c = chi2_drift(ref, cur, "event_type", bin_width=None).select(
+    counts = _binned_counts(ref, cur, "event_type", None)  # ONE pass
+    c = chi2_from_counts(counts).select(
         F.round("chi2", 4).alias("chi2"), "dof"
     )
-    t = tvd(ref, cur, "event_type", bin_width=None).select(
-        F.round("tvd", 6).alias("tvd")
-    )
+    t = tvd_from_counts(counts).select(F.round("tvd", 6).alias("tvd"))
     return c.crossJoin(t)
 
 

@@ -372,17 +372,26 @@ class _TxnLogStreamReader(DataSourceStreamReader):
         self._ignore_changes = str(
             options.get("ignorechanges", "")
         ).lower() in ("true", "1")
-        # rate limiting (Delta's maxFilesPerTrigger analog, r9): cap a
-        # micro-batch at N commits so a stream started on a deep table
-        # (or catching up after downtime) backfills in bounded batches
-        # instead of one giant first batch. Offset arithmetic only —
-        # latestOffset never reads a commit body. Caveat: under
-        # Trigger.AvailableNow the Python DataSource API snapshots ONE
-        # latestOffset and stops there, so the cap bounds the single
-        # drained batch (re-running continues) — the cap is meant for
-        # RUNNING triggers; after a checkpoint restart the first
-        # latestOffset may trail the committed offset, which plans an
-        # empty (start==end) batch and then resumes, never wrong data.
+        # rate limiting (Delta's maxFilesPerTrigger analog, r9): cap
+        # steady-state micro-batches at N commits. Offset arithmetic
+        # only — latestOffset never reads a commit body.
+        #
+        # RESTART SAFETY (r9 review): the bare DataSourceStreamReader
+        # API gives latestOffset no view of the engine's committed
+        # offset — and the engine calls latestOffset BEFORE
+        # initialOffset even on a fresh query (verified empirically) —
+        # so a capped offset computed by a fresh reader could REGRESS
+        # below the committed offset: the engine would log the lower
+        # offset and the next batch would RE-DELIVER committed
+        # versions. The cap therefore only engages once this reader
+        # knows a lower bound (initialOffset ran, a partitions() call
+        # revealed the engine's offsets, or a prior latestOffset
+        # answered uncapped): the FIRST micro-batch of a (re)started
+        # query is uncapped, every subsequent one is capped — offsets
+        # never regress, rows are never duplicated. Under
+        # Trigger.AvailableNow the API snapshots ONE latestOffset and
+        # stops there, so the cap does not subdivide the single
+        # drained batch — it is for RUNNING triggers.
         m = options.get("maxcommitsperbatch")
         self._max_commits = int(m) if m is not None else None
         if self._max_commits is not None and self._max_commits < 1:
@@ -390,14 +399,18 @@ class _TxnLogStreamReader(DataSourceStreamReader):
                 f"maxCommitsPerBatch must be >= 1, got {self._max_commits}"
             )
         self._last_end = self._start
+        self._bound_known = False  # True once start/offsets observed
 
     def initialOffset(self) -> dict:
+        # only called on a FRESH query (no checkpoint): startVersion is
+        # now a true lower bound for the engine's offsets
+        self._bound_known = True
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         versions = _log_versions(self._path)
         latest = versions[-1] if versions else self._start
-        if self._max_commits is not None:
+        if self._max_commits is not None and self._bound_known:
             known = [
                 v
                 for v in versions
@@ -410,9 +423,17 @@ class _TxnLogStreamReader(DataSourceStreamReader):
             else:
                 latest = self._last_end
         self._last_end = max(self._last_end, latest)
+        self._bound_known = True
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        # the engine's offsets are a hard lower bound for future
+        # capped latestOffset answers (restart-replay of an
+        # uncommitted batch reaches here before any latestOffset)
+        self._last_end = max(
+            self._last_end, int(start["version"]), int(end["version"])
+        )
+        self._bound_known = True
         root = _strip_scheme(self._path)
         batches = _change_batches(
             self._path, int(start["version"]), int(end["version"])

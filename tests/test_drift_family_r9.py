@@ -225,3 +225,21 @@ def test_categorical_tvd_hand_computed(spark):
     assert tvd(ref, cur, "value", bin_width=None).first()[
         "tvd"
     ] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_hellinger_tvd_finite_on_empty_side(spark):
+    """r9 review: an empty/all-null side must yield a FINITE
+    zero-measure statistic (clamped totals), never a NULL a monitoring
+    threshold silently ignores."""
+    from churn_model_evaluation_platform_spark.operators.drift import (
+        hellinger,
+        tvd,
+    )
+
+    empty = spark.createDataFrame([], "value double")
+    cur = _vals(spark, [1, 2, 11])
+    h = hellinger(empty, cur, "value", 10.0).first()["hellinger"]
+    t = tvd(empty, cur, "value", 10.0).first()["tvd"]
+    assert h is not None and t is not None
+    assert h == pytest.approx(math.sqrt(0.5), abs=1e-12)  # sum q = 1
+    assert t == pytest.approx(0.5, abs=1e-12)

@@ -273,8 +273,7 @@ def test_optimize_where_single_match_is_noop(spark, tmp_path):
 
 def test_stream_max_commits_per_batch_bounds_batches(spark, tmp_path):
     t = TxnTable(spark, str(tmp_path / "rate"))
-    for lo in range(0, 60, 10):
-        t.append(_frame(spark, lo, lo + 10))  # 6 commits
+    t.append(_frame(spark, 0, 10))  # v1: the (uncapped) first batch
     feed = (
         spark.readStream.format("txnlog")
         .option("readChangeFeed", "true")
@@ -289,10 +288,19 @@ def test_stream_max_commits_per_batch_bounds_batches(spark, tmp_path):
         )
 
     # a RUNNING trigger (the rate limit's use case — availableNow
-    # snapshots one capped batch and stops; documented)
+    # snapshots one latestOffset and stops; documented). The FIRST
+    # batch is uncapped by design (the engine asks for the latest
+    # offset before revealing the query's start — see the reader's
+    # restart-safety note); appends landing while the stream runs
+    # must drain in <= 2-commit batches.
     import time
 
     q = feed.writeStream.foreachBatch(sink).start()
+    deadline = time.time() + 60
+    while time.time() < deadline and not sizes:
+        time.sleep(0.5)
+    for lo in range(10, 60, 10):
+        t.append(_frame(spark, lo, lo + 10))  # v2..v6 while running
     deadline = time.time() + 120
     while time.time() < deadline:
         if sizes and set().union(*[s for s in sizes if s]) == set(
@@ -302,10 +310,10 @@ def test_stream_max_commits_per_batch_bounds_batches(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
     seen = [s for s in sizes if s]
-    # every micro-batch covers at most 2 commits; union is the full feed
-    assert seen and all(len(s) <= 2 for s in seen)
     assert set().union(*seen) == {1, 2, 3, 4, 5, 6}
-    assert len(seen) >= 3  # the backfill actually split into batches
+    # every batch AFTER the first covers at most 2 commits
+    assert all(len(s) <= 2 for s in seen[1:])
+    assert len(seen) >= 3  # the catch-up actually split into batches
 
 
 def test_stream_max_commits_rejects_non_positive(spark, tmp_path):
@@ -321,3 +329,44 @@ def test_stream_max_commits_rejects_non_positive(spark, tmp_path):
     with pytest.raises(Exception, match="maxCommitsPerBatch"):
         q.awaitTermination(120)
         raise RuntimeError(str(q.exception() or "no error"))
+
+
+def test_rate_limit_restart_never_regresses_offsets(spark, tmp_path):
+    """r9 review: a capped latestOffset computed by a FRESH reader must
+    never fall below the engine's committed offset. The reader engages
+    the cap only once a lower bound is known (initialOffset on a fresh
+    query, or the offsets of a replayed batch); the first post-restart
+    latestOffset is uncapped."""
+    from pyspark.sql import types as T
+    from churn_model_evaluation_platform_spark.sources.txnlog_datasource import (
+        _TxnLogStreamReader,
+    )
+
+    t = TxnTable(spark, str(tmp_path / "rr"))
+    for lo in range(0, 60, 10):
+        t.append(_frame(spark, lo, lo + 10))  # v1..v6
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    opts = {"path": t.path, "maxcommitsperbatch": "2"}
+
+    # fresh query: initialOffset runs -> capped from startVersion
+    fresh = _TxnLogStreamReader(schema, dict(opts), cdc=False)
+    assert fresh.initialOffset() == {"version": 0}
+    assert fresh.latestOffset() == {"version": 2}  # capped
+    assert fresh.latestOffset() == {"version": 4}
+
+    # checkpoint restart, last batch committed: latestOffset is called
+    # blind -> must return the TRUE latest (no regression below the
+    # committed offset, whatever it was), then cap re-engages
+    restarted = _TxnLogStreamReader(schema, dict(opts), cdc=False)
+    assert restarted.latestOffset() == {"version": 6}  # uncapped once
+    t.append(_frame(spark, 60, 70))  # v7
+    t.append(_frame(spark, 70, 80))  # v8
+    t.append(_frame(spark, 80, 90))  # v9
+    assert restarted.latestOffset() == {"version": 8}  # capped again
+
+    # checkpoint restart with an UNCOMMITTED batch: the engine replays
+    # it via partitions(start, end) BEFORE any latestOffset — those
+    # offsets become the bound, so the cap engages immediately
+    replay = _TxnLogStreamReader(schema, dict(opts), cdc=False)
+    replay.partitions({"version": 4}, {"version": 6})
+    assert replay.latestOffset() == {"version": 8}  # capped from 6
