@@ -115,6 +115,21 @@ _PRED_OPS = ("<", "<=", ">", ">=", "=", "between", "in")
 # small no matter the data.
 _SET_CAP_DEFAULT = 32
 
+# Deletion-vector sidecar layout (r10): one parquet dir per dvdelete
+# commit holding that commit's FRESH deleted-row addresses — (relpath
+# of the data file, in-file row index). A file's state entry lists
+# every sidecar that touches it; reads union + anti-join them
+# (merge-on-read), OPTIMIZE/compact/CoW materialize them away. This is
+# Delta's DV model with a position-list sidecar instead of a roaring
+# bitmap — same contract: sparse deletes stay O(deleted rows), bulk
+# deletes take the CoW path.
+_DV_SCHEMA = T.StructType(
+    [
+        T.StructField("relpath", T.StringType(), False),
+        T.StructField("pos", T.LongType(), False),
+    ]
+)
+
 
 def _enc_stat(v, round_min: bool = False, round_max: bool = False):
     """JSON-safe, ORDER-PRESERVING encoding of a min/max scalar (or a
@@ -533,6 +548,10 @@ class TxnTable:
         schema: str | None = None
         constraints: dict = {}
         partition_by: list[str] | None = None
+        dv: dict = {}
+        properties: dict = {}
+        column_map: dict = {}
+        dropped_physical: list[str] = []
         base = 0
         usable = [c for c in ckpt_versions if target is not None and c <= target]
         if usable:
@@ -546,26 +565,46 @@ class TxnTable:
                 schema = ck.get("schema")
                 constraints = dict(ck.get("constraints", {}))
                 partition_by = ck.get("partition_by")
+                dv = dict(ck.get("dv", {}))
+                properties = dict(ck.get("properties", {}))
+                column_map = dict(ck.get("column_map", {}))
+                dropped_physical = list(ck.get("dropped_physical", []))
                 base = usable[-1]
             except Exception:
                 base = 0  # unreadable checkpoint: fall back to full replay
                 live, batch_ids, stats = [], set(), {}
                 schema, constraints, partition_by = None, {}, None
+                dv, properties, column_map = {}, {}, {}
+                dropped_physical = []
         for c in self._commits(since=base, until=target):
             if c["action"] == "overwrite":
                 live = list(c["added"])
                 stats = dict(c.get("stats", {}))
+                # an overwrite redefines the DV map (CoW/optimize carry
+                # the surviving files' entries; restore carries the
+                # target version's; a plain overwrite clears it)
+                dv = dict(c.get("dv") or {})
             elif c["action"] == "meta":
                 pass  # metadata-only commit: file set unchanged
             else:
                 live.extend(c["added"])
                 stats.update(c.get("stats", {}))
+                if c.get("dv"):
+                    # dvdelete: per-file entries are cumulative — a
+                    # commit's entry REPLACES the file's prior one
+                    dv.update(c["dv"])
             if c.get("batch_id") is not None:
                 batch_ids.add(c["batch_id"])
             # pre-schema commits carry no key: keep the last known one
             schema = c.get("table_schema") or schema
             if "constraints" in c:
                 constraints = dict(c["constraints"] or {})
+            if "properties" in c:
+                properties = dict(c["properties"] or {})
+            if "column_map" in c:
+                column_map = dict(c["column_map"] or {})
+            if "dropped_physical" in c:
+                dropped_physical = list(c["dropped_physical"] or [])
             partition_by = c.get("partition_by") or partition_by
         return {
             "live": live,
@@ -575,6 +614,10 @@ class TxnTable:
             "schema": schema,
             "constraints": constraints,
             "partition_by": partition_by,
+            "dv": dv,
+            "properties": properties,
+            "column_map": column_map,
+            "dropped_physical": dropped_physical,
         }
 
     def versions(self) -> list[int]:
@@ -599,7 +642,9 @@ class TxnTable:
 
     # -- write path --------------------------------------------------------
 
-    def _write_data(self, df: DataFrame) -> tuple[list[str], dict]:
+    def _write_data(
+        self, df: DataFrame, column_map: dict | None = None
+    ) -> tuple[list[str], dict]:
         """Materialize ``df`` into a commit-unique directory; returns
         the relative paths of the part files plus their per-file column
         stats. Invisible to readers until a log entry references them.
@@ -607,7 +652,17 @@ class TxnTable:
         subdirectories (every rewrite path — compact, optimize, CoW
         DML, z-order — flows through here, so the layout survives all
         of them); the partition value becomes an exact ``min==max``
-        stats bound derived from the path alone."""
+        stats bound derived from the path alone.
+
+        ``column_map`` (r10 column mapping): ``df`` arrives with
+        LOGICAL names; files are written — and stats keyed — under the
+        PHYSICAL names, so renamed columns keep one physical identity
+        across the table's whole file history."""
+        cmap = column_map or {}
+        if cmap:
+            df = df.select(
+                *[F.col(c).alias(cmap.get(c, c)) for c in df.columns]
+            )
         commit_dir = f"{_DATA_DIR}/{uuid.uuid4().hex}"
         target = f"{self.path}/{commit_dir}"
         if self.partition_by:
@@ -642,7 +697,7 @@ class TxnTable:
             p = s.getPath().toUri().getPath()
             sizes[p[len(root_abs) + 1 :]] = int(s.getLen())
         relpaths = sorted(sizes)
-        stats = self._collect_stats(commit_dir, relpaths)
+        stats = self._collect_stats(commit_dir, relpaths, column_map=cmap)
         if self.partition_by:
             self._inject_partition_stats(stats, df.schema)
         for rel, entry in stats.items():
@@ -651,7 +706,12 @@ class TxnTable:
             entry["bytes"] = sizes.get(rel)
         return relpaths, stats
 
-    def _collect_stats(self, commit_dir: str, relpaths: list[str]) -> dict:
+    def _collect_stats(
+        self,
+        commit_dir: str,
+        relpaths: list[str],
+        column_map: dict | None = None,
+    ) -> dict:
         """Per-file min/max/null-count stats for the files just written
         under ``commit_dir`` — ONE Spark aggregation grouped by
         ``input_file_name()``, reading only the tracked columns of only
@@ -683,9 +743,13 @@ class TxnTable:
             # are in the data and tracked normally
             and not f.name.startswith(_PART_PREFIX)
         ]
+        # the files carry PHYSICAL names; the user configures stats /
+        # set columns in LOGICAL terms — translate before matching
+        cmap = column_map or {}
         if self.stats_columns is not None:
-            wanted = set(self.stats_columns)
+            wanted = {cmap.get(c, c) for c in self.stats_columns}
             fields = [f for f in fields if f.name in wanted]
+        set_cols = {cmap.get(c, c) for c in self.set_columns}
         fields = fields[:_STATS_MAX_COLS]
         if not fields:
             return {}
@@ -711,7 +775,7 @@ class TxnTable:
             )
             if f.name in floaty:
                 aggs.append(F.max(F.isnan(c)).alias(f"__nan_{f.name}"))
-            if f.name in self.set_columns:
+            if f.name in set_cols:
                 # distinct-value set, capped AFTER the agg: slice keeps
                 # the executor-side state bounded for the pathological
                 # case (a high-cardinality column listed by mistake)
@@ -772,7 +836,7 @@ class TxnTable:
                     # decimal bounds are ULP-widened (pruning-safe but
                     # not exact) — metadata-only aggregates must refuse
                     ent["approx_bounds"] = True
-                if f.name in self.set_columns:
+                if f.name in set_cols:
                     vals = r[f"__set_{f.name}"] or []
                     if len(vals) <= self.set_cap:  # complete set only
                         enc = [_enc_stat(v) for v in vals]
@@ -868,6 +932,11 @@ class TxnTable:
         df_schema=None,
         constraints: dict | None = None,
         data_change: bool = True,
+        dv: dict | None = None,
+        properties: dict | None = None,
+        column_map: dict | None = None,
+        dropped_physical: list[str] | None = None,
+        table_schema_override: str | None = None,
     ) -> int:
         """Claim the next version. ``require_latest`` (a version number
         or None-for-empty-table) asserts the table has NOT advanced
@@ -892,13 +961,16 @@ class TxnTable:
             # schema validated per ATTEMPT against the state this commit
             # will actually land on — a rival writer evolving the schema
             # mid-flight is re-checked, not clobbered
-            table_schema = (
-                _evolve_schema(
-                    state["schema"], df_schema, self.schema_mode, action
+            if table_schema_override is not None:
+                table_schema = table_schema_override
+            else:
+                table_schema = (
+                    _evolve_schema(
+                        state["schema"], df_schema, self.schema_mode, action
+                    )
+                    if df_schema is not None
+                    else None
                 )
-                if df_schema is not None
-                else None
-            )
             payload = {
                 "version": version,
                 "action": action,
@@ -914,12 +986,38 @@ class TxnTable:
                     if constraints is None
                     else constraints
                 ),
+                # same carry-or-redefine contract as constraints
+                "properties": (
+                    state.get("properties", {})
+                    if properties is None
+                    else properties
+                ),
+                "column_map": (
+                    state.get("column_map", {})
+                    if column_map is None
+                    else column_map
+                ),
+                "dropped_physical": (
+                    state.get("dropped_physical", [])
+                    if dropped_physical is None
+                    else dropped_physical
+                ),
                 "partition_by": self.partition_by or None,
                 # False = the rewrite moved bytes, not rows (compact /
                 # optimize / z-order): table_changes skips it, exactly
                 # Delta's dataChange=false AddFile semantics
                 "data_change": bool(data_change),
             }
+            # deletion-vector map: overwrite commits always carry their
+            # full post-commit map (absent dv= means CLEARED — compact /
+            # plain overwrite materialize or discard all DVs); dvdelete
+            # commits carry the touched files' updated entries; appends
+            # carry nothing (new files start DV-free, the fold keeps
+            # the rest)
+            if action == "overwrite":
+                payload["dv"] = dv or {}
+            elif dv:
+                payload["dv"] = dv
             if self._try_commit(version, payload):
                 if version % self.checkpoint_interval == 0:
                     self._write_checkpoint(version, state, payload)
@@ -940,10 +1038,13 @@ class TxnTable:
         if payload["action"] == "overwrite":
             live = list(payload["added"])
             stats = dict(payload.get("stats", {}))
+            dv = dict(payload.get("dv") or {})
         else:
             live = list(prior["live"]) + list(payload["added"])
             stats = dict(prior.get("stats", {}))
             stats.update(payload.get("stats", {}))
+            dv = dict(prior.get("dv", {}))
+            dv.update(payload.get("dv") or {})
         batch_ids = set(prior["batch_ids"])
         if payload.get("batch_id") is not None:
             batch_ids.add(payload["batch_id"])
@@ -958,6 +1059,16 @@ class TxnTable:
             ),
             "partition_by": payload.get("partition_by")
             or prior.get("partition_by"),
+            "dv": dv,
+            "properties": payload.get(
+                "properties", prior.get("properties", {})
+            ),
+            "column_map": payload.get(
+                "column_map", prior.get("column_map", {})
+            ),
+            "dropped_physical": payload.get(
+                "dropped_physical", prior.get("dropped_physical", [])
+            ),
         }
         try:
             # same create-if-absent primitive as the commit itself
@@ -1017,9 +1128,36 @@ class TxnTable:
         pre = self._state()
         _evolve_schema(pre["schema"], df.schema, self.schema_mode, "append")
         self._check_constraints(df, pre.get("constraints", {}))
-        added, stats = self._write_data(df)
+        # column mapping (r10): an additive append may introduce NEW
+        # logical columns on a mapping-enabled table; their physical
+        # names must dodge both live physicals and drop tombstones —
+        # re-adding a dropped column must NOT resurrect the old files'
+        # stale bytes. Same commit-race caveat as ADD CONSTRAINT: the
+        # map used to write the files is the one resolved here.
+        cmap = dict(pre.get("column_map") or {})
+        tomb = set(pre.get("dropped_physical") or [])
+        map_update: dict | None = None
+        if (cmap or tomb) and pre.get("schema"):
+            known = {
+                f["name"]
+                for f in json.loads(pre["schema"])["fields"]
+            }
+            taken = {cmap.get(n, n) for n in known} | tomb
+            changed = False
+            for c in df.columns:
+                if c not in known and c not in cmap and c in taken:
+                    cmap[c] = f"{c}_{uuid.uuid4().hex[:8]}"
+                    changed = True
+            if changed:
+                map_update = cmap
+        added, stats = self._write_data(df, column_map=cmap)
         return self._commit(
-            "append", added, batch_id, stats=stats, df_schema=df.schema
+            "append",
+            added,
+            batch_id,
+            stats=stats,
+            df_schema=df.schema,
+            column_map=map_update,
         )
 
     def overwrite(
@@ -1041,6 +1179,8 @@ class TxnTable:
             added,
             batch_id,
             require_latest=require_latest,
+            column_map={},  # content-wise a new table: identity naming
+            dropped_physical=[],
             stats=stats,
             df_schema=df.schema,
         )
@@ -1066,6 +1206,10 @@ class TxnTable:
                 self._check_constraints(
                     out, self._state().get("constraints", {})
                 )
+            # full rewrite: DVs were applied by the snapshot read (the
+            # overwrite clears them — materialized), and the physical
+            # layout is normalized back to logical names (column
+            # mapping + tombstones reset: no old-named file survives)
             added, stats = self._write_data(out)
             try:
                 return self._commit(
@@ -1075,6 +1219,8 @@ class TxnTable:
                     stats=stats,
                     df_schema=out.schema,
                     data_change=data_change,
+                    column_map={},
+                    dropped_physical=[],
                 )
             except CommitConflict as e:  # table advanced — recompute
                 last_err = e
@@ -1158,14 +1304,23 @@ class TxnTable:
                 e = st["stats"].get(rel)
                 return None if e is None else e.get("bytes")
 
+            phys_scope = self._to_physical(scope, st)
+            dvmap = st.get("dv") or {}
             small = [
                 rel
                 for rel in st["live"]
-                if (_size(rel) is None or _size(rel) < thresh)
-                and _file_may_match(st["stats"].get(rel), scope)
+                # a file carrying a deletion vector is a rewrite
+                # candidate regardless of size: OPTIMIZE is how DVs
+                # get MATERIALIZED away (Delta's PURGE posture) — the
+                # read below applies the DV, the new file has no entry
+                if (_size(rel) is None or _size(rel) < thresh or rel in dvmap)
+                and _file_may_match(st["stats"].get(rel), phys_scope)
             ]
             keep = [rel for rel in st["live"] if rel not in set(small)]
-            if len(small) < 2:  # nothing to gain from a rewrite
+            has_dv = any(rel in dvmap for rel in small)
+            # a lone DV-carrying file is still worth rewriting (purge);
+            # otherwise <2 small files means nothing to gain
+            if len(small) < 2 and not has_dv:
                 return {
                     "version": base,
                     "files_rewritten": 0,
@@ -1174,8 +1329,13 @@ class TxnTable:
                 }
             total = sum(_size(rel) or thresh for rel in small)
             n_bins = max(1, math.ceil(total / target_bytes))
+            # the read applies small files' DVs (dead rows do not
+            # survive the rewrite) — logically row-preserving, so
+            # data_change stays False; kept files' DV entries carry
             rewritten_df = self._read_files(st, small).coalesce(n_bins)
-            added, stats = self._write_data(rewritten_df)
+            added, stats = self._write_data(
+                rewritten_df, column_map=st.get("column_map")
+            )
             merged = {
                 rel: st["stats"][rel] for rel in keep if rel in st["stats"]
             }
@@ -1188,6 +1348,9 @@ class TxnTable:
                     stats=merged,
                     df_schema=rewritten_df.schema,
                     data_change=False,  # bin-packing moves bytes, not rows
+                    dv={
+                        rel: dvmap[rel] for rel in keep if rel in dvmap
+                    },
                 )
                 return {
                     "version": version,
@@ -1201,20 +1364,115 @@ class TxnTable:
 
     # -- read path ---------------------------------------------------------
 
-    def _read_files(self, state: dict, rels: list[str]) -> DataFrame:
+    def _rel_expr(self) -> Column:
+        """Relative path of the current row's source file, computed
+        from ``_metadata.file_path``: strip the URI scheme (``file:``/
+        ``hdfs://host`` → a bare absolute path), then the table root —
+        the exact key format the commit log records. Pure string
+        expressions; validated against the log's relpaths in
+        tests/test_txnlog_dv.py."""
+        root_abs = self._jpath(self.path).toUri().getPath()
+        no_scheme = F.regexp_replace(
+            F.col("_metadata.file_path"),
+            r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+",
+            "/",
+        )
+        return no_scheme.substr(F.lit(len(root_abs) + 2), F.length(no_scheme))
+
+    def _dv_pos_frame(
+        self, dvmap: dict, rels: list[str]
+    ) -> DataFrame | None:
+        """The deleted (relpath, pos) pairs of ``rels`` under ``dvmap``
+        — a union read of the referenced sidecar parquet dirs, filtered
+        to the requested files. None when nothing applies. Sidecars are
+        small by the DV contract (sparse deletes; bulk deletes take the
+        CoW path), so consumers broadcast this frame."""
+        dirs = sorted(
+            {d for r in rels for d in (dvmap.get(r) or {}).get("fs", [])}
+        )
+        if not dirs:
+            return None
+        dv_rels = [r for r in rels if r in dvmap]
+        return (
+            self.spark.read.schema(_DV_SCHEMA)
+            .parquet(*[f"{self.path}/{d}" for d in dirs])
+            .where(F.col("relpath").isin(dv_rels))
+        )
+
+    def _read_files(
+        self,
+        state: dict,
+        rels: list[str],
+        apply_dv: bool = True,
+        dv_override: dict | None = None,
+        with_lineage: bool = False,
+    ) -> DataFrame:
         """Read ``rels`` pinned to the LOG's table schema (Delta-style:
         the log owns the schema, so a mixed-schema history — additive
         evolution — reads deterministically with absent columns as
         NULL, no footer merging, no first-file-wins ambiguity).
-        Pre-schema tables (no recorded schema) read plain."""
-        reader = self.spark.read
-        if state.get("schema"):
-            from pyspark.sql import types as _T
+        Pre-schema tables (no recorded schema) read plain.
 
-            reader = reader.schema(
-                _T.StructType.fromJson(json.loads(state["schema"]))
+        Three table-format layers compose here, in order:
+        - COLUMN MAPPING (r10): files store PHYSICAL names; the read is
+          pinned to the physical struct and projected back to logical
+          names, so renamed columns serve old files without rewrites;
+        - DELETION VECTORS (r10): files whose state entry carries a DV
+          are anti-joined against the (relpath, row_index) sidecar —
+          merge-on-read DELETE, the scan never sees dead rows. The DV
+          side is broadcast (sparse-delete contract);
+        - ``with_lineage`` appends ``__rel``/``__pos`` columns (the
+          log-format relpath + in-file row index) for writers that need
+          row addresses (``delete_dv``)."""
+        from pyspark.sql import types as _T
+
+        reader = self.spark.read
+        cmap = state.get("column_map") or {}
+        logical = (
+            _T.StructType.fromJson(json.loads(state["schema"]))
+            if state.get("schema")
+            else None
+        )
+        if logical is not None:
+            physical = _T.StructType(
+                [
+                    _T.StructField(
+                        cmap.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in logical.fields
+                ]
             )
-        return reader.parquet(*[f"{self.path}/{rel}" for rel in rels])
+            reader = reader.schema(physical)
+        df = reader.parquet(*[f"{self.path}/{rel}" for rel in rels])
+        dvmap = state.get("dv") or {} if dv_override is None else dv_override
+        need_dv = apply_dv and any(r in dvmap for r in rels)
+        if need_dv or with_lineage:
+            df = df.withColumns(
+                {
+                    "__rel": self._rel_expr(),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+        if need_dv:
+            dvf = self._dv_pos_frame(dvmap, rels)
+            if dvf is not None:
+                df = df.join(
+                    F.broadcast(dvf),
+                    (df["__rel"] == dvf["relpath"])
+                    & (df["__pos"] == dvf["pos"]),
+                    "left_anti",
+                )
+        if logical is not None and cmap:
+            keep = [
+                F.col(cmap.get(f.name, f.name)).alias(f.name)
+                for f in logical.fields
+            ]
+            if with_lineage:
+                keep += [F.col("__rel"), F.col("__pos")]
+            df = df.select(*keep)
+        elif need_dv and not with_lineage:
+            df = df.drop("__rel", "__pos")
+        return df
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """DataFrame over exactly the files live at ``version``
@@ -1320,6 +1578,9 @@ class TxnTable:
         path, never less). Only the SURVIVING relpaths come back to
         the driver — the minimum any engine needs to build the read."""
         kinds = _kinds_from_schema_json(st.get("schema"))
+        cmap = st.get("column_map") or {}
+        if cmap:  # kinds keyed logical; preds arrive physical — re-key
+            kinds = {cmap.get(k, k): v for k, v in kinds.items()}
         # pin the index to the version ``st`` RESOLVED, never back to
         # "latest": re-resolving here would race a concurrent writer —
         # an interleaved overwrite would supersede every file in
@@ -1367,13 +1628,17 @@ class TxnTable:
                 f"TxnTable at {self.path} has no committed data"
                 + (f" at version {version}" if version is not None else "")
             )
+        # stats are keyed by PHYSICAL column names; predicates arrive
+        # in LOGICAL terms (the residual filter below stays logical —
+        # it runs on the projected frame)
+        phys = self._to_physical(preds, st)
         if distributed and preds:
-            kept = self._prune_distributed(preds, st, version)
+            kept = self._prune_distributed(phys, st, version)
         else:
             kept = [
                 rel
                 for rel in st["live"]
-                if _file_may_match(st["stats"].get(rel), preds)
+                if _file_may_match(st["stats"].get(rel), phys)
             ]
         if kept:
             df = self._read_files(st, kept)
@@ -1393,8 +1658,8 @@ class TxnTable:
         reads only (or, with ``distributed=True``, a Spark filter over
         the file_index snapshot), no data IO. The bench/test hook for
         asserting a layout actually skips."""
-        preds = _validate_where(where)
         st = self._state(version)
+        preds = self._to_physical(_validate_where(where), st)
         if distributed and preds:
             kept = len(self._prune_distributed(preds, st, version))
         else:
@@ -1474,10 +1739,11 @@ class TxnTable:
                     f"TxnTable at {self.path} has no committed data"
                 )
             base = st["latest"]
+            phys = self._to_physical(preds, st)
             touched = [
                 rel
                 for rel in st["live"]
-                if _file_may_match(st["stats"].get(rel), preds)
+                if _file_may_match(st["stats"].get(rel), phys)
             ]
             touched_set = set(touched)
             untouched = [rel for rel in st["live"] if rel not in touched_set]
@@ -1487,6 +1753,10 @@ class TxnTable:
                     "files_rewritten": 0,
                     "files_untouched": len(untouched),
                 }
+            # DVs of touched files are applied by the read (dead rows
+            # never re-surface in the rewrite) and their entries dropped
+            # from the new commit — the rewrite MATERIALIZES them;
+            # untouched files keep theirs.
             rewritten_df = transform(self._read_files(st, touched))
             if validate_constraints:
                 self._check_constraints(
@@ -1505,13 +1775,20 @@ class TxnTable:
                         "physical types; use overwrite()/merge() for "
                         "schema-changing rewrites"
                     )
-            added, stats = self._write_data(rewritten_df)
+            added, stats = self._write_data(
+                rewritten_df, column_map=st.get("column_map")
+            )
             merged_stats = {
                 rel: st["stats"][rel]
                 for rel in untouched
                 if rel in st["stats"]
             }
             merged_stats.update(stats)
+            dv_carry = {
+                rel: st["dv"][rel]
+                for rel in untouched
+                if rel in (st.get("dv") or {})
+            }
             try:
                 version = self._commit(
                     "overwrite",
@@ -1519,6 +1796,7 @@ class TxnTable:
                     require_latest=base,
                     stats=merged_stats,
                     df_schema=rewritten_df.schema,
+                    dv=dv_carry,
                 )
                 return {
                     "version": version,
@@ -1545,6 +1823,117 @@ class TxnTable:
             preds,
             lambda df: df.filter(~F.coalesce(cond, F.lit(False))),
         )
+
+    def delete_dv(self, where: list[tuple]) -> dict:
+        """DELETE WHERE via DELETION VECTORS — merge-on-read (VERDICT
+        r9 next #2, Delta's DV model): instead of rewriting every file
+        whose stats envelope may match (``delete``'s copy-on-write,
+        O(touched bytes)), record the matching rows' ADDRESSES
+        (relpath, in-file row index) in a parquet sidecar and commit a
+        ``dvdelete`` log entry pointing at it — O(deleted rows) written,
+        ZERO data files rewritten. Every read path (snapshot / scan /
+        feeds / the txnlog format) anti-joins the sidecar; OPTIMIZE and
+        any CoW rewrite materialize the DV away. SQL NULL semantics
+        match ``delete``: predicate-NULL rows are kept.
+
+        The sidecar write is the only Spark job (matching rows only —
+        never a driver collect of positions); per-file counts come from
+        one bounded aggregate over it. Sized for SPARSE deletes (GDPR
+        point erasure over a 100 TB corpus); a bulk delete should take
+        the CoW path, which amortizes the same rewrite it would force
+        here at OPTIMIZE time.
+
+        Returns ``{version, files_rewritten: 0, files_with_dv,
+        rows_deleted}``; a no-match delete returns the current version
+        with ``files_with_dv == 0``."""
+        preds = _validate_where(where)
+        if not preds:
+            raise ValueError(
+                "delete_dv() requires a predicate; use overwrite() to "
+                "truncate deliberately"
+            )
+        cond = _residual_filter(preds)
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            st = self._state()
+            if not st["live"]:
+                raise ValueError(
+                    f"TxnTable at {self.path} has no committed data"
+                )
+            base = st["latest"]
+            phys = self._to_physical(preds, st)
+            touched = [
+                rel
+                for rel in st["live"]
+                if _file_may_match(st["stats"].get(rel), phys)
+            ]
+            noop = {
+                "version": base,
+                "files_rewritten": 0,
+                "files_with_dv": 0,
+                "rows_deleted": 0,
+            }
+            if not touched:
+                return noop
+            # the read applies EXISTING DVs, so already-dead rows can
+            # never be re-addressed (position sets across a file's
+            # sidecar chain stay disjoint — the feed relies on this)
+            hits = (
+                self._read_files(st, touched, with_lineage=True)
+                .filter(F.coalesce(cond, F.lit(False)))
+                .select(
+                    F.col("__rel").alias("relpath"),
+                    F.col("__pos").alias("pos"),
+                )
+            )
+            dv_dir = f"{_DATA_DIR}/{uuid.uuid4().hex}"
+            hits.coalesce(1).write.mode("errorifexists").parquet(
+                f"{self.path}/{dv_dir}"
+            )
+            counts = {
+                r["relpath"]: int(r["n"])
+                for r in self.spark.read.schema(_DV_SCHEMA)
+                .parquet(f"{self.path}/{dv_dir}")
+                .groupBy("relpath")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # bounded: one row per touched file
+            }
+            if not counts:
+                return noop  # predicate hit no rows: dir left for vacuum
+            bad = set(counts) - set(touched)
+            if bad:  # pragma: no cover - lineage/relpath derivation bug
+                raise RuntimeError(
+                    f"delete_dv derived unknown relpaths {sorted(bad)}"
+                )
+            entries = {}
+            for rel, n in counts.items():
+                old = (st.get("dv") or {}).get(rel) or {"fs": [], "n": 0}
+                entries[rel] = {
+                    "fs": list(old["fs"]) + [dv_dir],
+                    "n": int(old["n"]) + n,
+                }
+            try:
+                version = self._commit(
+                    "dvdelete", [], require_latest=base, dv=entries
+                )
+                return {
+                    "version": version,
+                    "files_rewritten": 0,
+                    "files_with_dv": len(entries),
+                    "rows_deleted": sum(counts.values()),
+                }
+            except CommitConflict as e:  # table advanced: recompute
+                last_err = e
+        raise last_err  # pragma: no cover - needs 3 straight rivals
+
+    def _to_physical(self, preds: list[tuple], st: dict) -> list[tuple]:
+        """Predicate columns logical → physical (stats and files are
+        keyed by physical names under column mapping). Identity when
+        the table has no mapping."""
+        cmap = st.get("column_map") or {}
+        if not cmap or not preds:
+            return preds
+        return [(cmap.get(c, c), op, v) for c, op, v in preds]
 
     def update(self, where: list[tuple], set_exprs: dict) -> dict:
         """UPDATE ... SET: rows where the predicate is TRUE get each
@@ -1631,6 +2020,158 @@ class TxnTable:
         current.pop(name)
         return self._commit("meta", [], constraints=current)
 
+    # -- table properties (r10) --------------------------------------------
+
+    def properties(self) -> dict:
+        """The table's key→value properties (Delta TBLPROPERTIES):
+        free-form JSON-serializable metadata pinned in the log — e.g.
+        the PQ codebook version an ANN store was encoded under
+        (operators/ann_store.py). Versioned like everything else:
+        time travel sees the properties of that version."""
+        return dict(self._state().get("properties", {}))
+
+    def set_properties(self, updates: dict) -> int:
+        """Merge ``updates`` into the table properties via a
+        metadata-only commit; a ``None`` value unsets the key."""
+        if not isinstance(updates, dict) or not updates:
+            raise ValueError("set_properties takes a non-empty dict")
+        merged = self.properties()
+        for k, v in updates.items():
+            if v is None:
+                merged.pop(str(k), None)
+            else:
+                json.dumps(v)  # fail fast on a non-serializable value
+                merged[str(k)] = v
+        return self._commit("meta", [], properties=merged)
+
+    # -- column mapping (r10): rename/drop without rewrite -----------------
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — without rewriting a single data
+        file (VERDICT r9 next #3; Delta/Iceberg column mapping): the
+        log records a LOGICAL→PHYSICAL name map, files keep their
+        physical names forever, and every read projects through the
+        map (``_read_files``). Stats/pruning translate predicates the
+        same way (``_to_physical``). Partition columns are refused —
+        their name is baked into the directory layout. Conditional on
+        the current head (a racing rename cannot be clobbered)."""
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            st = self._state()
+            if not st.get("schema"):
+                raise ValueError(
+                    "rename_column needs a log-recorded schema "
+                    "(pre-schema table)"
+                )
+            fields = json.loads(st["schema"])["fields"]
+            names = [f["name"] for f in fields]
+            if old not in names:
+                raise ValueError(f"column {old!r} does not exist")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            if not new or not isinstance(new, str):
+                raise ValueError(f"invalid new column name {new!r}")
+            if old in (self.partition_by or []):
+                raise ValueError(
+                    f"cannot rename partition column {old!r}: the name "
+                    "is baked into the Hive directory layout"
+                )
+            for cname, expr in (st.get("constraints") or {}).items():
+                if re.search(rf"\b{re.escape(old)}\b", expr):
+                    raise ValueError(
+                        f"cannot rename {old!r}: CHECK constraint "
+                        f"{cname!r} references it ({expr}); drop the "
+                        "constraint first"
+                    )
+            cmap = dict(st.get("column_map") or {})
+            phys = cmap.pop(old, old)
+            if phys != new:
+                cmap[new] = phys
+            from pyspark.sql import types as _T
+
+            cur = _T.StructType.fromJson(json.loads(st["schema"]))
+            schema_json = _normalize_schema_json(
+                _T.StructType(
+                    [
+                        _T.StructField(
+                            new if f.name == old else f.name,
+                            f.dataType,
+                            f.nullable,
+                        )
+                        for f in cur.fields
+                    ]
+                )
+            )
+            try:
+                return self._commit(
+                    "meta",
+                    [],
+                    require_latest=st["latest"],
+                    column_map=cmap,
+                    table_schema_override=schema_json,
+                )
+            except CommitConflict as e:
+                last_err = e
+        raise last_err  # pragma: no cover - needs 3 straight rivals
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only (column mapping):
+        the logical schema loses the field, files keep the physical
+        bytes, reads never project them. The physical name lands on a
+        TOMBSTONE list so a later re-add of the same logical name gets
+        a FRESH physical name — old files' stale values can never
+        resurface (they read as the NULL backfill of a new column)."""
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            st = self._state()
+            if not st.get("schema"):
+                raise ValueError(
+                    "drop_column needs a log-recorded schema "
+                    "(pre-schema table)"
+                )
+            fields = json.loads(st["schema"])["fields"]
+            names = [f["name"] for f in fields]
+            if name not in names:
+                raise ValueError(f"column {name!r} does not exist")
+            if len(names) == 1:
+                raise ValueError("cannot drop the table's only column")
+            if name in (self.partition_by or []):
+                raise ValueError(
+                    f"cannot drop partition column {name!r}"
+                )
+            for cname, expr in (st.get("constraints") or {}).items():
+                if re.search(rf"\b{re.escape(name)}\b", expr):
+                    raise ValueError(
+                        f"cannot drop {name!r}: CHECK constraint "
+                        f"{cname!r} references it ({expr}); drop the "
+                        "constraint first"
+                    )
+            cmap = dict(st.get("column_map") or {})
+            phys = cmap.pop(name, name)
+            tomb = list(st.get("dropped_physical") or [])
+            if phys not in tomb:
+                tomb.append(phys)
+            from pyspark.sql import types as _T
+
+            cur = _T.StructType.fromJson(json.loads(st["schema"]))
+            schema_json = _normalize_schema_json(
+                _T.StructType(
+                    [f for f in cur.fields if f.name != name]
+                )
+            )
+            try:
+                return self._commit(
+                    "meta",
+                    [],
+                    require_latest=st["latest"],
+                    column_map=cmap,
+                    dropped_physical=tomb,
+                    table_schema_override=schema_json,
+                )
+            except CommitConflict as e:
+                last_err = e
+        raise last_err  # pragma: no cover - needs 3 straight rivals
+
     def stats_aggregate(
         self, columns: list[str], version: int | None = None
     ) -> DataFrame:
@@ -1650,8 +2191,16 @@ class TxnTable:
         from pyspark.sql import types as _T
 
         st = self._state(version)
+        cmap = st.get("column_map") or {}
         entries = []
         for rel in st["live"]:
+            if rel in (st.get("dv") or {}):
+                raise ValueError(
+                    f"stats_aggregate: {rel} carries a deletion vector "
+                    "— its recorded stats count dead rows, so a "
+                    "metadata-only answer would be wrong; OPTIMIZE the "
+                    "table to materialize DVs first"
+                )
             e = st["stats"].get(rel)
             if e is None:
                 raise ValueError(
@@ -1660,7 +2209,8 @@ class TxnTable:
                 )
             entries.append(e)
         out: dict = {"n_rows": sum(e["rows"] for e in entries)}
-        for c in columns:
+        for logical in columns:
+            c = cmap.get(logical, logical)  # stats keyed physical
             nulls = 0
             mins: list = []
             maxs: list = []
@@ -1695,9 +2245,10 @@ class TxnTable:
                     mins.append(cs["min"])
                 if cs.get("max") is not None:
                     maxs.append(cs["max"])
-            out[f"{c}_nulls"] = nulls
-            out[f"{c}_min"] = min(mins) if mins else None
-            out[f"{c}_max"] = max(maxs) if maxs else None
+            # output keyed by the LOGICAL name the caller asked with
+            out[f"{logical}_nulls"] = nulls
+            out[f"{logical}_min"] = min(mins) if mins else None
+            out[f"{logical}_max"] = max(maxs) if maxs else None
         fields = []
         for k, v in out.items():
             if isinstance(v, int) or v is None and k.endswith("_nulls"):
@@ -1742,8 +2293,15 @@ class TxnTable:
             # LATER-added constraint it never satisfied would leave a
             # table whose committed content violates its own checks
             # (ADVICE r8; the pre-restore constraint set remains
-            # auditable in the log)
+            # auditable in the log) — and so do its deletion vectors,
+            # column mapping, tombstones, and properties (r10): a
+            # restore to before a DV delete resurrects those rows, a
+            # restore to before a rename serves the old name
             constraints=dict(st.get("constraints") or {}),
+            dv=dict(st.get("dv") or {}),
+            properties=dict(st.get("properties") or {}),
+            column_map=dict(st.get("column_map") or {}),
+            dropped_physical=list(st.get("dropped_physical") or []),
         )
 
     def history(self) -> DataFrame:
@@ -1859,20 +2417,24 @@ class TxnTable:
         # O(checkpoint_interval + window), not O(table age) — the
         # docstring's stated cost (r9 review). from_version=0 (full
         # history) starts empty as before.
-        live: list[str] = (
-            list(self._state(from_version)["live"])
-            if from_version in known
-            else []
+        start_st = (
+            self._state(from_version) if from_version in known else None
         )
-        batches: list[tuple[int, str, list[str]]] = []
+        live: list[str] = list(start_st["live"]) if start_st else []
+        dvmap: dict = dict(start_st.get("dv") or {}) if start_st else {}
+        batches: list[dict] = []
         for c in self._commits(since=from_version, until=to):
             action = c["action"]
             if action == "overwrite":
                 new_live = list(c["added"])
+                new_dv = dict(c.get("dv") or {})
             elif action == "meta":
-                new_live = live
+                new_live, new_dv = live, dvmap
             else:
                 new_live = live + list(c["added"])
+                new_dv = dict(dvmap)
+                if c.get("dv"):
+                    new_dv.update(c["dv"])
             if (
                 c["version"] > from_version
                 and action != "meta"
@@ -1882,17 +2444,103 @@ class TxnTable:
                 post = set(new_live)
                 fresh = [r for r in new_live if r not in pre]
                 removed = [r for r in live if r not in post]
+                v = c["version"]
+                # fresh files' rows minus their POST-commit DVs (a
+                # restore re-referencing a DV'd file inserts only the
+                # live rows); removed files' rows minus their
+                # PRE-commit DVs (rows a DV already deleted were
+                # emitted then — never twice)
                 if fresh:
-                    batches.append((c["version"], "insert", fresh))
+                    batches.append(
+                        {
+                            "v": v,
+                            "kind": "insert",
+                            "rels": fresh,
+                            "mode": "exclude",
+                            "dv": new_dv,
+                        }
+                    )
                 if removed:
-                    batches.append((c["version"], "delete", removed))
-            live = new_live
-        frames = [
-            self._read_files(st_to, rels)
-            .withColumn("_change_type", F.lit(kind))
-            .withColumn("_commit_version", F.lit(v).cast("long"))
-            for v, kind, rels in batches
-        ]
+                    batches.append(
+                        {
+                            "v": v,
+                            "kind": "delete",
+                            "rels": removed,
+                            "mode": "exclude",
+                            "dv": dvmap,
+                        }
+                    )
+                # DELETION-VECTOR DIFFS on files live across the commit
+                # (r10): a dvdelete grows a file's sidecar chain — the
+                # newly-addressed positions are row-level deletes; a
+                # restore can SHRINK it — those positions are row-level
+                # (re-)inserts. Positions are compared as sidecar-frame
+                # anti-joins, never driver lists.
+                def _fs(m: dict, r: str) -> list:
+                    return (m.get(r) or {}).get("fs", [])
+
+                common = [r for r in live if r in post]
+                newly_dead = [
+                    r
+                    for r in common
+                    if set(_fs(new_dv, r)) - set(_fs(dvmap, r))
+                ]
+                resurrected = [
+                    r
+                    for r in common
+                    if set(_fs(dvmap, r)) - set(_fs(new_dv, r))
+                ]
+                if newly_dead:
+                    batches.append(
+                        {
+                            "v": v,
+                            "kind": "delete",
+                            "rels": newly_dead,
+                            "mode": "diff",
+                            "minuend": new_dv,
+                            "subtrahend": dvmap,
+                        }
+                    )
+                if resurrected:
+                    batches.append(
+                        {
+                            "v": v,
+                            "kind": "insert",
+                            "rels": resurrected,
+                            "mode": "diff",
+                            "minuend": dvmap,
+                            "subtrahend": new_dv,
+                        }
+                    )
+            live, dvmap = new_live, new_dv
+        frames = []
+        for b in batches:
+            if b["mode"] == "exclude":
+                df = self._read_files(
+                    st_to, b["rels"], dv_override=b["dv"]
+                )
+            else:  # diff: rows at positions in minuend but not subtrahend
+                pos = self._dv_pos_frame(b["minuend"], b["rels"])
+                if pos is None:  # pragma: no cover - diff implies dirs
+                    continue
+                sub = self._dv_pos_frame(b["subtrahend"], b["rels"])
+                if sub is not None:
+                    pos = pos.join(sub, ["relpath", "pos"], "left_anti")
+                raw = self._read_files(
+                    st_to, b["rels"], apply_dv=False, with_lineage=True
+                )
+                df = raw.join(
+                    F.broadcast(pos),
+                    (raw["__rel"] == pos["relpath"])
+                    & (raw["__pos"] == pos["pos"]),
+                    "left_semi",
+                ).drop("__rel", "__pos")
+            frames.append(
+                df.withColumn("_change_type", F.lit(b["kind"]))
+                .withColumn(
+                    "_commit_version", F.lit(b["v"]).cast("long")
+                )
+            )
         if not frames:
             base = st_to["live"] or live
             if not base:
@@ -1927,6 +2575,11 @@ class TxnTable:
         for c in self._commits():
             for rel in c["added"]:
                 referenced.add(rel.split("/")[1])
+            # DV sidecar dirs are log-referenced data too: deleting a
+            # sidecar any version points at would corrupt time travel
+            for entry in (c.get("dv") or {}).values():
+                for d in entry.get("fs", []):
+                    referenced.add(d.split("/")[1])
         data_dir = self._jpath(f"{self.path}/{_DATA_DIR}")
         cutoff_ms = (time.time() - retention_seconds) * 1000.0
         removed = 0
