@@ -28,10 +28,27 @@ Execution model — the part that matters at 100 TB:
   deleted and vacuum keeps every referenced file — the time-travel
   guarantee doing exactly-once duty).
 
-The planner reads the log with plain ``open``/``os.listdir`` —
-DataSource planning runs in a Python worker with no JVM access, so
-this surface supports LOCAL filesystem table paths (the test/sandbox
-reality; a cloud deployment would swap in fsspec — one function).
+Round-10 additions, mirroring the library surface:
+- DELETION VECTORS: snapshot/CDF partitions carry the file's dead-row
+  positions (loaded driver-side from the tiny sidecars); the Arrow
+  read masks them out — and a ``dvdelete`` commit streams as row-level
+  ``delete`` changes (position-sliced reads of the addressed file).
+- COLUMN MAPPING: the pinned schema is LOGICAL; each file read aligns
+  through the log's logical→physical map, so renamed columns stream
+  correctly from old files.
+- PLANNER FS (VERDICT r9 next #5): all log IO goes through the
+  four-method ``plannerfs`` protocol — local by default, ``memory://``
+  in tests, fsspec for anything else.
+- LISTING CURSOR (r9 next #6): ``latestOffset`` remembers the newest
+  version and probes forward with ``exists(v+1)`` (versions are
+  claimed contiguously, so forward probing is complete), with a
+  periodic full-list reconcile — O(new commits) per trigger instead of
+  O(total commits).
+- ``maxFilesPerBatch`` (r9 next #8): offsets gain a sub-commit file
+  index ``{"version": v, "files": k}`` so one huge commit splits
+  across bounded micro-batches (Delta's maxFilesPerTrigger grain),
+  preserving the never-regress offset invariant.
+
 Parity: Delta's ``readStream`` + ``table_changes`` surface
 (reference has no streaming source at all).
 """
@@ -39,7 +56,6 @@ Parity: Delta's ``readStream`` + ``table_changes`` surface
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -48,6 +64,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 from pyspark.sql import types as T
+
+from .plannerfs import PlannerFS, fs_for
 
 _LOG_DIR = "_txnlog"
 
@@ -60,82 +78,103 @@ _CHANGE_FIELDS = [
 # -- pure-Python log resolution (no JVM in DataSource planning) ----------
 
 
-def _strip_scheme(path: str) -> str:
-    if path.startswith("file://"):
-        return path[len("file://") :] or "/"
-    return path
+def _join(*parts: str) -> str:
+    return "/".join(p.rstrip("/") for p in parts)
 
 
-def _log_versions(path: str) -> list[int]:
-    log_dir = os.path.join(_strip_scheme(path), _LOG_DIR)
-    if not os.path.isdir(log_dir):
+def _log_versions(path: str, fs: PlannerFS | None = None) -> list[int]:
+    fs = fs or fs_for(path)
+    log_dir = _join(path, _LOG_DIR)
+    if not fs.isdir(log_dir):
         raise ValueError(f"no {_LOG_DIR}/ at {path}: not a TxnTable")
     return sorted(
         int(name[: -len(".json")])
-        for name in os.listdir(log_dir)
+        for name in fs.listdir(log_dir)
         if name.endswith(".json")
     )
 
 
-def _ckpt_state(path: str, until: int) -> tuple[int, dict | None]:
+def _ckpt_state(
+    path: str, until: int, fs: PlannerFS | None = None
+) -> tuple[int, dict | None]:
     """Newest readable ``.ckpt`` state snapshot at-or-below ``until``
     → (base_version, state) — the same accelerator TxnTable._state
     rides; (0, None) when absent/torn (degrade to full replay, never
     to a wrong answer)."""
-    log_dir = os.path.join(_strip_scheme(path), _LOG_DIR)
+    fs = fs or fs_for(path)
+    log_dir = _join(path, _LOG_DIR)
     ckpts = sorted(
         int(name[: -len(".ckpt")])
-        for name in os.listdir(log_dir)
+        for name in fs.listdir(log_dir)
         if name.endswith(".ckpt")
     )
     for v in reversed([c for c in ckpts if c <= until]):
         try:
-            with open(
-                os.path.join(log_dir, f"{v:020d}.ckpt"), "rb"
-            ) as f:
-                return v, json.loads(f.read().decode("utf-8"))
+            return v, json.loads(
+                fs.open_bytes(_join(log_dir, f"{v:020d}.ckpt")).decode(
+                    "utf-8"
+                )
+            )
         except Exception:
             continue
     return 0, None
 
 
-def _commit(path: str, version: int) -> dict:
-    p = os.path.join(
-        _strip_scheme(path), _LOG_DIR, f"{version:020d}.json"
+def _commit(path: str, version: int, fs: PlannerFS | None = None) -> dict:
+    fs = fs or fs_for(path)
+    return json.loads(
+        fs.open_bytes(
+            _join(path, _LOG_DIR, f"{version:020d}.json")
+        ).decode("utf-8")
     )
-    with open(p, "rb") as f:
-        return json.loads(f.read().decode("utf-8"))
 
 
-def _replay(path: str, until: int) -> dict:
+def _replay(path: str, until: int, fs: PlannerFS | None = None) -> dict:
     """Fold the log prefix (pure Python, tiny JSON): live file list,
-    last recorded schema, and per-file stats. Mirrors TxnTable._state
-    INCLUDING its checkpoint anchor — planning resolves from the
-    newest ``.ckpt`` at-or-below ``until`` and replays only the
-    bounded commit tail, so cost is O(checkpoint_interval), not
-    O(table age); driver-side only, zero data IO."""
-    base, ck = _ckpt_state(path, until)
+    last recorded schema, per-file stats, deletion-vector map, and
+    column map. Mirrors TxnTable._state INCLUDING its checkpoint
+    anchor — planning resolves from the newest ``.ckpt`` at-or-below
+    ``until`` and replays only the bounded commit tail, so cost is
+    O(checkpoint_interval), not O(table age); driver-side only, zero
+    data IO."""
+    fs = fs or fs_for(path)
+    base, ck = _ckpt_state(path, until, fs)
     live: list[str] = list(ck["live"]) if ck else []
     schema = ck.get("schema") if ck else None
     stats: dict = dict(ck.get("stats", {})) if ck else {}
-    for v in _log_versions(path):
+    dv: dict = dict(ck.get("dv", {})) if ck else {}
+    cmap: dict = dict(ck.get("column_map", {})) if ck else {}
+    for v in _log_versions(path, fs):
         if v <= base:
             continue
         if v > until:
             break
-        c = _commit(path, v)
+        c = _commit(path, v, fs)
         if c["action"] == "overwrite":
             live = list(c["added"])
             stats = dict(c.get("stats", {}))
+            dv = dict(c.get("dv") or {})
         elif c["action"] != "meta":
             live = live + list(c["added"])
             stats.update(c.get("stats", {}))
+            if c.get("dv"):
+                dv.update(c["dv"])
         schema = c.get("table_schema") or schema
-    return {"live": live, "schema": schema, "stats": stats}
+        if "column_map" in c:
+            cmap = dict(c["column_map"] or {})
+    return {
+        "live": live,
+        "schema": schema,
+        "stats": stats,
+        "dv": dv,
+        "column_map": cmap,
+    }
 
 
-def _table_struct(path: str, until: int) -> T.StructType:
-    st = _replay(path, until)
+def _table_struct(
+    path: str, until: int, fs: PlannerFS | None = None
+) -> T.StructType:
+    st = _replay(path, until, fs)
     if not st["schema"]:
         raise ValueError(
             f"TxnTable at {path} has no recorded schema (pre-schema "
@@ -144,42 +183,130 @@ def _table_struct(path: str, until: int) -> T.StructType:
     return T.StructType.fromJson(json.loads(st["schema"]))
 
 
+def _dv_positions(
+    path: str, dirs: list[str], rels: set[str], fs: PlannerFS
+) -> dict[str, list[int]]:
+    """Load the addressed positions of ``rels`` from the given sidecar
+    dirs — driver-side pyarrow over ``open_bytes`` (sidecars are tiny
+    by the sparse-delete contract). Returns rel → sorted positions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for d in sorted(set(dirs)):
+        for name in fs.listdir(_join(path, d)):
+            if not name.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(
+                pa.BufferReader(fs.open_bytes(_join(path, d, name)))
+            )
+            for rel, pos in zip(
+                tbl.column("relpath").to_pylist(),
+                tbl.column("pos").to_pylist(),
+            ):
+                if rel in rels:
+                    out.setdefault(rel, set()).add(int(pos))
+    return {r: sorted(s) for r, s in out.items()}
+
+
+def _entry_positions(
+    path: str, dvmap: dict, rel: str, fs: PlannerFS
+) -> list[int] | None:
+    """A live file's full dead-position list under ``dvmap`` (None =
+    no DV)."""
+    entry = dvmap.get(rel)
+    if not entry or not entry.get("fs"):
+        return None
+    return _dv_positions(path, entry["fs"], {rel}, fs).get(rel, [])
+
+
 def _change_batches(
-    path: str, start_v: int, end_v: int
-) -> list[tuple[int, str, list[str]]]:
-    """(version, change_type, relpaths) batches for commits in
-    ``(start_v, end_v]`` — the same file-diff arithmetic as
-    ``TxnTable.table_changes`` (data_change=false commits skipped).
+    path: str, start_v: int, end_v: int, fs: PlannerFS | None = None
+) -> list[tuple[int, str, str, list[int] | None, str | None]]:
+    """Per-FILE change entries ``(version, change_type, relpath,
+    positions, pos_mode)`` for commits in ``(start_v, end_v]`` — the
+    same file-diff + deletion-vector arithmetic as
+    ``TxnTable.table_changes`` (data_change=false commits skipped):
+
+    - whole-file inserts/deletes carry ``pos_mode='exclude'`` with the
+      file's dead positions under the applicable DV snapshot (or
+      ``None`` when the file has no DV);
+    - DV diffs (a ``dvdelete`` growing a chain, a restore shrinking
+      one) carry ``pos_mode='include'`` with exactly the addressed
+      positions — row-level deletes/re-inserts.
+
     The pre-window live set is seeded from the newest ``.ckpt``
     at-or-below ``start_v``, so a bounded-window micro-batch plan
     costs O(checkpoint_interval + window), not O(table age) — a
     long-polled stream must not re-read a 10k-commit log per batch
     (r9 review)."""
-    base, ck = _ckpt_state(path, start_v)
+    fs = fs or fs_for(path)
+    base, ck = _ckpt_state(path, start_v, fs)
     live: list[str] = list(ck["live"]) if ck else []
-    out: list[tuple[int, str, list[str]]] = []
-    for v in _log_versions(path):
+    dvmap: dict = dict(ck.get("dv", {})) if ck else {}
+    out: list[tuple[int, str, str, list[int] | None, str | None]] = []
+    for v in _log_versions(path, fs):
         if v <= base:
             continue
         if v > end_v:
             break
-        c = _commit(path, v)
+        c = _commit(path, v, fs)
         action = c["action"]
         if action == "overwrite":
             new_live = list(c["added"])
+            new_dv = dict(c.get("dv") or {})
         elif action == "meta":
-            new_live = live
+            new_live, new_dv = live, dvmap
         else:
             new_live = live + list(c["added"])
+            new_dv = dict(dvmap)
+            if c.get("dv"):
+                new_dv.update(c["dv"])
         if v > start_v and action != "meta" and c.get("data_change", True):
             pre, post = set(live), set(new_live)
-            fresh = [r for r in new_live if r not in pre]
-            removed = [r for r in live if r not in post]
-            if fresh:
-                out.append((v, "insert", fresh))
-            if removed:
-                out.append((v, "delete", removed))
-        live = new_live
+
+            def _fs_of(m: dict, r: str) -> list:
+                return (m.get(r) or {}).get("fs", [])
+
+            for rel in new_live:
+                if rel not in pre:
+                    pos = _entry_positions(path, new_dv, rel, fs)
+                    out.append(
+                        (v, "insert", rel, pos, "exclude" if pos else None)
+                    )
+            for rel in live:
+                if rel not in post:
+                    pos = _entry_positions(path, dvmap, rel, fs)
+                    out.append(
+                        (v, "delete", rel, pos, "exclude" if pos else None)
+                    )
+            for rel in live:
+                if rel not in post:
+                    continue
+                pre_fs = _fs_of(dvmap, rel)
+                post_fs = _fs_of(new_dv, rel)
+                grown = [d for d in post_fs if d not in pre_fs]
+                if grown:
+                    # fresh addresses only: sidecar position sets are
+                    # disjoint along a file's chain by construction
+                    pos = _dv_positions(path, grown, {rel}, fs).get(
+                        rel, []
+                    )
+                    if pos:
+                        out.append((v, "delete", rel, pos, "include"))
+                if [d for d in pre_fs if d not in post_fs]:
+                    old = set(
+                        _dv_positions(path, pre_fs, {rel}, fs).get(rel, [])
+                    )
+                    new = set(
+                        _dv_positions(path, post_fs, {rel}, fs).get(
+                            rel, []
+                        )
+                    )
+                    pos = sorted(old - new)
+                    if pos:
+                        out.append((v, "insert", rel, pos, "include"))
+        live, dvmap = new_live, new_dv
     return out
 
 
@@ -188,34 +315,62 @@ def _change_batches(
 
 class _FileSlice(InputPartition):
     """One data file to read on an executor (plus the change-feed tag
-    for streaming slices)."""
+    and deletion-vector position slice for streaming/DV reads)."""
 
     def __init__(
-        self, path: str, change_type: str | None, version: int | None
+        self,
+        path: str,
+        change_type: str | None,
+        version: int | None,
+        positions: list[int] | None = None,
+        pos_mode: str | None = None,
     ):
         self.path = path
         self.change_type = change_type
         self.version = version
+        self.positions = positions
+        self.pos_mode = pos_mode
 
 
-def _arrow_batches(partition: _FileSlice, arrow_schema):
+def _arrow_batches(partition: _FileSlice, arrow_schema, cmap=None):
     """Read one parquet file with pyarrow and align it to the target
-    schema: project/cast present columns, null-backfill absent ones
-    (additive evolution), stamp the change-feed columns. Executor-side,
-    vectorized, never a Python-per-row path."""
+    schema: project/cast present columns THROUGH the logical→physical
+    column map, null-backfill absent ones (additive evolution), apply
+    the partition's deletion-vector position slice, stamp the
+    change-feed columns. Executor-side, vectorized, never a
+    Python-per-row path."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(partition.path)
+    if "://" in partition.path and not partition.path.startswith("file://"):
+        tbl = pq.read_table(  # pragma: no cover - non-local data IO
+            pa.BufferReader(fs_for(partition.path).open_bytes(partition.path))
+        )
+    else:
+        p = partition.path
+        if p.startswith("file://"):
+            p = p[len("file://") :]
+        tbl = pq.read_table(p)
+    if partition.positions is not None:
+        if partition.pos_mode == "include":
+            tbl = tbl.take(pa.array(partition.positions, pa.int64()))
+        else:  # exclude: boolean mask over the row ordinals
+            import numpy as np
+
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[partition.positions] = False
+            tbl = tbl.filter(pa.array(mask))
     n = tbl.num_rows
+    cmap = cmap or {}
     cols = []
     for field in arrow_schema:
+        phys = cmap.get(field.name, field.name)
         if field.name == "_change_type":
             cols.append(pa.array([partition.change_type] * n, pa.string()))
         elif field.name == "_commit_version":
             cols.append(pa.array([partition.version] * n, pa.int64()))
-        elif field.name in tbl.column_names:
-            cols.append(tbl.column(field.name).cast(field.type))
+        elif phys in tbl.column_names:
+            cols.append(tbl.column(phys).cast(field.type))
         else:
             cols.append(pa.nulls(n, field.type))
     yield from pa.Table.from_arrays(cols, schema=arrow_schema).to_batches()
@@ -229,9 +384,10 @@ class _TxnLogBatchReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._path = options["path"]
+        self._fs = fs_for(self._path)
         self._arrow_schema = to_arrow_schema(schema)
         self._preds: list[tuple] = []
-        versions = _log_versions(self._path)
+        versions = _log_versions(self._path, self._fs)
         if not versions:
             raise ValueError(f"TxnTable at {self._path} has no commits")
         v = options.get("version")
@@ -241,6 +397,12 @@ class _TxnLogBatchReader(DataSourceReader):
                 f"version {self._version} does not exist in {self._path} "
                 f"(known: {versions})"
             )
+        # resolved at INIT: the engine pickles the reader for executors
+        # before partitions() runs, so executor-side read() only sees
+        # state set here
+        self._cmap: dict = _replay(
+            self._path, self._version, self._fs
+        ).get("column_map", {})
 
     def pushFilters(self, filters):
         """Catalyst's pushed predicates → the log's data-skipping
@@ -280,41 +442,57 @@ class _TxnLogBatchReader(DataSourceReader):
         return filters  # all residual: pruning skips files, not rows
 
     def partitions(self):
-        st = _replay(self._path, self._version)
-        root = _strip_scheme(self._path)
+        st = _replay(self._path, self._version, self._fs)
         live = st["live"]
         if self._preds:
             from .txnlog import _file_may_match
 
+            cmap = self._cmap
+            preds = [
+                (cmap.get(c, c), op, v) for c, op, v in self._preds
+            ]
             live = [
                 rel
                 for rel in live
-                if _file_may_match(st["stats"].get(rel), self._preds)
+                if _file_may_match(st["stats"].get(rel), preds)
             ]
-        return [
-            _FileSlice(os.path.join(root, rel), None, None) for rel in live
-        ]
+        dvmap = st.get("dv") or {}
+        out = []
+        for rel in live:
+            pos = _entry_positions(self._path, dvmap, rel, self._fs)
+            out.append(
+                _FileSlice(
+                    _join(self._path, rel),
+                    None,
+                    None,
+                    pos,
+                    "exclude" if pos else None,
+                )
+            )
+        return out
 
     def read(self, partition: _FileSlice):
-        yield from _arrow_batches(partition, self._arrow_schema)
+        yield from _arrow_batches(partition, self._arrow_schema, self._cmap)
 
 
 class _TxnLogChangeBatchReader(DataSourceReader):
     """Batch CDF (``spark.read`` + ``readChangeFeed=true``): the change
     feed of commits in ``(startVersion, endVersion]`` as one frame with
     ``_change_type`` / ``_commit_version`` — Delta's batch
-    ``readChangeFeed`` surface, same file-diff arithmetic as the
-    streaming reader (one planned partition per changed file; reads
-    are executor-side Arrow). Before r9 this shape silently fell
-    through to the snapshot reader, which stamped NULL CDC columns —
-    well-formed but wrong data (r9 review)."""
+    ``readChangeFeed`` surface, same file-diff + deletion-vector
+    arithmetic as the streaming reader (one planned partition per
+    changed file or DV slice; reads are executor-side Arrow). Before
+    r9 this shape silently fell through to the snapshot reader, which
+    stamped NULL CDC columns — well-formed but wrong data (r9
+    review)."""
 
     def __init__(self, schema: T.StructType, options: dict):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._path = options["path"]
+        self._fs = fs_for(self._path)
         self._arrow_schema = to_arrow_schema(schema)
-        versions = _log_versions(self._path)
+        versions = _log_versions(self._path, self._fs)
         if not versions:
             raise ValueError(f"TxnTable at {self._path} has no commits")
         known = set(versions)
@@ -331,50 +509,66 @@ class _TxnLogChangeBatchReader(DataSourceReader):
             raise ValueError(
                 f"endVersion {self._end} < startVersion {self._start}"
             )
+        self._cmap = _replay(self._path, self._end, self._fs).get(
+            "column_map", {}
+        )
 
     def partitions(self):
-        root = _strip_scheme(self._path)
         return [
-            _FileSlice(os.path.join(root, rel), kind, v)
-            for v, kind, rels in _change_batches(
-                self._path, self._start, self._end
+            _FileSlice(_join(self._path, rel), kind, v, pos, mode)
+            for v, kind, rel, pos, mode in _change_batches(
+                self._path, self._start, self._end, self._fs
             )
-            for rel in rels
         ]
 
     def read(self, partition: _FileSlice):
-        yield from _arrow_batches(partition, self._arrow_schema)
+        yield from _arrow_batches(partition, self._arrow_schema, self._cmap)
 
 
 # -- stream reader -------------------------------------------------------
+
+
+def _offset_key(off: dict) -> tuple[int, float]:
+    """Total order over offsets: ``files`` absent means the commit is
+    COMPLETE (sorts after any partial index of the same version)."""
+    k = off.get("files")
+    return (int(off["version"]), float("inf") if k is None else int(k))
 
 
 class _TxnLogStreamReader(DataSourceStreamReader):
     """Two modes, Delta's exact streaming contract:
 
     - plain (``readChangeFeed`` unset): micro-batches are the DATA of
-      appended files; a commit that also REMOVED files (overwrite, CoW
-      DML) raises — the stream cannot represent it — unless
-      ``ignoreChanges=true`` (emit that commit's fresh files, skip the
-      removals; re-inserted rows may repeat, exactly Delta's
-      ignoreChanges caveat);
+      appended files; a commit that also REMOVED files or rows
+      (overwrite, CoW DML, dvdelete) raises — the stream cannot
+      represent it — unless ``ignoreChanges=true`` (emit that commit's
+      fresh files, skip the removals; re-inserted rows may repeat,
+      exactly Delta's ignoreChanges caveat);
     - ``readChangeFeed=true``: the full change feed with
-      ``_change_type`` / ``_commit_version`` columns.
+      ``_change_type`` / ``_commit_version`` columns, including
+      row-level DV deletes.
     """
+
+    # full-relist cadence of the listing cursor: forward probing is
+    # complete on its own (versions are claimed contiguously), the
+    # reconcile is belt-and-braces against out-of-band log surgery
+    _RECONCILE_EVERY = 64
 
     def __init__(self, schema: T.StructType, options: dict, cdc: bool):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._path = options["path"]
+        self._fs = fs_for(self._path)
         self._arrow_schema = to_arrow_schema(schema)
         self._start = int(options.get("startversion", 0))
         self._cdc = cdc
         self._ignore_changes = str(
             options.get("ignorechanges", "")
         ).lower() in ("true", "1")
-        # rate limiting (Delta's maxFilesPerTrigger analog, r9): cap
-        # steady-state micro-batches at N commits. Offset arithmetic
-        # only — latestOffset never reads a commit body.
+        # rate limiting (Delta's maxFilesPerTrigger analog, r9/r10):
+        # cap steady-state micro-batches at N commits and/or N changed
+        # FILES (a single huge commit splits across batches via the
+        # sub-commit offset index).
         #
         # RESTART SAFETY (r9 review): the bare DataSourceStreamReader
         # API gives latestOffset no view of the engine's committed
@@ -383,23 +577,48 @@ class _TxnLogStreamReader(DataSourceStreamReader):
         # so a capped offset computed by a fresh reader could REGRESS
         # below the committed offset: the engine would log the lower
         # offset and the next batch would RE-DELIVER committed
-        # versions. The cap therefore only engages once this reader
+        # versions. The caps therefore only engage once this reader
         # knows a lower bound (initialOffset ran, a partitions() call
         # revealed the engine's offsets, or a prior latestOffset
         # answered uncapped): the FIRST micro-batch of a (re)started
         # query is uncapped, every subsequent one is capped — offsets
         # never regress, rows are never duplicated. Under
         # Trigger.AvailableNow the API snapshots ONE latestOffset and
-        # stops there, so the cap does not subdivide the single
-        # drained batch — it is for RUNNING triggers.
+        # stops there, so the caps do not subdivide the single drained
+        # batch — they are for RUNNING triggers.
         m = options.get("maxcommitsperbatch")
         self._max_commits = int(m) if m is not None else None
         if self._max_commits is not None and self._max_commits < 1:
             raise ValueError(
                 f"maxCommitsPerBatch must be >= 1, got {self._max_commits}"
             )
-        self._last_end = self._start
+        mf = options.get("maxfilesperbatch")
+        self._max_files = int(mf) if mf is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError(
+                f"maxFilesPerBatch must be >= 1, got {self._max_files}"
+            )
+        self._last_end: dict = {"version": self._start}
         self._bound_known = False  # True once start/offsets observed
+        # listing cursor (r10): newest version known to exist; None
+        # until the first full list
+        self._cursor: int | None = None
+        self._probe_calls = 0
+        # resolved at INIT (the engine pickles the reader for executors
+        # before partitions() runs): consistent with the stream's
+        # schema, which is also pinned at query start — renames land in
+        # physical-stable files, so this map serves the whole run
+        try:
+            vs = _log_versions(self._path, self._fs)
+            self._cmap: dict = (
+                _replay(self._path, vs[-1], self._fs).get(
+                    "column_map", {}
+                )
+                if vs
+                else {}
+            )
+        except ValueError:
+            self._cmap = {}
 
     def initialOffset(self) -> dict:
         # only called on a FRESH query (no checkpoint): startVersion is
@@ -407,63 +626,153 @@ class _TxnLogStreamReader(DataSourceStreamReader):
         self._bound_known = True
         return {"version": self._start}
 
+    def _probe_latest(self) -> int | None:
+        """Newest committed version via the LISTING CURSOR: one full
+        directory list to seed (and every ``_RECONCILE_EVERY`` calls to
+        reconcile), then a forward ``exists(v+1)`` probe — versions
+        are claimed contiguously (each commit is version latest+1), so
+        forward probing from any known version finds every newer one.
+        O(new commits) filesystem calls per trigger instead of
+        O(total commits)."""
+        self._probe_calls += 1
+        if (
+            self._cursor is None
+            or self._probe_calls % self._RECONCILE_EVERY == 0
+        ):
+            versions = _log_versions(self._path, self._fs)
+            listed = versions[-1] if versions else None
+            if listed is not None and (
+                self._cursor is None or listed > self._cursor
+            ):
+                self._cursor = listed
+        if self._cursor is not None:
+            v = self._cursor
+            while self._fs.exists(
+                _join(self._path, _LOG_DIR, f"{v + 1:020d}.json")
+            ):
+                v += 1
+            self._cursor = v
+        return self._cursor
+
+    def _flat_len(self, v: int) -> int:
+        """Number of change-file entries of commit ``v`` (the unit the
+        file cap budgets). O(1) commit-body reads via the bounded
+        window (v-1, v]."""
+        return len(_change_batches(self._path, v - 1, v, self._fs))
+
     def latestOffset(self) -> dict:
-        versions = _log_versions(self._path)
-        latest = versions[-1] if versions else self._start
-        if self._max_commits is not None and self._bound_known:
-            known = [
-                v
-                for v in versions
-                if self._last_end < v <= latest
-            ]
-            if known:
-                latest = known[
-                    min(self._max_commits, len(known)) - 1
-                ]
-            else:
-                latest = self._last_end
-        self._last_end = max(self._last_end, latest)
+        latest = self._probe_latest()
+        if latest is None or latest <= self._start:
+            off = {"version": self._start}
+            if _offset_key(off) < _offset_key(self._last_end):
+                off = dict(self._last_end)
+            self._bound_known = True
+            self._last_end = off
+            return off
+        capped = self._max_commits is not None or self._max_files is not None
+        if not capped or not self._bound_known:
+            off = {"version": latest}
+        else:
+            last_v = int(self._last_end["version"])
+            last_k = self._last_end.get("files")
+            # commits cap first (versions are contiguous): a partially
+            # delivered commit counts as the first of the window
+            end_v = latest
+            if self._max_commits is not None:
+                span = self._max_commits - (1 if last_k is not None else 0)
+                end_v = min(latest, max(last_v + span, last_v))
+            off = {"version": end_v}
+            if self._max_files is not None:
+                budget = self._max_files
+                taken_v, taken_k = last_v, last_k
+                progressed = False
+                v = last_v if last_k is not None else last_v + 1
+                while v <= end_v:
+                    total = self._flat_len(v)
+                    already = (
+                        int(last_k)
+                        if (v == last_v and last_k is not None)
+                        else 0
+                    )
+                    avail = total - already
+                    if avail <= 0:
+                        taken_v, taken_k = v, None
+                        v += 1
+                        continue
+                    take = min(avail, budget)
+                    if take <= 0:
+                        if not progressed:
+                            take = avail  # always admit >=1 commit
+                        else:
+                            break
+                    budget -= take
+                    progressed = True
+                    new_k = already + take
+                    taken_v = v
+                    taken_k = None if new_k >= total else new_k
+                    if taken_k is not None:
+                        break
+                    v += 1
+                off = {"version": taken_v}
+                if taken_k is not None:
+                    off["files"] = taken_k
+        if _offset_key(off) < _offset_key(self._last_end):
+            off = dict(self._last_end)  # never regress
+        self._last_end = off
         self._bound_known = True
-        return {"version": latest}
+        return off
 
     def partitions(self, start: dict, end: dict):
         # the engine's offsets are a hard lower bound for future
         # capped latestOffset answers (restart-replay of an
         # uncommitted batch reaches here before any latestOffset)
-        self._last_end = max(
-            self._last_end, int(start["version"]), int(end["version"])
-        )
+        for off in (start, end):
+            if _offset_key(off) > _offset_key(self._last_end):
+                self._last_end = dict(off)
         self._bound_known = True
-        root = _strip_scheme(self._path)
-        batches = _change_batches(
-            self._path, int(start["version"]), int(end["version"])
-        )
+        s_v, s_k = int(start["version"]), start.get("files")
+        e_v, e_k = int(end["version"]), end.get("files")
+        window_start = s_v - 1 if s_k is not None else s_v
+        entries = _change_batches(self._path, window_start, e_v, self._fs)
+        # sub-commit slicing: drop the already-delivered prefix of the
+        # start commit, truncate the end commit at its file index
+        sliced = []
+        seen_in_v: dict[int, int] = {}
+        for v, kind, rel, pos, mode in entries:
+            i = seen_in_v.get(v, 0)
+            seen_in_v[v] = i + 1
+            if v == s_v and s_k is not None and i < int(s_k):
+                continue
+            if v == e_v and e_k is not None and i >= int(e_k):
+                continue
+            sliced.append((v, kind, rel, pos, mode))
         if not self._cdc:
-            if any(k == "delete" for _, k, _ in batches) and not (
+            if any(k == "delete" for _, k, _, _, _ in sliced) and not (
                 self._ignore_changes
             ):
                 raise ValueError(
                     "txnlog stream: a commit in this batch removed or "
-                    "rewrote files, which a plain append stream cannot "
-                    "represent; use .option('readChangeFeed', 'true') "
-                    "for the delete/insert feed, or "
+                    "rewrote files or rows, which a plain append stream "
+                    "cannot represent; use .option('readChangeFeed', "
+                    "'true') for the delete/insert feed, or "
                     ".option('ignoreChanges', 'true') to emit rewritten "
                     "files' rows and skip removals (rows may repeat — "
                     "Delta's ignoreChanges caveat)"
                 )
-            batches = [b for b in batches if b[1] == "insert"]
+            sliced = [b for b in sliced if b[1] == "insert"]
         return [
             _FileSlice(
-                os.path.join(root, rel),
+                _join(self._path, rel),
                 kind if self._cdc else None,
                 v if self._cdc else None,
+                pos,
+                mode,
             )
-            for v, kind, rels in batches
-            for rel in rels
+            for v, kind, rel, pos, mode in sliced
         ]
 
     def read(self, partition: _FileSlice):
-        yield from _arrow_batches(partition, self._arrow_schema)
+        yield from _arrow_batches(partition, self._arrow_schema, self._cmap)
 
     def commit(self, end: dict) -> None:
         pass  # the log is immutable; nothing to clean up
