@@ -1165,13 +1165,17 @@ class TxnTable:
         df: DataFrame,
         batch_id=None,
         require_latest: int | None = _UNCHECKED,
+        properties: dict | None = None,
     ) -> int:
         """Replace the whole table content in one atomic pointer write.
         Always redefines the table schema — content-wise a new table.
         ``require_latest`` makes the overwrite CONDITIONAL on the table
         still being at that version (lost-update protection for
         callers whose content was computed from a snapshot — e.g. a
-        matview refresh)."""
+        matview refresh). ``properties`` (r10) redefines the table
+        properties IN the same commit — content and metadata flip
+        together (the ANN store's codebook refresh needs codes and
+        codebook version atomically paired)."""
         self._check_constraints(df, self._state().get("constraints", {}))
         added, stats = self._write_data(df)
         return self._commit(
@@ -1181,6 +1185,7 @@ class TxnTable:
             require_latest=require_latest,
             column_map={},  # content-wise a new table: identity naming
             dropped_physical=[],
+            properties=properties,
             stats=stats,
             df_schema=df.schema,
         )
