@@ -254,17 +254,35 @@ def main() -> None:
     # queries whose code had not changed — single-shot timings on a
     # shared box measure contention, not the plan. The min of two runs
     # is the steadier throughput figure.
+    from churn_model_evaluation_platform_spark.plans import phases as _phases
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Per-query build/query wall split (VERDICT r9 next #7): fixture
+    # builders report their construction seconds via plans/phases.py, so
+    # a feed/scan regression in the txnlog/ANN-store queries is visible
+    # instead of hiding inside multi-commit fixture noise.
+    phase_split: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qs[name]
         try:
             best = float("inf")
+            best_phases: dict[str, float] = {}
             for _ in range(2):
+                _phases.drain()  # clear any stale accumulation
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                ph = _phases.drain()
+                if dt < best:
+                    best, best_phases = dt, ph
             timings[name] = round(best, 4)
+            if best_phases:
+                build = sum(best_phases.values())
+                phase_split[name] = {
+                    "build": round(build, 4),
+                    "query": round(best - build, 4),
+                }
         except Exception as e:  # one broken query must not blank the bench
             errors[name] = str(e).splitlines()[0][:200]
 
@@ -304,6 +322,7 @@ def main() -> None:
     # tail) + a file the judge can read verbatim.
     detail = {
         "queries": timings,
+        "phase_split": phase_split,
         "scale_slope": slope,
         "errors": errors,
         "contention": contention,

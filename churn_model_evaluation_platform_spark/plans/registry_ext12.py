@@ -912,13 +912,18 @@ def q_txnlog_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _six_bucket_table(spark, sf_dir: str, tag: str):
     from ..sources.txnlog import TxnTable
+    from .phases import timed_phase
 
-    path = _tmp_table_path(sf_dir, tag)
-    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
-    t = TxnTable(spark, path)
-    bucket = F.floor((F.dayofmonth("ts") - 1) / 5)
-    for b in range(6):
-        t.append(ev.where(bucket == b).coalesce(1), batch_id=b)
+    # Fixture construction is reported separately in BENCH_DETAIL
+    # (plans/phases.py) so feed/scan regressions in the queries built on
+    # this table are not diluted by the 6-commit ingest.
+    with timed_phase(f"fixture_build:{tag}"):
+        path = _tmp_table_path(sf_dir, tag)
+        ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+        t = TxnTable(spark, path)
+        bucket = F.floor((F.dayofmonth("ts") - 1) / 5)
+        for b in range(6):
+            t.append(ev.where(bucket == b).coalesce(1), batch_id=b)
     return t
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
+from .phases import timed_phase
 from .registry import register
 
 
@@ -122,13 +123,16 @@ def q_similarity_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_ext12 import _PQ_K, _PQ_KS, _PQ_M
 
     emb = _t(spark, sf_dir, "embeddings")
-    cbs = similarity.pq_codebooks_pinned(emb, m=_PQ_M, ks=_PQ_KS)
-    qvec = [
-        float(v)
-        for v in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    path = _tmp_table_path(sf_dir, "pqstore")
-    similarity.write_pq_encoded(emb, cbs, path)
+    with timed_phase("fixture_build:pqstore"):
+        cbs = similarity.pq_codebooks_pinned(emb, m=_PQ_M, ks=_PQ_KS)
+        qvec = [
+            float(v)
+            for v in emb.where(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()[0]
+        ]
+        path = _tmp_table_path(sf_dir, "pqstore")
+        similarity.write_pq_encoded(emb, cbs, path)
     return similarity.pq_adc_topk_stored(
         spark, path, qvec, cbs, k=_PQ_K, exclude_id=0
     ).withColumn("adc_dist", F.round("adc_dist", 6))
@@ -297,21 +301,22 @@ def q_txnlog_partition_pruning(
 ) -> DataFrame:
     from ..sources.txnlog import TxnTable
 
-    path = _tmp_table_path(sf_dir, "txnpart")
-    ev = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            "value",
-            F.least(
-                F.floor((F.dayofmonth("ts") - 1) / 5).cast("long"),
-                F.lit(5).cast("long"),
-            ).alias("bucket"),
+    with timed_phase("fixture_build:txnpart"):
+        path = _tmp_table_path(sf_dir, "txnpart")
+        ev = (
+            _t(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                "value",
+                F.least(
+                    F.floor((F.dayofmonth("ts") - 1) / 5).cast("long"),
+                    F.lit(5).cast("long"),
+                ).alias("bucket"),
+            )
+            .coalesce(1)
         )
-        .coalesce(1)
-    )
-    t = TxnTable(spark, path, partition_by=["bucket"])
-    t.append(ev)
+        t = TxnTable(spark, path, partition_by=["bucket"])
+        t.append(ev)
     where = [("bucket", "between", (1, 2)), ("value", ">=", 10.0)]
     scanned = t.prune_report(
         [("bucket", "between", (1, 2))], distributed=True
@@ -365,14 +370,15 @@ def q_txnlog_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bridge offers integer-family literals (a TIMESTAMP literal never
     # reaches pushFilters in this Spark version — kept as a residual
     # day(ts) equivalence in the oracle instead)
-    path = _tmp_table_path(sf_dir, "txnfmt")
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", "value", "ts", F.dayofmonth("ts").alias("dd")
-    )
-    t = TxnTable(spark, path)
-    bucket = F.floor((F.col("dd") - 1) / 5)
-    for b in range(6):
-        t.append(ev.where(bucket == b).coalesce(1), batch_id=b)
+    with timed_phase("fixture_build:txnfmt"):
+        path = _tmp_table_path(sf_dir, "txnfmt")
+        ev = _t(spark, sf_dir, "events").select(
+            "event_type", "value", "ts", F.dayofmonth("ts").alias("dd")
+        )
+        t = TxnTable(spark, path)
+        bucket = F.floor((F.col("dd") - 1) / 5)
+        for b in range(6):
+            t.append(ev.where(bucket == b).coalesce(1), batch_id=b)
     base = (
         spark.read.format("txnlog")
         .load(t.path)

@@ -114,8 +114,8 @@ GROUP BY event_type
 def q_txnlog_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_ext12 import _six_bucket_table
 
-    with timed_phase("txnlog_delete_dv.build"):
-        t = _six_bucket_table(spark, sf_dir, "txndvdel")
+    # _six_bucket_table times its own build phase (fixture_build:txndvdel)
+    t = _six_bucket_table(spark, sf_dir, "txndvdel")
     rep = t.delete_dv([("ts", ">=", _SKIP_LO), ("ts", "<", _SKIP_HI)])
     return (
         t.snapshot()
