@@ -118,6 +118,13 @@ HEADLINE = [
     # the Spark-native txnlog format: pushed-filter batch scan through
     # the Python DataSource (files_scanned = scan partitions)
     "txnlog_format_scan",
+    # round-10 additions: the incremental PQ index on the txn table
+    # (two exactly-once code-append commits + snapshot ADC query), the
+    # merge-on-read deletion-vector DELETE, and exact BPE counting (a
+    # 64-merge JVM replace chain — the real-tokenizer budget path)
+    "similarity_topk_pq_txn",
+    "txnlog_delete_dv",
+    "token_count_bpe_exact",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

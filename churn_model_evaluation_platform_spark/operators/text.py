@@ -45,6 +45,7 @@ def sequence_pack(
     ctx_len: int = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counter=None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing — the standard pretraining data
     layout: the corpus token stream (docs in ``id_col`` order) is cut
@@ -59,11 +60,16 @@ def sequence_pack(
     per-row integer arithmetic in codegen (``DIV``, never double
     division — exact beyond 2^53 token streams). A zero-token doc gets
     ``pack_last == pack_first`` (it sits at its offset's window).
+
+    ``counter`` swaps the token counter (Column -> Column); default is
+    the whitespace count, operators/bpe.py supplies the exact-BPE count
+    for real token budgets.
     """
     from ..functions.stats import partitioned_prefix_sum
 
+    count_fn = counter or (lambda c: F.size(tokens(c)))
     counts = df.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+        F.col(id_col), count_fn(F.col(text_col)).alias("n_tokens")
     )
     cum = partitioned_prefix_sum(counts, id_col, ["n_tokens"])
     start = (F.col("cum_n_tokens") - F.col("n_tokens")).cast("bigint")

@@ -187,3 +187,123 @@ def q_txnlog_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_amount_old"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# token_count_bpe_exact — REAL BPE token counting (VERDICT r9 next #4):
+# a pinned fixture-trained merges table (operators/bpe.py, trained by
+# tools/train_bpe.py) applied as a chain of JVM-side replace() calls
+# over the separator-wrapped char representation — exact merge-order
+# tokenization entirely inside whole-stage codegen, zero Python. The
+# oracle replays the IDENTICAL wrap + replace chain in DuckDB
+# (bpe.exact_token_count_sql — one spec, two engines), and
+# tests/test_bpe_exact.py proves the chain equals the classic
+# lowest-rank-pair merge loop on every corpus doc plus the Sennrich
+# textbook case. token_count_bpe (registry_ext4) counts PRE-tokens
+# only; this is the exact count a data-mixing pipeline budgets with.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_exact_cte(cols: str = "doc_id") -> str:
+    from ..operators.bpe import exact_token_count_sql
+
+    s_expr, count_expr = exact_token_count_sql("text")
+    return (
+        f"WITH m AS (SELECT {cols}, {s_expr} AS s FROM documents),\n"
+        f"t AS (SELECT {cols}, {count_expr} AS n_tokens_exact FROM m)\n"
+    )
+
+
+@register(
+    "token_count_bpe_exact",
+    _bpe_exact_cte() + "SELECT doc_id, n_tokens_exact FROM t",
+)
+def q_token_count_bpe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_token_count
+
+    return bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_exact — corpus_mix_report RE-KEYED on the exact BPE count:
+# the (lang, source) token budget a mixture owner signs off, now under
+# the real tokenizer arithmetic instead of the whitespace proxy. Same
+# plan shape as corpus_mix_report (grouped agg + broadcast single-row
+# total); only the per-doc counter changed.
+# ---------------------------------------------------------------------------
+
+_MIX_EXACT_TAIL = """
+, g AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens_exact) AS BIGINT) AS n_tokens
+  FROM t GROUP BY lang, source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM g)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_tokens / total, 6) AS token_share
+FROM g, tot
+"""
+
+
+@register(
+    "corpus_mix_exact",
+    _bpe_exact_cte("doc_id, lang, source") + _MIX_EXACT_TAIL,
+)
+def q_corpus_mix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "lang",
+            "source",
+            bpe_token_count_col(F.col("text")).alias("n"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = g.agg(F.sum("n_tokens").cast("double").alias("total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total"), 6).alias("token_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack_bpe_exact — concat-then-chunk packing keyed on the
+# EXACT token stream: same range-partitioned prefix sum and integer
+# window arithmetic as sequence_pack, with the real per-doc counts, so
+# pack boundaries land where the trained-on token stream actually
+# breaks.
+# ---------------------------------------------------------------------------
+
+_PACK_EXACT_TAIL = """
+, c AS (SELECT doc_id, n_tokens_exact AS n_tokens,
+               sum(n_tokens_exact) OVER (ORDER BY doc_id) AS cum FROM t)
+SELECT doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_first,
+       CAST(greatest((cum - n_tokens) // 512, (cum - 1) // 512) AS BIGINT)
+         AS pack_last
+FROM c
+"""
+
+
+@register(
+    "sequence_pack_bpe_exact", _bpe_exact_cte() + _PACK_EXACT_TAIL
+)
+def q_sequence_pack_bpe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_token_count_col
+    from ..operators.text import sequence_pack
+
+    return sequence_pack(
+        _t(spark, sf_dir, "documents"),
+        ctx_len=512,
+        counter=bpe_token_count_col,
+    )

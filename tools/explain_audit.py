@@ -66,6 +66,7 @@ SINGLE_ROW_CROSS_OK = {
     "quantile_bins",
     # single-row token-total aggregate broadcast into the share column
     "corpus_mix_report",
+    "corpus_mix_exact",  # same plan, exact-BPE counter (registry_ext14)
     # single-row n_orders aggregate broadcast into the lift/support cols
     "item_cooccurrence",
     # single-row feature-means aggregate broadcast into the attribution
