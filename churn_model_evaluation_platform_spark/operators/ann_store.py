@@ -54,13 +54,21 @@ PROP_VERSION = "ann.codebook_version"
 class PqVectorIndex:
     """Handle on a PQ-encoded vector index stored as a TxnTable."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self._cell_col = "ivf_cell"
         self._code_col = "pq_code"
-        # partition layout is a recorded table property — adopt it
-        self.table = TxnTable(spark, self.path, schema_mode="exact")
+        # partition layout is log-adopted on existing tables; ``create``
+        # passes the declared layout for the first commit
+        self.table = TxnTable(
+            spark, self.path, schema_mode="exact", partition_by=partition_by
+        )
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -76,15 +84,9 @@ class PqVectorIndex:
         """Initialize an empty index: pin the quantizer as table
         properties (version 1) and, with ``centroids``, declare the
         IVF-cell partition layout. No data committed yet."""
-        idx = cls.__new__(cls)
-        idx.spark = spark
-        idx.path = path.rstrip("/")
-        idx._cell_col = "ivf_cell"
-        idx._code_col = "pq_code"
-        idx.table = TxnTable(
+        idx = cls(
             spark,
-            idx.path,
-            schema_mode="exact",
+            path,
             partition_by=["ivf_cell"] if centroids is not None else None,
         )
         if idx.table.latest_version() is not None:
@@ -139,22 +141,41 @@ class PqVectorIndex:
         column is DROPPED at encode time; only (id, [cell,] code,
         attrs) land. Encoding + cell assignment are zero-shuffle
         codegen expressions; the write's only wide op is the
-        cell-directory fan-out."""
-        props = self._props()
-        cbs = props[PROP_CODEBOOKS]
-        cents = props.get(PROP_CENTROIDS)
-        enc = df.withColumn(
-            self._code_col,
-            similarity.pq_encode_expr(F.col(vec_col), cbs),
-        )
-        cols = [id_col, self._code_col] + list(attr_cols or [])
-        if cents is not None:
-            enc = enc.withColumn(
-                self._cell_col,
-                similarity.ivf_cell_expr(F.col(vec_col), cents),
+        cell-directory fan-out.
+
+        The commit is CONDITIONAL on the version whose codebook
+        properties were read (r10 review): a concurrent ``reencode``
+        landing mid-append would otherwise leave stale-quantizer codes
+        on the refreshed table. On conflict the batch is re-encoded
+        under the fresh quantizer and retried."""
+        from ..sources.txnlog import CommitConflict
+
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            v = self.table.latest_version()
+            props = self._props(v)
+            cbs = props[PROP_CODEBOOKS]
+            cents = props.get(PROP_CENTROIDS)
+            enc = df.withColumn(
+                self._code_col,
+                similarity.pq_encode_expr(F.col(vec_col), cbs),
             )
-            cols.insert(1, self._cell_col)
-        return self.table.append(enc.select(*cols), batch_id=batch_id)
+            cols = [id_col, self._code_col] + list(attr_cols or [])
+            if cents is not None:
+                enc = enc.withColumn(
+                    self._cell_col,
+                    similarity.ivf_cell_expr(F.col(vec_col), cents),
+                )
+                cols.insert(1, self._cell_col)
+            try:
+                return self.table.append(
+                    enc.select(*cols),
+                    batch_id=batch_id,
+                    require_latest=v,
+                )
+            except CommitConflict as e:
+                last_err = e
+        raise last_err  # pragma: no cover - needs 3 straight rivals
 
     def reencode(
         self,
@@ -169,8 +190,15 @@ class PqVectorIndex:
         full source corpus under the NEW quantizer and commit codes +
         bumped ``ann.codebook_version`` in ONE overwrite (readers see
         old codes with old codebooks or new with new — never a mix).
-        The old index remains time-travelable."""
-        props = self._props()
+        The old index remains time-travelable.
+
+        CONDITIONAL on the head the properties were read at (r10
+        review): an append landing between the source read and the
+        overwrite would be silently wiped from the index, so the
+        overwrite fails with CommitConflict instead — re-run with a
+        source corpus that includes the new batch."""
+        base = self.table.latest_version()
+        props = self._props(base)
         enc = source_df.withColumn(
             self._code_col,
             similarity.pq_encode_expr(F.col(vec_col), codebooks),
@@ -190,7 +218,7 @@ class PqVectorIndex:
         new_props[PROP_CENTROIDS] = cents
         new_props[PROP_VERSION] = int(props.get(PROP_VERSION, 1)) + 1
         return self.table.overwrite(
-            enc.select(*cols), properties=new_props
+            enc.select(*cols), properties=new_props, require_latest=base
         )
 
     # -- query -------------------------------------------------------------

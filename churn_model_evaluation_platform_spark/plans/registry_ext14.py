@@ -10,26 +10,12 @@ DuckDB side (HUGEINT hash trap).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.testdata import load_table
 from .phases import timed_phase
 from .registry import register
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, name, sf_dir)
-
-
-def _tmp_table_path(sf_dir: str, tag: str) -> str:
-    base = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/spark_graft_{tag}_{base}"
-    shutil.rmtree(path, ignore_errors=True)
-    return path
+from .registry_ext12 import _t, _tmp_table_path
 
 
 _SKIP_LO, _SKIP_HI = "2024-01-08", "2024-01-12"

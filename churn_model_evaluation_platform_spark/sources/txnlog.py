@@ -1115,11 +1115,21 @@ class TxnTable:
         except Exception:
             pass  # accelerator only; the commit already landed
 
-    def append(self, df: DataFrame, batch_id=None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        batch_id=None,
+        require_latest: int | None = _UNCHECKED,
+    ) -> int:
         """Append-commit ``df``. ``batch_id`` (any hashable JSON value)
         makes the append EXACTLY-ONCE under replays: a batch_id already
         present in the log is skipped — pass the foreachBatch epoch id
-        from a streaming sink."""
+        from a streaming sink. Appends normally commute, so they are
+        unconditional by default; ``require_latest`` opts into a
+        conditional append for callers whose CONTENT depends on table
+        state at a version — e.g. the ANN store encodes under the
+        codebook properties it read, so its codes must not land on top
+        of a concurrent re-encode (r10 review)."""
         if batch_id is not None and batch_id in self.batch_ids():
             return self.latest_version()  # skip data write too
         # fail fast: validate BEFORE materializing any data files (the
@@ -1136,29 +1146,85 @@ class TxnTable:
         # map used to write the files is the one resolved here.
         cmap = dict(pre.get("column_map") or {})
         tomb = set(pre.get("dropped_physical") or [])
-        map_update: dict | None = None
+        new_entries: dict[str, str] = {}
         if (cmap or tomb) and pre.get("schema"):
             known = {
                 f["name"]
                 for f in json.loads(pre["schema"])["fields"]
             }
             taken = {cmap.get(n, n) for n in known} | tomb
-            changed = False
             for c in df.columns:
                 if c not in known and c not in cmap and c in taken:
-                    cmap[c] = f"{c}_{uuid.uuid4().hex[:8]}"
-                    changed = True
-            if changed:
-                map_update = cmap
+                    new_entries[c] = f"{c}_{uuid.uuid4().hex[:8]}"
+            cmap.update(new_entries)
         added, stats = self._write_data(df, column_map=cmap)
-        return self._commit(
-            "append",
-            added,
-            batch_id,
-            stats=stats,
-            df_schema=df.schema,
-            column_map=map_update,
-        )
+        if not new_entries:
+            return self._commit(
+                "append",
+                added,
+                batch_id,
+                stats=stats,
+                df_schema=df.schema,
+                require_latest=require_latest,
+            )
+        if require_latest is not _UNCHECKED:
+            # the caller pinned a head itself — no rebase on its behalf
+            return self._commit(
+                "append",
+                added,
+                batch_id,
+                stats=stats,
+                df_schema=df.schema,
+                column_map=cmap,
+                require_latest=require_latest,
+            )
+        # A map_update is a full-map replace, so it must be CONDITIONAL
+        # on the head the map was computed from — an unchecked commit
+        # could clobber a concurrent rename/drop's entry (r10 review).
+        # On conflict: re-merge OUR new entries into the rival's map;
+        # the data files already carry our physical names, so any rival
+        # claim on the same logical or physical name is surfaced, never
+        # papered over.
+        base, merged = pre["latest"], cmap
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            try:
+                return self._commit(
+                    "append",
+                    added,
+                    batch_id,
+                    stats=stats,
+                    df_schema=df.schema,
+                    column_map=merged,
+                    require_latest=base,
+                )
+            except CommitConflict as e:
+                last_err = e
+                fresh = self._state()
+                base = fresh["latest"]
+                merged = dict(fresh.get("column_map") or {})
+                ftomb = set(fresh.get("dropped_physical") or [])
+                fknown = (
+                    {
+                        f["name"]
+                        for f in json.loads(fresh["schema"])["fields"]
+                    }
+                    if fresh.get("schema")
+                    else set()
+                )
+                claimed = (
+                    {merged.get(n, n) for n in fknown}
+                    | set(merged.values())
+                    | ftomb
+                )
+                for c, p in new_entries.items():
+                    rival = merged.get(c, c if c in fknown else None)
+                    if rival not in (None, p) or (
+                        rival is None and p in claimed
+                    ):
+                        raise
+                    merged[c] = p
+        raise last_err  # pragma: no cover - needs 3 straight rivals
 
     def overwrite(
         self,
@@ -1369,19 +1435,31 @@ class TxnTable:
 
     # -- read path ---------------------------------------------------------
 
+    @staticmethod
+    def _uri_path_expr(col: Column) -> Column:
+        """URI → bare path, matching java.net.URI.getPath(): strip
+        ``scheme://authority`` (authority may be empty, as in
+        ``file:///x``) or the no-authority ``scheme:/x`` form — so
+        ``hdfs://nn:8020/tbl/x`` and ``file:/tbl/x`` both become the
+        same ``/tbl/x`` the table root (toUri().getPath()) uses."""
+        with_auth = F.regexp_replace(
+            col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*", ""
+        )
+        return F.regexp_replace(
+            with_auth, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/", "/"
+        )
+
     def _rel_expr(self) -> Column:
         """Relative path of the current row's source file, computed
-        from ``_metadata.file_path``: strip the URI scheme (``file:``/
-        ``hdfs://host`` → a bare absolute path), then the table root —
+        from ``_metadata.file_path``: reduce the URI to its bare path
+        (scheme AND authority stripped — the authority stays in
+        ``_metadata.file_path`` on hdfs://host / s3a://bucket tables but
+        is absent from ``toUri().getPath()``), then cut the table root —
         the exact key format the commit log records. Pure string
         expressions; validated against the log's relpaths in
         tests/test_txnlog_dv.py."""
         root_abs = self._jpath(self.path).toUri().getPath()
-        no_scheme = F.regexp_replace(
-            F.col("_metadata.file_path"),
-            r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+",
-            "/",
-        )
+        no_scheme = self._uri_path_expr(F.col("_metadata.file_path"))
         return no_scheme.substr(F.lit(len(root_abs) + 2), F.length(no_scheme))
 
     def _dv_pos_frame(
@@ -2037,17 +2115,34 @@ class TxnTable:
 
     def set_properties(self, updates: dict) -> int:
         """Merge ``updates`` into the table properties via a
-        metadata-only commit; a ``None`` value unsets the key."""
+        metadata-only commit; a ``None`` value unsets the key.
+        Conditional on the head the merge was computed from (and
+        retried on conflict), so two concurrent set_properties calls
+        can never lose each other's keys — this is the ANN store's
+        codebook-version pinning surface (r10 review)."""
         if not isinstance(updates, dict) or not updates:
             raise ValueError("set_properties takes a non-empty dict")
-        merged = self.properties()
-        for k, v in updates.items():
-            if v is None:
-                merged.pop(str(k), None)
-            else:
-                json.dumps(v)  # fail fast on a non-serializable value
-                merged[str(k)] = v
-        return self._commit("meta", [], properties=merged)
+        for v in updates.values():
+            json.dumps(v)  # fail fast on a non-serializable value
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            st = self._state()
+            merged = dict(st.get("properties", {}))
+            for k, v in updates.items():
+                if v is None:
+                    merged.pop(str(k), None)
+                else:
+                    merged[str(k)] = v
+            try:
+                return self._commit(
+                    "meta",
+                    [],
+                    properties=merged,
+                    require_latest=st["latest"],
+                )
+            except CommitConflict as e:
+                last_err = e
+        raise last_err  # pragma: no cover - needs 3 straight rivals
 
     # -- column mapping (r10): rename/drop without rewrite -----------------
 

@@ -397,12 +397,21 @@ class _TxnLogBatchReader(DataSourceReader):
                 f"version {self._version} does not exist in {self._path} "
                 f"(known: {versions})"
             )
-        # resolved at INIT: the engine pickles the reader for executors
-        # before partitions() runs, so executor-side read() only sees
-        # state set here
-        self._cmap: dict = _replay(
+        # ONE log fold per read (r10 review: partitions() used to
+        # replay a second time): the full planning state is kept
+        # driver-side, and executor pickles carry only what read()
+        # needs (see __getstate__)
+        self._st: dict | None = _replay(
             self._path, self._version, self._fs
-        ).get("column_map", {})
+        )
+        self._cmap: dict = self._st.get("column_map", {})
+
+    def __getstate__(self):
+        # the planning state (live list + per-file stats + DV map) can
+        # be MBs on a wide table; executors only need cmap + schema
+        d = dict(self.__dict__)
+        d["_st"] = None
+        return d
 
     def pushFilters(self, filters):
         """Catalyst's pushed predicates → the log's data-skipping
@@ -442,7 +451,9 @@ class _TxnLogBatchReader(DataSourceReader):
         return filters  # all residual: pruning skips files, not rows
 
     def partitions(self):
-        st = _replay(self._path, self._version, self._fs)
+        st = self._st if self._st is not None else _replay(
+            self._path, self._version, self._fs
+        )
         live = st["live"]
         if self._preds:
             from .txnlog import _file_may_match
@@ -654,11 +665,18 @@ class _TxnLogStreamReader(DataSourceStreamReader):
             self._cursor = v
         return self._cursor
 
-    def _flat_len(self, v: int) -> int:
-        """Number of change-file entries of commit ``v`` (the unit the
-        file cap budgets). O(1) commit-body reads via the bounded
-        window (v-1, v]."""
-        return len(_change_batches(self._path, v - 1, v, self._fs))
+    def _flat_counts(self, window_start: int, end_v: int) -> dict[int, int]:
+        """Change-file entry count PER COMMIT over ``(window_start,
+        end_v]`` in ONE log fold — the file-cap loop must not call
+        ``_change_batches`` per commit, which would re-list the log
+        directory and re-read the checkpoint O(window) times per
+        trigger and defeat the listing cursor (r10 review)."""
+        counts: dict[int, int] = {}
+        for v, _, _, _, _ in _change_batches(
+            self._path, window_start, end_v, self._fs
+        ):
+            counts[v] = counts.get(v, 0) + 1
+        return counts
 
     def latestOffset(self) -> dict:
         latest = self._probe_latest()
@@ -683,12 +701,16 @@ class _TxnLogStreamReader(DataSourceStreamReader):
                 end_v = min(latest, max(last_v + span, last_v))
             off = {"version": end_v}
             if self._max_files is not None:
+                # budget >= 1 (validated), so the first commit with
+                # available entries always admits at least one — the
+                # offset always progresses when there is anything new
                 budget = self._max_files
                 taken_v, taken_k = last_v, last_k
-                progressed = False
-                v = last_v if last_k is not None else last_v + 1
+                first_v = last_v if last_k is not None else last_v + 1
+                counts = self._flat_counts(first_v - 1, end_v)
+                v = first_v
                 while v <= end_v:
-                    total = self._flat_len(v)
+                    total = counts.get(v, 0)
                     already = (
                         int(last_k)
                         if (v == last_v and last_k is not None)
@@ -699,14 +721,10 @@ class _TxnLogStreamReader(DataSourceStreamReader):
                         taken_v, taken_k = v, None
                         v += 1
                         continue
+                    if budget <= 0:
+                        break
                     take = min(avail, budget)
-                    if take <= 0:
-                        if not progressed:
-                            take = avail  # always admit >=1 commit
-                        else:
-                            break
                     budget -= take
-                    progressed = True
                     new_k = already + take
                     taken_v = v
                     taken_k = None if new_k >= total else new_k
