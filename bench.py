@@ -125,6 +125,10 @@ HEADLINE = [
     "similarity_topk_pq_txn",
     "txnlog_delete_dv",
     "token_count_bpe_exact",
+    # round-10 batch 2: the embedding near-dup gate on the stored index
+    # (broadcast batch x IVF-blocked candidates) and merge-on-read MERGE
+    "ann_dedup_gate",
+    "txnlog_merge_dv",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -269,6 +269,81 @@ class PqVectorIndex:
             exclude_id=exclude_id,
         )
 
+    def dedup_gate(
+        self,
+        batch_df: DataFrame,
+        threshold: float,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        version: int | None = None,
+    ) -> DataFrame:
+        """EMBEDDING NEAR-DUP GATE against the stored index — the
+        vector analog of ``dedup_incremental`` (operators/dedup.py):
+        before a new batch is appended, score each new embedding's
+        approximate (ADC) distance to its nearest stored neighbor and
+        flag ``keep = min_adc is NULL or min_adc > threshold`` — the
+        rows a near-dup-free ingest should append. Output per batch
+        row: ``(id, min_adc, keep)``.
+
+        Plan shape (never all-pairs): each new vector probes its
+        ``nprobe`` nearest IVF cells (``ivf_probe_cells_expr`` — same
+        arithmetic and tie order as every other probe site), its m
+        per-subspace ADC distance tables ride along as m×ks doubles,
+        and the BROADCAST batch joins the stored codes on the cell id —
+        candidates are |batch| × nprobe/n_cells of the store, scored at
+        m code-byte lookups each, embeddings never read from the store
+        (it has none). A batch too large to broadcast splits into gate
+        calls upstream — the daily-increment contract."""
+        from . import similarity as S
+
+        v = version if version is not None else self.table.latest_version()
+        props = self._props(v)
+        cbs = props[PROP_CODEBOOKS]
+        cents = props.get(PROP_CENTROIDS)
+        if cents is None:
+            raise ValueError(
+                "dedup_gate needs stored centroids (IVF-blocked "
+                "candidates); build the index with centroids"
+            )
+        m = len(cbs)
+        tabs = S._pq_subdist_arrays(F.col(vec_col), cbs)
+        probe_rows = batch_df.select(
+            F.col(id_col).alias("_gate_id"),
+            F.explode(
+                S.ivf_probe_cells_expr(F.col(vec_col), cents, nprobe)
+            ).alias(self._cell_col),
+            *[t.alias(f"_tab{s}") for s, t in enumerate(tabs)],
+        )
+        stored = self.table.snapshot(version=v).select(
+            self._cell_col, self._code_col
+        )
+        joined = F.broadcast(probe_rows).join(stored, self._cell_col)
+        adc = None
+        for s in range(m):
+            term = F.element_at(
+                F.col(f"_tab{s}"), F.col(self._code_col)[s] + 1
+            )
+            adc = term if adc is None else adc + term
+        cand = joined.select("_gate_id", adc.alias("_adc"))
+        mins = cand.groupBy("_gate_id").agg(F.min("_adc").alias("min_adc"))
+        return (
+            batch_df.select(F.col(id_col))
+            .join(
+                mins.withColumnRenamed("_gate_id", id_col),
+                id_col,
+                "left",
+            )
+            .select(
+                id_col,
+                F.round("min_adc", 6).alias("min_adc"),
+                (
+                    F.col("min_adc").isNull()
+                    | (F.col("min_adc") > F.lit(float(threshold)))
+                ).alias("keep"),
+            )
+        )
+
     # -- maintenance / audit -----------------------------------------------
 
     def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> dict:

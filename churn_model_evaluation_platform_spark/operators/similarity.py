@@ -241,6 +241,32 @@ def ivf_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
+def ivf_probe_cells_expr(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest cell ids of ``vec`` as an ``array<int>``
+    — the PER-ROW analog of the driver-side ``_select_probes`` (same
+    dot-identity arithmetic, same (distance, cid) tie order), for
+    consumers whose query side is a whole DataFrame (the ANN store's
+    batch dedup gate) rather than one driver-held vector. Sorting an
+    n_cells-long struct array per row is codegen-friendly; n_cells is
+    the coarse-quantizer grain (small by design)."""
+    dee = _dot(vec, vec)
+    pairs = [
+        F.struct(
+            (
+                dee
+                - F.lit(2.0) * _dot(vec, F.array(*[F.lit(v) for v in c]))
+                + F.lit(_pydot(c, c))
+            ).alias("d"),
+            F.lit(j).cast("int").alias("cid"),
+        )
+        for j, c in enumerate(centroids)
+    ]
+    ranked = F.slice(F.array_sort(F.array(*pairs)), 1, max(1, nprobe))
+    return F.transform(ranked, lambda p: p["cid"])
+
+
 def _select_probes(
     query_vec: list[float], centroids: list[list[float]], nprobe: int
 ) -> list[int]:

@@ -293,3 +293,210 @@ def q_sequence_pack_bpe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx_len=512,
         counter=bpe_token_count_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_dedup_gate — the EMBEDDING NEAR-DUP GATE on the incremental ANN
+# store (the vector analog of dedup_incremental, closing VERDICT r9's
+# "embeddings have no incremental-dedup equivalent"): the even half of
+# the corpus is ingested as PQ codes, then the odd half is gated BEFORE
+# append — each new vector probes its nprobe IVF cells, ADC-scores the
+# stored codes there (per-row distance tables riding a broadcast join;
+# candidates are nprobe/n_cells of the store, never all-pairs), and
+# keep = min_adc > threshold. The oracle replays probe selection, cell
+# assignment, code assignment, and the ADC sum from ext12's shared CTE
+# fragments (one definition of the arithmetic), aggregates the same
+# min, and applies the same threshold — a gate that scored the wrong
+# candidates, dropped a no-candidate row, or mixed up the tie order
+# breaks the hash.
+# ---------------------------------------------------------------------------
+
+_GATE_THRESH = 1.25  # rejects ~25% of the odd half at sf0.001 — a real mix
+
+
+def _gate_sql() -> str:
+    from .registry_ext12 import (
+        _IVFPQ_NCELLS,
+        _IVFPQ_NPROBE,
+        _PQ_DSUB,
+        _PQ_M,
+        _pq_adc,
+        _pq_cte_block,
+    )
+
+    dtqs = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+        dtqs.append(
+            f"dtq{s} AS (SELECT n.vec_id AS qid, c.code, "
+            "list_dot_product(n.qsv, n.qsv) "
+            "- 2 * list_dot_product(n.qsv, c.cv) "
+            "+ list_dot_product(c.cv, c.cv) AS d "
+            f"FROM cb{s} c CROSS JOIN (SELECT vec_id, list_slice(ev, "
+            f"{lo}, {hi}) AS qsv FROM e WHERE vec_id % 2 = 1) n)"
+        )
+    joins = " ".join(
+        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id "
+        f"JOIN dtq{s} ON dtq{s}.code = a{s}.code AND dtq{s}.qid = dtq0.qid"
+        if s
+        else "JOIN dtq0 ON dtq0.code = a0.code"
+        for s in range(_PQ_M)
+    )
+    return f"""
+WITH {_pq_cte_block()},
+{",".join(dtqs)},
+cents AS (
+  SELECT CAST(vec_id - 1 AS INT) AS cid, ev AS cv
+  FROM e WHERE vec_id BETWEEN 1 AND {_IVFPQ_NCELLS}
+),
+probes AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_dot_product(ev, ev) - 2 * list_dot_product(ev, cv)
+             + list_dot_product(cv, cv), c.cid) AS rn
+    FROM (SELECT vec_id, ev FROM e WHERE vec_id % 2 = 1) n
+    CROSS JOIN cents c) WHERE rn <= {_IVFPQ_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(ev, ev) - 2 * list_dot_product(ev, cv)
+             + list_dot_product(cv, cv), c.cid) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1
+),
+cand AS (
+  SELECT dtq0.qid, {_pq_adc(per_qid=True)} AS adc
+  FROM a0 {joins}
+  JOIN assign ON assign.vec_id = a0.vec_id
+  JOIN probes p ON p.qid = dtq0.qid AND p.cid = assign.cid
+  WHERE a0.vec_id % 2 = 0
+),
+mins AS (SELECT qid, min(adc) AS min_adc FROM cand GROUP BY qid)
+SELECT n.vec_id, round(m.min_adc, 6) AS min_adc,
+       (m.min_adc IS NULL OR m.min_adc > {_GATE_THRESH}) AS keep
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) n
+LEFT JOIN mins m ON m.qid = n.vec_id
+"""
+
+
+@register("ann_dedup_gate", _gate_sql())
+def q_ann_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    from ..operators.ann_store import PqVectorIndex
+    from .registry_ext12 import _IVFPQ_NCELLS, _IVFPQ_NPROBE, _PQ_KS, _PQ_M
+
+    emb = _t(spark, sf_dir, "embeddings")
+    with timed_phase("fixture_build:anngate"):
+        cbs = similarity.pq_codebooks_pinned(emb, m=_PQ_M, ks=_PQ_KS)
+        cents = [
+            [float(v) for v in r["embedding"]]
+            for r in emb.where(
+                F.col("vec_id").between(1, _IVFPQ_NCELLS)
+            )
+            .orderBy("vec_id")
+            .collect()
+        ]
+        path = _tmp_table_path(sf_dir, "anngate")
+        idx = PqVectorIndex.create(spark, path, cbs, cents)
+        idx.append(emb.where("vec_id % 2 = 0"), batch_id=0)
+    return idx.dedup_gate(
+        emb.where("vec_id % 2 = 1"),
+        threshold=_GATE_THRESH,
+        nprobe=_IVFPQ_NPROBE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# txnlog_merge_dv — MERGE-ON-READ MERGE (Delta MERGE + deletion
+# vectors): the exact cdc_upsert changelog folded into a 4-file txn
+# table via merge_dv — matched rows are superseded by DV addresses
+# (zero data files rewritten), post-merge row versions append as new
+# files, one atomic commit. The oracle replays cdc_apply's full-outer
+# semantics (same SQL skeleton as cdc_upsert, aggregated per segment —
+# inserts land in the NULL-segment group) and pins files_rewritten = 0
+# plus the two row-level facts: rows_deleted = snapshot keys the
+# changelog touches, rows_appended = effective non-delete changes. A
+# merge that fell back to rewriting, dropped an insert's NULL backfill,
+# or mis-resolved the latest change per key breaks the hash.
+# ---------------------------------------------------------------------------
+
+_MERGE_DV_SQL = """
+WITH snap AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+  WHERE c_custkey % 3 <> 0
+),
+ch AS (
+  SELECT o_custkey AS c_custkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS new_bal,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+),
+last AS (SELECT c_custkey, op, new_bal FROM ch WHERE rn = 1),
+merged AS (
+  SELECT COALESCE(s.c_custkey, l.c_custkey) AS c_custkey,
+         CASE WHEN l.op = 'U' THEN l.new_bal ELSE s.c_acctbal END AS c_acctbal,
+         s.c_mktsegment AS c_mktsegment
+  FROM snap s FULL OUTER JOIN last l ON s.c_custkey = l.c_custkey
+  WHERE l.op IS NULL OR l.op <> 'D'
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS sum_bal,
+       CAST(0 AS BIGINT) AS files_rewritten,
+       (SELECT CAST(count(*) AS BIGINT) FROM snap s
+        JOIN last l ON l.c_custkey = s.c_custkey) AS rows_deleted,
+       (SELECT CAST(count(*) AS BIGINT) FROM last WHERE op <> 'D')
+         AS rows_appended
+FROM merged
+GROUP BY c_mktsegment
+"""
+
+
+@register("txnlog_merge_dv", _MERGE_DV_SQL)
+def q_txnlog_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog import TxnTable
+
+    with timed_phase("fixture_build:txnmergedv"):
+        path = _tmp_table_path(sf_dir, "txnmergedv")
+        snap = (
+            _t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 3 != 0)
+            .select("c_custkey", "c_acctbal", "c_mktsegment")
+        )
+        t = TxnTable(spark, path)
+        t.append(snap.repartition(4), batch_id=0)
+    orders = _t(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "o_orderdate",
+        "o_orderkey",
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    rep = t.merge_dv(
+        changes,
+        keys=["c_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        op_col="op",
+    )
+    return (
+        t.snapshot()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .withColumn(
+            "files_rewritten", F.lit(rep["files_rewritten"]).cast("long")
+        )
+        .withColumn("rows_deleted", F.lit(rep["rows_deleted"]).cast("long"))
+        .withColumn(
+            "rows_appended", F.lit(rep["rows_appended"]).cast("long")
+        )
+    )

@@ -2018,6 +2018,151 @@ class TxnTable:
             return preds
         return [(cmap.get(c, c), op, v) for c, op, v in preds]
 
+    def merge_dv(
+        self,
+        changes: DataFrame,
+        keys: list[str],
+        order_cols: list[str],
+        op_col: str = "op",
+        delete_op: str = "D",
+        upsert_op: str = "U",
+    ) -> dict:
+        """MERGE-ON-READ MERGE (Delta MERGE with deletion vectors):
+        apply a keyed changelog WITHOUT rewriting any matched file.
+        The latest change per key is resolved exactly like ``merge``
+        (operators/cdc.py ``latest_changes``); every matched table
+        row's ADDRESS lands in a DV sidecar (superseding it on all
+        read paths), and the post-merge row versions — updates merged
+        against their matched snapshot rows plus pure inserts — append
+        as new files. ONE commit carries both the DV entries and the
+        added files, so readers see pre- or post-merge, never a mix,
+        and the change feed emits the row-level deletes plus the
+        inserted versions.
+
+        Result content is exactly ``merge``'s (cdc_apply semantics) at
+        O(changed rows) write cost instead of O(files touched): the
+        sparse-upsert shape — late-arriving corrections over a 100 TB
+        table. Bulk changelogs should prefer the CoW ``merge``; a DV
+        merge of half the table just defers the same rewrite to
+        OPTIMIZE.
+
+        Returns ``{version, files_rewritten: 0, files_with_dv,
+        rows_deleted, rows_appended}``."""
+        from ..operators.cdc import latest_changes
+
+        if not keys or not order_cols:
+            raise ValueError("merge_dv needs keys and order_cols")
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            st = self._state()
+            if not st["live"]:
+                raise ValueError(
+                    f"TxnTable at {self.path} has no committed data"
+                )
+            base = st["latest"]
+            eff = latest_changes(changes, keys, order_cols, op_col=op_col)
+            snap = self._read_files(st, st["live"], with_lineage=True)
+            data_cols = [
+                c for c in snap.columns if c not in ("__rel", "__pos")
+            ]
+            value_cols = [
+                c for c in eff.columns if c not in set(keys) | {op_col}
+            ]
+            # 1) addresses of superseded rows: every live row whose key
+            #    an effective change touches (update, delete, or other —
+            #    its post-merge version is re-appended below)
+            hits = snap.join(eff.select(*keys), keys, "leftsemi").select(
+                F.col("__rel").alias("relpath"),
+                F.col("__pos").alias("pos"),
+            )
+            dv_dir = f"{_DATA_DIR}/{uuid.uuid4().hex}"
+            hits.coalesce(1).write.mode("errorifexists").parquet(
+                f"{self.path}/{dv_dir}"
+            )
+            counts = {
+                r["relpath"]: int(r["n"])
+                for r in self.spark.read.schema(_DV_SCHEMA)
+                .parquet(f"{self.path}/{dv_dir}")
+                .groupBy("relpath")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # bounded: one row per touched file
+            }
+            bad = set(counts) - set(st["live"])
+            if bad:  # pragma: no cover - lineage/relpath derivation bug
+                raise RuntimeError(
+                    f"merge_dv derived unknown relpaths {sorted(bad)}"
+                )
+            # 2) post-merge row versions (exact cdc_apply column
+            #    semantics: upsert takes the change's value columns,
+            #    anything else keeps the snapshot's; inserts NULL-fill
+            #    snapshot-only columns)
+            ups = eff.where(F.col(op_col) != F.lit(delete_op))
+            matched = snap.join(ups, on=keys, how="inner")
+            m_cols = []
+            for c in data_cols:
+                if c in keys:
+                    m_cols.append(F.col(c))
+                elif c in value_cols:
+                    m_cols.append(
+                        F.when(ups[op_col] == upsert_op, ups[c])
+                        .otherwise(snap[c])
+                        .alias(c)
+                    )
+                else:
+                    m_cols.append(snap[c].alias(c))
+            merged_rows = matched.select(*m_cols)
+            snap_types = {f.name: f.dataType for f in snap.schema.fields}
+            i_cols = []
+            for c in data_cols:
+                if c in keys:
+                    i_cols.append(ups[c].alias(c))
+                elif c in value_cols:
+                    i_cols.append(
+                        F.when(ups[op_col] == upsert_op, ups[c])
+                        .otherwise(F.lit(None).cast(snap_types[c]))
+                        .alias(c)
+                    )
+                else:
+                    i_cols.append(
+                        F.lit(None).cast(snap_types[c]).alias(c)
+                    )
+            inserts = ups.join(
+                snap.select(*keys), on=keys, how="left_anti"
+            ).select(*i_cols)
+            appended = merged_rows.unionByName(inserts)
+            added, stats = self._write_data(
+                appended, column_map=st.get("column_map")
+            )
+            entries = {}
+            for rel, n in counts.items():
+                old = (st.get("dv") or {}).get(rel) or {"fs": [], "n": 0}
+                entries[rel] = {
+                    "fs": list(old["fs"]) + [dv_dir],
+                    "n": int(old["n"]) + n,
+                }
+            try:
+                version = self._commit(
+                    "mergedv",
+                    added,
+                    require_latest=base,
+                    stats=stats,
+                    df_schema=appended.schema,
+                    dv=entries or None,
+                )
+                return {
+                    "version": version,
+                    "files_rewritten": 0,
+                    "files_with_dv": len(entries),
+                    "rows_deleted": sum(counts.values()),
+                    "rows_appended": sum(
+                        int((stats.get(rel) or {}).get("rows", 0))
+                        for rel in added
+                    ),
+                }
+            except CommitConflict as e:  # table advanced: recompute
+                last_err = e
+        raise last_err  # pragma: no cover - needs 3 straight rivals
+
     def update(self, where: list[tuple], set_exprs: dict) -> dict:
         """UPDATE ... SET: rows where the predicate is TRUE get each
         ``set_exprs`` column replaced (values may be literals or

@@ -1,0 +1,126 @@
+"""dedup_gate — the embedding near-dup gate on the incremental ANN
+store: exact-duplicate rejection, no-candidate keeps, threshold
+semantics, and probe blocking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from churn_model_evaluation_platform_spark.operators import similarity
+from churn_model_evaluation_platform_spark.operators.ann_store import PqVectorIndex
+from churn_model_evaluation_platform_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+M, KS, NCELLS, NPROBE = 4, 8, 16, 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF).cache()
+
+
+@pytest.fixture(scope="module")
+def pinned(spark, emb):
+    cbs = similarity.pq_codebooks_pinned(emb, m=M, ks=KS)
+    cents = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.where(F.col("vec_id").between(1, NCELLS))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return cbs, cents
+
+
+@pytest.fixture()
+def index(spark, emb, pinned, tmp_path):
+    cbs, cents = pinned
+    idx = PqVectorIndex.create(spark, str(tmp_path / "gate"), cbs, cents)
+    idx.append(emb.where("vec_id % 2 = 0"), batch_id=0)
+    return idx
+
+
+def test_exact_duplicate_rejected(spark, emb, pinned, index):
+    # re-submit stored vectors under new ids: each one's nearest stored
+    # code is AT MOST its own quantization error (sum of per-subspace
+    # minima), so with the threshold set to the batch's worst self-ADC
+    # the gate must reject every duplicate
+    cbs, _ = pinned
+    dup = emb.where("vec_id % 2 = 0 AND vec_id < 60").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    self_adc = None
+    for t in similarity._pq_subdist_arrays(F.col("embedding"), cbs):
+        term = F.array_min(t)
+        self_adc = term if self_adc is None else self_adc + term
+    floors = {
+        r["vec_id"]: r["f"]
+        for r in dup.select("vec_id", self_adc.alias("f")).collect()
+    }
+    thresh = max(floors.values()) + 1e-9
+    out = index.dedup_gate(dup, threshold=thresh, nprobe=NPROBE).collect()
+    assert len(out) == 30
+    assert all(not r["keep"] for r in out)
+    for r in out:  # nearest stored code is at most the self floor
+        assert r["min_adc"] <= floors[r["vec_id"]] + 1e-6
+
+
+def test_no_candidate_rows_kept(spark, emb, pinned, tmp_path):
+    # store ONLY vectors of one cell; gate a vector probing one other
+    # cell -> zero candidates -> NULL min_adc, keep
+    cbs, cents = pinned
+    cell = similarity.ivf_cell_expr(F.col("embedding"), cents)
+    stored_cell = 0
+    idx = PqVectorIndex.create(spark, str(tmp_path / "sparse"), cbs, cents)
+    idx.append(
+        emb.withColumn("_c", cell).where(F.col("_c") == stored_cell).drop("_c"),
+        batch_id=0,
+    )
+    probe_rows = (
+        emb.select(
+            "vec_id",
+            similarity.ivf_probe_cells_expr(
+                F.col("embedding"), cents, 1
+            ).alias("p"),
+        )
+        .where(~F.array_contains("p", stored_cell))
+        .limit(5)
+    )
+    batch = emb.join(probe_rows.select("vec_id"), "vec_id")
+    out = idx.dedup_gate(batch, threshold=1.0, nprobe=1).collect()
+    assert len(out) == 5
+    assert all(r["keep"] and r["min_adc"] is None for r in out)
+
+
+def test_threshold_semantics(spark, emb, index):
+    batch = emb.where("vec_id % 2 = 1")
+    strict = index.dedup_gate(batch, threshold=10.0, nprobe=NPROBE)
+    lax = index.dedup_gate(batch, threshold=0.0, nprobe=NPROBE)
+    n_strict = strict.where("keep").count()
+    n_lax = lax.where("keep").count()
+    assert n_strict <= n_lax  # higher threshold rejects more
+    assert n_lax == batch.count()  # threshold 0: everything keeps
+
+
+def test_probe_cells_expr_matches_driver_probes(spark, emb, pinned):
+    cbs, cents = pinned
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.ivf_probe_cells_expr(
+            F.col("embedding"), cents, NPROBE
+        ).alias("p"),
+    ).collect()
+    for r in rows:
+        want = similarity._select_probes(
+            [float(v) for v in r["embedding"]], cents, NPROBE
+        )
+        assert list(r["p"]) == want, r["vec_id"]
+
+
+def test_gate_requires_centroids(spark, emb, pinned, tmp_path):
+    cbs, _ = pinned
+    idx = PqVectorIndex.create(spark, str(tmp_path / "nocents"), cbs, None)
+    idx.append(emb.where("vec_id % 2 = 0"), batch_id=0)
+    with pytest.raises(ValueError, match="centroids"):
+        idx.dedup_gate(emb.where("vec_id % 2 = 1"), threshold=1.0)
