@@ -129,6 +129,9 @@ HEADLINE = [
     # (broadcast batch x IVF-blocked candidates) and merge-on-read MERGE
     "ann_dedup_gate",
     "txnlog_merge_dv",
+    # round-10 batch 3: the native txnlog WRITERS — end-to-end
+    # txnlog-to-txnlog streaming replication through Spark's own sink
+    "txnlog_stream_sink",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

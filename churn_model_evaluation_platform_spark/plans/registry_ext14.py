@@ -500,3 +500,113 @@ def q_txnlog_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_appended", F.lit(rep["rows_appended"]).cast("long")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# txnlog_format_write — the NATIVE BATCH WRITER: the same six-bucket
+# ingest as txnlog_format_scan, but through df.write.format("txnlog")
+# (one atomic commit per save; executor tasks stage pyarrow part files,
+# the sink's pure-Python commit claims the next version via conditional
+# put and records the library-format per-file stats). Read back through
+# the format's pushed-filter scan — the SAME oracle as
+# txnlog_format_scan, so sink-written stats must prune exactly like
+# library-written ones: a sink whose stats encoding diverged (tz, NaN,
+# kind tags) changes files_scanned and breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+def _fmt_write_sql() -> str:
+    from .registry_ext13 import _FMT_SCAN_SQL
+
+    return _FMT_SCAN_SQL
+
+
+@register("txnlog_format_write", _fmt_write_sql())
+def q_txnlog_format_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog_datasource import register_txnlog_source
+
+    register_txnlog_source(spark)
+    with timed_phase("fixture_build:txnfmtw"):
+        path = _tmp_table_path(sf_dir, "txnfmtw")
+        ev = _t(spark, sf_dir, "events").select(
+            "event_type", "value", "ts", F.dayofmonth("ts").alias("dd")
+        )
+        bucket = F.floor((F.col("dd") - 1) / 5)
+        for b in range(6):
+            ev.where(bucket == b).coalesce(1).write.format("txnlog").mode(
+                "append"
+            ).save(path)
+    base = (
+        spark.read.format("txnlog")
+        .load(path)
+        .where((F.col("dd") >= 8) & (F.col("dd") <= 11))
+    )
+    scanned = base.rdd.getNumPartitions()  # one partition per kept file
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("files_scanned", F.lit(scanned).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# txnlog_stream_sink — the NATIVE STREAMING SINK: the change feed of a
+# six-commit source table piped through Spark's own streaming machinery
+# into a second txn table (readStream.format("txnlog") →
+# writeStream.format("txnlog"), availableNow) — the full
+# txnlog-to-txnlog replication loop with exactly-once commits keyed by
+# sinkId:batchId. The oracle predicts the replicated content from the
+# source rows AND pins n_sink_commits == 1 (one availableNow drain =
+# one uncapped micro-batch = one atomic sink commit); a double-commit
+# replay or a lossy pipe breaks the hash. Restart/replay no-op and
+# incremental-commit semantics are pinned in tests/test_txnlog_sink.py.
+# ---------------------------------------------------------------------------
+
+_STREAM_SINK_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       CAST(1 AS BIGINT) AS n_sink_commits
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("txnlog_stream_sink", _STREAM_SINK_SQL)
+def q_txnlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sources.txnlog import TxnTable
+    from ..sources.txnlog_datasource import register_txnlog_source
+    from .registry_ext12 import _six_bucket_table
+
+    register_txnlog_source(spark)
+    with timed_phase("fixture_build:txnsinksrc"):
+        src = _six_bucket_table(spark, sf_dir, "txnsinksrc")
+    dst_path = _tmp_table_path(sf_dir, "txnsinkdst")
+    ckpt = _tmp_table_path(sf_dir, "txnsinkckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        spark.readStream.format("txnlog")
+        .option("startVersion", 0)
+        .load(src.path)
+        .writeStream.format("txnlog")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(dst_path)
+    )
+    q.awaitTermination(300)
+    dst = TxnTable(spark, dst_path)
+    n_commits = len(dst.versions())
+    return (
+        dst.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("n_sink_commits", F.lit(n_commits).cast("long"))
+    )

@@ -57,11 +57,16 @@ from __future__ import annotations
 
 import json
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -144,6 +149,11 @@ def _replay(path: str, until: int, fs: PlannerFS | None = None) -> dict:
     stats: dict = dict(ck.get("stats", {})) if ck else {}
     dv: dict = dict(ck.get("dv", {})) if ck else {}
     cmap: dict = dict(ck.get("column_map", {})) if ck else {}
+    batch_ids: list = list(ck.get("batch_ids", [])) if ck else []
+    constraints: dict = dict(ck.get("constraints", {})) if ck else {}
+    properties: dict = dict(ck.get("properties", {})) if ck else {}
+    dropped: list = list(ck.get("dropped_physical", [])) if ck else []
+    partition_by = ck.get("partition_by") if ck else None
     for v in _log_versions(path, fs):
         if v <= base:
             continue
@@ -162,12 +172,26 @@ def _replay(path: str, until: int, fs: PlannerFS | None = None) -> dict:
         schema = c.get("table_schema") or schema
         if "column_map" in c:
             cmap = dict(c["column_map"] or {})
+        if c.get("batch_id") is not None:
+            batch_ids.append(c["batch_id"])
+        if "constraints" in c:
+            constraints = dict(c["constraints"] or {})
+        if "properties" in c:
+            properties = dict(c["properties"] or {})
+        if "dropped_physical" in c:
+            dropped = list(c["dropped_physical"] or [])
+        partition_by = c.get("partition_by") or partition_by
     return {
         "live": live,
         "schema": schema,
         "stats": stats,
         "dv": dv,
         "column_map": cmap,
+        "batch_ids": batch_ids,
+        "constraints": constraints,
+        "properties": properties,
+        "dropped_physical": dropped,
+        "partition_by": partition_by,
     }
 
 
@@ -799,6 +823,334 @@ class _TxnLogStreamReader(DataSourceStreamReader):
 # -- the format ----------------------------------------------------------
 
 
+# -- writers ---------------------------------------------------------------
+
+
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    file: str | None  # None = the task saw no rows and staged nothing
+    rows: int
+
+
+class _TxnLogWriterBase:
+    """Shared logic of the batch and streaming txnlog WRITERS — the
+    ``df.write`` / ``writeStream.format("txnlog")`` surface (Delta sink
+    parity; before r10 ingestion required the TxnTable library or
+    ``foreach_batch_appender``). The commit-log protocol maps onto
+    Spark's writer contract exactly:
+
+    - executor ``write`` streams its task's Arrow batches into ONE
+      parquet part file under a hidden staging dir — invisible to every
+      reader (nothing references it) and renamed, never copied, at
+      commit;
+    - driver ``commit`` stages the task files into a commit-unique
+      ``data/`` dir, collects the same per-file stats the library
+      writes (data skipping works on streamed-in data), re-validates
+      CHECK constraints, and lands ONE atomic log entry — append, or
+      truncate-and-replace when ``overwrite``;
+    - streaming commits are EXACTLY-ONCE keyed by ``sinkId:batchId``
+      (set ``sinkId`` when several sinks feed one table): a replayed
+      micro-batch is a no-op commit, and its re-staged files are
+      unreferenced orphans that ``vacuum`` reclaims — the same
+      guarantee ``foreach_batch_appender`` gives, now through Spark's
+      own sink machinery.
+
+    Column mapping: the logical→physical map is resolved once at query
+    start (the stream's schema is pinned anyway) and task files are
+    written under PHYSICAL names, exactly like the library write path.
+    Partitioned tables are refused (the executor side writes flat
+    files; Hive-layout ingest keeps using the library). Executor writes
+    use pyarrow on a locally-reachable path — same scope as the
+    planner's default local fs."""
+
+    def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
+        import uuid
+
+        self._path = options["path"].rstrip("/")
+        self._schema = schema
+        self._overwrite = overwrite
+        self._sink_id = str(options.get("sinkid", "txnsink"))
+        self._mode = str(options.get("schemamode", "exact"))
+        self._stats = str(options.get("collectstats", "true")).lower() not in (
+            "false",
+            "0",
+        )
+        self._tmp = f"{self._path}/data/.sinktmp-{uuid.uuid4().hex[:12]}"
+        try:
+            fs = fs_for(self._path)
+            vs = _log_versions(self._path, fs)
+            self._cmap: dict = (
+                _replay(self._path, vs[-1], fs).get("column_map", {})
+                if vs
+                else {}
+            )
+        except Exception:
+            self._cmap = {}  # fresh table: no log yet, no mapping
+
+    # executor-side (Arrow writer variants feed RecordBatches)
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        writer = None
+        rows = 0
+        fname = f"{self._tmp}/{uuid.uuid4().hex}.parquet"
+        for batch in iterator:
+            if self._cmap:
+                batch = batch.rename_columns(
+                    [self._cmap.get(n, n) for n in batch.schema.names]
+                )
+            if writer is None:
+                os.makedirs(self._tmp, exist_ok=True)
+                writer = pq.ParquetWriter(fname, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            # empty task: stage nothing (the engine requires a commit
+            # message object even so)
+            return _WrittenFile(file=None, rows=0)
+        writer.close()
+        return _WrittenFile(file=fname, rows=rows)
+
+    @staticmethod
+    def _local_root(path: str) -> str:
+        if path.startswith("file://"):
+            return path[len("file://") :] or "/"
+        if "://" in path:
+            raise ValueError(
+                "the txnlog sink writes with pyarrow + conditional-put "
+                "and supports local/file: table paths; ingest remote "
+                "tables with TxnTable.append / foreach_batch_appender"
+            )
+        return path
+
+    def _file_stats(self, root: str, rels: list[str]) -> dict:
+        """Per-file stats in the library's exact format, computed from
+        the staged parquet with pyarrow (the sink's commit runs in a
+        Python worker — no SparkSession, so the library's one-job
+        aggregation is unavailable). Every bound goes through the SAME
+        ``_enc_stat`` encoder; anything whose Spark-parity is not
+        certain (decimals, tz conversion failures, exotic types) is
+        simply OMITTED — a missing bound only costs pruning, never
+        correctness. Parity with the library's stats is pinned
+        entry-by-entry in tests/test_txnlog_sink.py."""
+        import math
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .txnlog import _STATS_MAX_COLS, _enc_stat, _kind_of
+
+        atomic = (
+            T.NumericType,
+            T.StringType,
+            T.BooleanType,
+            T.DateType,
+            T.TimestampType,
+            T.TimestampNTZType,
+        )
+        fields = [
+            f
+            for f in self._schema.fields
+            if isinstance(f.dataType, atomic)
+            and not isinstance(f.dataType, T.DecimalType)
+        ][:_STATS_MAX_COLS]
+        out: dict = {}
+        for rel in rels:
+            tbl = pq.read_table(f"{root}/{rel}")
+            cols: dict = {}
+            if tbl.num_rows:
+                for f in fields:
+                    phys = self._cmap.get(f.name, f.name)
+                    if phys not in tbl.column_names:
+                        continue
+                    arr = tbl[phys]
+                    ent = {
+                        "nulls": int(arr.null_count),
+                        "kind": _kind_of(f.dataType),
+                    }
+                    vals = arr.drop_null().combine_chunks()
+                    floaty = isinstance(
+                        f.dataType, (T.FloatType, T.DoubleType)
+                    )
+                    if floaty and len(vals):
+                        nan_mask = pc.is_nan(vals)
+                        if pc.any(nan_mask).as_py():
+                            ent["nan"] = True
+                            vals = vals.filter(pc.invert(nan_mask))
+                    mn = mx = None
+                    if len(vals):
+                        mm = pc.min_max(vals)
+                        mn = self._to_py(mm["min"], arr.type)
+                        mx = self._to_py(mm["max"], arr.type)
+                    if floaty and any(
+                        isinstance(v, float) and math.isinf(v)
+                        for v in (mn, mx)
+                    ):
+                        ent["inf"] = True
+                    ent["min"] = _enc_stat(mn)
+                    # library parity: Spark orders NaN greatest, so a
+                    # NaN-bearing file has NO usable upper bound (x > c
+                    # is TRUE for NaN — a real-valued max would let
+                    # pruning drop a matching file)
+                    ent["max"] = (
+                        None if ent.get("nan") else _enc_stat(mx)
+                    )
+                    # stats are keyed by the files' PHYSICAL names,
+                    # exactly like the library's
+                    cols[phys] = ent
+            entry = {"rows": int(tbl.num_rows), "cols": cols}
+            try:
+                entry["bytes"] = os.path.getsize(f"{root}/{rel}")
+            except OSError:
+                pass  # byte size is an OPTIMIZE accelerator only
+            out[rel] = entry
+        return out
+
+    @staticmethod
+    def _to_py(scalar, arrow_type):
+        """Arrow scalar → the Python value Spark's collect would have
+        produced: tz-aware timestamps convert to naive session-wall
+        time via the Arrow type's own tz (None on failure — a dropped
+        bound, never a wrong one)."""
+        v = scalar.as_py()
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            try:
+                from zoneinfo import ZoneInfo
+
+                tz = getattr(arrow_type, "tz", None)
+                if tz is None:
+                    return None
+                return v.astimezone(ZoneInfo(tz)).replace(tzinfo=None)
+            except Exception:
+                return None
+        return v
+
+    # driver-worker-side: the commit runs in a Python worker with NO
+    # SparkSession, so it speaks the commit protocol in pure Python —
+    # plannerfs log reads, pyarrow stats, and the conditional-put claim
+    def _land(self, messages, batch_id) -> None:
+        import json
+        import os
+        import posixpath
+        import time
+        import uuid
+
+        from .logstore import LocalConditionalPutStore
+        from .txnlog import _evolve_schema
+
+        files = [
+            m.file for m in messages if m is not None and m.file is not None
+        ]
+        if not files and not self._overwrite:
+            return  # empty append micro-batch: nothing to commit
+        root = self._local_root(self._path)
+        commit_rel = f"data/{uuid.uuid4().hex}"
+        os.makedirs(f"{root}/{commit_rel}", exist_ok=True)
+        rels = []
+        for f in files:
+            base = posixpath.basename(f)
+            os.rename(f, f"{root}/{commit_rel}/{base}")
+            rels.append(f"{commit_rel}/{base}")
+        stats = self._file_stats(root, rels) if self._stats else {}
+        store = LocalConditionalPutStore()
+        fs = fs_for(self._path)
+        action = "overwrite" if self._overwrite else "append"
+        for _ in range(10):  # optimistic claim loop, library semantics
+            try:
+                versions = _log_versions(self._path, fs)
+            except ValueError:
+                versions = []  # brand-new table: first commit creates it
+            latest = versions[-1] if versions else None
+            st = (
+                _replay(self._path, latest, fs)
+                if versions
+                else {
+                    "schema": None,
+                    "batch_ids": [],
+                    "constraints": {},
+                    "properties": {},
+                    "column_map": {},
+                    "dropped_physical": [],
+                    "partition_by": None,
+                }
+            )
+            if batch_id is not None and batch_id in set(
+                st.get("batch_ids") or []
+            ):
+                return  # exactly-once: replayed micro-batch is a no-op
+            if st.get("partition_by"):
+                raise ValueError(
+                    "the txnlog sink does not support partitioned "
+                    "tables; ingest with TxnTable.append / "
+                    "foreach_batch_appender"
+                )
+            if st.get("constraints"):
+                raise ValueError(
+                    "the table has CHECK constraints, which the sink "
+                    "cannot validate (no SparkSession in the sink "
+                    "worker); ingest with TxnTable.append"
+                )
+            table_schema = _evolve_schema(
+                st.get("schema"), self._schema, self._mode, action
+            )
+            version = (latest or 0) + 1
+            payload = {
+                "version": version,
+                "action": action,
+                "added": rels,
+                "batch_id": batch_id,
+                "committed_at": time.time(),
+                "stats": stats,
+                "table_schema": table_schema,
+                "constraints": st.get("constraints") or {},
+                "properties": st.get("properties") or {},
+                "column_map": st.get("column_map") or {},
+                "dropped_physical": st.get("dropped_physical") or [],
+                "partition_by": None,
+                "data_change": True,
+            }
+            if store.put_if_absent(
+                f"{root}/{_LOG_DIR}/{version:020d}.json",
+                json.dumps(payload).encode("utf-8"),
+            ):
+                return
+        raise RuntimeError(
+            f"txnlog sink lost the commit race 10 times at {self._path}"
+        )
+
+    def _discard(self, messages) -> None:
+        import os
+
+        for m in messages or []:
+            if m is not None and m.file is not None:
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass  # best-effort; vacuum reclaims staging leftovers
+
+
+class _TxnLogBatchWriter(_TxnLogWriterBase, DataSourceArrowWriter):
+    def commit(self, messages):
+        self._land(messages, None)
+
+    def abort(self, messages):
+        self._discard(messages)
+
+
+class _TxnLogStreamWriter(_TxnLogWriterBase, DataSourceStreamArrowWriter):
+    def commit(self, messages, batchId: int):
+        self._land(messages, f"{self._sink_id}:{batchId}")
+
+    def abort(self, messages, batchId: int):
+        self._discard(messages)
+
+
 class TxnLogDataSource(DataSource):
     """``format("txnlog")``: batch snapshot (+ ``version`` time travel)
     and streaming change feed (+ ``startVersion``) over a TxnTable
@@ -848,6 +1200,16 @@ class TxnLogDataSource(DataSource):
             self._opts(),
             cdc="_change_type" in schema.fieldNames(),
         )
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        opts = self._opts()
+        opts["path"] = self._path()
+        return _TxnLogBatchWriter(schema, opts, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        opts = self._opts()
+        opts["path"] = self._path()
+        return _TxnLogStreamWriter(schema, opts, overwrite)
 
 
 def register_txnlog_source(spark) -> None:
