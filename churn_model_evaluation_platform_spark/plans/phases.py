@@ -14,18 +14,29 @@ import time
 from contextlib import contextmanager
 
 _PHASES: dict[str, float] = {}
+_DEPTH = 0
 
 
 @contextmanager
 def timed_phase(name: str):
-    """Accumulate the wrapped block's wall seconds under ``name``."""
+    """Accumulate the wrapped block's wall seconds under ``name``.
+
+    NESTING-SAFE: only the OUTERMOST block records — a builder that
+    times itself, wrapped again by its caller, must not count the same
+    seconds twice (bench.py subtracts the phase sum from wall time; a
+    double count once produced a negative query time for
+    txnlog_stream_sink)."""
+    global _DEPTH
+    _DEPTH += 1
     t0 = time.perf_counter()
     try:
         yield
     finally:
-        _PHASES[name] = _PHASES.get(name, 0.0) + (
-            time.perf_counter() - t0
-        )
+        _DEPTH -= 1
+        if _DEPTH == 0:
+            _PHASES[name] = _PHASES.get(name, 0.0) + (
+                time.perf_counter() - t0
+            )
 
 
 def drain() -> dict[str, float]:

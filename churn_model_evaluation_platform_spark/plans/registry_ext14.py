@@ -584,8 +584,8 @@ def q_txnlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_ext12 import _six_bucket_table
 
     register_txnlog_source(spark)
-    with timed_phase("fixture_build:txnsinksrc"):
-        src = _six_bucket_table(spark, sf_dir, "txnsinksrc")
+    # _six_bucket_table times its own build phase (fixture_build:txnsinksrc)
+    src = _six_bucket_table(spark, sf_dir, "txnsinksrc")
     dst_path = _tmp_table_path(sf_dir, "txnsinkdst")
     ckpt = _tmp_table_path(sf_dir, "txnsinkckpt")
     shutil.rmtree(ckpt, ignore_errors=True)

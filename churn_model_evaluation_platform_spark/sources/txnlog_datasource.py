@@ -48,8 +48,15 @@ Round-10 additions, mirroring the library surface:
   index ``{"version": v, "files": k}`` so one huge commit splits
   across bounded micro-batches (Delta's maxFilesPerTrigger grain),
   preserving the never-regress offset invariant.
+- WRITERS: ``df.write.format("txnlog")`` and
+  ``writeStream.format("txnlog")`` — executor tasks stage Arrow
+  batches as pyarrow part files, and the sink's pure-Python commit
+  (the writer worker has no SparkSession) claims the next version via
+  the conditional-put log store with library-format per-file stats;
+  streaming commits exactly-once by ``sinkId:batchId``. See
+  ``_TxnLogWriterBase``.
 
-Parity: Delta's ``readStream`` + ``table_changes`` surface
+Parity: Delta's ``readStream`` + ``table_changes`` + sink surface
 (reference has no streaming source at all).
 """
 

@@ -237,3 +237,23 @@ def test_capped_latest_offset_bounded_listings():
     # list); the per-commit _flat_len bug did 2 lists x window commits
     assert per_trigger <= 4, per_trigger
     assert off["version"] <= 4  # the cap engaged
+
+
+# -- phase timing: nested timers must not double-count (bench split)
+
+
+def test_timed_phase_nesting_records_once():
+    import time
+
+    from churn_model_evaluation_platform_spark.plans import phases
+
+    phases.drain()
+    with phases.timed_phase("outer"):
+        with phases.timed_phase("outer"):  # same-name nesting
+            time.sleep(0.02)
+        with phases.timed_phase("inner"):  # different-name nesting
+            time.sleep(0.02)
+    got = phases.drain()
+    assert set(got) == {"outer"}  # only the outermost block records
+    assert 0.03 <= got["outer"] < 1.0
+    assert phases.drain() == {}  # drain resets
