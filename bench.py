@@ -129,8 +129,10 @@ HEADLINE = [
     # (broadcast batch x IVF-blocked candidates) and merge-on-read MERGE
     "ann_dedup_gate",
     "txnlog_merge_dv",
-    # round-10 batch 3: the native txnlog WRITERS — end-to-end
-    # txnlog-to-txnlog streaming replication through Spark's own sink
+    # round-10 batch 3: the native txnlog WRITERS — batch-writer stats
+    # parity powering the same pruning, and end-to-end txnlog-to-txnlog
+    # streaming replication through Spark's own sink
+    "txnlog_format_write",
     "txnlog_stream_sink",
 ]
 

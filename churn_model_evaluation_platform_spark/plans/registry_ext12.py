@@ -249,13 +249,18 @@ def _pq_cte_block() -> str:
     return ",\n".join(parts)
 
 
-def _pq_dt_ctes(per_qid: bool = False) -> list[str]:
+def _pq_dt_ctes(
+    per_qid: bool = False, qid_pred: str | None = None
+) -> list[str]:
     """Query→codebook distance-table CTEs, one per subspace: ``dt{s}``
     for the single pinned query (vec_id = 0), ``dtq{s}`` carrying a
     qid column for the multi-query audits. ONE definition — every PQ
     oracle assembles from here, so the ADC arithmetic cannot silently
-    diverge between them (r8 review)."""
+    diverge between them (r8 review). ``qid_pred`` swaps the per-qid
+    query-set predicate (default: the pinned audit qids; the ANN
+    store's dedup gate passes the whole new batch)."""
     dts = []
+    pred = qid_pred or f"vec_id IN {tuple(_PQ_QIDS)!r}"
     for s in range(_PQ_M):
         lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
         if per_qid:
@@ -266,7 +271,7 @@ def _pq_dt_ctes(per_qid: bool = False) -> list[str]:
                 "+ list_dot_product(c.cv, c.cv) AS d "
                 f"FROM cb{s} c CROSS JOIN (SELECT vec_id, list_slice(ev, "
                 f"{lo}, {hi}) AS qsv FROM e "
-                f"WHERE vec_id IN {tuple(_PQ_QIDS)!r}) q)"
+                f"WHERE {pred}) q)"
             )
         else:
             dts.append(

@@ -360,28 +360,36 @@ GROUP BY event_type
 """
 
 
-@register("txnlog_format_scan", _FMT_SCAN_SQL)
-def q_txnlog_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.txnlog import TxnTable
+def _format_pushdown_query(
+    spark: SparkSession, sf_dir: str, tag: str, ingest
+) -> DataFrame:
+    """Shared body of the format-scan oracle pair: six-bucket dd ingest
+    via ``ingest(path, slices)`` (the library appends or the native
+    sink — the only thing the two queries differ in), then the
+    pushed-filter read + aggregate whose _FMT_SCAN_SQL oracle both
+    share. ONE definition so the two plans cannot silently diverge
+    from the oracle they share (r10 review).
+
+    day-of-month is carried as a LONG column: the JVM→Python pushdown
+    bridge offers integer-family literals (a TIMESTAMP literal never
+    reaches pushFilters in this Spark version — kept as a residual
+    day(ts) equivalence in the oracle instead)."""
     from ..sources.txnlog_datasource import register_txnlog_source
 
     register_txnlog_source(spark)
-    # day-of-month carried as a LONG column: the JVM→Python pushdown
-    # bridge offers integer-family literals (a TIMESTAMP literal never
-    # reaches pushFilters in this Spark version — kept as a residual
-    # day(ts) equivalence in the oracle instead)
-    with timed_phase("fixture_build:txnfmt"):
-        path = _tmp_table_path(sf_dir, "txnfmt")
+    with timed_phase(f"fixture_build:{tag}"):
+        path = _tmp_table_path(sf_dir, tag)
         ev = _t(spark, sf_dir, "events").select(
             "event_type", "value", "ts", F.dayofmonth("ts").alias("dd")
         )
-        t = TxnTable(spark, path)
         bucket = F.floor((F.col("dd") - 1) / 5)
-        for b in range(6):
-            t.append(ev.where(bucket == b).coalesce(1), batch_id=b)
+        ingest(
+            path,
+            [ev.where(bucket == b).coalesce(1) for b in range(6)],
+        )
     base = (
         spark.read.format("txnlog")
-        .load(t.path)
+        .load(path)
         .where((F.col("dd") >= 8) & (F.col("dd") <= 11))
     )
     scanned = base.rdd.getNumPartitions()  # one partition per kept file
@@ -393,6 +401,18 @@ def q_txnlog_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("files_scanned", F.lit(scanned).cast("long"))
     )
+
+
+@register("txnlog_format_scan", _FMT_SCAN_SQL)
+def q_txnlog_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.txnlog import TxnTable
+
+    def ingest(path, slices):
+        t = TxnTable(spark, path)
+        for b, s in enumerate(slices):
+            t.append(s, batch_id=b)
+
+    return _format_pushdown_query(spark, sf_dir, "txnfmt", ingest)
 
 
 # ---------------------------------------------------------------------------

@@ -315,33 +315,21 @@ _GATE_THRESH = 1.25  # rejects ~25% of the odd half at sf0.001 — a real mix
 
 
 def _gate_sql() -> str:
+    # assembled from ext12's SHARED PQ oracle fragments (one definition
+    # of the distance-table/join/ADC arithmetic — r8/r10 review): only
+    # the query-set predicate differs (the whole odd half vs the pinned
+    # audit qids)
     from .registry_ext12 import (
         _IVFPQ_NCELLS,
         _IVFPQ_NPROBE,
-        _PQ_DSUB,
-        _PQ_M,
         _pq_adc,
         _pq_cte_block,
+        _pq_dt_ctes,
+        _pq_joins,
     )
 
-    dtqs = []
-    for s in range(_PQ_M):
-        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
-        dtqs.append(
-            f"dtq{s} AS (SELECT n.vec_id AS qid, c.code, "
-            "list_dot_product(n.qsv, n.qsv) "
-            "- 2 * list_dot_product(n.qsv, c.cv) "
-            "+ list_dot_product(c.cv, c.cv) AS d "
-            f"FROM cb{s} c CROSS JOIN (SELECT vec_id, list_slice(ev, "
-            f"{lo}, {hi}) AS qsv FROM e WHERE vec_id % 2 = 1) n)"
-        )
-    joins = " ".join(
-        f"JOIN a{s} ON a{s}.vec_id = a0.vec_id "
-        f"JOIN dtq{s} ON dtq{s}.code = a{s}.code AND dtq{s}.qid = dtq0.qid"
-        if s
-        else "JOIN dtq0 ON dtq0.code = a0.code"
-        for s in range(_PQ_M)
-    )
+    dtqs = _pq_dt_ctes(per_qid=True, qid_pred="vec_id % 2 = 1")
+    joins = _pq_joins(per_qid=True)
     return f"""
 WITH {_pq_cte_block()},
 {",".join(dtqs)},
@@ -523,33 +511,17 @@ def _fmt_write_sql() -> str:
 
 @register("txnlog_format_write", _fmt_write_sql())
 def q_txnlog_format_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.txnlog_datasource import register_txnlog_source
+    # same shared body as txnlog_format_scan (one definition — the two
+    # plans must stay bit-identical for the shared oracle, r10 review);
+    # only the ingest mechanism differs: the native sink, one atomic
+    # commit per save
+    from .registry_ext13 import _format_pushdown_query
 
-    register_txnlog_source(spark)
-    with timed_phase("fixture_build:txnfmtw"):
-        path = _tmp_table_path(sf_dir, "txnfmtw")
-        ev = _t(spark, sf_dir, "events").select(
-            "event_type", "value", "ts", F.dayofmonth("ts").alias("dd")
-        )
-        bucket = F.floor((F.col("dd") - 1) / 5)
-        for b in range(6):
-            ev.where(bucket == b).coalesce(1).write.format("txnlog").mode(
-                "append"
-            ).save(path)
-    base = (
-        spark.read.format("txnlog")
-        .load(path)
-        .where((F.col("dd") >= 8) & (F.col("dd") <= 11))
-    )
-    scanned = base.rdd.getNumPartitions()  # one partition per kept file
-    return (
-        base.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .withColumn("files_scanned", F.lit(scanned).cast("long"))
-    )
+    def ingest(path, slices):
+        for s in slices:
+            s.write.format("txnlog").mode("append").save(path)
+
+    return _format_pushdown_query(spark, sf_dir, "txnfmtw", ingest)
 
 
 # ---------------------------------------------------------------------------
@@ -577,8 +549,6 @@ GROUP BY event_type
 
 @register("txnlog_stream_sink", _STREAM_SINK_SQL)
 def q_txnlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from ..sources.txnlog import TxnTable
     from ..sources.txnlog_datasource import register_txnlog_source
     from .registry_ext12 import _six_bucket_table
@@ -587,8 +557,7 @@ def q_txnlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _six_bucket_table times its own build phase (fixture_build:txnsinksrc)
     src = _six_bucket_table(spark, sf_dir, "txnsinksrc")
     dst_path = _tmp_table_path(sf_dir, "txnsinkdst")
-    ckpt = _tmp_table_path(sf_dir, "txnsinkckpt")
-    shutil.rmtree(ckpt, ignore_errors=True)
+    ckpt = _tmp_table_path(sf_dir, "txnsinkckpt")  # rmtree'd by the helper
     q = (
         spark.readStream.format("txnlog")
         .option("startVersion", 0)
@@ -598,7 +567,9 @@ def q_txnlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start(dst_path)
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()  # never read a half-replicated destination (r10 review)
+        raise TimeoutError("txnlog_stream_sink drain exceeded 600s")
     dst = TxnTable(spark, dst_path)
     n_commits = len(dst.versions())
     return (

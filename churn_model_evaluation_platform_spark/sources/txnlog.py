@@ -1462,6 +1462,41 @@ class TxnTable:
         no_scheme = self._uri_path_expr(F.col("_metadata.file_path"))
         return no_scheme.substr(F.lit(len(root_abs) + 2), F.length(no_scheme))
 
+    def _write_dv_sidecar(self, hits: DataFrame) -> tuple[str, dict]:
+        """Write the (relpath, pos) ADDRESS frame to a fresh sidecar dir
+        and return ``(dv_dir, per-file counts)`` — the one definition of
+        the DV sidecar format and its bounded count aggregate, shared by
+        every DV producer (delete_dv, merge_dv) so the format and the
+        disjoint-positions invariant the change feed relies on cannot
+        diverge between them (r10 review)."""
+        dv_dir = f"{_DATA_DIR}/{uuid.uuid4().hex}"
+        hits.coalesce(1).write.mode("errorifexists").parquet(
+            f"{self.path}/{dv_dir}"
+        )
+        counts = {
+            r["relpath"]: int(r["n"])
+            for r in self.spark.read.schema(_DV_SCHEMA)
+            .parquet(f"{self.path}/{dv_dir}")
+            .groupBy("relpath")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per touched file
+        }
+        return dv_dir, counts
+
+    @staticmethod
+    def _fold_dv_entries(st: dict, dv_dir: str, counts: dict) -> dict:
+        """Fold a new sidecar into the state's per-file DV entries:
+        each file's entry is cumulative — the new dir chains onto the
+        file's existing sidecar list."""
+        entries = {}
+        for rel, n in counts.items():
+            old = (st.get("dv") or {}).get(rel) or {"fs": [], "n": 0}
+            entries[rel] = {
+                "fs": list(old["fs"]) + [dv_dir],
+                "n": int(old["n"]) + n,
+            }
+        return entries
+
     def _dv_pos_frame(
         self, dvmap: dict, rels: list[str]
     ) -> DataFrame | None:
@@ -1969,18 +2004,7 @@ class TxnTable:
                     F.col("__pos").alias("pos"),
                 )
             )
-            dv_dir = f"{_DATA_DIR}/{uuid.uuid4().hex}"
-            hits.coalesce(1).write.mode("errorifexists").parquet(
-                f"{self.path}/{dv_dir}"
-            )
-            counts = {
-                r["relpath"]: int(r["n"])
-                for r in self.spark.read.schema(_DV_SCHEMA)
-                .parquet(f"{self.path}/{dv_dir}")
-                .groupBy("relpath")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()  # bounded: one row per touched file
-            }
+            dv_dir, counts = self._write_dv_sidecar(hits)
             if not counts:
                 return noop  # predicate hit no rows: dir left for vacuum
             bad = set(counts) - set(touched)
@@ -1988,13 +2012,7 @@ class TxnTable:
                 raise RuntimeError(
                     f"delete_dv derived unknown relpaths {sorted(bad)}"
                 )
-            entries = {}
-            for rel, n in counts.items():
-                old = (st.get("dv") or {}).get(rel) or {"fs": [], "n": 0}
-                entries[rel] = {
-                    "fs": list(old["fs"]) + [dv_dir],
-                    "n": int(old["n"]) + n,
-                }
+            entries = self._fold_dv_entries(st, dv_dir, counts)
             try:
                 version = self._commit(
                     "dvdelete", [], require_latest=base, dv=entries
@@ -2075,18 +2093,7 @@ class TxnTable:
                 F.col("__rel").alias("relpath"),
                 F.col("__pos").alias("pos"),
             )
-            dv_dir = f"{_DATA_DIR}/{uuid.uuid4().hex}"
-            hits.coalesce(1).write.mode("errorifexists").parquet(
-                f"{self.path}/{dv_dir}"
-            )
-            counts = {
-                r["relpath"]: int(r["n"])
-                for r in self.spark.read.schema(_DV_SCHEMA)
-                .parquet(f"{self.path}/{dv_dir}")
-                .groupBy("relpath")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()  # bounded: one row per touched file
-            }
+            dv_dir, counts = self._write_dv_sidecar(hits)
             bad = set(counts) - set(st["live"])
             if bad:  # pragma: no cover - lineage/relpath derivation bug
                 raise RuntimeError(
@@ -2133,13 +2140,17 @@ class TxnTable:
             added, stats = self._write_data(
                 appended, column_map=st.get("column_map")
             )
-            entries = {}
-            for rel, n in counts.items():
-                old = (st.get("dv") or {}).get(rel) or {"fs": [], "n": 0}
-                entries[rel] = {
-                    "fs": list(old["fs"]) + [dv_dir],
-                    "n": int(old["n"]) + n,
-                }
+            # parquet-footer metadata count over just the new files —
+            # never derived from the OPTIONAL stats entries, which a
+            # stats_columns=[] handle doesn't write (r10 review)
+            rows_appended = (
+                self.spark.read.parquet(
+                    *[f"{self.path}/{rel}" for rel in added]
+                ).count()
+                if added
+                else 0
+            )
+            entries = self._fold_dv_entries(st, dv_dir, counts)
             try:
                 version = self._commit(
                     "mergedv",
@@ -2154,10 +2165,7 @@ class TxnTable:
                     "files_rewritten": 0,
                     "files_with_dv": len(entries),
                     "rows_deleted": sum(counts.values()),
-                    "rows_appended": sum(
-                        int((stats.get(rel) or {}).get("rows", 0))
-                        for rel in added
-                    ),
+                    "rows_appended": rows_appended,
                 }
             except CommitConflict as e:  # table advanced: recompute
                 last_err = e

@@ -871,18 +871,39 @@ class _TxnLogWriterBase:
     planner's default local fs."""
 
     def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
+        import hashlib
         import uuid
 
         self._path = options["path"].rstrip("/")
         self._schema = schema
         self._overwrite = overwrite
-        self._sink_id = str(options.get("sinkid", "txnsink"))
+        # exactly-once stream key: an explicit sinkId wins; otherwise
+        # derive one from the query's checkpointLocation so two
+        # independent streams (or a stream restarted with a fresh
+        # checkpoint, which resets batchId to 0) can never collide on
+        # the constant default and silently no-op each other's batches
+        # (r10 review)
+        sid = options.get("sinkid")
+        ckpt = options.get("checkpointlocation")
+        if sid is not None:
+            self._sink_id = str(sid)
+        elif ckpt:
+            self._sink_id = (
+                "ckpt-"
+                + hashlib.md5(str(ckpt).encode("utf-8")).hexdigest()[:12]
+            )
+        else:
+            self._sink_id = "txnsink"
         self._mode = str(options.get("schemamode", "exact"))
         self._stats = str(options.get("collectstats", "true")).lower() not in (
             "false",
             "0",
         )
-        self._tmp = f"{self._path}/data/.sinktmp-{uuid.uuid4().hex[:12]}"
+        # fail fast on non-local schemes; file:// URIs are stripped so
+        # the executor-side os/pyarrow calls see a real path (r10
+        # review: the raw URI created a cwd-relative 'file:/…' tree)
+        root = self._local_root(self._path)
+        self._tmp = f"{root}/data/.sinktmp-{uuid.uuid4().hex[:12]}"
         try:
             fs = fs_for(self._path)
             vs = _log_versions(self._path, fs)
@@ -891,8 +912,11 @@ class _TxnLogWriterBase:
                 if vs
                 else {}
             )
-        except Exception:
-            self._cmap = {}  # fresh table: no log yet, no mapping
+        except ValueError:
+            # fresh table: no _txnlog/ yet, so no mapping. ONLY that —
+            # a transient IO failure must surface, not silently write
+            # logical names into a column-mapped table (r10 review)
+            self._cmap = {}
 
     # executor-side (Arrow writer variants feed RecordBatches)
     def write(self, iterator):

@@ -110,7 +110,10 @@ def test_streaming_exactly_once_and_restart(spark, tmp_path):
     drain()
     dst = TxnTable(spark, dst_p)
     assert dst.snapshot().count() == 10 and len(dst.versions()) == 1
-    assert dst.batch_ids() == {"txnsink:0"}
+    # the exactly-once key derives from the checkpointLocation (two
+    # independent streams must never collide on a constant default)
+    (bid,) = dst.batch_ids()
+    assert bid.endswith(":0") and bid.startswith("ckpt-")
     drain()  # restart with nothing new: no commit, no duplicates
     assert dst.snapshot().count() == 10 and len(dst.versions()) == 1
     src.append(spark.range(10, 15).select("id").coalesce(1), batch_id=1)
