@@ -1592,11 +1592,45 @@ class TxnTable:
             df = df.drop("__rel", "__pos")
         return df
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
+    def version_at_timestamp(self, ts) -> int:
+        """``TIMESTAMP AS OF`` resolution (Delta parity): the newest
+        version whose ``committed_at`` is at-or-before ``ts`` (a unix
+        epoch float/int, a datetime, or an ISO-8601 string; naive
+        datetimes are taken as local wall time, matching
+        ``time.time()``'s zone). Raises when ``ts`` predates the first
+        commit — a typo'd timestamp must not masquerade as real data.
+        O(commits) tiny JSON reads, zero data IO."""
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        ts = float(ts)
+        best = None
+        for c in self._commits():
+            at = c.get("committed_at")
+            if at is not None and float(at) <= ts:
+                best = c["version"]
+        if best is None:
+            raise ValueError(
+                f"no commit at-or-before timestamp {ts} in {self.path}"
+            )
+        return best
+
+    def snapshot(
+        self, version: int | None = None, timestamp=None
+    ) -> DataFrame:
         """DataFrame over exactly the files live at ``version``
-        (default: latest). The file list AND the table schema are
-        resolved NOW from the log — the returned plan is pinned to this
-        snapshot and unaffected by later commits."""
+        (default: latest). ``timestamp`` resolves the version by commit
+        time instead (``TIMESTAMP AS OF``; mutually exclusive with
+        ``version``). The file list AND the table schema are resolved
+        NOW from the log — the returned plan is pinned to this snapshot
+        and unaffected by later commits."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass either version or timestamp, not both"
+                )
+            version = self.version_at_timestamp(timestamp)
         st = self._state(version)
         if not st["live"]:
             raise ValueError(

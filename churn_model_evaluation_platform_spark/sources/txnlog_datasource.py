@@ -341,6 +341,35 @@ def _change_batches(
     return out
 
 
+def _version_at_ts(
+    path: str, ts, versions: list[int], fs: PlannerFS | None = None
+) -> int:
+    """``TIMESTAMP AS OF`` resolution for the format (Delta's
+    ``timestampAsOf`` read option): newest version whose committed_at
+    is at-or-before ``ts`` (epoch number or ISO-8601 string — naive
+    local wall time, matching the library's version_at_timestamp).
+    Pure-Python tiny JSON reads."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        try:
+            ts = float(ts)
+        except ValueError:
+            ts = _dt.datetime.fromisoformat(ts).timestamp()
+    ts = float(ts)
+    best = None
+    for v in versions:
+        c = _commit(path, v, fs)
+        at = c.get("committed_at")
+        if at is not None and float(at) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at-or-before timestamp {ts} in {path}"
+        )
+    return best
+
+
 # -- partitions ----------------------------------------------------------
 
 
@@ -422,7 +451,17 @@ class _TxnLogBatchReader(DataSourceReader):
         if not versions:
             raise ValueError(f"TxnTable at {self._path} has no commits")
         v = options.get("version")
-        self._version = int(v) if v is not None else versions[-1]
+        ts = options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "pass either version or timestampAsOf, not both"
+            )
+        if ts is not None:
+            self._version = _version_at_ts(
+                self._path, ts, versions, self._fs
+            )
+        else:
+            self._version = int(v) if v is not None else versions[-1]
         if self._version not in versions:
             raise ValueError(
                 f"version {self._version} does not exist in {self._path} "
@@ -1209,8 +1248,15 @@ class TxnLogDataSource(DataSource):
         cdf = str(opts.get("readchangefeed", "")).lower() in ("true", "1")
         # CDF reads pin to the window's END schema (additive evolution:
         # superset); snapshot reads pin to the time-travel version
+        # (numeric or timestampAsOf)
         v = opts.get("endversion") if cdf else opts.get("version")
-        until = int(v) if v is not None else versions[-1]
+        ts = None if cdf else opts.get("timestampasof")
+        if v is not None:
+            until = int(v)
+        elif ts is not None:
+            until = _version_at_ts(path, ts, versions)
+        else:
+            until = versions[-1]
         base = _table_struct(path, until)
         if cdf:
             return T.StructType(list(base.fields) + _CHANGE_FIELDS)

@@ -114,3 +114,34 @@ def test_snapshot_isolation_time_travel(spark, table):
     before = _content(table.snapshot())
     table.merge_dv(_changes_frame(spark), keys=["k"], order_cols=["seq"])
     assert _content(table.snapshot(version=v0)) == before
+
+
+# -- TIMESTAMP AS OF (r10: version_at_timestamp / snapshot(timestamp=))
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time
+
+    t = TxnTable(spark, str(tmp_path / "ts"))
+    t.append(spark.range(0, 3).coalesce(1))
+    between_1_2 = time.time()
+    time.sleep(0.05)
+    t.append(spark.range(3, 6).coalesce(1))
+    time.sleep(0.05)
+    t.append(spark.range(6, 9).coalesce(1))
+    after_all = time.time()
+
+    assert t.version_at_timestamp(between_1_2) == 1
+    assert t.version_at_timestamp(after_all) == 3
+    assert t.snapshot(timestamp=between_1_2).count() == 3
+    assert t.snapshot(timestamp=after_all).count() == 9
+    # datetime and ISO-string forms resolve identically
+    import datetime as dt
+
+    as_dt = dt.datetime.fromtimestamp(between_1_2)
+    assert t.version_at_timestamp(as_dt) == 1
+    assert t.version_at_timestamp(as_dt.isoformat()) == 1
+    with pytest.raises(ValueError, match="at-or-before"):
+        t.version_at_timestamp(between_1_2 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        t.snapshot(version=1, timestamp=after_all)

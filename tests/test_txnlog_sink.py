@@ -191,3 +191,37 @@ def test_vacuum_reclaims_staging_leftovers(spark, tmp_path):
     removed = t.vacuum(retention_seconds=0)
     assert removed >= 1 and not os.path.exists(stray)
     assert t.snapshot().count() == 5  # referenced data untouched
+
+
+# -- timestampAsOf through the format (r10: Delta's read option)
+
+
+def test_format_timestamp_as_of(spark, tmp_path):
+    import time
+
+    p = str(tmp_path / "tsfmt")
+    spark.range(0, 3).select("id").write.format("txnlog").mode(
+        "append"
+    ).save(p)
+    mid = time.time()
+    time.sleep(0.05)
+    spark.range(3, 6).select("id").write.format("txnlog").mode(
+        "append"
+    ).save(p)
+
+    assert (
+        spark.read.format("txnlog")
+        .option("timestampAsOf", str(mid))
+        .load(p)
+        .count()
+        == 3
+    )
+    assert spark.read.format("txnlog").load(p).count() == 6
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("txnlog").option("version", 1).option(
+            "timestampAsOf", str(mid)
+        ).load(p).count()
+    with pytest.raises(Exception, match="at-or-before"):
+        spark.read.format("txnlog").option(
+            "timestampAsOf", str(mid - 3600)
+        ).load(p).count()
