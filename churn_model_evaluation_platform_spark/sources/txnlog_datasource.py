@@ -47,7 +47,10 @@ Round-10 additions, mirroring the library surface:
 - ``maxFilesPerBatch`` (r9 next #8): offsets gain a sub-commit file
   index ``{"version": v, "files": k}`` so one huge commit splits
   across bounded micro-batches (Delta's maxFilesPerTrigger grain),
-  preserving the never-regress offset invariant.
+  preserving the never-regress offset invariant. ``maxBytesPerBatch``
+  budgets the same entry grain by write-time byte sizes instead
+  (Delta's maxBytesPerTrigger, a soft cap — always >= 1 entry); the
+  three caps compose.
 - WRITERS: ``df.write.format("txnlog")`` and
   ``writeStream.format("txnlog")`` — executor tasks stage Arrow
   batches as pyarrow part files, and the sink's pure-Python commit
@@ -679,6 +682,12 @@ class _TxnLogStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"maxFilesPerBatch must be >= 1, got {self._max_files}"
             )
+        mb = options.get("maxbytesperbatch")
+        self._max_bytes = int(mb) if mb is not None else None
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError(
+                f"maxBytesPerBatch must be >= 1, got {self._max_bytes}"
+            )
         self._last_end: dict = {"version": self._start}
         self._bound_known = False  # True once start/offsets observed
         # listing cursor (r10): newest version known to exist; None
@@ -735,18 +744,26 @@ class _TxnLogStreamReader(DataSourceStreamReader):
             self._cursor = v
         return self._cursor
 
-    def _flat_counts(self, window_start: int, end_v: int) -> dict[int, int]:
-        """Change-file entry count PER COMMIT over ``(window_start,
-        end_v]`` in ONE log fold — the file-cap loop must not call
-        ``_change_batches`` per commit, which would re-list the log
-        directory and re-read the checkpoint O(window) times per
-        trigger and defeat the listing cursor (r10 review)."""
-        counts: dict[int, int] = {}
-        for v, _, _, _, _ in _change_batches(
+    def _entry_weights(
+        self, window_start: int, end_v: int
+    ) -> dict[int, list[int]]:
+        """Per-commit ORDERED list of change-entry byte sizes over
+        ``(window_start, end_v]`` in ONE log fold (+ one stats replay)
+        — the cap loop must not call ``_change_batches`` per commit,
+        which would re-list the log directory O(window) times per
+        trigger and defeat the listing cursor (r10 review). Entry count
+        = list length (the file cap's unit); bytes come from the
+        write-time sizes stamped into the stats, 0 when unrecorded
+        (pre-bytes commits or DV slices — the byte cap then simply
+        doesn't bind for them, the file/commit caps still do)."""
+        stats = _replay(self._path, end_v, self._fs).get("stats", {})
+        weights: dict[int, list[int]] = {}
+        for v, _, rel, _, _ in _change_batches(
             self._path, window_start, end_v, self._fs
         ):
-            counts[v] = counts.get(v, 0) + 1
-        return counts
+            b = (stats.get(rel) or {}).get("bytes") or 0
+            weights.setdefault(v, []).append(int(b))
+        return weights
 
     def latestOffset(self) -> dict:
         latest = self._probe_latest()
@@ -757,7 +774,11 @@ class _TxnLogStreamReader(DataSourceStreamReader):
             self._bound_known = True
             self._last_end = off
             return off
-        capped = self._max_commits is not None or self._max_files is not None
+        capped = (
+            self._max_commits is not None
+            or self._max_files is not None
+            or self._max_bytes is not None
+        )
         if not capped or not self._bound_known:
             off = {"version": latest}
         else:
@@ -770,17 +791,30 @@ class _TxnLogStreamReader(DataSourceStreamReader):
                 span = self._max_commits - (1 if last_k is not None else 0)
                 end_v = min(latest, max(last_v + span, last_v))
             off = {"version": end_v}
-            if self._max_files is not None:
-                # budget >= 1 (validated), so the first commit with
+            if self._max_files is not None or self._max_bytes is not None:
+                # both budgets start positive, so the first commit with
                 # available entries always admits at least one — the
-                # offset always progresses when there is anything new
-                budget = self._max_files
+                # offset always progresses when there is anything new.
+                # maxBytesPerBatch is a SOFT cap (Delta's
+                # maxBytesPerTrigger): entries are admitted until the
+                # running byte total crosses the limit.
+                f_budget = (
+                    self._max_files
+                    if self._max_files is not None
+                    else float("inf")
+                )
+                b_budget = (
+                    self._max_bytes
+                    if self._max_bytes is not None
+                    else float("inf")
+                )
                 taken_v, taken_k = last_v, last_k
                 first_v = last_v if last_k is not None else last_v + 1
-                counts = self._flat_counts(first_v - 1, end_v)
+                weights = self._entry_weights(first_v - 1, end_v)
                 v = first_v
                 while v <= end_v:
-                    total = counts.get(v, 0)
+                    blist = weights.get(v, [])
+                    total = len(blist)
                     already = (
                         int(last_k)
                         if (v == last_v and last_k is not None)
@@ -791,10 +825,15 @@ class _TxnLogStreamReader(DataSourceStreamReader):
                         taken_v, taken_k = v, None
                         v += 1
                         continue
-                    if budget <= 0:
+                    if f_budget <= 0 or b_budget <= 0:
                         break
-                    take = min(avail, budget)
-                    budget -= take
+                    take = 0
+                    for b in blist[already : already + avail]:
+                        if take >= f_budget or b_budget <= 0:
+                            break
+                        take += 1
+                        b_budget -= b
+                    f_budget -= take
                     new_k = already + take
                     taken_v = v
                     taken_k = None if new_k >= total else new_k

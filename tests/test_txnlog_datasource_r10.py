@@ -37,9 +37,14 @@ def _frame(spark, lo, hi):
     return spark.range(lo, hi).select(F.col("id")).coalesce(1)
 
 
-def _mem_log(n_commits: int, files_per_commit: int = 1) -> MemoryPlannerFS:
+def _mem_log(
+    n_commits: int,
+    files_per_commit: int = 1,
+    bytes_per_file: int | None = None,
+) -> MemoryPlannerFS:
     """Hand-built commit log on the in-memory fs (no Spark, no disk):
-    proves planning runs against a non-local store."""
+    proves planning runs against a non-local store. ``bytes_per_file``
+    stamps write-time byte sizes into the stats (the byte-cap unit)."""
     fs = MemoryPlannerFS()
     schema = json.dumps(
         {
@@ -59,6 +64,14 @@ def _mem_log(n_commits: int, files_per_commit: int = 1) -> MemoryPlannerFS:
             f"data/c{v:04d}/part-{i}.parquet"
             for i in range(files_per_commit)
         ]
+        stats = (
+            {
+                rel: {"rows": 1, "cols": {}, "bytes": bytes_per_file}
+                for rel in added
+            }
+            if bytes_per_file is not None
+            else {}
+        )
         fs.put(
             f"memory://tbl/_txnlog/{v:020d}.json",
             json.dumps(
@@ -67,7 +80,7 @@ def _mem_log(n_commits: int, files_per_commit: int = 1) -> MemoryPlannerFS:
                     "action": "append",
                     "added": added,
                     "batch_id": None,
-                    "stats": {},
+                    "stats": stats,
                     "table_schema": schema,
                     "data_change": True,
                 }
@@ -337,3 +350,76 @@ def test_format_reads_through_column_map(spark, tmp_path):
         .load(t.path)
     )
     assert "score" in feed.columns and feed.count() == 10
+
+
+# -- maxBytesPerBatch (r10: the third rate-limit grain) ---------------------
+
+
+def test_max_bytes_soft_cap_splits_backlog():
+    fs = _mem_log(4, files_per_commit=2, bytes_per_file=100)
+    register_planner_fs("memory", fs)
+    r = _TxnLogStreamReader(
+        _ID_SCHEMA,
+        {"path": "memory://tbl", "maxbytesperbatch": "250"},
+        cdc=False,
+    )
+    r.initialOffset()
+    # soft cap: admit entries until the running total crosses 250 ->
+    # 3 entries (300 bytes) = commit 1 fully + 1 of commit 2's 2 files
+    offs = []
+    off = {"version": 0}
+    while off != {"version": 4}:
+        off = r.latestOffset()
+        offs.append(off)
+        r.partitions({"version": 0} if len(offs) == 1 else offs[-2], off)
+        if len(offs) > 10:
+            raise AssertionError(f"did not converge: {offs}")
+    assert offs[0] == {"version": 2, "files": 1}
+    assert offs[-1] == {"version": 4}
+    # monotone, never-regress
+    keys = [(o["version"], o.get("files", float("inf"))) for o in offs]
+    assert keys == sorted(keys)
+
+
+def test_max_bytes_admits_at_least_one_huge_file():
+    fs = _mem_log(2, files_per_commit=1, bytes_per_file=10_000)
+    register_planner_fs("memory", fs)
+    r = _TxnLogStreamReader(
+        _ID_SCHEMA,
+        {"path": "memory://tbl", "maxbytesperbatch": "1"},
+        cdc=False,
+    )
+    r.initialOffset()
+    # each file dwarfs the budget: progress must still be 1 file/batch
+    assert r.latestOffset() == {"version": 1}
+    r.partitions({"version": 0}, {"version": 1})
+    assert r.latestOffset() == {"version": 2}
+
+
+def test_max_bytes_composes_with_max_files():
+    fs = _mem_log(3, files_per_commit=4, bytes_per_file=10)
+    register_planner_fs("memory", fs)
+    r = _TxnLogStreamReader(
+        _ID_SCHEMA,
+        {
+            "path": "memory://tbl",
+            "maxbytesperbatch": "1000",  # byte cap never binds
+            "maxfilesperbatch": "3",
+        },
+        cdc=False,
+    )
+    r.initialOffset()
+    assert r.latestOffset() == {"version": 1, "files": 3}
+
+
+def test_max_bytes_validates():
+    import pytest as _pytest
+
+    fs = _mem_log(1)
+    register_planner_fs("memory", fs)
+    with _pytest.raises(ValueError, match="maxBytesPerBatch"):
+        _TxnLogStreamReader(
+            _ID_SCHEMA,
+            {"path": "memory://tbl", "maxbytesperbatch": "0"},
+            cdc=False,
+        )
