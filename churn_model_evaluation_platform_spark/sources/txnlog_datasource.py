@@ -755,8 +755,14 @@ class _TxnLogStreamReader(DataSourceStreamReader):
         = list length (the file cap's unit); bytes come from the
         write-time sizes stamped into the stats, 0 when unrecorded
         (pre-bytes commits or DV slices — the byte cap then simply
-        doesn't bind for them, the file/commit caps still do)."""
-        stats = _replay(self._path, end_v, self._fs).get("stats", {})
+        doesn't bind for them, the file/commit caps still do). The
+        stats replay is paid ONLY when the byte cap is set — a
+        files-only cap keeps the r10 two-listings-per-trigger budget."""
+        stats = (
+            _replay(self._path, end_v, self._fs).get("stats", {})
+            if self._max_bytes is not None
+            else {}
+        )
         weights: dict[int, list[int]] = {}
         for v, _, rel, _, _ in _change_batches(
             self._path, window_start, end_v, self._fs
