@@ -23,6 +23,10 @@ from churn_model_evaluation_platform_spark.sources.txnlog import TxnTable
 #   ("overwrite", lo, n)
 #   ("compact",) ("replay",) ("vacuum",)
 #   ("delete", lo)                    — CoW DELETE id >= lo
+#   ("delete_dv", lo)                 — merge-on-read DELETE id >= lo (r10)
+#   ("merge_dv", lo, n)               — merge-on-read UPSERT of ids
+#                                       [lo, lo+n) to v = id + 0.5 (r10)
+#   ("rename",)                       — flip the value column v <-> w (r10)
 #   ("restore", k)                    — restore to version (k mod #versions)+1
 _ops = st.lists(
     st.one_of(
@@ -40,6 +44,11 @@ _ops = st.lists(
         st.tuples(st.just("replay")),
         st.tuples(st.just("vacuum")),
         st.tuples(st.just("delete"), st.integers(0, 50)),
+        st.tuples(st.just("delete_dv"), st.integers(0, 50)),
+        st.tuples(
+            st.just("merge_dv"), st.integers(0, 50), st.integers(1, 4)
+        ),
+        st.tuples(st.just("rename")),
         st.tuples(st.just("restore"), st.integers(0, 7)),
     ),
     min_size=1,
@@ -58,15 +67,26 @@ def test_table_matches_model(spark, tmp_path_factory, ops):
     t = TxnTable(spark, str(tmp / "t"), checkpoint_interval=3)
     t2 = TxnTable(spark, str(tmp / "t"), checkpoint_interval=3)
 
+    # the logical name of the value column flips v <-> w under the
+    # rename op; writes must use the CURRENT name, and time travel /
+    # restore must see the as-of name (col_history tracks it per
+    # version alongside the row history)
+    cur_col = ["v"]
+
     def frame(lo, n):
         return spark.range(lo, lo + n).select(
-            F.col("id"), (F.col("id") * 1.0).alias("v")
+            F.col("id"), (F.col("id") * 1.0).alias(cur_col[0])
         )
 
     model_rows: list[tuple[int, float]] = []  # multiset of (id, v)
     history: list[list[tuple[int, float]]] = []  # rows at each version
+    col_history: list[str] = []  # value-column name at each version
     seen_batches: set[int] = set()
     batch_appends: list[tuple[int, int, int]] = []  # (batch_id, lo, n)
+
+    def snap_history():
+        history.append(list(model_rows))
+        col_history.append(cur_col[0])
 
     def rows_of(lo, n):
         return [(i, float(i)) for i in range(lo, lo + n)]
@@ -82,7 +102,7 @@ def test_table_matches_model(spark, tmp_path_factory, ops):
             if batch_id is not None:
                 seen_batches.add(batch_id)
                 batch_appends.append((batch_id, lo, n))
-            history.append(list(model_rows))
+            snap_history()
         elif op[0] == "append2":
             # a rival writer on the same path: its commit must land on
             # the next version without disturbing anything the first
@@ -91,17 +111,17 @@ def test_table_matches_model(spark, tmp_path_factory, ops):
             _, lo, n = op
             t2.append(frame(lo, n))
             model_rows = model_rows + rows_of(lo, n)
-            history.append(list(model_rows))
+            snap_history()
         elif op[0] == "overwrite":
             _, lo, n = op
             t.overwrite(frame(lo, n))
             model_rows = rows_of(lo, n)
-            history.append(list(model_rows))
+            snap_history()
         elif op[0] == "compact":
             if not history:
                 continue  # empty table: nothing to compact
             t.compact(partitions=1)
-            history.append(list(model_rows))  # rows unchanged
+            snap_history()  # rows unchanged
         elif op[0] == "replay":
             if not batch_appends:
                 continue
@@ -120,9 +140,49 @@ def test_table_matches_model(spark, tmp_path_factory, ops):
             res = t.delete([("id", ">=", lo)])
             model_rows = [r for r in model_rows if r[0] < lo]
             if res["files_rewritten"] > 0:
-                history.append(list(model_rows))
+                snap_history()
             # else: every file stats-pruned → no matching rows, no
             # version burned (and the model filter removed nothing)
+        elif op[0] == "delete_dv":
+            if not history or not t.files():
+                continue  # nothing committed (or content fully deleted)
+            _, lo = op
+            res = t.delete_dv([("id", ">=", lo)])
+            matched = [r for r in model_rows if r[0] >= lo]
+            model_rows = [r for r in model_rows if r[0] < lo]
+            if res["files_with_dv"] > 0:
+                assert res["files_rewritten"] == 0
+                assert res["rows_deleted"] == len(matched)
+                snap_history()
+            else:  # stats-pruned or zero matches: no version burned
+                assert not matched
+        elif op[0] == "merge_dv":
+            if not history or not t.files():
+                continue
+            _, lo, n = op
+            keys = set(range(lo, lo + n))
+            ch = spark.createDataFrame(
+                [(i, "U", 1, i + 0.5) for i in sorted(keys)],
+                ["id", "op", "seq", cur_col[0]],
+            )
+            res = t.merge_dv(ch, keys=["id"], order_cols=["seq"])
+            present = {i for i, _ in model_rows}
+            matched = [r for r in model_rows if r[0] in keys]
+            model_rows = [
+                (i, i + 0.5) if i in keys else (i, v)
+                for (i, v) in model_rows
+            ] + [(i, i + 0.5) for i in sorted(keys - present)]
+            assert res["files_rewritten"] == 0
+            assert res["rows_deleted"] == len(matched)
+            snap_history()
+        elif op[0] == "rename":
+            if not history:
+                continue  # rename needs a log-recorded schema
+            old = cur_col[0]
+            new = "w" if old == "v" else "v"
+            t.rename_column(old, new)
+            cur_col[0] = new
+            snap_history()  # meta commit: version burned, rows unchanged
         elif op[0] == "restore":
             if not history:
                 continue
@@ -133,11 +193,12 @@ def test_table_matches_model(spark, tmp_path_factory, ops):
                 assert v == target  # already there: no version burned
             else:
                 model_rows = list(history[target - 1])
-                history.append(list(model_rows))
+                snap_history()
         # invariant after every op: live table == model (through BOTH
         # handles — they resolve the same log); an all-empty table has
         # no snapshot to read (snapshot() raises by contract)
         if history:
+            assert t.snapshot().columns == ["id", cur_col[0]]
             assert sorted(map(tuple, t.snapshot().collect())) == sorted(
                 model_rows
             )
@@ -149,9 +210,9 @@ def test_table_matches_model(spark, tmp_path_factory, ops):
     # time travel: every historical version replays exactly, even after
     # any number of vacuums/restores in between
     for v, expected in enumerate(history, start=1):
-        assert sorted(map(tuple, t.snapshot(version=v).collect())) == sorted(
-            expected
-        )
+        as_of = t.snapshot(version=v)
+        assert as_of.columns == ["id", col_history[v - 1]]
+        assert sorted(map(tuple, as_of.collect())) == sorted(expected)
 
 
 def test_vacuum_retention_protects_inflight_then_reaps(spark, tmp_path):
