@@ -1823,6 +1823,18 @@ class TxnTable:
         total = len(st["live"])
         return {"total": total, "kept": kept, "pruned": total - kept}
 
+    def purge_dv(self) -> dict:
+        """``REORG TABLE ... APPLY (PURGE)`` (Delta parity): rewrite
+        the files carrying deletion vectors — materializing the dead
+        rows away — while re-referencing every settled DV-free file
+        untouched. Sugar for ``optimize(small_threshold=0)``: a zero
+        small-file threshold leaves only the DV carriers (plus any
+        pre-stats file with no recorded size — rewriting is always
+        row-preserving) as rewrite candidates. No version is burned on
+        a DV-free table. Run after a burst of ``delete_dv``/``merge_dv``
+        to stop paying the read-side sidecar anti-join."""
+        return self.optimize(small_threshold=0)
+
     def optimize_zorder(
         self,
         *cols: Column | str,

@@ -145,3 +145,24 @@ def test_timestamp_time_travel(spark, tmp_path):
         t.version_at_timestamp(between_1_2 - 3600)
     with pytest.raises(ValueError, match="not both"):
         t.snapshot(version=1, timestamp=after_all)
+
+
+# -- REORG ... APPLY (PURGE) (r10: purge_dv)
+
+
+def test_purge_dv_rewrites_only_dv_carriers(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "purge"))
+    for lo in (0, 100, 200):  # 3 settled files, disjoint id ranges
+        t.append(spark.range(lo, lo + 50).coalesce(1))
+    t.delete_dv([("id", ">=", 200), ("id", "<", 210)])  # DV on file 3 only
+    before = set(t.files())
+    rep = t.purge_dv()
+    assert rep["files_rewritten"] == 1 and rep["files_kept"] == 2
+    assert t._state().get("dv") in ({}, None)  # vectors materialized away
+    # the two DV-free files were re-referenced, not rewritten
+    assert len(before & set(t.files())) == 2
+    assert t.snapshot().count() == 140
+    # DV-free table: purge is a no-op that burns no version
+    v = t.latest_version()
+    rep2 = t.purge_dv()
+    assert rep2["files_rewritten"] == 0 and t.latest_version() == v
