@@ -1481,6 +1481,14 @@ class TxnTable:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()  # bounded: one row per touched file
         }
+        if not counts:
+            # zero addresses: nothing will ever reference this sidecar —
+            # remove it NOW rather than leaving an orphan for vacuum
+            # (caught by the r10 property machine's no-orphan invariant)
+            try:
+                self._fs.delete(self._jpath(f"{self.path}/{dv_dir}"), True)
+            except Exception:
+                pass  # best-effort; vacuum remains the backstop
         return dv_dir, counts
 
     @staticmethod

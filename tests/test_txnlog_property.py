@@ -193,6 +193,9 @@ def test_table_matches_model(spark, tmp_path_factory, ops):
                 assert v == target  # already there: no version burned
             else:
                 model_rows = list(history[target - 1])
+                # restore reverts the column MAP too: the value
+                # column's logical name returns to its as-of form
+                cur_col[0] = col_history[target - 1]
                 snap_history()
         # invariant after every op: live table == model (through BOTH
         # handles — they resolve the same log); an all-empty table has
