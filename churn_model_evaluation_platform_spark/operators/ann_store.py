@@ -294,7 +294,18 @@ class PqVectorIndex:
         candidates are |batch| × nprobe/n_cells of the store, scored at
         m code-byte lookups each, embeddings never read from the store
         (it has none). A batch too large to broadcast splits into gate
-        calls upstream — the daily-increment contract."""
+        calls upstream — the daily-increment contract.
+
+        CELL-PRUNED STORE READ (r11, VERDICT r10 next #6): the stored
+        side is not the full snapshot but ``scan`` restricted to the
+        UNION of the batch's probe cells — on the cell-partitioned
+        layout the commit log prunes every non-probed cell's files with
+        zero data IO (the same ``in``-predicate path ``topk`` takes).
+        The union is collected driver-side, bounded by n_cells values
+        regardless of batch size (and the batch broadcasts by
+        contract, so one extra tiny job over it is noise); a batch
+        whose probes cover every cell degrades to the full read it
+        always was."""
         from . import similarity as S
 
         v = version if version is not None else self.table.latest_version()
@@ -308,16 +319,30 @@ class PqVectorIndex:
             )
         m = len(cbs)
         tabs = S._pq_subdist_arrays(F.col(vec_col), cbs)
+        probe_cells_expr = S.ivf_probe_cells_expr(
+            F.col(vec_col), cents, nprobe
+        )
         probe_rows = batch_df.select(
             F.col(id_col).alias("_gate_id"),
-            F.explode(
-                S.ivf_probe_cells_expr(F.col(vec_col), cents, nprobe)
-            ).alias(self._cell_col),
+            F.explode(probe_cells_expr).alias(self._cell_col),
             *[t.alias(f"_tab{s}") for s, t in enumerate(tabs)],
         )
-        stored = self.table.snapshot(version=v).select(
-            self._cell_col, self._code_col
+        probed = sorted(
+            r[0]
+            for r in batch_df.select(
+                F.explode(probe_cells_expr).alias("c")
+            )
+            .distinct()
+            .collect()
         )
+        if probed:
+            stored = self.table.scan(
+                [(self._cell_col, "in", tuple(probed))], version=v
+            ).select(self._cell_col, self._code_col)
+        else:  # empty batch: nothing probes, nothing to read
+            stored = self.table.snapshot(version=v).select(
+                self._cell_col, self._code_col
+            ).limit(0)
         joined = F.broadcast(probe_rows).join(stored, self._cell_col)
         adc = None
         for s in range(m):

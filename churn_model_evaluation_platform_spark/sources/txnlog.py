@@ -89,6 +89,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .lifecycle import _fs_and_path
+from .protocol import (
+    ProtocolError,
+    check_checkpoint as _check_ckpt_protocol,
+    check_commit as _check_commit_protocol,
+    stamp as _stamp_protocol,
+)
 
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
@@ -515,16 +521,29 @@ class TxnTable:
                 ckpts.append(int(name[: -len(".ckpt")]))
         return sorted(commits), sorted(ckpts), sorted(pq_ckpts)
 
-    def _commits(self, since: int = 0, until: int | None = None) -> list[dict]:
+    def _commits(
+        self, since: int = 0, until: int | None = None, check: bool = True
+    ) -> list[dict]:
         """Commit entries with ``since < version <= until`` in version
         order — O(range) small JSON reads, driver-side; never a
-        data-file listing."""
+        data-file listing. Every entry passes the PROTOCOL GUARD
+        (sources/protocol.py) before any fold sees it: a commit whose
+        ``min_reader`` / ``reader_features`` / ``action`` this build
+        does not implement raises ProtocolError instead of folding as
+        an append (which would silently resurrect DV-deleted rows or
+        misname mapped columns). ``check=False`` is for surfaces that
+        DISPLAY commits without interpreting their row-level meaning
+        (``history()``)."""
         versions, _, _ = self._log_listing()
-        return [
+        out = [
             self._read_json(self._log_path(v))
             for v in versions
             if v > since and (until is None or v <= until)
         ]
+        if check:
+            for c in out:
+                _check_commit_protocol(c, self.path)
+        return out
 
     def _state(self, version: int | None = None) -> dict:
         """Table state at ``version`` (default latest): ``live``
@@ -557,6 +576,10 @@ class TxnTable:
         if usable:
             try:
                 ck = self._read_json(self._ckpt_path(usable[-1]))
+                # a checkpoint this build cannot interpret falls back to
+                # full replay (commits re-raise if the table truly needs
+                # a newer reader) — accelerator, never authority
+                _check_ckpt_protocol(ck, self.path)
                 live = list(ck["live"])
                 batch_ids = set(ck["batch_ids"])
                 # pre-stats checkpoints lack the key: files stay
@@ -697,6 +720,15 @@ class TxnTable:
             p = s.getPath().toUri().getPath()
             sizes[p[len(root_abs) + 1 :]] = int(s.getLen())
         relpaths = sorted(sizes)
+        if not relpaths:
+            # an all-filtered frame (e.g. a fully-gated ingest batch)
+            # writes ZERO part files on the partitioned path; there is
+            # nothing to stat and reading the empty commit dir would
+            # fail schema inference (r11: found by the streaming
+            # ANN-gate composition). The commit still lands — schema
+            # evolution and batch_id replay protection must apply to
+            # empty batches too.
+            return [], {}
         stats = self._collect_stats(commit_dir, relpaths, column_map=cmap)
         if self.partition_by:
             self._inject_partition_stats(stats, df.schema)
@@ -1018,6 +1050,11 @@ class TxnTable:
                 payload["dv"] = dv or {}
             elif dv:
                 payload["dv"] = dv
+            # protocol stamp (sources/protocol.py): min_reader +
+            # reader_features derived from the payload's CONTENT, so a
+            # pre-guard library replaying this table refuses row-level
+            # features it cannot fold instead of misreading them
+            _stamp_protocol(payload)
             if self._try_commit(version, payload):
                 if version % self.checkpoint_interval == 0:
                     self._write_checkpoint(version, state, payload)
@@ -1070,6 +1107,7 @@ class TxnTable:
                 "dropped_physical", prior.get("dropped_physical", [])
             ),
         }
+        _stamp_protocol(body)  # checkpoints carry the same reader gate
         try:
             # same create-if-absent primitive as the commit itself
             # (losing the claim is fine: a rival checkpointing the same
@@ -2254,6 +2292,115 @@ class TxnTable:
         # an UPDATE can write violating values; a DELETE cannot
         return self._cow_rewrite(preds, _apply, validate_constraints=True)
 
+    def update_dv(self, where: list[tuple], set_exprs: dict) -> dict:
+        """UPDATE via DELETION VECTORS — merge-on-read (VERDICT r10
+        next #5, Delta's DV-based update; the single-table
+        specialization of ``merge_dv``): matching rows' ADDRESSES land
+        in a DV sidecar (superseding them on every read path) and their
+        UPDATED versions append as new files — ONE atomic commit
+        carries both, so readers see pre- or post-update, never a mix,
+        and the change feed emits the row-level delete+insert pairs.
+        ZERO data files rewritten: a point update costs O(matched
+        rows), not O(every stats-matching file) like the CoW ``update``
+        — the sparse-correction shape over a 100 TB table. Bulk updates
+        should keep taking CoW (same sizing note as ``delete_dv``).
+
+        SET semantics are exactly ``update``'s: values may be literals
+        or Column expressions over the row, with the same type
+        coercion; non-matching and predicate-NULL rows are untouched
+        (their addresses are never written). CHECK constraints are
+        validated on the updated rows before the commit lands.
+
+        Returns ``{version, files_rewritten: 0, files_with_dv,
+        rows_updated}``; a no-match update returns the current version
+        with ``files_with_dv == 0``."""
+        preds = _validate_where(where)
+        if not preds:
+            raise ValueError("update_dv() requires a predicate")
+        if not set_exprs:
+            raise ValueError("update_dv() requires at least one SET column")
+        cond = _residual_filter(preds)
+        hit = F.coalesce(cond, F.lit(False))
+        last_err: CommitConflict | None = None
+        for _ in range(3):
+            st = self._state()
+            if not st["live"]:
+                raise ValueError(
+                    f"TxnTable at {self.path} has no committed data"
+                )
+            base = st["latest"]
+            phys = self._to_physical(preds, st)
+            touched = [
+                rel
+                for rel in st["live"]
+                if _file_may_match(st["stats"].get(rel), phys)
+            ]
+            noop = {
+                "version": base,
+                "files_rewritten": 0,
+                "files_with_dv": 0,
+                "rows_updated": 0,
+            }
+            if not touched:
+                return noop
+            # existing DVs apply in the read, so already-dead rows can
+            # never be re-addressed (same invariant as delete_dv)
+            matches = self._read_files(
+                st, touched, with_lineage=True
+            ).filter(hit)
+            hits = matches.select(
+                F.col("__rel").alias("relpath"),
+                F.col("__pos").alias("pos"),
+            )
+            dv_dir, counts = self._write_dv_sidecar(hits)
+            if not counts:
+                return noop  # predicate hit no rows: dir left for vacuum
+            bad = set(counts) - set(touched)
+            if bad:  # pragma: no cover - lineage/relpath derivation bug
+                raise RuntimeError(
+                    f"update_dv derived unknown relpaths {sorted(bad)}"
+                )
+            data_cols = [
+                c for c in matches.columns if c not in ("__rel", "__pos")
+            ]
+            unknown = [c for c in set_exprs if c not in data_cols]
+            if unknown:
+                raise ValueError(f"update_dv(): unknown columns {unknown}")
+            out = matches.select(*data_cols)
+            for name, expr in set_exprs.items():
+                val = expr if isinstance(expr, Column) else F.lit(expr)
+                # when(hit, ...).otherwise(col) — hit is TRUE for every
+                # row here, but the two-branch form reproduces update()'s
+                # exact type coercion, so the two paths cannot diverge
+                out = out.withColumn(
+                    name, F.when(hit, val).otherwise(F.col(name))
+                )
+            if st.get("constraints"):
+                # an UPDATE can write violating values; a DELETE cannot
+                self._check_constraints(out, st["constraints"])
+            added, stats = self._write_data(
+                out, column_map=st.get("column_map")
+            )
+            entries = self._fold_dv_entries(st, dv_dir, counts)
+            try:
+                version = self._commit(
+                    "updatedv",
+                    added,
+                    require_latest=base,
+                    stats=stats,
+                    df_schema=out.schema,
+                    dv=entries,
+                )
+                return {
+                    "version": version,
+                    "files_rewritten": 0,
+                    "files_with_dv": len(entries),
+                    "rows_updated": sum(counts.values()),
+                }
+            except CommitConflict as e:  # table advanced: recompute
+                last_err = e
+        raise last_err  # pragma: no cover - needs 3 straight rivals
+
     def _check_constraints(self, df: DataFrame, constraints: dict) -> None:
         """One aggregate pass counting violations of every CHECK
         constraint (SQL semantics: a row violates only when the
@@ -2619,12 +2766,17 @@ class TxnTable:
         pre-stats commits), batch id. Built ENTIRELY from the
         log (driver-side O(#commits) tiny JSON reads, zero data IO) —
         the operational audit a store admin reads before trusting a
-        table: ingest cadence, replay gaps, compactions."""
+        table: ingest cadence, replay gaps, compactions. Also surfaces
+        each commit's PROTOCOL requirements (``min_reader``,
+        ``reader_features`` — sources/protocol.py): history never
+        interprets row-level meaning, so it works even on a table whose
+        commits this build refuses to fold — it is HOW an admin
+        discovers which feature an upgrade must bring."""
         from pyspark.sql import types as _T
 
         rows = []
         seen: set = set()
-        for c in self._commits():
+        for c in self._commits(check=False):
             stats = c.get("stats") or {}
             added = c.get("added", [])
             # overwrite commits from optimize()/_cow_rewrite()/restore()
@@ -2654,6 +2806,8 @@ class TxnTable:
                     len(c.get("added", [])),
                     rows_added,
                     None if b is None else str(b),
+                    int(c.get("min_reader") or 1),
+                    ",".join(c.get("reader_features") or []),
                 )
             )
         schema = _T.StructType(
@@ -2663,6 +2817,8 @@ class TxnTable:
                 _T.StructField("n_files", _T.IntegerType(), False),
                 _T.StructField("rows_added", _T.LongType(), True),
                 _T.StructField("batch_id", _T.StringType(), True),
+                _T.StructField("min_reader", _T.IntegerType(), False),
+                _T.StructField("reader_features", _T.StringType(), False),
             ]
         )
         return self.spark.createDataFrame(rows, schema)

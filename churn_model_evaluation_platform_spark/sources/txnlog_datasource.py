@@ -81,6 +81,11 @@ from pyspark.sql.datasource import (
 from pyspark.sql import types as T
 
 from .plannerfs import PlannerFS, fs_for
+from .protocol import (
+    check_checkpoint as _check_ckpt_protocol,
+    check_commit as _check_commit_protocol,
+    stamp as _stamp_protocol,
+)
 
 _LOG_DIR = "_txnlog"
 
@@ -125,11 +130,16 @@ def _ckpt_state(
     )
     for v in reversed([c for c in ckpts if c <= until]):
         try:
-            return v, json.loads(
+            ck = json.loads(
                 fs.open_bytes(_join(log_dir, f"{v:020d}.ckpt")).decode(
                     "utf-8"
                 )
             )
+            # an incomprehensible checkpoint (protocol.py) degrades to
+            # an older one / full replay, where the commits re-raise if
+            # the table truly needs a newer reader
+            _check_ckpt_protocol(ck, path)
+            return v, ck
         except Exception:
             continue
     return 0, None
@@ -137,11 +147,16 @@ def _ckpt_state(
 
 def _commit(path: str, version: int, fs: PlannerFS | None = None) -> dict:
     fs = fs or fs_for(path)
-    return json.loads(
+    c = json.loads(
         fs.open_bytes(
             _join(path, _LOG_DIR, f"{version:020d}.json")
         ).decode("utf-8")
     )
+    # PROTOCOL GUARD (sources/protocol.py): every commit any planner
+    # fold consumes is checked at the read — an action/feature this
+    # build does not implement raises instead of folding as an append
+    _check_commit_protocol(c, path)
+    return c
 
 
 def _replay(path: str, until: int, fs: PlannerFS | None = None) -> dict:
@@ -1230,6 +1245,7 @@ class _TxnLogWriterBase:
                 "partition_by": None,
                 "data_change": True,
             }
+            _stamp_protocol(payload)  # same reader gate as the library
             if store.put_if_absent(
                 f"{root}/{_LOG_DIR}/{version:020d}.json",
                 json.dumps(payload).encode("utf-8"),

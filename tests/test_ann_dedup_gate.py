@@ -124,3 +124,52 @@ def test_gate_requires_centroids(spark, emb, pinned, tmp_path):
     idx.append(emb.where("vec_id % 2 = 0"), batch_id=0)
     with pytest.raises(ValueError, match="centroids"):
         idx.dedup_gate(emb.where("vec_id % 2 = 1"), threshold=1.0)
+
+
+def test_gate_store_read_is_cell_pruned(spark, emb, pinned, index):
+    # r11 (VERDICT r10 next #6): the gate's stored-side read must skip
+    # every code file outside the batch's probed cells. A 3-vector
+    # batch probes <= 3*NPROBE of the NCELLS cells; on the
+    # cell-partitioned layout that prunes files with zero data IO.
+    batch = (
+        emb.where("vec_id % 2 = 1")
+        .limit(3)
+        .select((F.col("vec_id") + 5000).alias("vec_id"), "embedding")
+    )
+    cents = pinned[1]
+    probed = sorted(
+        r[0]
+        for r in batch.select(
+            F.explode(
+                similarity.ivf_probe_cells_expr(
+                    F.col("embedding"), cents, NPROBE
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    assert len(probed) <= 3 * NPROBE < NCELLS
+    rep = index.table.prune_report([("ivf_cell", "in", tuple(probed))])
+    assert rep["pruned"] >= 1  # non-probed cells' files are skipped
+    # and the pruned read changes nothing semantically: every batch row
+    # still gets its min_adc from the probed cells only
+    got = index.dedup_gate(batch, threshold=0.05, nprobe=NPROBE)
+    assert got.count() == 3
+    full = index.table.snapshot().select("ivf_cell", "pq_code")
+    pruned_rows = (
+        index.table.scan([("ivf_cell", "in", tuple(probed))])
+        .select("ivf_cell", "pq_code")
+    )
+    kept_cells = {r[0] for r in pruned_rows.select("ivf_cell").distinct().collect()}
+    assert kept_cells <= set(probed)
+    # every stored row in a probed cell survives the pruned read
+    assert (
+        pruned_rows.count()
+        == full.where(F.col("ivf_cell").isin(probed)).count()
+    )
+
+
+def test_gate_empty_batch(spark, emb, index):
+    batch = emb.limit(0)
+    assert index.dedup_gate(batch, threshold=0.1).count() == 0

@@ -26,6 +26,8 @@ from churn_model_evaluation_platform_spark.sources.txnlog import TxnTable
 #   ("delete_dv", lo)                 — merge-on-read DELETE id >= lo (r10)
 #   ("merge_dv", lo, n)               — merge-on-read UPSERT of ids
 #                                       [lo, lo+n) to v = id + 0.5 (r10)
+#   ("update_dv", lo)                 — merge-on-read UPDATE id >= lo
+#                                       SET v = v + 100 (r11)
 #   ("rename",)                       — flip the value column v <-> w (r10)
 #   ("restore", k)                    — restore to version (k mod #versions)+1
 _ops = st.lists(
@@ -48,6 +50,7 @@ _ops = st.lists(
         st.tuples(
             st.just("merge_dv"), st.integers(0, 50), st.integers(1, 4)
         ),
+        st.tuples(st.just("update_dv"), st.integers(0, 50)),
         st.tuples(st.just("rename")),
         st.tuples(st.just("restore"), st.integers(0, 7)),
     ),
@@ -175,6 +178,25 @@ def test_table_matches_model(spark, tmp_path_factory, ops):
             assert res["files_rewritten"] == 0
             assert res["rows_deleted"] == len(matched)
             snap_history()
+        elif op[0] == "update_dv":
+            if not history or not t.files():
+                continue
+            _, lo = op
+            res = t.update_dv(
+                [("id", ">=", lo)],
+                {cur_col[0]: F.col(cur_col[0]) + 100.0},
+            )
+            matched = [r for r in model_rows if r[0] >= lo]
+            model_rows = [
+                (i, v + 100.0) if i >= lo else (i, v)
+                for (i, v) in model_rows
+            ]
+            if res["files_with_dv"] > 0:
+                assert res["files_rewritten"] == 0
+                assert res["rows_updated"] == len(matched)
+                snap_history()
+            else:  # stats-pruned or zero matches: no version burned
+                assert not matched
         elif op[0] == "rename":
             if not history:
                 continue  # rename needs a log-recorded schema
