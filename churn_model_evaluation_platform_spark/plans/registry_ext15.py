@@ -221,3 +221,66 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(
         qvec, k=_PQ_K, nprobe=_IVFPQ_NPROBE, exclude_id=0
     ).withColumn("adc_dist", F.round("adc_dist", 6))
+
+
+# ---------------------------------------------------------------------------
+# txnlog_format_write_partitioned — the PARTITIONED NATIVE SINK
+# (VERDICT r10 next #3): the same day-bucket Hive layout and 2-bucket
+# box scan as txnlog_partition_pruning, but the table is created and
+# ingested entirely through df.write.format("txnlog") with
+# .option("partitionBy", "bucket") — executor tasks fan rows out into
+# __p_bucket=<v>/ directories and the sink's pure-Python commit records
+# the library-format stats. The SHARED oracle (one definition with the
+# library twin) pins both the content and files_scanned: sink-written
+# partition files must prune exactly like library-written ones, so a
+# sink whose directory fan-out or stats bounds diverged breaks the
+# hash. Constraint enforcement, NULL routing, and stats parity are
+# pinned in tests/test_txnlog_sink_partitioned.py.
+# ---------------------------------------------------------------------------
+
+
+def _fmt_partprune_sql() -> str:
+    from .registry_ext13 import _PARTPRUNE_SQL
+
+    return _PARTPRUNE_SQL
+
+
+@register("txnlog_format_write_partitioned", _fmt_partprune_sql())
+def q_txnlog_format_write_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.txnlog import TxnTable
+    from ..sources.txnlog_datasource import register_txnlog_source
+
+    register_txnlog_source(spark)
+    with timed_phase("fixture_build:txnfmtpart"):
+        path = _tmp_table_path(sf_dir, "txnfmtpart")
+        ev = (
+            _t(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                "value",
+                F.least(
+                    F.floor((F.dayofmonth("ts") - 1) / 5).cast("long"),
+                    F.lit(5).cast("long"),
+                ).alias("bucket"),
+            )
+            .coalesce(1)
+        )
+        ev.write.format("txnlog").mode("append").option(
+            "partitionBy", "bucket"
+        ).save(path)
+        t = TxnTable(spark, path)
+    where = [("bucket", "between", (1, 2)), ("value", ">=", 10.0)]
+    scanned = t.prune_report(
+        [("bucket", "between", (1, 2))], distributed=True
+    )["kept"]
+    return (
+        t.scan(where, distributed=True)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("files_scanned", F.lit(scanned).cast("long"))
+    )

@@ -143,24 +143,49 @@ def test_schema_governance(spark, tmp_path):
     assert t.snapshot().where("extra IS NULL").count() == 5
 
 
-def test_constraints_and_partitions_refused(spark, tmp_path):
+def test_constraints_enforced_not_refused(spark, tmp_path):
+    # r11 (VERDICT r10 next #3): the sink VALIDATES check constraints
+    # in its commit worker instead of refusing the table outright
     p = str(tmp_path / "cons")
     t = TxnTable(spark, p)
     t.append(spark.range(5).select("id").coalesce(1))
     t.add_constraint("pos", "id >= 0")
-    with pytest.raises(Exception, match="CHECK constraints"):
-        spark.range(5, 8).select("id").write.format("txnlog").mode(
+    # a passing batch lands
+    spark.range(5, 8).select("id").write.format("txnlog").mode(
+        "append"
+    ).save(p)
+    assert TxnTable(spark, p).snapshot().count() == 8
+    # a violating batch raises and NOTHING lands
+    v = t.latest_version()
+    with pytest.raises(Exception, match="pos"):
+        spark.range(-3, 0).select("id").write.format("txnlog").mode(
             "append"
         ).save(p)
+    assert t.latest_version() == v
+    assert TxnTable(spark, p).snapshot().count() == 8
+
+
+def test_partitioned_append_adopts_layout(spark, tmp_path):
+    # r11: the sink fans rows out Hive-style into the layout the log
+    # records — library reads, pruning, and DML all keep working
     p2 = str(tmp_path / "part")
     tp = TxnTable(spark, p2, partition_by=["g"])
     tp.append(
         spark.range(6).select("id", (F.col("id") % 2).alias("g"))
     )
-    with pytest.raises(Exception, match="partitioned"):
-        spark.range(6, 9).select(
-            "id", (F.col("id") % 2).alias("g")
-        ).write.format("txnlog").mode("append").save(p2)
+    spark.range(6, 10).select(
+        "id", (F.col("id") % 2).alias("g")
+    ).write.format("txnlog").mode("append").save(p2)
+    snap = TxnTable(spark, p2).snapshot()
+    assert snap.count() == 10
+    assert snap.where("g = 1").count() == 5
+    # sink files landed under the Hive directories with exact bounds:
+    # a g=0 scan prunes every g=1 file, including the sink-written ones
+    rep = tp.prune_report([("g", "=", 0)])
+    assert rep["pruned"] >= 2  # one library file + one sink file per g
+    assert (
+        tp.scan([("g", "=", 0)]).count() == 5
+    )
 
 
 def test_column_mapped_write(spark, tmp_path):
