@@ -195,6 +195,178 @@ def encode_word_reference(
     return syms
 
 
+# ---------------------------------------------------------------------------
+# LARGE-VOCABULARY scale path (round 11, VERDICT r10 next #2): the
+# replace-chain above is O(vocab) Catalyst EXPRESSION DEPTH — a real
+# 50k-merge GPT-2-class vocab would blow codegen limits and plan-build
+# time. This path keeps the plan O(1) regardless of vocab size:
+#
+#   docs -> explode(pre-tokens)            (map-side, codegen)
+#        -> DISTINCT word                  (the vocabulary trick: the
+#                                           Python encoder runs once per
+#                                           distinct word, not per
+#                                           occurrence — corpus word
+#                                           frequency follows Zipf, so
+#                                           this is orders of magnitude
+#                                           less work at 100 TB)
+#        -> mapInArrow(classic merge loop) (Arrow-batched; the rank
+#                                           dict builds once per task)
+#        -> join counts back on word       (broadcastable for real
+#                                           vocabs; plain shuffle join
+#                                           otherwise) -> per-doc sum
+#
+# The pinned table (bpe_merges_large.py, generated by tools/
+# train_bpe.py) trains to exhaustion on the fixture corpus (89 firing
+# merges — its 31 distinct words bound what is trainable) and pads
+# deterministically to 8192 entries: exactly the shape of a realistic
+# vocab against one corpus slice, where most merges never fire but
+# every reader still carries and ranks the whole table.
+# ---------------------------------------------------------------------------
+
+
+def large_merges() -> list[tuple[str, str]]:
+    from .bpe_merges_large import BPE_MERGES_LARGE
+
+    return list(BPE_MERGES_LARGE)
+
+
+def encode_word_classic(
+    word: str, rank: dict[tuple[str, str], int]
+) -> list[str]:
+    """The classic lowest-rank-adjacent-pair merge loop over one
+    pre-token, against a prebuilt rank dict (the per-word hot path of
+    the mapInArrow encoder; equal to the rank-order replace chain —
+    proven in tests/test_bpe_large.py)."""
+    syms = list(word)
+    n = len(rank)
+    while len(syms) > 1:
+        best_i, best_r = -1, n
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]), n)
+            if r < best_r:
+                best_i, best_r = i, r
+        if best_i < 0 or best_r >= n:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_token_count_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Per-doc EXACT token counts under an arbitrarily large merges
+    table — the plan described above: explode/distinct/join are all
+    built-in (codegen, shuffle bounded by distinct (doc, word) pairs);
+    the only Python is one classic-merge-loop call per DISTINCT word,
+    Arrow-batched. Docs with zero pre-tokens report 0."""
+    merges = large_merges() if merges is None else merges
+    rank = {m: i for i, m in enumerate(merges)}
+
+    def _encode(batches):
+        import pyarrow as pa
+
+        memo: dict[str, int] = {}
+        for batch in batches:
+            words = batch.column(0).to_pylist()
+            out = []
+            for w in words:
+                n = memo.get(w)
+                if n is None:
+                    n = len(encode_word_classic(w, rank))
+                    memo[w] = n
+                out.append(n)
+            yield pa.record_batch(
+                [pa.array(words, pa.string()), pa.array(out, pa.int64())],
+                names=["w", "n_tokens"],
+            )
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0)
+        ).alias("w"),
+    )
+    vocab = words.select("w").distinct()
+    encoded = vocab.mapInArrow(_encode, "w string, n_tokens long")
+    counts = (
+        words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_tokens").alias("n_tokens_exact"))
+    )
+    return (
+        df.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens_exact"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_exact"),
+        )
+    )
+
+
+def vocab_count_sql(
+    merges: list[tuple[str, str]] | None = None,
+    docs_table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """The DuckDB replay of ``bpe_token_count_vocab`` — the SAME
+    distinct-word plan, with the per-word encode as ONE ``list_reduce``
+    over the rank-ordered replace strings (the chain spec at the top of
+    this module; chain == classic loop is pinned in tests). The whole
+    merges table inlines as one US/RS-separated literal: tokens are
+    corpus text (ASCII >= 0x20 — asserted in tests), so the control
+    separators cannot collide."""
+    merges = large_merges() if merges is None else merges
+    mega = RS.join(f"{a}{US}{b}" for a, b in merges)
+    pat = _sql_quote(BPE_TOKEN_PATTERN)
+    return f"""
+WITH ms AS (
+  SELECT list_transform(
+    str_split({_sql_quote(mega)}, chr(30)),
+    p -> chr(31) || str_split(p, chr(31))[1] || chr(31)
+         || chr(31) || str_split(p, chr(31))[2] || chr(31)
+         || chr(30)
+         || chr(31) || str_split(p, chr(31))[1]
+         || str_split(p, chr(31))[2] || chr(31)
+  ) AS l
+),
+words AS (
+  SELECT {id_expr} AS doc_id, unnest(regexp_extract_all({text_expr}, {pat})) AS w
+  FROM {docs_table}
+),
+vocab AS (SELECT DISTINCT w FROM words),
+enc AS (
+  SELECT w,
+         CAST((length(s) - length(replace(s, chr(31), ''))) / 2 AS BIGINT)
+           AS n_tokens
+  FROM (
+    SELECT w,
+           list_reduce(
+             list_prepend(
+               regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g'),
+               (SELECT l FROM ms)
+             ),
+             (acc, m) -> replace(acc, str_split(m, chr(30))[1],
+                                 str_split(m, chr(30))[2])
+           ) AS s
+    FROM vocab)
+)
+SELECT d.{id_expr} AS doc_id,
+       COALESCE(CAST(t.n AS BIGINT), 0) AS n_tokens_exact
+FROM {docs_table} d
+LEFT JOIN (
+  SELECT w.doc_id, CAST(SUM(e.n_tokens) AS BIGINT) AS n
+  FROM words w JOIN enc e USING (w)
+  GROUP BY w.doc_id
+) t ON t.doc_id = d.{id_expr}
+"""
+
+
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 

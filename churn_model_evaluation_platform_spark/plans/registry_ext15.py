@@ -284,3 +284,32 @@ def q_txnlog_format_write_partitioned(
         )
         .withColumn("files_scanned", F.lit(scanned).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# token_count_bpe_large — LARGE-VOCABULARY exact BPE (VERDICT r10 next
+# #2): the 64-merge replace chain is O(vocab) Catalyst expression depth
+# and cannot reach a realistic vocab; this is the O(1)-plan scale path
+# — explode pre-tokens, tokenize each DISTINCT word once in an
+# Arrow-batched classic merge loop against the pinned 8192-entry rank
+# table (operators/bpe_merges_large.py: 89 exhaustion-trained firing
+# merges + deterministic inventory padding, the shape of a real 50k
+# vocab against one corpus slice), join counts back, sum per doc. The
+# oracle replays the identical table as ONE list_reduce replace chain
+# per distinct word (chain == classic loop is pinned in
+# tests/test_bpe_large.py), so a rank-order, tie, or memoization bug on
+# either side breaks the hash on every document at once.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_large_sql() -> str:
+    from ..operators.bpe import vocab_count_sql
+
+    return vocab_count_sql()
+
+
+@register("token_count_bpe_large", _bpe_large_sql())
+def q_token_count_bpe_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_token_count_vocab
+
+    return bpe_token_count_vocab(_t(spark, sf_dir, "documents"))
