@@ -134,6 +134,16 @@ HEADLINE = [
     # streaming replication through Spark's own sink
     "txnlog_format_write",
     "txnlog_stream_sink",
+    # round-11 additions: merge-on-read UPDATE (DV addresses + updated
+    # versions, one commit), the partitioned native sink (Hive fan-out
+    # through df.write.format), streaming ANN ingestion end-to-end
+    # (writeStream -> gate -> exactly-once code appends -> ADC query),
+    # and large-vocab exact BPE (8192-entry rank table through the
+    # O(1)-plan distinct-word mapInArrow path)
+    "txnlog_update_dv",
+    "txnlog_format_write_partitioned",
+    "stream_ann_ingest",
+    "token_count_bpe_large",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
@@ -234,6 +244,22 @@ def main() -> None:
     sf = float(m.group(1)) if m else 0.0
 
     contention = _contention_snapshot()
+    # previous round's per-query detail, read BEFORE this run overwrites
+    # it: any common query regressing >1.15x vs it gets an automatic
+    # isolated best-of-2 rerun recorded in the artifact (r11, VERDICT
+    # r10 next #8 — the contention-jitter flags self-resolve in the
+    # JSON instead of in SCALE.md prose)
+    prev_timings: dict = {}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.json",
+            )
+        ) as f:
+            prev_timings = json.load(f).get("queries", {}) or {}
+    except Exception:
+        pass
     spark = get_spark(app_name="churn_model_evaluation_platform_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -302,6 +328,31 @@ def main() -> None:
         except Exception as e:  # one broken query must not blank the bench
             errors[name] = str(e).splitlines()[0][:200]
 
+    # auto-rerun of flagged regressions (r11): a >1.15x delta vs last
+    # round's recorded time is re-measured best-of-2 right here — the
+    # headline keeps the contended number; the artifact carries both,
+    # so a jitter flag is adjudicated by the run itself
+    rerun: dict[str, dict] = {}
+    for name, t_now in timings.items():
+        t_prev = prev_timings.get(name)
+        if not t_prev or t_now / t_prev <= 1.15:
+            continue
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            rerun[name] = {
+                "prev": round(float(t_prev), 4),
+                "contended": t_now,
+                "isolated": round(best, 4),
+            }
+        except Exception:
+            pass  # the rerun is diagnostic; never let it blank the bench
+
     def _timed(name: str, d: str, runs: int = 2) -> float:
         best = float("inf")
         for _ in range(runs):
@@ -340,6 +391,7 @@ def main() -> None:
         "queries": timings,
         "phase_split": phase_split,
         "scale_slope": slope,
+        "rerun": rerun,
         "errors": errors,
         "contention": contention,
     }
@@ -381,6 +433,7 @@ def main() -> None:
         "method": "best_of_2_warmed",
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "n_reruns": len(rerun),
         **contention,
         "detail_file": "BENCH_DETAIL.json",
     }
@@ -391,6 +444,7 @@ def main() -> None:
     # valid JSON — never slice a serialized string mid-token.
     for optional in (
         "detail_file",
+        "n_reruns",
         "java_procs_at_start",
         "load_avg_start",
         "method",

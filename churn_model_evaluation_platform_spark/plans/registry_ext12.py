@@ -917,19 +917,28 @@ def q_txnlog_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _six_bucket_table(spark, sf_dir: str, tag: str):
     from ..sources.txnlog import TxnTable
+    from .fixtures import cached_fixture, clone_fixture
     from .phases import timed_phase
 
     # Fixture construction is reported separately in BENCH_DETAIL
     # (plans/phases.py) so feed/scan regressions in the queries built on
-    # this table are not diluted by the 6-commit ingest.
-    with timed_phase(f"fixture_build:{tag}"):
-        path = _tmp_table_path(sf_dir, tag)
+    # this table are not diluted by the 6-commit ingest — and (r11,
+    # VERDICT r10 next #7) the ingest itself runs ONCE per machine per
+    # events-content: every caller gets a private CLONE of the cached
+    # pristine table (the log stores relative paths, so a copied table
+    # replays identically — history, stats, and batch_ids included),
+    # so per-query build cost is one copytree, not six commits.
+    def _build(path: str) -> None:
         ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
         t = TxnTable(spark, path)
         bucket = F.floor((F.dayofmonth("ts") - 1) / 5)
         for b in range(6):
             t.append(ev.where(bucket == b).coalesce(1), batch_id=b)
-    return t
+
+    with timed_phase(f"fixture_build:{tag}"):
+        base = cached_fixture(sf_dir, "sixbucket", ["events"], _build)
+        path = clone_fixture(base, _tmp_table_path(sf_dir, tag))
+    return TxnTable(spark, path)
 
 
 _DELETE_SQL = f"""

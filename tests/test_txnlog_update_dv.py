@@ -172,3 +172,29 @@ def test_update_dv_second_update_addresses_new_rows(spark, table):
     assert snap.where("v = 60.0").count() == 5
     assert snap.where("v = 50.0").count() == 0
     assert snap.count() == 100
+
+
+def test_update_dv_streams_through_format_cdf(spark, table):
+    # the updatedv commit must reach format("txnlog") CDF consumers as
+    # row-level delete+insert pairs, same as the library change feed
+    from churn_model_evaluation_platform_spark.sources.txnlog_datasource import (
+        register_txnlog_source,
+    )
+
+    register_txnlog_source(spark)
+    v0 = table.latest_version()
+    table.update_dv([("id", ">=", 97)], {"v": F.lit(-9.0)})
+    feed = (
+        spark.read.format("txnlog")
+        .option("readChangeFeed", "true")
+        .option("startVersion", v0)
+        .load(table.path)
+    )
+    got = sorted(
+        (r["_change_type"], r["id"], r["v"]) for r in feed.collect()
+    )
+    want = sorted(
+        [("delete", i, float(i % 5)) for i in range(97, 100)]
+        + [("insert", i, -9.0) for i in range(97, 100)]
+    )
+    assert got == want
