@@ -46,6 +46,7 @@ def sequence_pack(
     text_col: str = "text",
     id_col: str = "doc_id",
     counter=None,
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing — the standard pretraining data
     layout: the corpus token stream (docs in ``id_col`` order) is cut
@@ -63,14 +64,20 @@ def sequence_pack(
 
     ``counter`` swaps the token counter (Column -> Column); default is
     the whitespace count, operators/bpe.py supplies the exact-BPE count
-    for real token budgets.
+    for real token budgets. ``counts_df`` swaps in a PRE-COMPUTED
+    per-doc count frame ``(id_col, n_tokens)`` instead — the hook for
+    counters that are plans rather than expressions (the large-vocab
+    BPE path, bpe.bpe_token_count_vocab).
     """
     from ..functions.stats import partitioned_prefix_sum
 
-    count_fn = counter or (lambda c: F.size(tokens(c)))
-    counts = df.select(
-        F.col(id_col), count_fn(F.col(text_col)).alias("n_tokens")
-    )
+    if counts_df is not None:
+        counts = counts_df.select(F.col(id_col), F.col("n_tokens"))
+    else:
+        count_fn = counter or (lambda c: F.size(tokens(c)))
+        counts = df.select(
+            F.col(id_col), count_fn(F.col(text_col)).alias("n_tokens")
+        )
     cum = partitioned_prefix_sum(counts, id_col, ["n_tokens"])
     start = (F.col("cum_n_tokens") - F.col("n_tokens")).cast("bigint")
     pack_first = F.expr(

@@ -313,3 +313,37 @@ def q_token_count_bpe_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_token_count_vocab
 
     return bpe_token_count_vocab(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack_bpe_large — the pretraining packing layout keyed on the
+# LARGE-VOCAB exact token stream: the same range-partitioned prefix sum
+# and integer window arithmetic as sequence_pack / _bpe_exact, with
+# per-doc counts from the 8192-entry rank table's distinct-word path —
+# the composition a real token-budgeted data pipeline runs (tokenizer
+# at realistic vocab size -> budget arithmetic). The oracle nests the
+# list_reduce replay as the counts CTE and reuses the pinned packing
+# tail, so a drift in EITHER the tokenizer or the prefix sum breaks
+# every doc's pack assignment at once.
+# ---------------------------------------------------------------------------
+
+
+def _pack_large_sql() -> str:
+    from ..operators.bpe import vocab_count_sql
+    from .registry_ext14 import _PACK_EXACT_TAIL
+
+    return (
+        f"WITH t AS ({vocab_count_sql()})" + _PACK_EXACT_TAIL
+    )
+
+
+@register("sequence_pack_bpe_large", _pack_large_sql())
+def q_sequence_pack_bpe_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_token_count_vocab
+    from ..operators.text import sequence_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe_token_count_vocab(docs).withColumnRenamed(
+        "n_tokens_exact", "n_tokens"
+    )
+    return sequence_pack(docs, ctx_len=512, counts_df=counts)
