@@ -17,12 +17,19 @@ serves it two ways:
   RELATIVE paths, so a cloned table replays identically at its new
   location, history and batch_ids included.
 
-Correctness is unaffected by construction: the key hashes the SOURCE
-TABLE FILES (path, mtime, size — recursive for directory parquet) AND
-the builder's own source code, so a data refresh or a builder edit
-rebuilds instead of serving a stale fixture; a torn build can never be
-served because the key file is written into the staging dir and the
-whole dir is renamed into place atomically."""
+Staleness and concurrency (r11 review hardening):
+
+- The content key hashes the SOURCE TABLE FILES (path, mtime, size —
+  recursive for directory parquet), the builder's own source, AND the
+  source of every library module the builder's output format depends
+  on (``code_modules``) — a commit-log or encoder change rebuilds
+  instead of serving a round-old fixture.
+- The key is IN THE DIRECTORY NAME, and a build stages into a
+  pid-suffixed dir that is atomically renamed into place. A live root
+  is never deleted out from under a concurrent reader (a key change
+  targets a different path; the loser of a same-key rename race keeps
+  the winner's dir). Old-key dirs linger in /tmp — bounded by the
+  number of key changes, reclaimed by /tmp hygiene."""
 
 from __future__ import annotations
 
@@ -31,11 +38,19 @@ import inspect
 import os
 import shutil
 
-_KEY_FILE = "_FIXTURE_KEY"
+_OK_FILE = "_FIXTURE_OK"
 
 
-def _content_key(sf_dir: str, tables: list[str], salt: str) -> str:
+def _content_key(
+    sf_dir: str, tables: list[str], salt: str, code_modules=()
+) -> str:
     parts = [salt, os.path.normpath(sf_dir)]
+    for mod in code_modules:
+        try:
+            src = inspect.getsource(mod)
+        except (OSError, TypeError):  # builtins/frozen: name only
+            src = getattr(mod, "__name__", repr(mod))
+        parts.append(hashlib.md5(src.encode("utf-8")).hexdigest())
     for t in sorted(tables):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
@@ -51,31 +66,36 @@ def _content_key(sf_dir: str, tables: list[str], salt: str) -> str:
     return hashlib.md5("|".join(parts).encode("utf-8")).hexdigest()
 
 
-def cached_fixture(sf_dir: str, name: str, tables: list[str], build) -> str:
+def cached_fixture(
+    sf_dir: str, name: str, tables: list[str], build, code_modules=()
+) -> str:
     """The pristine fixture dir for (``name``, ``sf_dir`` content,
-    ``build`` source). ``build(path)`` populates ``path`` on a miss.
-    Returned dir is SHARED — mutate through ``clone_fixture`` only."""
+    ``build`` + ``code_modules`` source). ``build(path)`` populates
+    ``path`` on a miss. Returned dir is SHARED — mutate through
+    ``clone_fixture`` only."""
     base = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/spark_graft_fix_{name}_{base}"
     key = _content_key(
         sf_dir,
         tables,
         hashlib.md5(inspect.getsource(build).encode("utf-8")).hexdigest(),
+        code_modules,
     )
-    try:
-        with open(os.path.join(root, _KEY_FILE)) as f:
-            if f.read() == key:
-                return root
-    except OSError:
-        pass
+    root = f"/tmp/spark_graft_fix_{name}_{base}_{key[:10]}"
+    if os.path.isfile(os.path.join(root, _OK_FILE)):
+        return root
     tmp = f"{root}.building-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     build(tmp)
-    with open(os.path.join(tmp, _KEY_FILE), "w") as f:
+    with open(os.path.join(tmp, _OK_FILE), "w") as f:
         f.write(key)
-    shutil.rmtree(root, ignore_errors=True)
-    os.rename(tmp, root)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        # a rival completed the same key first: serve theirs, drop ours
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(root, _OK_FILE)):
+            raise
     return root
 
 
@@ -84,7 +104,7 @@ def clone_fixture(cache_root: str, dest: str) -> str:
     shutil.rmtree(dest, ignore_errors=True)
     shutil.copytree(cache_root, dest)
     try:
-        os.remove(os.path.join(dest, _KEY_FILE))
+        os.remove(os.path.join(dest, _OK_FILE))
     except OSError:
         pass
     return dest

@@ -936,7 +936,15 @@ def _six_bucket_table(spark, sf_dir: str, tag: str):
             t.append(ev.where(bucket == b).coalesce(1), batch_id=b)
 
     with timed_phase(f"fixture_build:{tag}"):
-        base = cached_fixture(sf_dir, "sixbucket", ["events"], _build)
+        from ..sources import txnlog as _txnlog_mod
+
+        base = cached_fixture(
+            sf_dir,
+            "sixbucket",
+            ["events"],
+            _build,
+            code_modules=(_txnlog_mod,),
+        )
         path = clone_fixture(base, _tmp_table_path(sf_dir, tag))
     return TxnTable(spark, path)
 

@@ -71,7 +71,16 @@ def q_similarity_topk_pq_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx.append(emb.where("vec_id % 2 = 0"), batch_id=0)
             idx.append(emb.where("vec_id % 2 = 1"), batch_id=1)
 
-        path = cached_fixture(sf_dir, "pqtxn", ["embeddings"], _build)
+        from ..operators import ann_store as _ann_mod
+        from ..sources import txnlog as _txnlog_mod
+
+        path = cached_fixture(
+            sf_dir,
+            "pqtxn",
+            ["embeddings"],
+            _build,
+            code_modules=(_txnlog_mod, _ann_mod, similarity),
+        )
         idx = PqVectorIndex(spark, path)
         qvec = [
             float(v)
@@ -408,7 +417,16 @@ def q_ann_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx = PqVectorIndex.create(spark, path, cbs, cents)
             idx.append(emb.where("vec_id % 2 = 0"), batch_id=0)
 
-        path = cached_fixture(sf_dir, "anngate", ["embeddings"], _build)
+        from ..operators import ann_store as _ann_mod
+        from ..sources import txnlog as _txnlog_mod
+
+        path = cached_fixture(
+            sf_dir,
+            "anngate",
+            ["embeddings"],
+            _build,
+            code_modules=(_txnlog_mod, _ann_mod, similarity),
+        )
         idx = PqVectorIndex(spark, path)
     return idx.dedup_gate(
         emb.where("vec_id % 2 = 1"),

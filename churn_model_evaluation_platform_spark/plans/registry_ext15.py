@@ -196,10 +196,20 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (1_700_000_000, 1_700_000_000),
             )
 
-        fix = cached_fixture(sf_dir, "annstream", ["embeddings"], _build)
-        base = clone_fixture(
-            fix, _tmp_table_path(sf_dir, f"annstream_{os.getpid()}")
+        from ..operators import ann_store as _ann_mod
+        from ..sources import txnlog as _txnlog_mod
+
+        fix = cached_fixture(
+            sf_dir,
+            "annstream",
+            ["embeddings"],
+            _build,
+            code_modules=(_txnlog_mod, _ann_mod, similarity),
         )
+        # fixed tag (no pid): _tmp_table_path rmtree's the PRIOR run's
+        # clone, so sequential bench runs self-reclaim instead of
+        # leaking a full store copy per process (r11 review)
+        base = clone_fixture(fix, _tmp_table_path(sf_dir, "annstream"))
         drops = f"{base}/drops"
         idx = PqVectorIndex(spark, f"{base}/index")
         qvec = [

@@ -1652,7 +1652,12 @@ class TxnTable:
             ts = ts.timestamp()
         ts = float(ts)
         best = None
-        for c in self._commits():
+        # check=False: resolution reads only version/committed_at —
+        # never row-level meaning — so TIMESTAMP AS OF to a point
+        # before a foreign/future commit must resolve exactly like
+        # VERSION AS OF does (the checked fold happens in _state at
+        # the RESOLVED version; r11 review)
+        for c in self._commits(check=False):
             at = c.get("committed_at")
             if at is not None and float(at) <= ts:
                 best = c["version"]
@@ -2281,13 +2286,23 @@ class TxnTable:
             unknown = [c for c in set_exprs if c not in df.columns]
             if unknown:
                 raise ValueError(f"update(): unknown columns {unknown}")
-            out = df
-            for name, expr in set_exprs.items():
-                val = expr if isinstance(expr, Column) else F.lit(expr)
-                out = out.withColumn(
-                    name, F.when(hit, val).otherwise(F.col(name))
-                )
-            return out
+            # ONE select: the predicate and every SET value evaluate
+            # against the ORIGINAL row — sequential withColumn would
+            # re-resolve `hit` (and cross-referencing SET values)
+            # against already-updated columns, partially updating rows
+            # whenever a SET touches a predicate column (r11 review;
+            # SQL UPDATE semantics are simultaneous assignment)
+            proj = []
+            for c in df.columns:
+                if c in set_exprs:
+                    expr = set_exprs[c]
+                    val = expr if isinstance(expr, Column) else F.lit(expr)
+                    proj.append(
+                        F.when(hit, val).otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    proj.append(F.col(c))
+            return df.select(*proj)
 
         # an UPDATE can write violating values; a DELETE cannot
         return self._cow_rewrite(preds, _apply, validate_constraints=True)
@@ -2366,15 +2381,23 @@ class TxnTable:
             unknown = [c for c in set_exprs if c not in data_cols]
             if unknown:
                 raise ValueError(f"update_dv(): unknown columns {unknown}")
-            out = matches.select(*data_cols)
-            for name, expr in set_exprs.items():
-                val = expr if isinstance(expr, Column) else F.lit(expr)
-                # when(hit, ...).otherwise(col) — hit is TRUE for every
-                # row here, but the two-branch form reproduces update()'s
-                # exact type coercion, so the two paths cannot diverge
-                out = out.withColumn(
-                    name, F.when(hit, val).otherwise(F.col(name))
-                )
+            # ONE select: every SET expression — and the two-branch
+            # when(hit)/otherwise form that reproduces update()'s type
+            # coercion — evaluates against the ORIGINAL row. Sequential
+            # withColumn would re-resolve `hit` against already-updated
+            # values, silently skipping later SET columns whenever an
+            # earlier one rewrites a predicate column (r11 review).
+            proj = []
+            for c in data_cols:
+                if c in set_exprs:
+                    expr = set_exprs[c]
+                    val = expr if isinstance(expr, Column) else F.lit(expr)
+                    proj.append(
+                        F.when(hit, val).otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    proj.append(F.col(c))
+            out = matches.select(*proj)
             if st.get("constraints"):
                 # an UPDATE can write violating values; a DELETE cannot
                 self._check_constraints(out, st["constraints"])

@@ -167,7 +167,9 @@ def _ckpt_state(
     return 0, None
 
 
-def _commit(path: str, version: int, fs: PlannerFS | None = None) -> dict:
+def _commit(
+    path: str, version: int, fs: PlannerFS | None = None, check: bool = True
+) -> dict:
     fs = fs or fs_for(path)
     c = json.loads(
         fs.open_bytes(
@@ -176,8 +178,11 @@ def _commit(path: str, version: int, fs: PlannerFS | None = None) -> dict:
     )
     # PROTOCOL GUARD (sources/protocol.py): every commit any planner
     # fold consumes is checked at the read — an action/feature this
-    # build does not implement raises instead of folding as an append
-    _check_commit_protocol(c, path)
+    # build does not implement raises instead of folding as an append.
+    # check=False is for metadata-only consumers (timestamp resolution
+    # reads committed_at alone; the resolved version's fold re-checks)
+    if check:
+        _check_commit_protocol(c, path)
     return c
 
 
@@ -399,7 +404,7 @@ def _version_at_ts(
     ts = float(ts)
     best = None
     for v in versions:
-        c = _commit(path, v, fs)
+        c = _commit(path, v, fs, check=False)  # committed_at only
         at = c.get("committed_at")
         if at is not None and float(at) <= ts:
             best = v
@@ -1077,22 +1082,36 @@ class _TxnLogWriterBase:
         import pyarrow.parquet as pq
 
         # one open writer per partition directory this task sees (ONE
-        # flat writer when unpartitioned); file content always carries
+        # flat writer when unpartitioned), CAPPED: high-cardinality
+        # partitionBy must not exhaust fds or buffer thousands of row
+        # groups — past the cap the least-recently-written writer is
+        # closed and a later row for that partition opens a NEW part
+        # file (multiple files per partition per task are fine; the
+        # commit references each one). File content always carries
         # every column — the library's partitionBy copies the partition
         # value into a __p_ directory key and keeps the original column
-        # in the file, so both write paths produce the same files
+        # in the file, so both write paths produce the same files.
+        max_open = 64
         writers: dict[str, tuple] = {}  # pdir -> (ParquetWriter, fname)
+        staged: list[str] = []  # every file this task produced
         rows = 0
 
         def _sink(pdir: str, sub) -> None:
             nonlocal rows
             w = writers.get(pdir)
             if w is None:
+                if len(writers) >= max_open:
+                    evict = next(iter(writers))
+                    writers.pop(evict)[0].close()
                 d = f"{self._tmp}/{pdir}" if pdir else self._tmp
                 os.makedirs(d, exist_ok=True)
                 fname = f"{d}/{uuid.uuid4().hex}.parquet"
                 w = (pq.ParquetWriter(fname, sub.schema), fname)
                 writers[pdir] = w
+                staged.append(fname)
+            else:
+                # LRU: re-insert so the hottest partitions stay open
+                writers[pdir] = writers.pop(pdir)
             w[0].write_batch(sub)
             rows += sub.num_rows
 
@@ -1130,9 +1149,7 @@ class _TxnLogWriterBase:
             w.close()
         # empty task: stage nothing (the engine still requires a
         # commit message object)
-        return _WrittenFile(
-            files=[fname for _, fname in writers.values()], rows=rows
-        )
+        return _WrittenFile(files=staged, rows=rows)
 
     @staticmethod
     def _local_root(path: str) -> str:

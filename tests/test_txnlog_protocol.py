@@ -229,3 +229,34 @@ def test_reader_version_covers_known_surface():
     # feature is known, and the version floor is sane
     assert protocol.ROW_LEVEL_FEATURES <= protocol.KNOWN_FEATURES
     assert protocol.READER_VERSION >= 2
+
+
+def test_timestamp_as_of_below_future_commit_still_works(spark, table):
+    # r11 review: TIMESTAMP AS OF reads only committed_at during
+    # resolution — it must behave exactly like VERSION AS OF when the
+    # resolved version predates a foreign commit
+    import time as _time
+
+    ts_v2 = json.load(
+        open(os.path.join(_log_dir(table), f"{2:020d}.json"))
+    )["committed_at"]
+    _write_commit(
+        table, 3, _future_commit(3, committed_at=_time.time() + 9999)
+    )
+    assert table.snapshot(timestamp=ts_v2).count() == 100
+    # the datasource's timestampAsOf agrees
+    from churn_model_evaluation_platform_spark.sources.txnlog_datasource import (
+        register_txnlog_source,
+    )
+
+    register_txnlog_source(spark)
+    got = (
+        spark.read.format("txnlog")
+        .option("timestampAsOf", str(ts_v2))
+        .load(table.path)
+        .count()
+    )
+    assert got == 100
+    # resolving INTO the foreign commit still refuses (the fold checks)
+    with pytest.raises(ProtocolError):
+        table.snapshot(timestamp=_time.time() + 99999).count()

@@ -198,3 +198,40 @@ def test_update_dv_streams_through_format_cdf(spark, table):
         + [("insert", i, -9.0) for i in range(97, 100)]
     )
     assert got == want
+
+
+def test_update_dv_simultaneous_assignment(spark, table):
+    # r11 review: a SET that rewrites a predicate column must not
+    # starve later SET columns — all assignments evaluate against the
+    # ORIGINAL row (SQL UPDATE semantics), on BOTH update paths
+    dv = table
+    rep = dv.update_dv(
+        [("v", ">=", 4.0)], {"v": F.lit(0.0), "maybe": F.lit(9)}
+    )
+    assert rep["rows_updated"] == 20  # ids with id % 5 == 4
+    snap = dv.snapshot()
+    assert snap.where("v >= 4.0").count() == 0  # first SET applied
+    # the second SET must have applied to exactly the SAME rows: every
+    # matched id (id % 5 == 4) carries maybe = 9, nothing else does
+    assert snap.where("maybe = 9 and id % 5 = 4").count() == 20
+    assert snap.where("maybe = 9").count() == 20
+
+
+def test_update_cow_simultaneous_assignment(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "cow2"))
+    t.append(_frame(spark, 0, 50), batch_id=0)
+    t.update([("v", ">=", 4.0)], {"v": F.lit(0.0), "maybe": F.lit(9)})
+    snap = t.snapshot()
+    assert snap.where("v >= 4.0").count() == 0  # first SET applied
+    assert snap.where("maybe = 9 and id % 5 = 4").count() == 10
+    assert snap.where("maybe = 9").count() == 10
+    # and a value-swap SET reads both sides from the original row
+    t2 = TxnTable(spark, str(tmp_path / "swap"))
+    t2.append(
+        spark.range(4)
+        .select("id", (F.col("id") * 1.0).alias("a"), (F.col("id") * 10.0).alias("b"))
+        .coalesce(1)
+    )
+    t2.update([("id", ">=", 0)], {"a": F.col("b"), "b": F.col("a")})
+    got = sorted((r["id"], r["a"], r["b"]) for r in t2.snapshot().collect())
+    assert got == [(i, i * 10.0, i * 1.0) for i in range(4)]
