@@ -144,6 +144,9 @@ HEADLINE = [
     "txnlog_format_write_partitioned",
     "stream_ann_ingest",
     "token_count_bpe_large",
+    # round-11 batch 2: GDPR erasure from the vector index (clone the
+    # cached store, merge-on-read delete a vec-id band, query)
+    "ann_delete_vectors",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
@@ -195,6 +198,11 @@ SLOPE_QUERIES = [
     # fixed-size broadcast semi-join (vec_id offsets keep pinned
     # codebook rows 1..8 and query 0 present in the 4x corpus)
     "similarity_topk_pq_rerank",
+    # round-11 addition: the large-vocab BPE scale path — distinct-word
+    # Python work should grow with the 4x corpus's distinct words
+    # (vowel rotation multiplies the vocabulary), everything else
+    # (explode/join/sum) is linear
+    "token_count_bpe_large",
 ]
 # Every listed column gets the same per-copy id offset, so join keys
 # stay CONSISTENT within a copy (4 disjoint subgraphs — structure-

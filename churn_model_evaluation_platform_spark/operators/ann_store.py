@@ -371,6 +371,20 @@ class PqVectorIndex:
 
     # -- maintenance / audit -----------------------------------------------
 
+    def delete(self, where: list[tuple]) -> dict:
+        """DELETE vectors from the index — the GDPR-erasure surface a
+        production vector store needs (r11): a merge-on-read
+        ``delete_dv`` on the underlying table, so erasing a handful of
+        vectors from a billion-code index writes O(deleted rows) of
+        addresses and rewrites ZERO code files; every query path
+        (topk / dedup_gate / scan) anti-joins the sidecar from the same
+        snapshot machinery, erased vectors stay erased through OPTIMIZE
+        (which materializes the DVs away), and time travel still
+        serves pre-erasure versions until ``purge_dv`` + ``vacuum``
+        retire them. ``where`` uses the table predicate grammar, e.g.
+        ``[("vec_id", "in", (7, 9))]``."""
+        return self.table.delete_dv(where)
+
     def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> dict:
         """Bin-pack small code files (a streaming-ingested index
         accretes one file per cell per batch) through the table's own

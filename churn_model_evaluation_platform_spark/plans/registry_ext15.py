@@ -377,3 +377,98 @@ def q_sequence_pack_bpe_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_exact", "n_tokens"
     )
     return sequence_pack(docs, ctx_len=512, counts_df=counts)
+
+
+# ---------------------------------------------------------------------------
+# ann_delete_vectors — GDPR ERASURE from the incremental vector index
+# (r11): PqVectorIndex.delete = merge-on-read delete_dv on the code
+# table — erasing a vec-id band from the index writes O(deleted rows)
+# of addresses, rewrites ZERO code files, and every query path serves
+# the post-erasure snapshot. The oracle is the shared _ivfpq_sql with
+# the deleted band excluded (surgical, assertion-guarded edits on the
+# ONE ADC definition) and pins files_rewritten == 0 + rows_deleted =
+# the band's corpus population — a top-k that still surfaces an erased
+# vector, or a delete that fell back to rewriting, breaks the hash.
+# ---------------------------------------------------------------------------
+
+_ANN_DEL_LO, _ANN_DEL_HI = 100, 200
+
+
+def _ann_delete_sql() -> str:
+    from .registry_ext12 import _ivfpq_sql
+
+    sql = _ivfpq_sql()
+    old_where = "WHERE a0.vec_id <> 0"
+    assert old_where in sql
+    sql = sql.replace(
+        old_where,
+        old_where
+        + f"\n    AND (a0.vec_id < {_ANN_DEL_LO} OR a0.vec_id >= {_ANN_DEL_HI})",
+        1,
+    )
+    old_sel = "SELECT vec_id, round(adc, 6) AS adc_dist FROM ("
+    assert old_sel in sql
+    sql = sql.replace(
+        old_sel,
+        "SELECT vec_id, round(adc, 6) AS adc_dist,\n"
+        "       CAST(0 AS BIGINT) AS files_rewritten,\n"
+        f"       (SELECT CAST(count(*) AS BIGINT) FROM e\n"
+        f"        WHERE vec_id >= {_ANN_DEL_LO} AND vec_id < {_ANN_DEL_HI})"
+        " AS rows_deleted FROM (",
+        1,
+    )
+    return sql
+
+
+@register("ann_delete_vectors", _ann_delete_sql())
+def q_ann_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    from ..operators import ann_store as _ann_mod
+    from ..operators.ann_store import PqVectorIndex
+    from ..sources import txnlog as _txnlog_mod
+    from .fixtures import cached_fixture, clone_fixture
+    from .registry_ext12 import _IVFPQ_NCELLS, _IVFPQ_NPROBE, _PQ_K, _PQ_KS, _PQ_M
+
+    emb = _t(spark, sf_dir, "embeddings")
+    with timed_phase("fixture_build:anndelete"):
+        # same pristine full-corpus store as similarity_topk_pq_txn —
+        # CLONED, because the erasure mutates it
+        def _build(path: str) -> None:
+            cbs = similarity.pq_codebooks_pinned(emb, m=_PQ_M, ks=_PQ_KS)
+            cents_map = {
+                r["vec_id"]: [float(v) for v in r["embedding"]]
+                for r in emb.where(
+                    F.col("vec_id").between(1, _IVFPQ_NCELLS)
+                ).collect()
+            }
+            cents = [cents_map[j] for j in range(1, _IVFPQ_NCELLS + 1)]
+            idx = PqVectorIndex.create(spark, path, cbs, cents)
+            idx.append(emb.where("vec_id % 2 = 0"), batch_id=0)
+            idx.append(emb.where("vec_id % 2 = 1"), batch_id=1)
+
+        base = cached_fixture(
+            sf_dir,
+            "pqtxn",
+            ["embeddings"],
+            _build,
+            code_modules=(_txnlog_mod, _ann_mod, similarity),
+        )
+        path = clone_fixture(base, _tmp_table_path(sf_dir, "anndelete"))
+        idx = PqVectorIndex(spark, path)
+        qvec = [
+            float(v)
+            for v in emb.where("vec_id = 0").collect()[0]["embedding"]
+        ]
+    rep = idx.delete(
+        [("vec_id", ">=", _ANN_DEL_LO), ("vec_id", "<", _ANN_DEL_HI)]
+    )
+    return (
+        idx.topk(qvec, k=_PQ_K, nprobe=_IVFPQ_NPROBE, exclude_id=0)
+        .withColumn("adc_dist", F.round("adc_dist", 6))
+        .withColumn(
+            "files_rewritten", F.lit(rep["files_rewritten"]).cast("long")
+        )
+        .withColumn(
+            "rows_deleted", F.lit(rep["rows_deleted"]).cast("long")
+        )
+    )

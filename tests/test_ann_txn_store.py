@@ -174,3 +174,44 @@ def test_open_plain_table_raises(spark, tmp_path):
     idx = PqVectorIndex(spark, t.path)
     with pytest.raises(ValueError, match="not a PqVectorIndex"):
         idx.codebooks()
+
+
+def test_delete_vectors_erased_everywhere(spark, emb, pinned, index):
+    # r11 GDPR erasure: delete a vec-id band merge-on-read — zero code
+    # files rewritten, and NO query surface serves an erased vector
+    _, _, qvec = pinned
+    pre_files = set(index.table.files())
+    n_band = emb.where("vec_id >= 100 and vec_id < 200").count()
+    rep = index.delete([("vec_id", ">=", 100), ("vec_id", "<", 200)])
+    assert rep["files_rewritten"] == 0
+    assert rep["rows_deleted"] == n_band
+    assert set(index.table.files()) == pre_files
+    # topk over the whole store never surfaces the band
+    got = index.topk(qvec, k=emb.count(), exclude_id=0)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert not any(100 <= i < 200 for i in ids)
+    # the gate cannot match against erased codes either: resubmitting
+    # a deleted vector finds candidates only among the survivors
+    dup = emb.where("vec_id = 150").withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    out = index.dedup_gate(dup, threshold=1e18, nprobe=NCELLS).collect()
+    assert len(out) == 1
+    # its own (erased) code is gone, so min_adc is the distance to some
+    # OTHER stored vector — strictly above the self-quantization floor
+    cbs = pinned[0]
+    self_adc = None
+    for t in similarity._pq_subdist_arrays(F.col("embedding"), cbs):
+        term = F.array_min(t)
+        self_adc = term if self_adc is None else self_adc + term
+    floor = dup.select(self_adc.alias("f")).first()["f"]
+    assert out[0]["min_adc"] > floor + 1e-9
+    # erasure survives OPTIMIZE (DVs materialize away, rows stay gone)
+    index.optimize()
+    assert not index.table._state()["dv"]
+    got2 = index.topk(qvec, k=emb.count(), exclude_id=0)
+    assert {r["vec_id"] for r in got2.collect()} == ids
+    # pre-erasure versions remain time-travelable until purged
+    v_pre = 3  # two appends land at v2/v3 (v1 = properties commit)
+    assert index.topk(qvec, k=emb.count(), exclude_id=0, version=v_pre) \
+        .where("vec_id = 150").count() == 1
