@@ -147,6 +147,10 @@ HEADLINE = [
     # round-11 batch 2: GDPR erasure from the vector index (clone the
     # cached store, merge-on-read delete a vec-id band, query)
     "ann_delete_vectors",
+    # round-11 batch 3: bloom-filter point-lookup skipping (per-file
+    # blooms in the commit log prune a shuffled-key layout range
+    # stats cannot)
+    "txnlog_bloom_pointlookup",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

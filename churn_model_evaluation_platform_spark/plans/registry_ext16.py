@@ -1,0 +1,96 @@
+"""Round-11 (second batch) registry extensions: per-file bloom-filter
+point-lookup skipping on the transactional table.
+
+Same conventions as registry.py: every computed column aliased
+identically on both engines; integer aggregates cast to BIGINT on the
+DuckDB side (HUGEINT hash trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .phases import timed_phase
+from .registry import register
+from .registry_ext12 import _t
+
+
+# ---------------------------------------------------------------------------
+# txnlog_bloom_pointlookup — BLOOM-FILTER FILE SKIPPING (r11, Delta's
+# bloom-filter-index posture): orders ingested in 4 commits x 2 files
+# bucketed by xxhash64(o_orderkey), so every file's [min, max] spans
+# the whole key space and range stats can prune NOTHING; the per-file
+# blooms recorded in the commit log answer a 3-key point lookup by
+# skipping every file that cannot hold a key. The oracle pins the
+# matched content (the 3 smallest order keys — SQL-expressible on both
+# engines) plus `bloom_pruned` = "the scan touched at most half the
+# files", which only holds through the blooms; the no-false-negative
+# invariant, checkpoint/rename survival, and the cross-kind literal
+# guard are pinned in tests/test_txnlog_bloom.py.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+       CAST(TRUE AS BOOLEAN) AS bloom_pruned
+FROM orders
+WHERE o_orderkey IN
+      (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+"""
+
+
+@register("txnlog_bloom_pointlookup", _BLOOM_SQL)
+def q_txnlog_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import txnlog as _txnlog_mod
+    from ..sources.txnlog import TxnTable
+    from .fixtures import cached_fixture
+
+    with timed_phase("fixture_build:txnbloom"):
+
+        def _build(path: str) -> None:
+            t = TxnTable(
+                spark,
+                path,
+                bloom_columns=["o_orderkey"],
+                # sized for sf0.1's ~19k rows/file: kn/m ≈ 0.43 → ~0.2% fpp
+                bloom_bits=1 << 18,
+            )
+            od = _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+            for c in range(4):
+                t.append(
+                    od.where(
+                        F.pmod(F.xxhash64("o_orderkey"), F.lit(4)) == c
+                    ).repartition(2)
+                )
+
+        fix = cached_fixture(
+            sf_dir,
+            "txnbloom",
+            ["orders"],
+            _build,
+            code_modules=(_txnlog_mod,),
+        )
+        t = TxnTable(spark, fix)
+        keys = [
+            r[0]
+            for r in _t(spark, sf_dir, "orders")
+            .select("o_orderkey")
+            .orderBy("o_orderkey")
+            .limit(3)
+            .collect()
+        ]
+    rep = t.prune_report([("o_orderkey", "in", keys)])
+    # deterministic given the fixture (the hashes are): ≤3 true files
+    # + ~0.2%-probability false hits out of 8 — far under half
+    pruned = bool(rep["kept"] * 2 <= rep["total"])
+    return (
+        t.scan([("o_orderkey", "in", keys)])
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+        .withColumn("bloom_pruned", F.lit(pruned))
+    )

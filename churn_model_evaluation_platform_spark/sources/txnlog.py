@@ -75,14 +75,17 @@ re-expressed with a log so they stop being read-torn.
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import decimal as _decimal
 import json
 import math
 import re
+import struct
 import time
 import urllib.parse
 import uuid
+import zlib
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -120,6 +123,16 @@ _PRED_OPS = ("<", "<=", ">", ">=", "=", "between", "in")
 # column exceeds it records NO set (conservative), so log entries stay
 # small no matter the data.
 _SET_CAP_DEFAULT = 32
+# Per-file bloom filters (opt-in, see TxnTable.bloom_columns): 8192
+# bits / 6 hashes ≈ 1% false positives up to ~800 distinct values per
+# file, ~1.4 KB of base64 per file per column in the log entry.
+_BLOOM_BITS_DEFAULT = 8192
+_BLOOM_K_DEFAULT = 6
+# Odd multiply–xorshift constants (< 2^31: the crc·const product must
+# stay inside signed-64 for Spark's ANSI arithmetic) decorrelating the
+# two GF(2)-linear CRC32s that seed the bloom's double hashing.
+_BLOOM_MIX1 = 295559667
+_BLOOM_MIX2 = 73244475
 
 # Deletion-vector sidecar layout (r10): one parquet dir per dvdelete
 # commit holding that commit's FRESH deleted-row addresses — (relpath
@@ -375,6 +388,9 @@ class TxnTable:
         set_cap: int = _SET_CAP_DEFAULT,
         partition_by: list[str] | None = None,
         log_store=None,
+        bloom_columns: list[str] | None = None,
+        bloom_bits: int = _BLOOM_BITS_DEFAULT,
+        bloom_k: int = _BLOOM_K_DEFAULT,
     ):
         """``stats_columns``: columns to record per-file min/max stats
         for on every commit (data skipping). ``None`` = the first
@@ -413,6 +429,27 @@ class TxnTable:
         prefixed copy), so leaf-file reads under the pinned log schema
         are unaffected.
 
+        ``bloom_columns``: opt-in per-file BLOOM FILTERS for
+        HIGH-cardinality point-lookup columns (user id, order key,
+        document id — Delta's bloom-filter-index posture). Range
+        min/max cannot prune an equality on a key that is uniformly
+        spread across files — every file's [min, max] covers every
+        literal — and a distinct-value set would blow the ``set_cap``;
+        a bloom answers "this file definitely does not contain v" with
+        a few hash probes against ``bloom_bits`` bits recorded in the
+        commit's stats. Strictly advisory metadata: a false positive
+        keeps a file the residual filter then empties, a reader that
+        ignores the key just reads more files, so no protocol bump is
+        required. Supported column types: string and integral (the
+        canonical hash encoding is the column cast to string; float /
+        date / timestamp columns have ambiguous text forms and are
+        refused loudly at write time). Sizing: false-positive
+        rate ≈ (1 - e^(-k·n/m))^k for n distinct values per file —
+        the default 8192 bits / 6 hashes holds ~1% fpp to n≈800 and
+        costs ~1.4 KB of log entry per file per column. NULLs never
+        enter the filter (equality is null-rejecting, so an all-null
+        file prunes outright).
+
         ``log_store``: the atomic version-claim primitive
         (sources/logstore.py). ``None`` = rename-as-claim
         (``HadoopRenameLogStore`` — local FS / HDFS, whose rename
@@ -432,6 +469,20 @@ class TxnTable:
         self.schema_mode = schema_mode
         self.set_columns = list(set_columns or [])
         self.set_cap = max(1, int(set_cap))
+        self.bloom_columns = list(bloom_columns or [])
+        if self.bloom_columns and stats_columns == []:
+            raise ValueError(
+                "bloom_columns requires stats collection "
+                "(stats_columns=[] disables the per-file stats entries "
+                "the blooms live in)"
+            )
+        self.bloom_bits = int(bloom_bits)
+        if self.bloom_bits < 64 or self.bloom_bits % 64:
+            raise ValueError(
+                f"bloom_bits must be a positive multiple of 64, got "
+                f"{bloom_bits}"
+            )
+        self.bloom_k = max(1, int(bloom_k))
         fs, root = _fs_and_path(spark, self.path)
         self._fs = fs
         self._jvm = spark._jvm
@@ -828,15 +879,20 @@ class TxnTable:
         # raw suffix first, then one level of percent-decoding.
         relset = set(relpaths)
         marker = f"{commit_dir}/"
-        stats: dict = {}
-        unmatched = 0
-        for r in rows:
-            fpath = r["__file"].rstrip("/")
+
+        def _rel_of(fpath: str) -> str | None:
+            fpath = fpath.rstrip("/")
             i = fpath.find(marker)
             rel = fpath[i:] if i >= 0 else None
             if rel is not None and rel not in relset:
                 dec = urllib.parse.unquote(rel)
                 rel = dec if dec in relset else None
+            return rel
+
+        stats: dict = {}
+        unmatched = 0
+        for r in rows:
+            rel = _rel_of(r["__file"])
             if rel is None:  # pragma: no cover - foreign file in commit dir
                 unmatched += 1
                 continue
@@ -885,7 +941,119 @@ class TxnTable:
         if not unmatched:
             for rel in relpaths:
                 stats.setdefault(rel, {"rows": 0, "cols": {}})
+        self._collect_blooms(df, cmap, stats, relpaths, _rel_of)
         return stats
+
+    def _collect_blooms(
+        self,
+        df: DataFrame,
+        cmap: dict,
+        stats: dict,
+        relpaths: list[str],
+        rel_of,
+    ) -> None:
+        """Per-file bloom filters for the configured ``bloom_columns``
+        — one Spark job per column over ONLY this commit's files
+        (incremental, like the min/max stats). Each row contributes
+        ``bloom_k`` bit positions (Kirsch–Mitzenmacher double hashing
+        over two domain-separated CRC32s of the value's canonical
+        string form — the same two hashes ``_bloom_may_contain``
+        recomputes driver-side at prune time); a ``bit_or`` aggregate
+        per (file, 64-bit word) folds them JVM-side, so the collect is
+        bounded at ``n_files × bloom_bits/64`` rows per commit."""
+        if not self.bloom_columns or not stats:
+            return
+        ok_types = (
+            T.StringType,
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+        )
+        wanted = {cmap.get(c, c): c for c in self.bloom_columns}
+        names: list[str] = []
+        for f in df.schema.fields:
+            if f.name not in wanted or f.name.startswith(_PART_PREFIX):
+                continue
+            if not isinstance(f.dataType, ok_types):
+                # loud, not silent: a float/date/timestamp bloom would
+                # hash an engine-specific text form and could prune a
+                # file that matches under the engine's own comparison
+                raise ValueError(
+                    f"bloom column {wanted[f.name]!r} has unsupported "
+                    f"type {f.dataType.simpleString()} (string and "
+                    f"integral columns only)"
+                )
+            names.append(f.name)
+        m, k = self.bloom_bits, self.bloom_k
+        nwords = m // 64
+        bkind = {
+            f.name: ("str" if isinstance(f.dataType, T.StringType) else "int")
+            for f in df.schema.fields
+            if f.name in set(names)
+        }
+        for name in names:
+            s = F.col(name).cast("string")
+
+            # CRC32 is linear over GF(2): crc("b1:"+s) ^ crc("b2:"+s)
+            # is a CONSTANT for every s of the same length, so the two
+            # raw CRCs would make Kirsch–Mitzenmacher's k probes
+            # correlated (measured ~30% fpp instead of ~0.02%). A
+            # multiply–xorshift mixer breaks the linearity; constants
+            # are < 2^31 so crc * const < 2^63 never overflows the
+            # signed-long arithmetic (Spark 4 ANSI mode would throw).
+            def _mix(prefix: str, const: int) -> Column:
+                c = F.crc32(F.encode(F.concat(F.lit(prefix), s), "UTF-8"))
+                y = (c * F.lit(const)) % F.lit(1 << 32)
+                return y.bitwiseXOR(F.shiftright(y, 16))
+
+            h1 = _mix("b1:", _BLOOM_MIX1)
+            h2 = _mix("b2:", _BLOOM_MIX2).bitwiseOR(F.lit(1))
+            pos = F.array(
+                *[(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)]
+            )
+            brows = (
+                df.where(F.col(name).isNotNull())
+                .select(
+                    F.input_file_name().alias("__file"),
+                    F.explode(pos).alias("p"),
+                )
+                .groupBy("__file", F.floor(F.col("p") / 64).alias("w"))
+                .agg(
+                    F.expr(
+                        "bit_or(shiftleft(1L, cast(p % 64 as int)))"
+                    ).alias("bits")
+                )
+                .collect()
+            )
+            bufs: dict[str, bytearray] = {}
+            bad = 0
+            for r in brows:
+                rel = rel_of(r["__file"])
+                if rel is None:  # pragma: no cover - foreign file
+                    bad = 1
+                    break
+                buf = bufs.setdefault(rel, bytearray(nwords * 8))
+                struct.pack_into(
+                    "<q", buf, int(r["w"]) * 8, int(r["bits"])
+                )
+            if bad:
+                continue  # record no bloom for this column: conservative
+            for rel in relpaths:
+                ent = stats.get(rel)
+                if ent is None:  # pragma: no cover - unmatched stats row
+                    continue
+                # a file absent from the agg result was scanned and
+                # holds zero non-null values: the all-zero filter is
+                # exact (every equality lookup prunes, which matches
+                # null-rejecting comparison semantics)
+                buf = bufs.get(rel) or bytearray(nwords * 8)
+                ent.setdefault("bloom", {})[name] = {
+                    "m": m,
+                    "k": k,
+                    "kind": bkind[name],
+                    "b64": base64.b64encode(bytes(buf)).decode("ascii"),
+                }
 
     def _inject_partition_stats(self, stats: dict, df_schema) -> None:
         """Fold each file's Hive partition-directory values into its
@@ -3116,6 +3284,53 @@ def _validate_where(where: list[tuple] | None) -> list[tuple]:
     return preds
 
 
+def _bloom_may_contain(bl: dict, v) -> bool | None:
+    """Test a point-lookup literal against a per-file bloom recorded by
+    ``_collect_blooms``. ``False`` = definitely absent (prune);
+    ``True`` = maybe present; ``None`` = no usable information (the
+    literal's canonical string form is ambiguous, or the entry is
+    malformed) — callers must treat ``None`` as 'keep'. Bit layout
+    matches the writer exactly: 64-bit words packed little-endian, so
+    global bit position ``p`` lives at ``byte p//8, bit p%8``.
+
+    The literal's PYTHON type must match the recorded column kind: a
+    string column ``'05'`` equals integer literal ``5`` under Spark's
+    implicit cast but their canonical hash strings differ, so a
+    cross-kind probe would be a FALSE NEGATIVE — it answers ``None``
+    instead."""
+    kind = bl.get("kind")
+    if kind == "str":
+        if not isinstance(v, str):
+            return None
+    elif kind == "int":
+        if isinstance(v, bool) or not isinstance(v, int):
+            return None
+    else:  # pragma: no cover - unknown future kind
+        return None
+    try:
+        m = int(bl["m"])
+        k = int(bl["k"])
+        buf = base64.b64decode(bl["b64"])
+    except Exception:  # pragma: no cover - malformed log entry
+        return None
+    if m <= 0 or k <= 0 or len(buf) * 8 < m:  # pragma: no cover
+        return None
+    s = v if isinstance(v, str) else str(v)
+
+    def _mix(prefix: str, const: int) -> int:
+        # bit-for-bit the writer's Spark-side mixer (_collect_blooms)
+        y = (zlib.crc32((prefix + s).encode("utf-8")) * const) % (1 << 32)
+        return y ^ (y >> 16)
+
+    h1 = _mix("b1:", _BLOOM_MIX1)
+    h2 = _mix("b2:", _BLOOM_MIX2) | 1
+    for i in range(k):
+        p = (h1 + i * h2) % m
+        if not (buf[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
+
 def _file_may_match(entry: dict | None, preds: list[tuple]) -> bool:
     """Can any row of a file with stats ``entry`` satisfy the AND of
     ``preds``? Strictly conservative: every unknown (no stats, no
@@ -3130,6 +3345,14 @@ def _file_may_match(entry: dict | None, preds: list[tuple]) -> bool:
     if rows == 0:
         return False  # empty file: no predicate can match anything
     for col, op, v in preds:
+        bl = (entry.get("bloom") or {}).get(col)
+        if bl is not None:
+            if op == "=" and _bloom_may_contain(bl, v) is False:
+                return False
+            if op == "in" and all(
+                _bloom_may_contain(bl, x) is False for x in v
+            ):
+                return False
         cs = entry.get("cols", {}).get(col)
         if cs is None:
             continue  # untracked column: no information
