@@ -149,8 +149,10 @@ HEADLINE = [
     "ann_delete_vectors",
     # round-11 batch 3: bloom-filter point-lookup skipping (per-file
     # blooms in the commit log prune a shuffled-key layout range
-    # stats cannot)
+    # stats cannot), SemDeDup clustered semantic dedup (n²/C pairwise
+    # bounded by the centroid count)
     "txnlog_bloom_pointlookup",
+    "dedup_semantic_clustered",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

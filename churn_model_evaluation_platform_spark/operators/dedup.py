@@ -640,6 +640,94 @@ def embedding_neardup_pairs(
     ).where(F.col("cosine_sim") >= F.lit(threshold))
 
 
+def semantic_dedup_clustered(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style clustered semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): bucket the corpus by nearest centroid, then
+    within each cluster mark as duplicates the points whose max cosine
+    similarity to any EARLIER-RANKED cluster member reaches
+    ``threshold`` — the published implementation's upper-triangular
+    sim-matrix filter, with rank = distance-to-centroid DESCENDING
+    (the kept representative of a near-dup group is the one farthest
+    from the centroid, the paper's low-centroid-similarity choice; ties
+    break on id). Unlike the greedy sequential variant this is fully
+    parallel and deterministic: whether a point survives depends only
+    on earlier-ranked points, kept or not.
+
+    Returns one row per input: ``(id_col, cluster_id, keep,
+    max_sim_prior)`` — ``max_sim_prior`` is NULL for each cluster's
+    rank-1 point.
+
+    Scale: the pairwise work is Σ|cluster|² — the centroid count
+    controls the quadratic term (SemDeDup's whole point: n²/C instead
+    of n²), and the only wide exchanges are the two hash-shuffles on
+    ``cluster_id`` (the window rank and the self-join; one co-location
+    serves both). Assignment is ``ivf_cell_expr`` — pure codegen, no
+    UDF — sharing the IVF family's exact dot-identity arithmetic so
+    the DuckDB oracle replays assignment bit-for-bit. Skewed clusters
+    (one mega-cluster) are AQE skew-join territory; at 100 TB the
+    centroid fit itself is a sampled MLlib job and C scales with n to
+    hold Σ|cluster|² near-linear."""
+    from .similarity import _dot, _pydot, cosine_expr, ivf_cell_expr
+
+    base = ensure_parallelism(
+        df.where(F.col(vec_col).isNotNull())
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        ivf_cell_expr(F.col(vec_col), centroids).alias("cluster_id"),
+    )
+    # distance² to the OWN centroid, by array lookup on the broadcast
+    # centroid literals — same dot-identity form as the assignment
+    cvecs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dcc = F.array(*[F.lit(_pydot(c, c)) for c in centroids])
+    own = F.element_at(cvecs, F.col("cluster_id") + 1)
+    d2 = (
+        _dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * _dot(F.col("v"), own)
+        + F.element_at(dcc, F.col("cluster_id") + 1)
+    )
+    ranked = base.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                d2.desc(), F.col("id").asc()
+            )
+        ),
+    )
+    earlier = ranked.select(
+        "cluster_id",
+        F.col("rnk").alias("rnk_a"),
+        F.col("v").alias("va"),
+    )
+    sims = (
+        ranked.select("cluster_id", "id", "rnk", "v")
+        .join(earlier, "cluster_id")
+        .where(F.col("rnk_a") < F.col("rnk"))
+        .groupBy("id")
+        .agg(
+            F.max(cosine_expr(F.col("va"), F.col("v"))).alias(
+                "max_sim_prior"
+            )
+        )
+    )
+    return ranked.join(sims, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        F.coalesce(
+            F.col("max_sim_prior") < F.lit(threshold), F.lit(True)
+        ).alias("keep"),
+        "max_sim_prior",
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -30,6 +30,73 @@ from .registry_ext12 import _t
 # guard are pinned in tests/test_txnlog_bloom.py.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# dedup_semantic_clustered — SemDeDup (Abbas et al. 2023): kmeans-
+# bucketed semantic dedup, the cluster-then-triangular-sim-matrix
+# filter a pretraining corpus runs when MinHash can't see paraphrase
+# duplicates. Centroids pinned to corpus vectors 1..8 (the frozen
+# random-sample init the IVF-pinned family uses) make assignment,
+# farthest-from-centroid ranking, and the max-sim-to-earlier-ranked
+# reduction exact arithmetic the oracle replays term-for-term; the
+# threshold sits at 0.35 because the synthetic corpus's intra-cluster
+# sims top out at ~0.49 — both keep branches are exercised at every SF
+# (64/500 removed at sf0.001, 723/2000 at sf0.1).
+# ---------------------------------------------------------------------------
+
+_EMB_DBL16 = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_SQL = f"""
+WITH cents AS (
+  SELECT CAST(vec_id - 1 AS INT) AS cid, {_EMB_DBL16} AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+),
+e AS (SELECT vec_id, {_EMB_DBL16} AS ev FROM embeddings),
+assign AS (
+  SELECT vec_id, ev, cid, d2 FROM (
+    SELECT e.vec_id, e.ev, c.cid,
+           list_dot_product(ev, ev) - 2 * list_dot_product(ev, cv)
+             + list_dot_product(cv, cv) AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(ev, ev) - 2 * list_dot_product(ev, cv)
+                      + list_dot_product(cv, cv), c.cid) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, ev, cid,
+         row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id) AS rnk
+  FROM assign
+),
+sims AS (
+  SELECT b.vec_id,
+         max(list_dot_product(a.ev, b.ev)
+             / (sqrt(list_dot_product(a.ev, a.ev))
+                * sqrt(list_dot_product(b.ev, b.ev)))) AS ms
+  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.rnk < b.rnk
+  GROUP BY b.vec_id
+)
+SELECT r.vec_id, r.cid AS cluster_id,
+       coalesce(s.ms < {_SEMDEDUP_TAU}, TRUE) AS keep,
+       round(s.ms, 6) AS max_sim_prior
+FROM ranked r LEFT JOIN sims s ON r.vec_id = s.vec_id
+"""
+
+
+@register("dedup_semantic_clustered", _SEMDEDUP_SQL)
+def q_dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semantic_dedup_clustered
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents_map = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in emb.where(F.col("vec_id").between(1, 8)).collect()
+    }
+    cents = [cents_map[j] for j in range(1, 9)]
+    out = semantic_dedup_clustered(emb, cents, threshold=_SEMDEDUP_TAU)
+    return out.withColumn("max_sim_prior", F.round("max_sim_prior", 6))
+
+
 _BLOOM_SQL = """
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
        CAST(TRUE AS BOOLEAN) AS bloom_pruned
