@@ -153,6 +153,9 @@ HEADLINE = [
     # bounded by the centroid count)
     "txnlog_bloom_pointlookup",
     "dedup_semantic_clustered",
+    # C4-style corpus-wide exact span dedup (first occurrence survives,
+    # later covered words dropped, text rebuilt)
+    "span_dedup_exact",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

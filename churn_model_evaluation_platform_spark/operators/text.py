@@ -246,6 +246,96 @@ def top_ngrams(
     return counts.orderBy(F.desc("doc_freq"), F.asc("ngram")).limit(k)
 
 
+def span_dedup_corpus(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style exact SPAN dedup across the whole corpus (Raffel et al.
+    2020 §2.2 removed all but one of any three-sentence span occurring
+    more than once; Lee et al. 2021 'Deduplicating Training Data' is
+    the exact-substring generalization): every word covered by an
+    n-word span whose identical text occurred EARLIER in the corpus —
+    earlier doc, or earlier position in the same doc — is dropped, and
+    each document's text is rebuilt from the surviving words. The first
+    occurrence of every span always survives intact (unless an
+    overlapping different span duplicated it), so repeated boilerplate
+    collapses to one copy corpus-wide. Deterministic: "earlier" is the
+    total order ``doc_id * 2^20 + position``.
+
+    Returns ``(id_col, text_deduped, n_words_removed)`` — one row per
+    non-null-text input doc; a fully-deduplicated doc comes back as
+    ``''``, a doc shorter than ``n`` words is untouched.
+
+    Scale: two explodes (spans and words) are O(corpus tokens) each —
+    map-side, no row blowup beyond token count; the wide exchanges are
+    the groupBy on the span text (at 100 TB group on a 128-bit span
+    digest instead to shuffle 16-byte keys — exact-match semantics then
+    hold up to 2^-128 collisions) and the (doc, position) anti-join,
+    both hash-partitioned and AQE-coalesced. No sort, no window, no
+    driver state; this is the shape distributed exact-substring dedup
+    pipelines actually run when a suffix array doesn't fit."""
+    _ORD = F.lit(1 << 20)  # doc word-positions bounded far below 2^20
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    spans = (
+        toks.select(
+            "id",
+            F.posexplode(
+                F.when(
+                    F.size("ws") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - F.lit(n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("p0", "gram"),
+        )
+        .select("id", (F.col("p0") + 1).alias("pos"), "gram")
+    )
+    first = spans.groupBy("gram").agg(
+        F.min(F.col("id") * _ORD + F.col("pos")).alias("first_ord")
+    )
+    dup_words = (
+        spans.join(first, "gram")
+        .where(F.col("id") * _ORD + F.col("pos") > F.col("first_ord"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("wpos"),
+        )
+        .distinct()
+    )
+    words = toks.select(
+        "id", F.posexplode("ws").alias("p0", "word")
+    ).select("id", (F.col("p0") + 1).alias("wpos"), "word")
+    kept = words.join(dup_words, ["id", "wpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        toks.select("id", F.size("ws").alias("n_words"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_words_removed"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -17,6 +17,69 @@ from .registry_ext12 import _t
 
 
 # ---------------------------------------------------------------------------
+# span_dedup_exact — C4-STYLE EXACT SPAN DEDUP across the corpus
+# (Raffel et al. 2020 removed all but one of any repeated 3-sentence
+# span; Lee et al. 2021 is the exact-substring generalization): drop
+# every word covered by a 5-word span whose identical text occurred
+# earlier (doc_id, then position), rebuild each doc from the
+# survivors. The oracle replays the same span windows, first-occurrence
+# total order (doc_id * 2^20 + pos), covered-position union, anti-join
+# and ORDER BY-position string rebuild — so a window off-by-one, an
+# order-encoding bug, or a rebuild that loses word order breaks the
+# hash on every affected doc at once.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5
+
+_SPAN_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+spans AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ws) - {_SPAN_N - 1})) AS pos,
+         unnest(list_transform(generate_series(1, len(ws) - {_SPAN_N - 1}),
+                i -> list_aggregate(ws[i:i+{_SPAN_N - 1}], 'string_agg', ' ')))
+           AS gram
+  FROM toks WHERE len(ws) >= {_SPAN_N}
+),
+first_occ AS (
+  SELECT gram, min(doc_id * 1048576 + pos) AS first_ord
+  FROM spans GROUP BY gram
+),
+dup_words AS (
+  SELECT DISTINCT doc_id, wpos FROM (
+    SELECT s.doc_id,
+           unnest(generate_series(s.pos, s.pos + {_SPAN_N - 1})) AS wpos
+    FROM spans s JOIN first_occ f ON s.gram = f.gram
+    WHERE s.doc_id * 1048576 + s.pos > f.first_ord)
+),
+words AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS word
+  FROM toks
+),
+kept AS (
+  SELECT w.doc_id, w.wpos, w.word
+  FROM words w ANTI JOIN dup_words d
+    ON w.doc_id = d.doc_id AND w.wpos = d.wpos
+)
+SELECT t.doc_id,
+       coalesce(string_agg(k.word, ' ' ORDER BY k.wpos), '') AS text_deduped,
+       CAST(len(t.ws) - count(k.word) AS BIGINT) AS n_words_removed
+FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+GROUP BY t.doc_id, len(t.ws)
+"""
+
+
+@register("span_dedup_exact", _SPAN_DEDUP_SQL)
+def q_span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import span_dedup_corpus
+
+    return span_dedup_corpus(_t(spark, sf_dir, "documents"), n=_SPAN_N)
+
+
+# ---------------------------------------------------------------------------
 # txnlog_bloom_pointlookup — BLOOM-FILTER FILE SKIPPING (r11, Delta's
 # bloom-filter-index posture): orders ingested in 4 commits x 2 files
 # bucketed by xxhash64(o_orderkey), so every file's [min, max] spans
