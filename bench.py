@@ -156,6 +156,8 @@ HEADLINE = [
     # C4-style corpus-wide exact span dedup (first occurrence survives,
     # later covered words dropped, text rebuilt)
     "span_dedup_exact",
+    # zero-copy shallow clone + independent CoW delete in the clone
+    "txnlog_clone_shallow",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

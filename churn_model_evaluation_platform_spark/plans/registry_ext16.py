@@ -17,6 +17,70 @@ from .registry_ext12 import _t
 
 
 # ---------------------------------------------------------------------------
+# txnlog_clone_shallow — ZERO-COPY SHALLOW CLONE (r11, Delta's CREATE
+# TABLE ... CLONE): clone the six-bucket events table in ONE metadata
+# commit (external '../'-relative file references, stamped with the
+# external_files reader feature), then CoW-DELETE a day band in the
+# CLONE. The oracle pins three things at once: the clone's post-delete
+# content (the delete localized the touched files and left the rest
+# externally referenced), source_rows = the full events count (the
+# source must be untouched by the clone's DML — independence), and
+# files_copied == 0 measured on disk before the delete (the clone moved
+# zero bytes). Protocol refusal by feature-less readers, DV refusals,
+# deep clones carrying DVs, and rewrite-localization are pinned in
+# tests/test_txnlog_clone.py.
+# ---------------------------------------------------------------------------
+
+
+def _clone_sql() -> str:
+    from .registry_ext12 import _SKIP_HI, _SKIP_LO
+
+    return f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       (SELECT CAST(count(*) AS BIGINT) FROM events) AS source_rows,
+       CAST(0 AS BIGINT) AS files_copied
+FROM events
+WHERE NOT (ts >= TIMESTAMP '{_SKIP_LO} 00:00:00'
+           AND ts < TIMESTAMP '{_SKIP_HI} 00:00:00')
+GROUP BY event_type
+"""
+
+
+@register("txnlog_clone_shallow", _clone_sql())
+def q_txnlog_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from .registry_ext12 import (
+        _SKIP_HI,
+        _SKIP_LO,
+        _six_bucket_table,
+        _tmp_table_path,
+    )
+
+    t = _six_bucket_table(spark, sf_dir, "txnclonesrc")
+    with timed_phase("fixture_build:txnclone"):
+        dest = _tmp_table_path(sf_dir, "txnclonedst")
+    cl = t.clone(dest)
+    files_copied = len(
+        _glob.glob(f"{dest}/data/**/*.parquet", recursive=True)
+    )
+    cl.delete([("ts", ">=", _SKIP_LO), ("ts", "<", _SKIP_HI)])
+    src_rows = t.snapshot().count()
+    return (
+        cl.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("source_rows", F.lit(src_rows).cast("long"))
+        .withColumn("files_copied", F.lit(files_copied).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # span_dedup_exact — C4-STYLE EXACT SPAN DEDUP across the corpus
 # (Raffel et al. 2020 removed all but one of any repeated 3-sentence
 # span; Lee et al. 2021 is the exact-substring generalization): drop

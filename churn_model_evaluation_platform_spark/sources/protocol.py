@@ -52,12 +52,25 @@ KNOWN_ACTIONS = frozenset(
 
 # Every feature name this build understands.
 KNOWN_FEATURES = frozenset(
-    {"dv", "column_map", "partitions", "constraints", "properties"}
+    {
+        "dv",
+        "column_map",
+        "partitions",
+        "constraints",
+        "properties",
+        "external_files",
+    }
 )
 
 # Features that change ROW-LEVEL read results: a reader without them
 # returns wrong rows, so they gate via min_reader = 2.
-ROW_LEVEL_FEATURES = frozenset({"dv", "column_map"})
+# external_files (shallow clones) is row-level not because plain reads
+# break — path-join resolution of a '../'-form entry is correct in any
+# build — but because row ADDRESSES do: a pre-feature reader running
+# delete_dv against an externally-referenced file computes a garbage
+# relpath from the table root, records a sidecar nothing ever matches,
+# and silently deletes nothing.
+ROW_LEVEL_FEATURES = frozenset({"dv", "column_map", "external_files"})
 
 # Actions whose presence alone implies a feature (a dvdelete commit
 # with an empty dv map still requires DV-aware folding of the table).
@@ -92,6 +105,11 @@ def required_features(payload: dict) -> list[str]:
         feats.add("constraints")
     if payload.get("properties"):
         feats.add("properties")
+    # files referenced OUTSIDE the table root (shallow clones): commit
+    # payloads carry them in `added`, checkpoint bodies in `live`
+    refs = list(payload.get("added") or []) + list(payload.get("live") or [])
+    if any(str(r).startswith(("../", "/")) for r in refs):
+        feats.add("external_files")
     return sorted(feats)
 
 

@@ -80,6 +80,7 @@ import datetime as _dt
 import decimal as _decimal
 import json
 import math
+import posixpath
 import re
 import struct
 import time
@@ -2258,6 +2259,7 @@ class TxnTable:
             }
             if not touched:
                 return noop
+            self._refuse_external_addresses(touched, "delete_dv")
             # the read applies EXISTING DVs, so already-dead rows can
             # never be re-addressed (position sets across a file's
             # sidecar chain stay disjoint — the feed relies on this)
@@ -2343,6 +2345,7 @@ class TxnTable:
                     f"TxnTable at {self.path} has no committed data"
                 )
             base = st["latest"]
+            self._refuse_external_addresses(st["live"], "merge_dv")
             eff = latest_changes(changes, keys, order_cols, op_col=op_col)
             snap = self._read_files(st, st["live"], with_lineage=True)
             data_cols = [
@@ -2526,6 +2529,7 @@ class TxnTable:
             }
             if not touched:
                 return noop
+            self._refuse_external_addresses(touched, "update_dv")
             # existing DVs apply in the read, so already-dead rows can
             # never be re-addressed (same invariant as delete_dv)
             matches = self._read_files(
@@ -2907,6 +2911,142 @@ class TxnTable:
         return self.spark.createDataFrame(
             [tuple(out[f.name] for f in fields)], _T.StructType(fields)
         )
+
+    @staticmethod
+    def _refuse_external_addresses(rels, op: str) -> None:
+        """Row addresses (relpath, row_index) are derived by cutting
+        the table root off each row's file path (``_rel_expr``); an
+        externally-referenced file (shallow clone) lives outside the
+        root, so the derivation would produce a key no read path ever
+        matches — a DV written against it would silently delete
+        nothing. Refuse loudly instead."""
+        ext = [r for r in rels if str(r).startswith(("../", "/"))]
+        if ext:
+            raise ValueError(
+                f"{op} needs row addresses, which cannot be computed "
+                f"for the {len(ext)} externally-referenced file(s) this "
+                f"operation would touch (shallow clone). Localize them "
+                f"first — optimize(), optimize_zorder(), or any CoW "
+                f"rewrite — or use the copy-on-write DML directly "
+                f"(delete()/update()/merge())."
+            )
+
+    def clone(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        timestamp=None,
+        shallow: bool = True,
+        log_store=None,
+    ) -> "TxnTable":
+        """CLONE a snapshot into a NEW table at ``dest_path`` (Delta's
+        CREATE TABLE ... CLONE): ONE atomic overwrite commit on the
+        destination carrying the source snapshot's file references,
+        schema, column mapping, constraints, properties, partition
+        layout, and per-file stats (blooms included) — after which the
+        two tables evolve fully independently.
+
+        ``shallow=True`` (zero-copy): the commit references the
+        source's data files IN PLACE as ``../``-relative paths from the
+        destination root — cloning a 100 TB table writes one JSON log
+        entry and moves zero bytes (the dev/test-against-prod and
+        experiment-branch shape). The commit is stamped with the
+        ``external_files`` reader feature (min_reader 2,
+        sources/protocol.py): plain reads resolve external entries
+        correctly in ANY build — the path join normalizes — but row
+        ADDRESSES do not, so a pre-feature reader must refuse the whole
+        table rather than mis-address a deletion vector; in THIS build
+        delete_dv/update_dv/merge_dv refuse while externally-referenced
+        files remain in their scope, and every rewrite (CoW DML,
+        optimize, z-order) progressively localizes the files it
+        touches. A DV-carrying source snapshot cannot be shallow-cloned
+        (sidecar addresses are keyed by source relpaths): ``purge_dv()``
+        first, or clone deep. CAVEAT (exactly Delta's): a shallow clone
+        does NOT pin the source's files — ``vacuum()`` on the SOURCE
+        can break clones made from it.
+
+        ``shallow=False`` (deep): live data files — and DV sidecars,
+        which deep clones carry verbatim since every relpath is
+        preserved — are physically copied under the destination root;
+        the result is a fully independent table with no caveats.
+
+        Requires an EMPTY destination reachable by a FileSystem that
+        also spans the source. Provenance lands in the table properties
+        (``clone.source``, ``clone.source_version``). Returns the
+        destination handle."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass either version or timestamp, not both"
+                )
+            version = self.version_at_timestamp(timestamp)
+        st = self._state(version)
+        if not st["live"]:
+            raise ValueError(
+                f"TxnTable at {self.path} has no committed data to clone"
+            )
+        src_version = version if version is not None else st["latest"]
+        if shallow and st.get("dv"):
+            raise ValueError(
+                "shallow clone of a snapshot carrying deletion vectors: "
+                "sidecar addresses are keyed by source relpaths and "
+                "cannot be re-keyed for external references — purge_dv() "
+                "on the source first, or clone(shallow=False)"
+            )
+        dest = TxnTable(
+            self.spark,
+            dest_path,
+            checkpoint_interval=self.checkpoint_interval,
+            partition_by=list(st.get("partition_by") or []) or None,
+            log_store=log_store,
+        )
+        if dest.latest_version() is not None:
+            raise ValueError(
+                f"clone destination {dest_path} is not an empty table"
+            )
+        dv: dict = {}
+        if shallow:
+            src_abs = self._jpath(self.path).toUri().getPath()
+            dest_abs = self._jpath(dest.path).toUri().getPath()
+            prefix = posixpath.relpath(src_abs, dest_abs)
+            mapped = {rel: f"{prefix}/{rel}" for rel in st["live"]}
+        else:
+            jconf = self.spark._jsc.hadoopConfiguration()
+            futil = self._jvm.org.apache.hadoop.fs.FileUtil
+            dv = {k: dict(v) for k, v in (st.get("dv") or {}).items()}
+            dv_dirs = sorted(
+                {d for e in dv.values() for d in e.get("fs", [])}
+            )
+            for rel in list(st["live"]) + dv_dirs:
+                src = self._jpath(f"{self.path}/{rel}")
+                dst = self._jpath(f"{dest.path}/{rel}")
+                dest._fs.mkdirs(dst.getParent())
+                if not futil.copy(
+                    self._fs, src, dest._fs, dst, False, jconf
+                ):  # pragma: no cover - FS refused the copy
+                    raise IOError(f"deep clone failed copying {rel}")
+            mapped = {rel: rel for rel in st["live"]}
+        stats = {
+            mapped[rel]: st["stats"][rel]
+            for rel in st["live"]
+            if rel in st.get("stats", {})
+        }
+        props = dict(st.get("properties") or {})
+        props["clone.source"] = self.path
+        props["clone.source_version"] = str(src_version)
+        dest._commit(
+            "overwrite",
+            added=[mapped[rel] for rel in st["live"]],
+            stats=stats,
+            table_schema_override=st.get("schema"),
+            constraints=dict(st.get("constraints") or {}),
+            properties=props,
+            column_map=dict(st.get("column_map") or {}),
+            dropped_physical=list(st.get("dropped_physical") or []),
+            dv=dv,
+            data_change=True,
+        )
+        return dest
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION: one overwrite commit that

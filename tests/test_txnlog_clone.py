@@ -1,0 +1,195 @@
+"""CLONE on the transactional table (sources/txnlog.py TxnTable.clone,
+Delta's CREATE TABLE ... CLONE): shallow = one metadata commit with
+'../'-relative external file references and zero bytes moved; deep =
+physical copy carrying DV sidecars verbatim. Invariants: clone content
+== source snapshot, full independence after the clone (either side's
+DML never touches the other), the external_files protocol stamp makes
+feature-less readers refuse the whole table instead of mis-addressing
+deletion vectors, row-address DML refuses while external files remain
+in scope, and every rewrite progressively localizes.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from churn_model_evaluation_platform_spark.sources import protocol as P
+from churn_model_evaluation_platform_spark.sources.txnlog import TxnTable
+
+
+def _ranged(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id", (F.col("id") * 2.0).alias("v")
+    )
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "src"), bloom_columns=["id"])
+    t.append(_ranged(spark, 0, 100).coalesce(1))
+    t.append(_ranged(spark, 100, 200).coalesce(1))
+    return t
+
+
+def test_shallow_clone_is_zero_copy_and_content_equal(
+    spark, tmp_path, src
+):
+    cl = src.clone(str(tmp_path / "cl"))
+    assert sorted(r["id"] for r in cl.snapshot().collect()) == list(
+        range(200)
+    )
+    assert (
+        glob.glob(str(tmp_path / "cl" / "data" / "**" / "*.parquet"),
+                  recursive=True)
+        == []
+    )
+    # per-file stats (blooms included) rode along: point lookup prunes
+    rep = cl.prune_report([("id", "=", 5)])
+    assert rep["total"] == 2 and rep["pruned"] == 1
+    # provenance
+    assert cl.properties()["clone.source"] == src.path
+    assert cl.properties()["clone.source_version"] == "2"
+
+
+def test_clone_of_pinned_version(spark, tmp_path, src):
+    cl = src.clone(str(tmp_path / "cl"), version=1)
+    assert cl.snapshot().count() == 100
+    assert cl.properties()["clone.source_version"] == "1"
+
+
+def test_independent_evolution(spark, tmp_path, src):
+    cl = src.clone(str(tmp_path / "cl"))
+    cl.append(_ranged(spark, 200, 250).coalesce(1))
+    assert src.snapshot().count() == 200
+    assert cl.snapshot().count() == 250
+    # CoW delete in the clone reads externals, writes locally, and
+    # never touches the source's files
+    cl.delete([("id", "<", 50)])
+    assert cl.snapshot().count() == 200
+    assert src.snapshot().count() == 200
+    assert sorted(r["id"] for r in src.snapshot().collect()) == list(
+        range(200)
+    )
+
+
+def test_row_address_dml_refuses_on_external_files(spark, tmp_path, src):
+    cl = src.clone(str(tmp_path / "cl"))
+    with pytest.raises(ValueError, match="externally-referenced"):
+        cl.delete_dv([("id", "=", 5)])
+    with pytest.raises(ValueError, match="externally-referenced"):
+        cl.update_dv([("id", "=", 5)], {"v": F.lit(0.0)})
+    with pytest.raises(ValueError, match="externally-referenced"):
+        cl.merge_dv(
+            spark.createDataFrame(
+                [(5, 0.0, "U", 1)], "id long, v double, op string, seq int"
+            ),
+            keys=["id"],
+            order_cols=["seq"],
+        )
+
+
+def test_dv_works_on_the_local_portion(spark, tmp_path, src):
+    cl = src.clone(str(tmp_path / "cl"))
+    cl.append(_ranged(spark, 200, 250).coalesce(1))
+    # touched files are all local (200..249): addressing is sound
+    rep = cl.delete_dv([("id", "=", 210)])
+    assert rep["rows_deleted"] == 1
+    assert cl.snapshot().where("id = 210").count() == 0
+
+
+def test_rewrites_localize_then_dv_works(spark, tmp_path, src):
+    cl = src.clone(str(tmp_path / "cl"))
+    cl.optimize(target_bytes=1 << 30)
+    assert not [
+        r for r in cl._state()["live"] if r.startswith("../")
+    ]
+    rep = cl.delete_dv([("id", "=", 150)])
+    assert rep["rows_deleted"] == 1
+    # the source is still intact
+    assert src.snapshot().count() == 200
+
+
+def test_shallow_clone_refuses_dv_carrying_snapshot(
+    spark, tmp_path, src
+):
+    src.delete_dv([("id", "=", 7)])
+    with pytest.raises(ValueError, match="purge_dv"):
+        src.clone(str(tmp_path / "cl"))
+
+
+def test_deep_clone_carries_dvs(spark, tmp_path, src):
+    src.delete_dv([("id", "=", 7)])
+    deep = src.clone(str(tmp_path / "deep"), shallow=False)
+    got = sorted(r["id"] for r in deep.snapshot().collect())
+    assert got == [i for i in range(200) if i != 7]
+    # physically independent: files live under the clone root
+    assert (
+        len(
+            glob.glob(
+                str(tmp_path / "deep" / "data" / "**" / "*.parquet"),
+                recursive=True,
+            )
+        )
+        >= 2
+    )
+    # and DV DML works immediately (no external refs)
+    deep.delete_dv([("id", "=", 8)])
+    assert src.snapshot().where("id = 8").count() == 1
+
+
+def test_featureless_reader_refuses_shallow_clone(spark, tmp_path, src):
+    src.clone(str(tmp_path / "cl"))
+    old = P.KNOWN_FEATURES
+    P.KNOWN_FEATURES = frozenset(old - {"external_files"})
+    try:
+        with pytest.raises(P.ProtocolError, match="external_files"):
+            TxnTable(spark, str(tmp_path / "cl"))._state()
+    finally:
+        P.KNOWN_FEATURES = old
+    # min_reader 2 is stamped (row-level feature)
+    cl = TxnTable(spark, str(tmp_path / "cl"))
+    row = (
+        cl.history()
+        .where(F.col("version") == 1)
+        .select("min_reader", "reader_features")
+        .first()
+    )
+    assert row["min_reader"] == 2
+    assert "external_files" in row["reader_features"]
+
+
+def test_clone_destination_must_be_empty(spark, tmp_path, src):
+    dst = TxnTable(spark, str(tmp_path / "cl"))
+    dst.append(_ranged(spark, 0, 5).coalesce(1))
+    with pytest.raises(ValueError, match="not an empty table"):
+        src.clone(str(tmp_path / "cl"))
+
+
+def test_clone_preserves_schema_surface(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "src"))
+    t.append(_ranged(spark, 0, 50).coalesce(1))
+    t.rename_column("v", "val")
+    t.add_constraint("v_nonneg", "val >= 0")
+    cl = t.clone(str(tmp_path / "cl"))
+    assert cl.snapshot().columns == ["id", "val"]
+    assert "v_nonneg" in cl.constraints()
+    with pytest.raises(Exception, match="v_nonneg"):
+        cl.append(
+            spark.createDataFrame([(999, -1.0)], "id long, val double")
+        )
+    # constraint edits in the clone don't leak back
+    cl.drop_constraint("v_nonneg")
+    assert "v_nonneg" in t.constraints()
+
+
+def test_vacuum_on_clone_never_deletes_source_files(
+    spark, tmp_path, src
+):
+    cl = src.clone(str(tmp_path / "cl"))
+    cl.delete([("id", "<", 100)])  # localizes the touched file
+    cl.vacuum(retention_seconds=0.0)
+    # the source still reads every row through its own log
+    assert src.snapshot().count() == 200
