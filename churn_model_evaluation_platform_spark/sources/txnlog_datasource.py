@@ -1033,6 +1033,30 @@ class _TxnLogWriterBase:
             "false",
             "0",
         )
+        # per-file bloom filters (r11, library parity): same opt-in,
+        # sizing, and bit-for-bit hash arithmetic as
+        # TxnTable.bloom_columns — sink-written files prune point
+        # lookups exactly like library-written ones
+        from .txnlog import _BLOOM_BITS_DEFAULT, _BLOOM_K_DEFAULT
+
+        bopt = options.get("bloomcolumns")
+        self._bloom_cols: list = (
+            [c.strip() for c in str(bopt).split(",") if c.strip()]
+            if bopt
+            else []
+        )
+        self._bloom_bits = int(options.get("bloombits", _BLOOM_BITS_DEFAULT))
+        self._bloom_k = max(1, int(options.get("bloomk", _BLOOM_K_DEFAULT)))
+        if self._bloom_bits < 64 or self._bloom_bits % 64:
+            raise ValueError(
+                f"bloomBits must be a positive multiple of 64, got "
+                f"{self._bloom_bits}"
+            )
+        if self._bloom_cols and not self._stats:
+            raise ValueError(
+                "bloomColumns requires collectStats (the blooms live in "
+                "the per-file stats entries)"
+            )
         # fail fast on non-local schemes; file:// URIs are stripped so
         # the executor-side os/pyarrow calls see a real path (r10
         # review: the raw URI created a cwd-relative 'file:/…' tree)
@@ -1253,8 +1277,65 @@ class _TxnLogWriterBase:
                 entry["bytes"] = os.path.getsize(f"{root}/{rel}")
             except OSError:
                 pass  # byte size is an OPTIMIZE accelerator only
+            self._add_blooms(entry, tbl)
             out[rel] = entry
         return out
+
+    def _add_blooms(self, entry: dict, tbl) -> None:
+        """Per-file blooms for the configured ``bloomColumns`` — pure
+        Python over the staged arrow table (no SparkSession in the
+        commit worker), bit-for-bit the library's _collect_blooms:
+        same two mixed CRC32s, same Kirsch–Mitzenmacher positions,
+        same little-endian bit layout, so _bloom_may_contain prunes
+        sink-written files identically to library-written ones."""
+        if not self._bloom_cols:
+            return
+        import base64
+        import zlib
+
+        from .txnlog import _BLOOM_MIX1, _BLOOM_MIX2
+
+        ok_int = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        m, k = self._bloom_bits, self._bloom_k
+        by_name = {f.name: f for f in self._schema.fields}
+        for name in self._bloom_cols:
+            f = by_name.get(name)
+            if f is None:
+                continue  # column absent from this write's schema
+            if isinstance(f.dataType, T.StringType):
+                kind = "str"
+            elif isinstance(f.dataType, ok_int):
+                kind = "int"
+            else:
+                raise ValueError(
+                    f"bloom column {name!r} has unsupported type "
+                    f"{f.dataType.simpleString()} (string and integral "
+                    f"columns only)"
+                )
+            phys = self._cmap.get(name, name)
+            if phys not in tbl.column_names:  # pragma: no cover
+                continue
+            buf = bytearray(m // 8)
+            for v in tbl[phys].drop_null().to_pylist():
+                s = v if isinstance(v, str) else str(v)
+
+                def _mix(prefix: str, const: int) -> int:
+                    y = (
+                        zlib.crc32((prefix + s).encode("utf-8")) * const
+                    ) % (1 << 32)
+                    return y ^ (y >> 16)
+
+                h1 = _mix("b1:", _BLOOM_MIX1)
+                h2 = _mix("b2:", _BLOOM_MIX2) | 1
+                for i in range(k):
+                    p = (h1 + i * h2) % m
+                    buf[p // 8] |= 1 << (p % 8)
+            entry.setdefault("bloom", {})[phys] = {
+                "m": m,
+                "k": k,
+                "kind": kind,
+                "b64": base64.b64encode(bytes(buf)).decode("ascii"),
+            }
 
     @staticmethod
     def _to_py(scalar, arrow_type):

@@ -201,6 +201,49 @@ def test_bloom_conservative_under_dv_delete(spark, tmp_path, shuffled_ids):
     assert t.scan([("uid", "=", probe)]).collect() == []
 
 
+def test_sink_blooms_match_library_blooms_bit_for_bit(
+    spark, tmp_path, shuffled_ids
+):
+    from churn_model_evaluation_platform_spark.sources.txnlog_datasource import (
+        register_txnlog_source,
+    )
+
+    register_txnlog_source(spark)
+    df = _frame(spark, shuffled_ids[:500]).coalesce(1)
+    lib = TxnTable(spark, str(tmp_path / "lib"), bloom_columns=["uid"])
+    lib.append(df)
+    df.write.format("txnlog").mode("append").option(
+        "bloomColumns", "uid"
+    ).save(str(tmp_path / "sink"))
+    snk = TxnTable(spark, str(tmp_path / "sink"))
+
+    def _bloom(t):
+        st = t._state()
+        (rel,) = st["live"]
+        return st["stats"][rel]["bloom"]["uid"]
+
+    assert _bloom(lib) == _bloom(snk)
+    # and the sink-written table prunes the same point lookups
+    rep = snk.prune_report([("uid", "=", 999_999_999)])
+    assert rep["kept"] == 0
+    got = snk.scan([("uid", "=", shuffled_ids[3])]).collect()
+    assert [r["uid"] for r in got] == [shuffled_ids[3]]
+
+
+def test_sink_bloom_unsupported_type_raises(spark, tmp_path):
+    from churn_model_evaluation_platform_spark.sources.txnlog_datasource import (
+        register_txnlog_source,
+    )
+
+    register_txnlog_source(spark)
+    with pytest.raises(Exception, match="unsupported type"):
+        spark.createDataFrame([(1.5,)], "x double").write.format(
+            "txnlog"
+        ).mode("append").option("bloomColumns", "x").save(
+            str(tmp_path / "t")
+        )
+
+
 def test_distributed_prune_ignores_bloom_conservatively(
     table, shuffled_ids
 ):
