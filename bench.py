@@ -158,6 +158,8 @@ HEADLINE = [
     "span_dedup_exact",
     # zero-copy shallow clone + independent CoW delete in the clone
     "txnlog_clone_shallow",
+    # generated columns as derived partition keys (derive + prune)
+    "txnlog_generated_partition",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

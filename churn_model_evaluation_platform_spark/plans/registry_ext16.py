@@ -81,6 +81,85 @@ def q_txnlog_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# txnlog_generated_partition — GENERATED COLUMNS as derived partition
+# keys (r11, Delta's generated columns): the table declares
+# day = CAST(ts AS DATE), writers append events WITHOUT the column,
+# the table derives it, Hive-partitions on it, and a day-range scan
+# prunes through the path-derived min==max bounds. The oracle replays
+# the generation expression and predicts files_scanned = distinct days
+# in the range (one append x one file per day-partition) — a generator
+# that mis-derived, a partition layout that mis-keyed, or pruning that
+# read extra files all break the hash. Validation/SET-refusal/
+# recompute-on-update/adoption/protocol are pinned in
+# tests/test_txnlog_generated.py.
+# ---------------------------------------------------------------------------
+
+_GEN_LO, _GEN_HI = "2024-01-08", "2024-01-11"
+
+_GEN_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '{_GEN_LO}'
+                                   AND DATE '{_GEN_HI}') AS files_scanned
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_GEN_LO}' AND DATE '{_GEN_HI}'
+GROUP BY event_type
+"""
+
+
+@register("txnlog_generated_partition", _GEN_SQL)
+def q_txnlog_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from ..sources import txnlog as _txnlog_mod
+    from ..sources.txnlog import TxnTable
+    from .fixtures import cached_fixture
+
+    with timed_phase("fixture_build:txngen"):
+
+        def _build(path: str) -> None:
+            t = TxnTable(
+                spark,
+                path,
+                partition_by=["day"],
+                generated_columns={"day": "CAST(ts AS DATE)"},
+            )
+            ev = _t(spark, sf_dir, "events").select(
+                "ts", "event_type", "value"
+            )
+            t.append(ev.coalesce(1))  # one file per day partition
+
+        fix = cached_fixture(
+            sf_dir, "txngen", ["events"], _build,
+            code_modules=(_txnlog_mod,),
+        )
+        t = TxnTable(spark, fix)
+    where = [
+        (
+            "day",
+            "between",
+            (
+                _dt.date.fromisoformat(_GEN_LO),
+                _dt.date.fromisoformat(_GEN_HI),
+            ),
+        )
+    ]
+    scanned = t.prune_report(where)["kept"]
+    return (
+        t.scan(where)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("files_scanned", F.lit(scanned).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # span_dedup_exact — C4-STYLE EXACT SPAN DEDUP across the corpus
 # (Raffel et al. 2020 removed all but one of any repeated 3-sentence
 # span; Lee et al. 2021 is the exact-substring generalization): drop

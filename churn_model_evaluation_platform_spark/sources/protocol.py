@@ -59,6 +59,7 @@ KNOWN_FEATURES = frozenset(
         "constraints",
         "properties",
         "external_files",
+        "generated",
     }
 )
 
@@ -105,6 +106,12 @@ def required_features(payload: dict) -> list[str]:
         feats.add("constraints")
     if payload.get("properties"):
         feats.add("properties")
+    # generated columns are a WRITE contract (reads are row-correct
+    # without them), but a build that cannot see the contract cannot
+    # safely write either — listed advisory, so guard-aware builds
+    # without the feature refuse rather than append underived values
+    if payload.get("generated"):
+        feats.add("generated")
     # files referenced OUTSIDE the table root (shallow clones): commit
     # payloads carry them in `added`, checkpoint bodies in `live`
     refs = list(payload.get("added") or []) + list(payload.get("live") or [])

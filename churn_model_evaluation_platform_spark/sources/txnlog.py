@@ -392,6 +392,7 @@ class TxnTable:
         bloom_columns: list[str] | None = None,
         bloom_bits: int = _BLOOM_BITS_DEFAULT,
         bloom_k: int = _BLOOM_K_DEFAULT,
+        generated_columns: dict[str, str] | None = None,
     ):
         """``stats_columns``: columns to record per-file min/max stats
         for on every commit (data skipping). ``None`` = the first
@@ -451,6 +452,23 @@ class TxnTable:
         enter the filter (equality is null-rejecting, so an all-null
         file prunes outright).
 
+        ``generated_columns`` (Delta's generated columns): ``{column:
+        SQL expression}`` — on every append/overwrite/merge, a missing
+        generated column is COMPUTED from its expression, and a
+        provided one is VALIDATED row-by-row against it (null-safe
+        equality; a mismatch raises before anything lands). The main
+        use is derived partition keys: partition by ``day`` generated
+        as ``CAST(ts AS DATE)`` and writers never hand-compute the
+        key, while partition pruning still works. Like the partition
+        layout, the map is a TABLE property: recorded in the log on
+        first use, adopted by later handles (pass None), conflicting
+        respecification raises. Expressions must be deterministic and
+        reference only non-generated columns (enforced for
+        self-reference; determinism is the caller's contract, as in
+        Delta). The native sink refuses generated-column tables (its
+        commit worker cannot evaluate Spark SQL expressions) — use the
+        library write path.
+
         ``log_store``: the atomic version-claim primitive
         (sources/logstore.py). ``None`` = rename-as-claim
         (``HadoopRenameLogStore`` — local FS / HDFS, whose rename
@@ -505,6 +523,24 @@ class TxnTable:
         # caller pattern (r9 review).
         self._partition_by_arg = partition_by
         self._partition_by: list[str] | None = None
+        # generated-column map: same lazy adopt-or-conflict contract
+        if generated_columns:
+            for col, expr in generated_columns.items():
+                if not isinstance(expr, str) or not expr.strip():
+                    raise ValueError(
+                        f"generated column {col!r} needs a SQL "
+                        f"expression string, got {expr!r}"
+                    )
+                if any(
+                    re.search(rf"\b{re.escape(g)}\b", expr)
+                    for g in generated_columns
+                ):
+                    raise ValueError(
+                        f"generated column expression {expr!r} may not "
+                        f"reference generated columns"
+                    )
+        self._generated_arg = generated_columns
+        self._generated: dict | None = None
 
     @property
     def partition_by(self) -> list[str]:
@@ -521,6 +557,66 @@ class TxnTable:
                     )
                 self._partition_by = list(arg)
         return self._partition_by
+
+    @property
+    def generated_columns(self) -> dict:
+        if self._generated is None:
+            recorded = self._state().get("generated") or {}
+            arg = self._generated_arg
+            if arg is None:
+                self._generated = dict(recorded)
+            else:
+                if recorded and dict(recorded) != dict(arg):
+                    raise ValueError(
+                        f"table at {self.path} has generated columns "
+                        f"{recorded}; got generated_columns={dict(arg)}"
+                    )
+                self._generated = dict(arg)
+        return self._generated
+
+    def _apply_generated(
+        self, df: DataFrame, op: str, recompute: bool = False
+    ) -> DataFrame:
+        """Enforce the generated-column contract on a frame about to
+        land. ``recompute=False`` (user input — append/overwrite):
+        a missing generated column is computed, a provided one is
+        VALIDATED row-by-row against its expression (null-safe
+        equality, one early-exit ``limit(1)`` job per provided column
+        over the batch — Delta's contract: writers may supply the
+        value only if it matches). ``recompute=True`` (internal
+        rewrite/merge/update paths, whose rows derive from the table):
+        generated columns are simply RE-DERIVED as a projection — free,
+        and exactly right when a merge/update changed a source column
+        (Delta recomputes generated columns on MERGE/UPDATE)."""
+        gen = self.generated_columns
+        if not gen:
+            return df
+        for col, expr in gen.items():
+            e = F.expr(expr)
+            if col not in df.columns:
+                df = df.withColumn(col, e)
+            elif recompute:
+                df = df.withColumn(col, e)
+            else:
+                bad = (
+                    df.where(~F.col(col).eqNullSafe(e)).limit(1).count()
+                )
+                if bad:
+                    raise ConstraintViolation(
+                        f"{op}: provided values for generated column "
+                        f"{col!r} do not match its expression {expr!r}"
+                    )
+        return df
+
+    def _refuse_generated_set(self, set_exprs: dict, op: str) -> None:
+        gen = self.generated_columns
+        hit = sorted(set(set_exprs) & set(gen))
+        if hit:
+            raise ValueError(
+                f"{op} cannot SET generated column(s) {hit}: their "
+                f"values are derived ({ {c: gen[c] for c in hit} }); "
+                f"update the source columns instead"
+            )
 
     # -- log plumbing ------------------------------------------------------
 
@@ -623,6 +719,7 @@ class TxnTable:
         properties: dict = {}
         column_map: dict = {}
         dropped_physical: list[str] = []
+        generated: dict = {}
         base = 0
         usable = [c for c in ckpt_versions if target is not None and c <= target]
         if usable:
@@ -644,6 +741,7 @@ class TxnTable:
                 properties = dict(ck.get("properties", {}))
                 column_map = dict(ck.get("column_map", {}))
                 dropped_physical = list(ck.get("dropped_physical", []))
+                generated = dict(ck.get("generated", {}))
                 base = usable[-1]
             except Exception:
                 base = 0  # unreadable checkpoint: fall back to full replay
@@ -651,6 +749,7 @@ class TxnTable:
                 schema, constraints, partition_by = None, {}, None
                 dv, properties, column_map = {}, {}, {}
                 dropped_physical = []
+                generated = {}
         for c in self._commits(since=base, until=target):
             if c["action"] == "overwrite":
                 live = list(c["added"])
@@ -681,6 +780,7 @@ class TxnTable:
             if "dropped_physical" in c:
                 dropped_physical = list(c["dropped_physical"] or [])
             partition_by = c.get("partition_by") or partition_by
+            generated = c.get("generated") or generated
         return {
             "live": live,
             "batch_ids": batch_ids,
@@ -693,6 +793,7 @@ class TxnTable:
             "properties": properties,
             "column_map": column_map,
             "dropped_physical": dropped_physical,
+            "generated": generated,
         }
 
     def versions(self) -> list[int]:
@@ -1204,6 +1305,7 @@ class TxnTable:
                     else dropped_physical
                 ),
                 "partition_by": self.partition_by or None,
+                "generated": self.generated_columns or None,
                 # False = the rewrite moved bytes, not rows (compact /
                 # optimize / z-order): table_changes skips it, exactly
                 # Delta's dataChange=false AddFile semantics
@@ -1275,6 +1377,8 @@ class TxnTable:
             "dropped_physical": payload.get(
                 "dropped_physical", prior.get("dropped_physical", [])
             ),
+            "generated": payload.get("generated")
+            or prior.get("generated"),
         }
         _stamp_protocol(body)  # checkpoints carry the same reader gate
         try:
@@ -1339,6 +1443,7 @@ class TxnTable:
         of a concurrent re-encode (r10 review)."""
         if batch_id is not None and batch_id in self.batch_ids():
             return self.latest_version()  # skip data write too
+        df = self._apply_generated(df, "append")
         # fail fast: validate BEFORE materializing any data files (the
         # schema check re-runs inside _commit against the state each
         # attempt actually lands on)
@@ -1449,6 +1554,7 @@ class TxnTable:
         properties IN the same commit — content and metadata flip
         together (the ANN store's codebook refresh needs codes and
         codebook version atomically paired)."""
+        df = self._apply_generated(df, "overwrite")
         self._check_constraints(df, self._state().get("constraints", {}))
         added, stats = self._write_data(df)
         return self._commit(
@@ -1481,6 +1587,7 @@ class TxnTable:
             base = self.latest_version()
             out = transform(self.snapshot(version=base))
             if validate_constraints:
+                out = self._apply_generated(out, "rewrite", recompute=True)
                 self._check_constraints(
                     out, self._state().get("constraints", {})
                 )
@@ -2143,6 +2250,9 @@ class TxnTable:
             # untouched files keep theirs.
             rewritten_df = transform(self._read_files(st, touched))
             if validate_constraints:
+                rewritten_df = self._apply_generated(
+                    rewritten_df, "rewrite", recompute=True
+                )
                 self._check_constraints(
                     rewritten_df, st.get("constraints", {})
                 )
@@ -2404,7 +2514,10 @@ class TxnTable:
             inserts = ups.join(
                 snap.select(*keys), on=keys, how="left_anti"
             ).select(*i_cols)
-            appended = merged_rows.unionByName(inserts)
+            appended = self._apply_generated(
+                merged_rows.unionByName(inserts), "merge_dv",
+                recompute=True,
+            )
             added, stats = self._write_data(
                 appended, column_map=st.get("column_map")
             )
@@ -2450,6 +2563,7 @@ class TxnTable:
             raise ValueError("update() requires a predicate")
         if not set_exprs:
             raise ValueError("update() requires at least one SET column")
+        self._refuse_generated_set(set_exprs, "update()")
         cond = _residual_filter(preds)
         hit = F.coalesce(cond, F.lit(False))
 
@@ -2505,6 +2619,7 @@ class TxnTable:
             raise ValueError("update_dv() requires a predicate")
         if not set_exprs:
             raise ValueError("update_dv() requires at least one SET column")
+        self._refuse_generated_set(set_exprs, "update_dv()")
         cond = _residual_filter(preds)
         hit = F.coalesce(cond, F.lit(False))
         last_err: CommitConflict | None = None
@@ -2570,8 +2685,10 @@ class TxnTable:
                 else:
                     proj.append(F.col(c))
             out = matches.select(*proj)
+            # an UPDATE can write values violating a CHECK or a
+            # generated-column expression; a DELETE cannot
+            out = self._apply_generated(out, "update_dv", recompute=True)
             if st.get("constraints"):
-                # an UPDATE can write violating values; a DELETE cannot
                 self._check_constraints(out, st["constraints"])
             added, stats = self._write_data(
                 out, column_map=st.get("column_map")

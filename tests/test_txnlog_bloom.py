@@ -20,6 +20,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from churn_model_evaluation_platform_spark.sources.txnlog import (
     TxnTable,
@@ -228,6 +229,24 @@ def test_sink_blooms_match_library_blooms_bit_for_bit(
     assert rep["kept"] == 0
     got = snk.scan([("uid", "=", shuffled_ids[3])]).collect()
     assert [r["uid"] for r in got] == [shuffled_ids[3]]
+
+
+def test_format_reader_pushes_point_lookup_through_bloom(
+    spark, table, shuffled_ids
+):
+    from churn_model_evaluation_platform_spark.sources.txnlog_datasource import (
+        register_txnlog_source,
+    )
+
+    register_txnlog_source(spark)
+    base = spark.read.format("txnlog").load(table.path)
+    assert base.rdd.getNumPartitions() == 8  # one per live file
+    probe = shuffled_ids[5]
+    filtered = base.where(F.col("uid") == probe)
+    # the pushed '=' consults the bloom in _file_may_match: at most the
+    # true file + one ~0.1%-probability false hit get planned
+    assert filtered.rdd.getNumPartitions() <= 2
+    assert [r["uid"] for r in filtered.collect()] == [probe]
 
 
 def test_sink_bloom_unsupported_type_raises(spark, tmp_path):
