@@ -160,6 +160,8 @@ HEADLINE = [
     "txnlog_clone_shallow",
     # generated columns as derived partition keys (derive + prune)
     "txnlog_generated_partition",
+    # commit-log retention: expire the prefix behind a checkpoint
+    "txnlog_expire_log",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

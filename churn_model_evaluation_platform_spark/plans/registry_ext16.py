@@ -81,6 +81,75 @@ def q_txnlog_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# txnlog_expire_log — COMMIT-LOG RETENTION (r11, Delta's
+# logRetentionDuration): the six-bucket ingest with a checkpoint every
+# 2 commits, then expire_log(0) anchors on the newest checkpoint (v6)
+# and deletes the log prefix. The oracle pins the full post-expiry
+# content (state must resolve bit-identically through the anchor
+# checkpoint + empty tail) and log_starts_at = 6 (the prefix is gone);
+# the refusal invariants — expired versions raise, a truncated log
+# with no readable checkpoint refuses to replay, vacuum reclaims only
+# expired-version files — are pinned in tests/test_txnlog_expire.py.
+# ---------------------------------------------------------------------------
+
+_EXPIRE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       CAST(6 AS BIGINT) AS log_starts_at
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("txnlog_expire_log", _EXPIRE_SQL)
+def q_txnlog_expire_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import txnlog as _txnlog_mod
+    from ..sources.txnlog import TxnTable
+    from .fixtures import cached_fixture, clone_fixture
+    from .registry_ext12 import _tmp_table_path
+
+    with timed_phase("fixture_build:txnexpire"):
+
+        def _build(path: str) -> None:
+            t = TxnTable(spark, path, checkpoint_interval=2)
+            ev = _t(spark, sf_dir, "events").select(
+                "ts",
+                "event_type",
+                "value",
+                F.least(
+                    F.floor((F.dayofmonth("ts") - 1) / 5).cast("int"),
+                    F.lit(5),
+                ).alias("bucket"),
+            )
+            for b in range(6):  # checkpoints land at v2, v4, v6
+                t.append(
+                    ev.where(F.col("bucket") == b)
+                    .drop("bucket")
+                    .coalesce(1)
+                )
+
+        fix = cached_fixture(
+            sf_dir, "txnexpire", ["events"], _build,
+            code_modules=(_txnlog_mod,),
+        )
+        path = clone_fixture(fix, _tmp_table_path(sf_dir, "txnexpire"))
+        t = TxnTable(spark, path)
+    t.expire_log(retention_seconds=0.0)
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn(
+            "log_starts_at", F.lit(t.versions()[0]).cast("long")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # txnlog_generated_partition — GENERATED COLUMNS as derived partition
 # keys (r11, Delta's generated columns): the table declares
 # day = CAST(ts AS DATE), writers append events WITHOUT the column,

@@ -750,6 +750,22 @@ class TxnTable:
                 dv, properties, column_map = {}, {}, {}
                 dropped_physical = []
                 generated = {}
+        if (
+            base == 0
+            and commit_versions
+            and commit_versions[0] != 1
+        ):
+            # the log prefix was expired (expire_log) and no readable
+            # checkpoint anchors this resolve: folding only the
+            # surviving tail would silently DROP the prefix's files —
+            # raise instead (version 1 is always the first commit, so
+            # a listing that doesn't start there proves expiry)
+            raise ValueError(
+                f"cannot resolve state at {self.path}: the log starts "
+                f"at v{commit_versions[0]} (prefix expired) and no "
+                f"readable checkpoint at-or-below "
+                f"v{target} anchors the replay"
+            )
         for c in self._commits(since=base, until=target):
             if c["action"] == "overwrite":
                 live = list(c["added"])
@@ -3469,6 +3485,65 @@ class TxnTable:
             out = out.unionByName(f)
         return out
 
+    def expire_log(self, retention_seconds: float = 7 * 24 * 3600.0) -> int:
+        """Delete commit-log entries (and their checkpoints) STRICTLY
+        OLDER than the newest checkpoint whose commit is outside the
+        retention window — Delta's ``logRetentionDuration``. Listing
+        and replay cost on a long-lived table is O(surviving log), not
+        O(every commit ever made); at one commit a minute a year-old
+        100 TB ingest table holds ~500k log files without this.
+
+        State resolution never re-reads the expired prefix (it anchors
+        on the checkpoint and folds the tail), so the current table and
+        every version at-or-after the anchor stay fully readable and
+        time-travelable; versions BEFORE it now raise — they are no
+        longer reconstructible — and the data files only they
+        referenced become vacuum-eligible (``vacuum`` derives its
+        referenced set from the surviving log). The anchor checkpoint
+        is verified READABLE by this build before anything is deleted
+        (an expiry anchored on an incomprehensible checkpoint would
+        brick the table), and ``_state`` refuses a checkpoint-less
+        replay of a truncated log rather than silently folding the
+        tail as if it were the whole history.
+
+        No-op (returns 0) when no checkpoint is old enough. Caveat
+        (Delta parity): a reader concurrently resolving a version being
+        expired can fail transiently — run during quiet periods."""
+        commit_versions, ckpts, pq_ckpts = self._log_listing()
+        if not ckpts:
+            return 0
+        cutoff = time.time() - retention_seconds
+        anchor = None
+        for v in ckpts:  # ascending: keep the newest qualifying anchor
+            try:
+                c = self._read_json(self._log_path(v))
+            except Exception:  # pragma: no cover - torn commit file
+                continue
+            at = c.get("committed_at")
+            if at is not None and float(at) <= cutoff:
+                anchor = v
+        if anchor is None:
+            return 0
+        # the anchor must be readable by THIS build, else every future
+        # resolve would fall back to a replay expire just made invalid
+        ck = self._read_json(self._ckpt_path(anchor))
+        _check_ckpt_protocol(ck, self.path)
+        removed = 0
+        for v in commit_versions:
+            if v >= anchor:
+                break
+            self._fs.delete(self._log_path(v), False)
+            removed += 1
+        for v in ckpts:
+            if v < anchor:
+                self._fs.delete(self._ckpt_path(v), False)
+                removed += 1
+        for v in pq_ckpts:
+            if v < anchor:
+                self._fs.delete(self._ckptpq_path(v), True)
+                removed += 1
+        return removed
+
     def vacuum(self, retention_seconds: float = 24 * 3600) -> int:
         """Delete data directories referenced by NO commit (failed
         commit attempts whose pointer write lost the race). Returns the
@@ -3482,15 +3557,45 @@ class TxnTable:
         it would commit a version with missing files. Same reason
         Delta's VACUUM has a retention window. Shorten only when no
         writer can be active (tests use 0)."""
+        def _dir_of(rel: str) -> str | None:
+            # external entries (shallow clones) live OUTSIDE data/ and
+            # are never vacuum candidates here
+            parts = rel.split("/")
+            return parts[1] if parts[0] == _DATA_DIR else None
+
         referenced = set()
         for c in self._commits():
             for rel in c["added"]:
-                referenced.add(rel.split("/")[1])
+                d = _dir_of(rel)
+                if d:
+                    referenced.add(d)
             # DV sidecar dirs are log-referenced data too: deleting a
             # sidecar any version points at would corrupt time travel
             for entry in (c.get("dv") or {}).values():
-                for d in entry.get("fs", []):
-                    referenced.add(d.split("/")[1])
+                for dv_dir in entry.get("fs", []):
+                    d = _dir_of(dv_dir)
+                    if d:
+                        referenced.add(d)
+        # surviving CHECKPOINTS reference files whose adding commit may
+        # be expired (expire_log): a file live at the anchor was added
+        # before it — the checkpoint's live/dv sets are the only
+        # remaining record, and dropping them would delete data the
+        # current snapshot still reads
+        _, ckpts, _ = self._log_listing()
+        for v in ckpts:
+            try:
+                ck = self._read_json(self._ckpt_path(v))
+            except Exception:  # pragma: no cover - torn checkpoint
+                continue
+            for rel in ck.get("live", []):
+                d = _dir_of(rel)
+                if d:
+                    referenced.add(d)
+            for entry in (ck.get("dv") or {}).values():
+                for dv_dir in entry.get("fs", []):
+                    d = _dir_of(dv_dir)
+                    if d:
+                        referenced.add(d)
         data_dir = self._jpath(f"{self.path}/{_DATA_DIR}")
         cutoff_ms = (time.time() - retention_seconds) * 1000.0
         removed = 0

@@ -196,6 +196,17 @@ def _replay(path: str, until: int, fs: PlannerFS | None = None) -> dict:
     data IO."""
     fs = fs or fs_for(path)
     base, ck = _ckpt_state(path, until, fs)
+    versions_all = _log_versions(path, fs)
+    if ck is None and versions_all and versions_all[0] != 1:
+        # expired log prefix (TxnTable.expire_log) with no readable
+        # checkpoint anchor: folding only the surviving tail would
+        # silently drop the prefix's files — same refusal as the
+        # library's _state
+        raise ValueError(
+            f"cannot replay {path}: the log starts at "
+            f"v{versions_all[0]} (prefix expired) and no readable "
+            f"checkpoint at-or-below v{until} anchors the replay"
+        )
     live: list[str] = list(ck["live"]) if ck else []
     schema = ck.get("schema") if ck else None
     stats: dict = dict(ck.get("stats", {})) if ck else {}
@@ -207,7 +218,7 @@ def _replay(path: str, until: int, fs: PlannerFS | None = None) -> dict:
     dropped: list = list(ck.get("dropped_physical", [])) if ck else []
     partition_by = ck.get("partition_by") if ck else None
     generated: dict = dict(ck.get("generated") or {}) if ck else {}
-    for v in _log_versions(path, fs):
+    for v in versions_all:
         if v <= base:
             continue
         if v > until:
