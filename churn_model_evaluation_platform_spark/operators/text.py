@@ -262,7 +262,12 @@ def span_dedup_corpus(
     occurrence of every span always survives intact (unless an
     overlapping different span duplicated it), so repeated boilerplate
     collapses to one copy corpus-wide. Deterministic: "earlier" is the
-    total order ``doc_id * 2^20 + position``.
+    lexicographic ``(doc_id, position)`` order — a struct min, so any
+    orderable id type works and positions are unbounded (the previous
+    ``doc_id * 2^20 + position`` arithmetic encoding silently
+    mis-ordered ≥2^20-word docs and NULLed out on non-integer ids:
+    ADVICE r11 low). A NULL id fails loudly instead of silently
+    disabling dedup for that doc.
 
     Returns ``(id_col, text_deduped, n_words_removed)`` — one row per
     non-null-text input doc; a fully-deduplicated doc comes back as
@@ -270,13 +275,23 @@ def span_dedup_corpus(
 
     Scale: two explodes (spans and words) are O(corpus tokens) each —
     map-side, no row blowup beyond token count; the wide exchanges are
-    the groupBy on the span text (at 100 TB group on a 128-bit span
-    digest instead to shuffle 16-byte keys — exact-match semantics then
-    hold up to 2^-128 collisions) and the (doc, position) anti-join,
-    both hash-partitioned and AQE-coalesced. No sort, no window, no
-    driver state; this is the shape distributed exact-substring dedup
-    pipelines actually run when a suffix array doesn't fit."""
-    _ORD = F.lit(1 << 20)  # doc word-positions bounded far below 2^20
+    the groupBy on a 128-bit span DIGEST (md5 — 16 bytes however long
+    the span text is, so the biggest shuffle in the job moves fixed-
+    width keys; exact-match semantics hold up to 2^-128 collisions,
+    the standard exact-substring-dedup tradeoff) and the
+    (doc, position) anti-join, both hash-partitioned and
+    AQE-coalesced. No sort, no window, no driver state; this is the
+    shape distributed exact-substring dedup pipelines actually run
+    when a suffix array doesn't fit."""
+    # fail-loud NULL-id guard, folded into the position column so the
+    # optimizer cannot prune it: assert_true yields NULL on pass
+    _id_ok = F.coalesce(
+        F.assert_true(
+            F.col("id").isNotNull(),
+            F.lit("span_dedup_corpus: NULL id — dedup order undefined"),
+        ).cast("int"),
+        F.lit(0),
+    )
     toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("ws")
     )
@@ -293,14 +308,21 @@ def span_dedup_corpus(
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("p0", "gram"),
         )
-        .select("id", (F.col("p0") + 1).alias("pos"), "gram")
+        .select(
+            "id",
+            (F.col("p0") + 1 + _id_ok).alias("pos"),
+            F.md5(F.encode("gram", "UTF-8")).alias("g128"),
+        )
     )
-    first = spans.groupBy("gram").agg(
-        F.min(F.col("id") * _ORD + F.col("pos")).alias("first_ord")
+    first = spans.groupBy("g128").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("first_occ")
     )
     dup_words = (
-        spans.join(first, "gram")
-        .where(F.col("id") * _ORD + F.col("pos") > F.col("first_ord"))
+        spans.join(first, "g128")
+        .where(
+            F.struct(F.col("id"), F.col("pos"))
+            > F.col("first_occ")
+        )
         .select(
             "id",
             F.explode(

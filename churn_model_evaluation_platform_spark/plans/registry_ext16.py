@@ -233,12 +233,16 @@ def q_txnlog_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Raffel et al. 2020 removed all but one of any repeated 3-sentence
 # span; Lee et al. 2021 is the exact-substring generalization): drop
 # every word covered by a 5-word span whose identical text occurred
-# earlier (doc_id, then position), rebuild each doc from the
-# survivors. The oracle replays the same span windows, first-occurrence
-# total order (doc_id * 2^20 + pos), covered-position union, anti-join
-# and ORDER BY-position string rebuild — so a window off-by-one, an
-# order-encoding bug, or a rebuild that loses word order breaks the
-# hash on every affected doc at once.
+# earlier (doc_id, then position — lexicographic), rebuild each doc
+# from the survivors. The engine groups on a 128-bit md5 DIGEST of the
+# span (fixed 16-byte shuffle keys at any span width; exact up to
+# 2^-128 collisions) — the oracle replays the SAME digest grouping and
+# the same lexicographic first-occurrence order (rn > 1 over
+# PARTITION BY md5(gram) ORDER BY doc_id, pos is exactly "strictly
+# after the struct-min"), covered-position union, anti-join and ORDER
+# BY-position string rebuild — so a window off-by-one, an ordering
+# bug, or a rebuild that loses word order breaks the hash on every
+# affected doc at once.
 # ---------------------------------------------------------------------------
 
 _SPAN_N = 5
@@ -256,16 +260,17 @@ spans AS (
            AS gram
   FROM toks WHERE len(ws) >= {_SPAN_N}
 ),
-first_occ AS (
-  SELECT gram, min(doc_id * 1048576 + pos) AS first_ord
-  FROM spans GROUP BY gram
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY md5(gram)
+                            ORDER BY doc_id, pos) AS rn
+  FROM spans
 ),
 dup_words AS (
   SELECT DISTINCT doc_id, wpos FROM (
-    SELECT s.doc_id,
-           unnest(generate_series(s.pos, s.pos + {_SPAN_N - 1})) AS wpos
-    FROM spans s JOIN first_occ f ON s.gram = f.gram
-    WHERE s.doc_id * 1048576 + s.pos > f.first_ord)
+    SELECT doc_id,
+           unnest(generate_series(pos, pos + {_SPAN_N - 1})) AS wpos
+    FROM ranked WHERE rn > 1)
 ),
 words AS (
   SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS word

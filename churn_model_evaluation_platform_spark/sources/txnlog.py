@@ -488,13 +488,12 @@ class TxnTable:
         self.schema_mode = schema_mode
         self.set_columns = list(set_columns or [])
         self.set_cap = max(1, int(set_cap))
+        # bloom_columns no longer requires min/max stats: with
+        # stats_columns=[] (or a filter matching no atomic field) the
+        # write-time agg degrades to count-only per-file entries that
+        # still carry the blooms (ADVICE r11 low — the old refusal
+        # here masked a silent skip in the filter-matches-nothing case)
         self.bloom_columns = list(bloom_columns or [])
-        if self.bloom_columns and stats_columns == []:
-            raise ValueError(
-                "bloom_columns requires stats collection "
-                "(stats_columns=[] disables the per-file stats entries "
-                "the blooms live in)"
-            )
         self.bloom_bits = int(bloom_bits)
         if self.bloom_bits < 64 or self.bloom_bits % 64:
             raise ValueError(
@@ -924,7 +923,11 @@ class TxnTable:
         bound, carries that information), and no footer string
         truncation. The ``collect`` is bounded at one row per part file
         of THIS commit."""
-        if self.stats_columns == []:
+        # stats_columns=[] disables min/max tracking, but configured
+        # bloom_columns must STILL be collected (ADVICE r11 low: the
+        # old early return here silently skipped blooms — contradicting
+        # the loud-refusal posture everywhere else)
+        if self.stats_columns == [] and not self.bloom_columns:
             return {}
         df = self.spark.read.parquet(f"{self.path}/{commit_dir}")
         atomic = (
@@ -952,8 +955,11 @@ class TxnTable:
             fields = [f for f in fields if f.name in wanted]
         set_cols = {cmap.get(c, c) for c in self.set_columns}
         fields = fields[:_STATS_MAX_COLS]
-        if not fields:
+        if not fields and not self.bloom_columns:
             return {}
+        # with an empty min/max field list but blooms configured, the
+        # grouped agg below still runs (count-only) so every file gets
+        # a stats entry for _collect_blooms to attach filters to
         aggs = [F.count(F.lit(1)).alias("__rows")]
         floaty = {
             f.name
@@ -3131,6 +3137,12 @@ class TxnTable:
             dest_path,
             checkpoint_interval=self.checkpoint_interval,
             partition_by=list(st.get("partition_by") or []) or None,
+            # the generated-column map is table METADATA like the
+            # schema and constraints: Delta's CLONE carries it, and a
+            # clone that dropped it would silently stop deriving /
+            # validating generated (e.g. derived-partition-key) values
+            # on later appends (ADVICE r11 medium)
+            generated_columns=dict(st.get("generated") or {}) or None,
             log_store=log_store,
         )
         if dest.latest_version() is not None:
@@ -3585,8 +3597,22 @@ class TxnTable:
         for v in ckpts:
             try:
                 ck = self._read_json(self._ckpt_path(v))
-            except Exception:  # pragma: no cover - torn checkpoint
-                continue
+            except Exception as e:
+                # ABORT, never skip: after expire_log the anchor
+                # checkpoint is the ONLY remaining reference record for
+                # pre-anchor live files (older than any retention
+                # window) — treating a transient read failure as "no
+                # references" would delete data the current snapshot
+                # still reads (ADVICE r11 medium). An unreadable
+                # checkpoint makes vacuum unsafe, so it must fail loud.
+                raise IOError(
+                    f"vacuum aborted: surviving checkpoint v{v} at "
+                    f"{self.path} is unreadable ({e}); its live-file "
+                    f"references cannot be protected, so deleting "
+                    f"anything now could drop data the current "
+                    f"snapshot reads. Retry once the checkpoint is "
+                    f"readable."
+                ) from e
             for rel in ck.get("live", []):
                 d = _dir_of(rel)
                 if d:

@@ -7,6 +7,7 @@ text occurred earlier. The cross-engine hash lives in the registry
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from churn_model_evaluation_platform_spark.operators.text import (
     span_dedup_corpus,
@@ -75,3 +76,69 @@ def test_determinism(spark):
     assert a[0] == ("w0 common span here tail0", 0)
     assert all(a[i] == (f"w{i} tail{i}", 3) for i in range(1, 4))
     assert all(a[i] == (f"tail{i}", 4) for i in range(4, 20))
+
+
+def test_string_ids_order_lexicographically(spark):
+    """The first-occurrence order is a struct (id, pos) min — any
+    orderable id type works (the old doc_id * 2^20 + pos arithmetic
+    NULLed out on non-integer ids and silently disabled dedup:
+    ADVICE r11 low)."""
+    df = spark.createDataFrame(
+        [("docA", "s p a n x"), ("docB", "s p a n y")],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["text_deduped"], r["n_words_removed"])
+        for r in span_dedup_corpus(df, n=4).collect()
+    }
+    assert rows["docA"] == ("s p a n x", 0)
+    assert rows["docB"] == ("y", 4)
+
+
+def test_huge_position_beyond_old_encoding_bound(spark):
+    """Positions past 2^20 mis-ordered under the old arithmetic
+    encoding; the struct order has no bound. One >2^20-word doc and a
+    later doc repeating its TAIL span: the tail's first occurrence is
+    doc 1, so doc 2 dedups."""
+    n_words = (1 << 20) + 8
+    df = (
+        spark.range(1)
+        .select(
+            F.lit(1).alias("doc_id"),
+            F.concat(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(n_words - 3)),
+                        lambda i: F.concat(F.lit("w"), (i % 7).cast("string")),
+                    ),
+                    " ",
+                ),
+                F.lit(" zz yy xx"),
+            ).alias("text"),
+        )
+        .union(
+            spark.range(1).select(
+                F.lit(2).alias("doc_id"),
+                F.lit("qq zz yy xx").alias("text"),
+            )
+        )
+    )
+    rows = {
+        r["doc_id"]: (r["text_deduped"], r["n_words_removed"])
+        for r in span_dedup_corpus(df, n=4).collect()
+    }
+    # doc 2's "qq zz yy xx" never occurred; but with n=4 the span
+    # "<last w> zz yy xx" of doc 1 is its first occurrence — doc 2's
+    # only 4-gram is novel, so doc 2 survives whole; doc 1 dedups
+    # internally on its repeating w0..w6 cycle but its TAIL survives.
+    assert rows[2] == ("qq zz yy xx", 0)
+    assert rows[1][0].endswith("zz yy xx")
+
+
+def test_null_id_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(None, "a b c d e f"), (2, "a b c d e f")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(Exception, match="NULL id"):
+        span_dedup_corpus(df, n=3).collect()

@@ -271,3 +271,43 @@ def test_distributed_prune_ignores_bloom_conservatively(
     assert rep["total"] == 8  # kept may be 8: stats-only, conservative
     got = table.scan([("uid", "=", probe)], distributed=True).collect()
     assert [r["uid"] for r in got] == [probe]
+
+
+def test_blooms_collected_with_stats_disabled(spark, tmp_path):
+    """stats_columns=[] disables min/max tracking but must NOT
+    silently skip configured bloom_columns (ADVICE r11 low): the bloom
+    pass runs regardless, so point lookups still prune."""
+    t = TxnTable(
+        spark,
+        str(tmp_path / "nb"),
+        stats_columns=[],
+        bloom_columns=["uid"],
+    )
+    rng = random.Random(3)
+    ids = list(range(2_000))
+    rng.shuffle(ids)
+    t.append(_frame(spark, ids[:1_000]).repartition(2))
+    t.append(_frame(spark, ids[1_000:]).repartition(2))
+    probe = ids[7]
+    rep = t.prune_report([("uid", "=", probe)])
+    # range stats are off, so only the bloom can prune — and it does
+    assert rep["total"] == 4 and rep["pruned"] >= 2
+    got = t.scan([("uid", "=", probe)]).collect()
+    assert [r["uid"] for r in got] == [probe]
+
+
+def test_blooms_collected_when_stats_filter_matches_no_field(
+    spark, tmp_path
+):
+    """stats_columns naming only a non-existent column leaves the
+    min/max field list empty — blooms on a REAL column still land."""
+    t = TxnTable(
+        spark,
+        str(tmp_path / "nb2"),
+        stats_columns=["no_such_col"],
+        bloom_columns=["name"],
+    )
+    t.append(_frame(spark, range(100)).coalesce(1))
+    t.append(_frame(spark, range(100, 200)).coalesce(1))
+    rep = t.prune_report([("name", "=", "u000005")])
+    assert rep["total"] == 2 and rep["pruned"] == 1

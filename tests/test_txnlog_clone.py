@@ -193,3 +193,43 @@ def test_vacuum_on_clone_never_deletes_source_files(
     cl.vacuum(retention_seconds=0.0)
     # the source still reads every row through its own log
     assert src.snapshot().count() == 200
+
+
+def test_clone_preserves_generated_columns(spark, tmp_path):
+    """The generated-column map is table metadata like the schema and
+    constraints — Delta's CLONE carries it; dropping it would make
+    appends to the clone silently stop deriving/validating generated
+    values (ADVICE r11 medium)."""
+    src = TxnTable(
+        spark,
+        str(tmp_path / "gsrc"),
+        partition_by=["day"],
+        generated_columns={"day": "CAST(ts AS DATE)"},
+    )
+    rows = spark.createDataFrame(
+        [(f"2024-01-{i:02d} 10:00:00", float(i)) for i in (1, 2, 3)],
+        "ts_s string, v double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    src.append(rows.coalesce(1))
+    cl = src.clone(str(tmp_path / "gcl"))
+    # a FRESH handle on the clone adopts the map from the log
+    fresh = TxnTable(spark, cl.path)
+    assert fresh.generated_columns == {"day": "CAST(ts AS DATE)"}
+    # and an append DERIVES the missing generated column
+    more = spark.createDataFrame(
+        [("2024-02-01 10:00:00", 9.0)], "ts_s string, v double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    fresh.append(more.coalesce(1))
+    days = {str(r["day"]) for r in fresh.snapshot().collect()}
+    assert "2024-02-01" in days and "2024-01-02" in days
+    # validation still enforces: a provided-but-wrong value refuses
+    bad = spark.createDataFrame(
+        [("2024-03-01 10:00:00", 1.0, "1999-01-01")],
+        "ts_s string, v double, day_s string",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "v",
+        F.col("day_s").cast("date").alias("day"),
+    )
+    with pytest.raises(Exception, match="generated"):
+        fresh.append(bad.coalesce(1))

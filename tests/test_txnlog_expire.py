@@ -115,3 +115,32 @@ def test_vacuum_reclaims_only_expired_version_files(spark, tmp_path):
     assert sorted(r["id"] for r in t.snapshot().collect()) == content
     # surviving time travel reads fine post-vacuum
     assert t.snapshot(version=10).count() == len(content) - 2
+
+
+def test_vacuum_aborts_on_unreadable_surviving_checkpoint(
+    spark, tmp_path
+):
+    """After expire_log the anchor checkpoint is the ONLY reference
+    record for pre-anchor live files; a vacuum that shrugged off a
+    checkpoint read failure would delete data the current snapshot
+    still reads (ADVICE r11 medium). It must abort loudly instead —
+    and a later vacuum with the checkpoint restored must succeed."""
+    t = TxnTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(7):
+        t.append(_r(spark, i * 10, (i + 1) * 10).coalesce(1))
+    t.expire_log(retention_seconds=0.0)
+    ckpts = sorted(
+        (tmp_path / "t" / "_txnlog").glob("*.ckpt")
+    )
+    assert ckpts, "fixture needs a surviving checkpoint"
+    body = ckpts[-1].read_bytes()
+    ckpts[-1].write_bytes(b"{torn json")
+    with pytest.raises(IOError, match="vacuum aborted"):
+        t.vacuum(retention_seconds=0.0)
+    # nothing was deleted: the snapshot still reads in a fresh handle
+    # once the checkpoint is restored
+    ckpts[-1].write_bytes(body)
+    fresh = TxnTable(spark, t.path, checkpoint_interval=5)
+    assert fresh.snapshot().count() == 70
+    fresh.vacuum(retention_seconds=0.0)  # readable again: no raise
+    assert fresh.snapshot().count() == 70
