@@ -32,6 +32,7 @@ from churn_model_evaluation_platform_spark.plans import registry_ext13 as _regis
 from churn_model_evaluation_platform_spark.plans import registry_ext14 as _registry_ext14  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext15 as _registry_ext15  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext16 as _registry_ext16  # noqa: F401
+from churn_model_evaluation_platform_spark.plans import registry_ext17 as _registry_ext17  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -277,6 +277,7 @@ class PqVectorIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         version: int | None = None,
+        broadcast_batch: bool = True,
     ) -> DataFrame:
         """EMBEDDING NEAR-DUP GATE against the stored index — the
         vector analog of ``dedup_incremental`` (operators/dedup.py):
@@ -293,8 +294,22 @@ class PqVectorIndex:
         and the BROADCAST batch joins the stored codes on the cell id —
         candidates are |batch| × nprobe/n_cells of the store, scored at
         m code-byte lookups each, embeddings never read from the store
-        (it has none). A batch too large to broadcast splits into gate
-        calls upstream — the daily-increment contract.
+        (it has none).
+
+        BATCH SIZE (r12, VERDICT r11 next #5): ``broadcast_batch=True``
+        (default) broadcasts the probe rows — right whenever the batch
+        fits the broadcast budget (each probe row carries its m×ks
+        ADC tables: ~m·ks·8 bytes ≈ 2 KB/row at the 8×16 default, so
+        the 10 MB default threshold crosses around ~5k rows/10 MB
+        budget — with production multi-GB budgets, millions of rows;
+        the daily-increment shape). For a BACKFILL batch beyond that,
+        pass ``broadcast_batch=False``: the probe rows SHUFFLE-HASH
+        join the stored codes on the cell id instead — both sides
+        hash-partition on the cell, no driver-side collect of the
+        batch, same result by construction (the oracle is shared, and
+        the plan is asserted broadcast-free in
+        tests/test_ann_dedup_gate.py). The crossover is simply
+        whether |batch| × 2 KB fits the executor broadcast budget.
 
         CELL-PRUNED STORE READ (r11, VERDICT r10 next #6): the stored
         side is not the full snapshot but ``scan`` restricted to the
@@ -343,7 +358,17 @@ class PqVectorIndex:
             stored = self.table.snapshot(version=v).select(
                 self._cell_col, self._code_col
             ).limit(0)
-        joined = F.broadcast(probe_rows).join(stored, self._cell_col)
+        if broadcast_batch:
+            joined = F.broadcast(probe_rows).join(stored, self._cell_col)
+        else:
+            # shuffle-hash, not sort-merge: the cell id is a small int
+            # key with bounded cardinality — hash-partitioning both
+            # sides is one exchange each, no sort; the hint also stops
+            # AQE from converting back to a broadcast it was told to
+            # avoid
+            joined = probe_rows.hint("shuffle_hash").join(
+                stored, self._cell_col
+            )
         adc = None
         for s in range(m):
             term = F.element_at(

@@ -391,11 +391,13 @@ LEFT JOIN mins m ON m.qid = n.vec_id
 """
 
 
-@register("ann_dedup_gate", _gate_sql())
-def q_ann_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gate_fixture_index(spark: SparkSession, sf_dir: str):
+    """The cached even-half PQ index the gate queries score against —
+    shared by ann_dedup_gate (broadcast path) and
+    ann_dedup_gate_shuffle (r12's non-broadcast backfill path)."""
     from ..operators import similarity
     from ..operators.ann_store import PqVectorIndex
-    from .registry_ext12 import _IVFPQ_NCELLS, _IVFPQ_NPROBE, _PQ_KS, _PQ_M
+    from .registry_ext12 import _IVFPQ_NCELLS, _PQ_KS, _PQ_M
 
     from .fixtures import cached_fixture
 
@@ -427,7 +429,15 @@ def q_ann_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             _build,
             code_modules=(_txnlog_mod, _ann_mod, similarity),
         )
-        idx = PqVectorIndex(spark, path)
+        return PqVectorIndex(spark, path)
+
+
+@register("ann_dedup_gate", _gate_sql())
+def q_ann_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_ext12 import _IVFPQ_NPROBE
+
+    idx = _gate_fixture_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     return idx.dedup_gate(
         emb.where("vec_id % 2 = 1"),
         threshold=_GATE_THRESH,

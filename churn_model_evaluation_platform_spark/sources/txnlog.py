@@ -3077,6 +3077,7 @@ class TxnTable:
         timestamp=None,
         shallow: bool = True,
         log_store=None,
+        register: bool = False,
     ) -> "TxnTable":
         """CLONE a snapshot into a NEW table at ``dest_path`` (Delta's
         CREATE TABLE ... CLONE): ONE atomic overwrite commit on the
@@ -3102,7 +3103,16 @@ class TxnTable:
         (sidecar addresses are keyed by source relpaths): ``purge_dv()``
         first, or clone deep. CAVEAT (exactly Delta's): a shallow clone
         does NOT pin the source's files — ``vacuum()`` on the SOURCE
-        can break clones made from it.
+        can break clones made from it. ``register=True`` (r12, beyond
+        Delta parity) closes that hole opt-in: the clone's path is
+        recorded in the SOURCE's ``clones.registered`` property, and
+        the source's ``vacuum`` treats every registered clone's
+        currently-referenced files as live (aborting loudly if a
+        registered clone cannot be read, same posture as an unreadable
+        checkpoint). Protects each clone's CURRENT snapshot — a clone
+        time-traveling to an earlier clone version is still only as
+        safe as the source's own log. ``unregister_clone`` lifts the
+        guard when a clone is retired.
 
         ``shallow=False`` (deep): live data files — and DV sidecars,
         which deep clones carry verbatim since every relpath is
@@ -3191,7 +3201,49 @@ class TxnTable:
             dv=dv,
             data_change=True,
         )
+        if register:
+            if not shallow:
+                raise ValueError(
+                    "register=True is for shallow clones (a deep clone "
+                    "holds its own copies; source vacuum cannot hurt it)"
+                )
+            self.register_clone(dest.path)
         return dest
+
+    def register_clone(self, clone_path: str) -> int:
+        """Record ``clone_path`` in the ``clones.registered`` property
+        so this table's ``vacuum`` protects the clone's referenced
+        files (see ``clone``). Idempotent."""
+        cur = list(self.registered_clones())
+        p = str(clone_path).rstrip("/")
+        if p in cur:
+            return self.latest_version()
+        return self.set_properties(
+            {"clones.registered": json.dumps(sorted(cur + [p]))}
+        )
+
+    def unregister_clone(self, clone_path: str) -> int:
+        """Drop ``clone_path`` from the registered-clones guard (the
+        clone was retired, or its owner accepts Delta's unguarded
+        semantics)."""
+        cur = list(self.registered_clones())
+        p = str(clone_path).rstrip("/")
+        if p not in cur:
+            return self.latest_version()
+        remaining = sorted(x for x in cur if x != p)
+        return self.set_properties(
+            {
+                "clones.registered": (
+                    json.dumps(remaining) if remaining else None
+                )
+            }
+        )
+
+    def registered_clones(self) -> list[str]:
+        raw = (self._state().get("properties") or {}).get(
+            "clones.registered"
+        )
+        return list(json.loads(raw)) if raw else []
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION: one overwrite commit that
@@ -3620,6 +3672,38 @@ class TxnTable:
             for entry in (ck.get("dv") or {}).values():
                 for dv_dir in entry.get("fs", []):
                     d = _dir_of(dv_dir)
+                    if d:
+                        referenced.add(d)
+        # registered shallow clones (r12, see clone(register=True)):
+        # each clone's CURRENT snapshot may reference this table's
+        # files through '../'-relative external entries whose adding
+        # commits expire_log may have dropped — treat them as live.
+        # An unreadable registered clone ABORTS (same posture as an
+        # unreadable checkpoint): guessing would delete its data.
+        src_abs = self._jpath(self.path).toUri().getPath()
+        for cpath in self.registered_clones():
+            try:
+                ct = TxnTable(self.spark, cpath)
+                if ct.latest_version() is None:
+                    # a log-less path folds to an EMPTY table, which
+                    # would silently unprotect the clone — a registered
+                    # clone with no commits is unreadable, not empty
+                    raise ValueError("no commit log found")
+                c_live = ct._state()["live"]
+                dest_abs = ct._jpath(ct.path).toUri().getPath()
+            except Exception as e:
+                raise IOError(
+                    f"vacuum aborted: registered clone {cpath} of "
+                    f"{self.path} is unreadable ({e}); its external "
+                    f"file references cannot be protected. Fix the "
+                    f"clone or unregister_clone() it first."
+                ) from e
+            for rel in c_live:
+                if not str(rel).startswith(("../", "/")):
+                    continue
+                ap = posixpath.normpath(posixpath.join(dest_abs, rel))
+                if ap.startswith(src_abs + "/"):
+                    d = _dir_of(ap[len(src_abs) + 1 :])
                     if d:
                         referenced.add(d)
         data_dir = self._jpath(f"{self.path}/{_DATA_DIR}")

@@ -1497,6 +1497,61 @@ class _TxnLogWriterBase:
             f"txnlog sink lost the commit race 10 times at {self._path}"
         )
 
+    # Dialect-parity allowlist for sink-side CHECK evaluation (r12,
+    # VERDICT r11 next #4): the sink evaluates constraints in DuckDB
+    # while the library evaluates them in Spark SQL — an expression
+    # both engines EVALUATE but answer DIFFERENTLY could pass a batch
+    # the library would refuse (the unacceptable direction). Only
+    # constructs with pinned cross-engine parity
+    # (tests/test_sink_check_dialect.py) are admitted; everything else
+    # refuses with a pointer at TxnTable.append. Known silent
+    # divergences the matrix documents: substring at index 0 (Spark
+    # 'hel' vs DuckDB 'he'), CAST(1.5 AS INT) (Spark truncates to 1,
+    # DuckDB rounds to 2), round(2.5, 0)-style decimal re-rounding,
+    # and every regexp function (Java vs RE2 flavor).
+    _CHECK_FUNC_ALLOW = {
+        "ABS", "COALESCE", "NULLIF", "LEAST", "GREATEST", "LENGTH",
+        "LOWER", "UPPER", "TRIM", "LTRIM", "RTRIM", "CONCAT", "CAST",
+    }
+    # keywords that legitimately precede '(' in a boolean expression
+    _CHECK_KEYWORD_CALLS = {
+        "NOT", "AND", "OR", "IN", "WHEN", "THEN", "ELSE", "CASE",
+        "IS", "LIKE", "BETWEEN", "END",
+    }
+    # CAST targets with pinned value parity; integral/decimal targets
+    # are refused (fractional→integral rounding rules differ)
+    _CHECK_CAST_ALLOW = {"DATE", "STRING", "VARCHAR", "DOUBLE"}
+
+    def _refuse_unproven_dialect(self, name: str, expr: str) -> None:
+        import re as _re
+
+        calls = {
+            m.group(1).upper()
+            for m in _re.finditer(r"([A-Za-z_][A-Za-z_0-9]*)\s*\(", expr)
+        }
+        bad = calls - self._CHECK_FUNC_ALLOW - self._CHECK_KEYWORD_CALLS
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) uses "
+                f"{sorted(bad)} — not in the sink's proven "
+                "Spark/DuckDB dialect-parity allowlist (a construct "
+                "both engines evaluate but answer differently could "
+                "admit a batch the library would refuse); ingest with "
+                "TxnTable.append"
+            )
+        # constraint expressions are boolean — 'AS <type>' only occurs
+        # as a CAST target there, so every occurrence must be a
+        # parity-proven target
+        for m in _re.finditer(r"(?i)\bAS\s+([A-Za-z_][A-Za-z_0-9]*)", expr):
+            if m.group(1).upper() not in self._CHECK_CAST_ALLOW:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) casts to "
+                    f"{m.group(1)!r} — only {sorted(self._CHECK_CAST_ALLOW)} "
+                    "have pinned cross-engine value parity (e.g. "
+                    "CAST(1.5 AS INT) is 1 in Spark, 2 in DuckDB); "
+                    "ingest with TxnTable.append"
+                )
+
     def _validate_constraints(
         self, root: str, rels: list, constraints: dict, cmap: dict
     ) -> None:
@@ -1509,8 +1564,9 @@ class _TxnLogWriterBase:
         is FALSE, NULL passes. Staged files carry PHYSICAL column
         names; the view projects them back to logical so constraint
         expressions read unchanged. An expression the embedded engine
-        cannot evaluate RAISES (the pre-r11 refusal, now scoped to the
-        genuinely unevaluable case) — never skips."""
+        cannot evaluate RAISES, and so does one outside the proven
+        dialect-parity allowlist (``_refuse_unproven_dialect``) —
+        never skips, never silently diverges."""
         if not rels:
             return
         try:
@@ -1536,6 +1592,7 @@ class _TxnLogWriterBase:
             )
             bad = {}
             for name, expr in sorted(constraints.items()):
+                self._refuse_unproven_dialect(name, expr)
                 e = expr.replace("`", '"')
                 try:
                     n = con.execute(

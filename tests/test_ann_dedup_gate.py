@@ -173,3 +173,28 @@ def test_gate_store_read_is_cell_pruned(spark, emb, pinned, index):
 def test_gate_empty_batch(spark, emb, index):
     batch = emb.limit(0)
     assert index.dedup_gate(batch, threshold=0.1).count() == 0
+
+
+def test_shuffle_gate_matches_broadcast_and_is_broadcast_free(
+    spark, emb, index
+):
+    """broadcast_batch=False (r12, the backfill path): identical
+    results to the broadcast gate, and the gate join really is
+    broadcast-free in the executed plan (the shuffle_hash hint must
+    survive AQE)."""
+    batch = emb.where("vec_id % 2 = 1")
+    bc = index.dedup_gate(batch, threshold=1.25, nprobe=NPROBE)
+    sh = index.dedup_gate(
+        batch, threshold=1.25, nprobe=NPROBE, broadcast_batch=False
+    )
+    rows_bc = {r["vec_id"]: (r["min_adc"], r["keep"]) for r in bc.collect()}
+    rows_sh = {r["vec_id"]: (r["min_adc"], r["keep"]) for r in sh.collect()}
+    assert rows_bc == rows_sh
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    # the only broadcast allowed is the final tiny left join back to
+    # batch ids; the CODE-SCORING join must not broadcast the batch:
+    # no BroadcastExchange may feed a join together with the store's
+    # code column scorer — cheapest robust check: the shuffle-hash
+    # join IS the code join (it joins on the cell id)
+    assert "broadcast" not in plan.split("ShuffledHashJoin")[1][:200].lower()

@@ -110,7 +110,160 @@ def train_large(
     )
 
 
+def train_fast(
+    word_freq: dict[str, int], max_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Heap-based incremental BPE trainer for REAL-SIZE vocabularies
+    (round 12, VERDICT r11 next #1): same objective and tie-breaks as
+    ``train`` (count desc, then pair lexicographic — a pure function of
+    the corpus) but O(affected words) per merge instead of O(corpus),
+    so tens of thousands of merges train in seconds. Lazy-deletion
+    max-heap: every count INCREASE pushes a fresh entry, so the heap
+    always holds an entry >= the true count of every pair — a popped
+    entry whose stored count matches the live count is therefore the
+    global max. Stops at ``max_merges`` or when the best surviving pair
+    occurs fewer than ``min_count`` times (exhaustion)."""
+    import heapq
+    from collections import Counter
+
+    words: list[list] = [[list(w), c] for w, c in sorted(word_freq.items())]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, c) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(idx)
+    heap = [(-cnt, p) for p, cnt in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < max_merges and heap:
+        negcnt, p = heapq.heappop(heap)
+        cur = pair_counts.get(p, 0)
+        if cur != -negcnt:  # stale entry: re-file at the live count
+            if cur >= min_count:
+                heapq.heappush(heap, (-cur, p))
+            continue
+        if cur < min_count:
+            break  # accurate max below threshold: exhausted
+        merges.append(p)
+        merged = p[0] + p[1]
+        for idx in sorted(pair_words.get(p, ())):
+            syms, c = words[idx]
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == p[0]
+                    and syms[i + 1] == p[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if len(out) == len(syms):
+                continue  # overlap artifact: pair no longer present
+            delta = Counter(zip(out, out[1:]))
+            delta.subtract(Counter(zip(syms, syms[1:])))
+            for q, d in delta.items():
+                if d == 0 or q == p:
+                    continue
+                nc = pair_counts.get(q, 0) + d * c
+                if nc > 0:
+                    pair_counts[q] = nc
+                else:
+                    pair_counts.pop(q, None)
+                if d > 0:
+                    pair_words.setdefault(q, set()).add(idx)
+                    heapq.heappush(heap, (-nc, q))
+            words[idx][0] = out
+        pair_counts.pop(p, None)
+        pair_words.pop(p, None)
+    return merges
+
+
+def rendered_corpus(sf_dir: str) -> list[str]:
+    """The byte-level training corpus: the SAME deterministic text the
+    registered query tokenizes (rendered orders rows + document texts)
+    — see plans/registry_ext17.py; training and query distributions
+    match by construction, like the pinned PQ codebooks."""
+    rows = duckdb.sql(
+        f"""
+        SELECT concat_ws(' ', 'order', CAST(o_orderkey AS VARCHAR),
+                         'customer', CAST(o_custkey AS VARCHAR),
+                         'date', CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                         'status', o_orderstatus,
+                         'priority', o_orderpriority)
+        FROM '{sf_dir}/orders.parquet'
+        UNION ALL
+        SELECT concat_ws(' ', 'line', CAST(l_orderkey AS VARCHAR),
+                         'part', CAST(l_partkey AS VARCHAR),
+                         'supplier', CAST(l_suppkey AS VARCHAR),
+                         'qty', CAST(CAST(l_quantity AS INTEGER) AS VARCHAR),
+                         'ship', CAST(CAST(l_shipdate AS DATE) AS VARCHAR),
+                         l_returnflag, l_linestatus)
+        FROM '{sf_dir}/lineitem.parquet'
+        UNION ALL
+        SELECT concat_ws(' ', 'event', CAST(event_id AS VARCHAR),
+                         'user', CAST(user_id AS VARCHAR), event_type)
+        FROM '{sf_dir}/events.parquet'
+        UNION ALL SELECT text FROM '{sf_dir}/documents.parquet'
+        """
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def train_byte_level(
+    texts: list[str], max_merges: int
+) -> list[tuple[str, str]]:
+    """Pre-tokenize with the portable GPT-2 pattern, byte-encode, and
+    train — merges come out in the byte-encoded alphabet, exactly the
+    released merges.txt convention."""
+    from churn_model_evaluation_platform_spark.operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        byte_encode,
+        py_pattern,
+    )
+
+    pat = re.compile(py_pattern(GPT2_SPLIT_PATTERN_PORTABLE))
+    word_freq: Counter = Counter()
+    for t in texts:
+        for w in pat.findall(t or ""):
+            word_freq[byte_encode(w)] += 1
+    return train_fast(word_freq, max_merges)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--byte-level":
+        # python tools/train_bpe.py --byte-level <max_merges> <sf_dir> <outdir>
+        import json as _json
+
+        from churn_model_evaluation_platform_spark.operators.bpe_vocab import (
+            build_vocab_json,
+            format_merges_txt,
+        )
+
+        n = int(sys.argv[2])
+        sf_dir = sys.argv[3]
+        outdir = sys.argv[4]
+        texts = rendered_corpus(sf_dir)
+        merges = train_byte_level(texts, n)
+        import os
+
+        os.makedirs(outdir, exist_ok=True)
+        with open(f"{outdir}/merges.txt", "w", encoding="utf-8") as f:
+            f.write(
+                f"#version: 0.2 - trained by tools/train_bpe.py "
+                f"--byte-level {n} {sf_dir} (deterministic; every entry "
+                f"a genuinely trained merge, count>=2)\n"
+            )
+            f.write(format_merges_txt(merges).split("\n", 1)[1])
+        with open(f"{outdir}/vocab.json", "w", encoding="utf-8") as f:
+            _json.dump(
+                build_vocab_json(merges), f, ensure_ascii=False, indent=0
+            )
+        print(f"wrote {len(merges)} trained merges to {outdir}")
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     texts = [
