@@ -164,8 +164,11 @@ HEADLINE = [
     "txnlog_expire_log",
     # round-12 additions: the REAL-SIZE released-format vocabulary
     # (50k trained merges through merges.txt parser + GPT-2 byte-level
-    # pre-tokenization, distinct-word mapInArrow path)
+    # pre-tokenization, distinct-word mapInArrow path), the id-stream
+    # tokenize step, and the non-broadcast backfill gate
     "token_count_bpe_real",
+    "tokenize_ids_real",
+    "ann_dedup_gate_shuffle",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

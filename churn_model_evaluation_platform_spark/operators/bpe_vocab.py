@@ -373,3 +373,177 @@ LEFT JOIN (
   GROUP BY w.doc_id
 ) t ON t.doc_id = d.doc_id
 """
+
+
+def bpe_tokenize_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+    vocab: dict[str, int] | None = None,
+    pattern: str | None = None,
+) -> DataFrame:
+    """TOKENIZE TO IDS — the step a training-data pipeline actually
+    runs (counts budget the mixture; ids feed the model): the exploded
+    token-id stream ``(id_col, wpos, ti, token_id)`` where ``wpos`` is
+    the pre-token's 1-based position in the doc and ``ti`` the token's
+    1-based position within the pre-token (the pair totally orders the
+    doc's tokens). Same distinct-word plan as the counts
+    (explode+posexplode → DISTINCT word → Arrow-batched byte-encode +
+    classic merge loop returning the token LIST → id lookup → join
+    back → posexplode ids); closure is structural — every produced
+    token is a merge target or a single byte char, both in the vocab
+    by construction — so a missing id raises in the executor rather
+    than silently dropping a token."""
+    merges = real_merges() if merges is None else merges
+    vocab = (
+        real_vocab()
+        if vocab is None and merges is real_merges()
+        else (build_vocab_json(merges) if vocab is None else vocab)
+    )
+    pattern = GPT2_SPLIT_PATTERN if pattern is None else pattern
+    rank = {m: i for i, m in enumerate(merges)}
+
+    def _encode(batches):
+        import pyarrow as pa
+
+        memo: dict[str, list[int]] = {}
+        for batch in batches:
+            words = batch.column(0).to_pylist()
+            out = []
+            for w in words:
+                ids = memo.get(w)
+                if ids is None:
+                    ids = [vocab[t] for t in encode_word_bytes(w, rank)]
+                    memo[w] = ids
+                out.append(ids)
+            yield pa.record_batch(
+                [
+                    pa.array(words, pa.string()),
+                    pa.array(out, pa.list_(pa.int64())),
+                ],
+                names=["w", "ids"],
+            )
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+        ).alias("wp0", "w"),
+    ).select(id_col, (F.col("wp0") + 1).alias("wpos"), "w")
+    encoded = (
+        words.select("w")
+        .distinct()
+        .mapInArrow(_encode, "w string, ids array<long>")
+    )
+    return (
+        words.join(encoded, "w")
+        .select(
+            id_col,
+            "wpos",
+            F.posexplode("ids").alias("ti0", "token_id"),
+        )
+        .select(
+            id_col,
+            "wpos",
+            (F.col("ti0") + 1).alias("ti"),
+            "token_id",
+        )
+    )
+
+
+def byte_tokenize_ids_sql(
+    corpus_sql: str,
+    merges: list[tuple[str, str]] | None = None,
+    pattern: str = GPT2_SPLIT_PATTERN_PORTABLE,
+) -> str:
+    """DuckDB replay of ``bpe_tokenize_ids``: the same candidate-pruned
+    replace chain per distinct word, the final wrapped form split back
+    into the token list (the bpe_tokens recipe: inter-token US pairs →
+    RS, strip US, split), and ids resolved from the SAME construction
+    as ``build_vocab_json`` — byte tokens carry their byte id (a
+    merge target is ≥2 codepoints, so the two id spaces cannot
+    collide), merge targets carry 256+rank with the FIRST producing
+    rank winning (MIN over duplicates)."""
+    merges = real_merges() if merges is None else merges
+    mega = RS.join(f"{a}{US}{b}" for a, b in merges)
+    maxl = max(len(a) + len(b) for a, b in merges)
+    tbl = bytes_to_unicode()
+    bytestr = "".join(tbl[b] for b in range(256))
+    pat = _sql_quote(pattern)
+    return f"""
+WITH m0 AS (
+  SELECT unnest(str_split({_sql_quote(mega)}, chr(30))) AS p,
+         generate_subscripts(str_split({_sql_quote(mega)}, chr(30)), 1)
+           AS rank
+),
+m2 AS (
+  SELECT rank,
+         str_split(p, chr(31))[1] || str_split(p, chr(31))[2] AS tgt,
+         chr(31) || str_split(p, chr(31))[1] || chr(31)
+           || chr(31) || str_split(p, chr(31))[2] || chr(31)
+           || chr(30)
+           || chr(31) || str_split(p, chr(31))[1]
+           || str_split(p, chr(31))[2] || chr(31) AS rep
+  FROM m0
+),
+corpus AS ({corpus_sql}),
+words AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(text, {pat}), 1) AS wpos,
+         unnest(regexp_extract_all(text, {pat})) AS w
+  FROM corpus
+),
+enc_w AS (
+  SELECT w, {byte_encode_translate_sql("w")} AS ew
+  FROM (SELECT DISTINCT w FROM words)
+),
+subs AS (
+  SELECT w, unnest(list_distinct(flatten(list_transform(
+           generate_series(1, length(ew)),
+           st -> list_transform(
+             generate_series(2, least({maxl}, length(ew) - st + 1)),
+             ln -> substr(ew, st, ln)))))) AS s
+  FROM enc_w
+),
+cand AS (
+  SELECT s.w, array_agg(m.rep ORDER BY m.rank) AS reps
+  FROM subs s JOIN m2 m ON m.tgt = s.s
+  GROUP BY s.w
+),
+fs AS (
+  SELECT e.w,
+         list_reduce(
+           list_prepend(
+             regexp_replace(e.ew, '(.)', chr(31) || '\\1' || chr(31),
+                            'g'),
+             coalesce(c.reps, [])
+           ),
+           (acc, r) -> replace(acc, str_split(r, chr(30))[1],
+                               str_split(r, chr(30))[2])
+         ) AS s
+  FROM enc_w e LEFT JOIN cand c USING (w)
+),
+toks AS (
+  SELECT w, generate_subscripts(tl, 1) AS ti, unnest(tl) AS tok
+  FROM (
+    SELECT w, str_split(replace(replace(s, chr(31) || chr(31), chr(30)),
+                                chr(31), ''), chr(30)) AS tl
+    FROM fs)
+),
+vocab AS (
+  SELECT tok, MIN(id) AS tid FROM (
+    SELECT str_split(p, chr(31))[1] || str_split(p, chr(31))[2] AS tok,
+           255 + rank AS id
+    FROM m0
+    UNION ALL
+    SELECT unnest(str_split({_sql_quote(bytestr)}, '')) AS tok,
+           generate_subscripts(str_split({_sql_quote(bytestr)}, ''), 1) - 1
+             AS id
+  ) GROUP BY tok
+)
+SELECT ws.doc_id, CAST(ws.wpos AS BIGINT) AS wpos,
+       CAST(t.ti AS BIGINT) AS ti,
+       CAST(v.tid AS BIGINT) AS token_id
+FROM words ws JOIN toks t USING (w) JOIN vocab v ON v.tok = t.tok
+"""

@@ -181,3 +181,45 @@ def q_ann_dedup_gate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_IVFPQ_NPROBE,
         broadcast_batch=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenize_ids_real — TOKENIZE TO IDS under the real-format vocabulary
+# (r12): counts budget the mixture, ids feed the model — this is the
+# exploded (doc_id, wpos, ti, token_id) stream over the documents
+# table, produced by the same distinct-word plan (the Arrow encoder
+# returns each distinct word's token-id LIST; ids resolve through
+# vocab.json's GPT-2 layout). Closure is structural (every token is a
+# merge target or a byte char), so the id lookup can never silently
+# drop a token. The oracle replays the candidate-pruned chain, splits
+# the final wrapped form back into the token list, and resolves ids
+# from the SAME construction (byte id for single chars, 256+first-rank
+# for merge targets) — a wrong merge order, a lost token, or an id
+# off-by-one breaks the hash on every affected (doc, position).
+# ---------------------------------------------------------------------------
+
+_TOKENIZE_CORPUS_SQL = "SELECT doc_id, text FROM documents"
+
+
+def _tokenize_ids_sql() -> str:
+    from ..operators.bpe_vocab import byte_tokenize_ids_sql
+
+    return byte_tokenize_ids_sql(_TOKENIZE_CORPUS_SQL)
+
+
+@register("tokenize_ids_real", _tokenize_ids_sql())
+def q_tokenize_ids_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        bpe_tokenize_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_tokenize_ids(
+        docs, pattern=GPT2_SPLIT_PATTERN_PORTABLE
+    ).select(
+        "doc_id",
+        F.col("wpos").cast("long").alias("wpos"),
+        F.col("ti").cast("long").alias("ti"),
+        F.col("token_id").cast("long").alias("token_id"),
+    )

@@ -280,3 +280,40 @@ def test_distinct_word_plan_has_no_python_on_doc_rows(spark):
     # generate: distinct (HashAggregate) appears below it in the tree
     arrow_at = plan.find("MapInArrow")
     assert "HashAggregate" in plan[arrow_at:]
+
+
+def test_tokenize_ids_round_trips_and_agrees_with_counts(spark):
+    """Decoding the id stream through the inverted vocab must
+    reconstruct each pre-token's byte-encoded text exactly, and the id
+    stream's per-doc cardinality must equal bpe_token_count_bytes."""
+    from churn_model_evaluation_platform_spark.operators.bpe_vocab import (
+        bpe_tokenize_ids,
+    )
+
+    docs = [(i, t) for i, t in enumerate(_CORPUS_LIKE)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ids = bpe_tokenize_ids(
+        df, pattern=GPT2_SPLIT_PATTERN_PORTABLE
+    ).collect()
+    inv = {v: k for k, v in real_vocab().items()}
+    # rebuild each (doc, wpos) pre-token from its ordered token ids
+    by_word: dict = {}
+    for r in ids:
+        by_word.setdefault((r["doc_id"], r["wpos"]), []).append(
+            (r["ti"], inv[r["token_id"]])
+        )
+    pyc = re.compile(py_pattern(GPT2_SPLIT_PATTERN_PORTABLE))
+    for (d, wpos), toks in by_word.items():
+        w = pyc.findall(_CORPUS_LIKE[d])[wpos - 1]
+        rebuilt = "".join(t for _, t in sorted(toks))
+        assert rebuilt == byte_encode(w), (d, wpos, w, rebuilt)
+    counts = {
+        r["doc_id"]: r["n_tokens_exact"]
+        for r in bpe_token_count_bytes(
+            df, pattern=GPT2_SPLIT_PATTERN_PORTABLE
+        ).collect()
+    }
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in ids)
+    assert {d: per_doc.get(d, 0) for d in counts} == counts
