@@ -223,3 +223,43 @@ def q_tokenize_ids_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ti").cast("long").alias("ti"),
         F.col("token_id").cast("long").alias("token_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack_bpe_real — the pretraining packing layout keyed on the
+# REAL-VOCABULARY token stream (completing the r11 pair at r12's
+# calibration level): same range-partitioned prefix sum and integer
+# window arithmetic as sequence_pack / _bpe_exact / _bpe_large, with
+# per-doc counts from the 50k-merge byte-level path. The oracle nests
+# the candidate-pruned chain replay as the counts CTE and reuses the
+# pinned packing tail — a drift in the tokenizer, the byte encoder, or
+# the prefix sum breaks every doc's pack assignment at once.
+# ---------------------------------------------------------------------------
+
+
+def _pack_real_sql() -> str:
+    from ..operators.bpe_vocab import byte_vocab_count_sql
+    from .registry_ext14 import _PACK_EXACT_TAIL
+
+    return (
+        "WITH t AS ("
+        + byte_vocab_count_sql("SELECT doc_id, text FROM documents")
+        + ")"
+        + _PACK_EXACT_TAIL
+    )
+
+
+@register("sequence_pack_bpe_real", _pack_real_sql())
+def q_sequence_pack_bpe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        bpe_token_count_bytes,
+    )
+    from ..operators.text import sequence_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe_token_count_bytes(
+        docs.select("doc_id", "text"),
+        pattern=GPT2_SPLIT_PATTERN_PORTABLE,
+    ).withColumnRenamed("n_tokens_exact", "n_tokens")
+    return sequence_pack(docs, ctx_len=512, counts_df=counts)

@@ -253,12 +253,18 @@ def _enc_literal(v, kind: str | None):
 # One row per live data file — the schema of file_index() and of the
 # parquet file-index checkpoints. stats_json is the file's per-column
 # stats entry ('cols' dict) as canonical JSON; NULL = pre-stats commit.
+# bloom_json (r12) is the file's per-column bloom entry — carried so
+# the DISTRIBUTED prune path can probe blooms as a Spark filter (the
+# r11 'at 10^6 files the driver-side bloom loop needs to join the
+# distributed path' watch item); NULL (incl. every pre-r12 checkpoint,
+# which reads as NULL under this schema) = no information = keep.
 _FILE_INDEX_SCHEMA = T.StructType(
     [
         T.StructField("relpath", T.StringType(), False),
         T.StructField("rows", T.LongType(), True),
         T.StructField("bytes", T.LongType(), True),
         T.StructField("stats_json", T.StringType(), True),
+        T.StructField("bloom_json", T.StringType(), True),
     ]
 )
 
@@ -1434,6 +1440,12 @@ class TxnTable:
                     )
                     if rel in stats
                     else None,
+                    json.dumps(
+                        (stats.get(rel) or {}).get("bloom"),
+                        sort_keys=True,
+                    )
+                    if (stats.get(rel) or {}).get("bloom")
+                    else None,
                 )
                 for rel in live
             ]
@@ -2055,6 +2067,9 @@ class TxnTable:
                         None
                         if e is None
                         else json.dumps(e.get("cols", {}), sort_keys=True),
+                        json.dumps(e.get("bloom"), sort_keys=True)
+                        if e is not None and e.get("bloom")
+                        else None,
                     )
                 )
         if rows or not frames:
@@ -2090,7 +2105,7 @@ class TxnTable:
         idx = self.file_index(
             version if version is not None else st["latest"]
         )
-        keep = _file_keep_expr(preds, kinds)
+        keep = _file_keep_expr(preds, kinds, bloom_k=self.bloom_k)
         kept_set = {
             r["relpath"]
             for r in idx.where(keep).select("relpath").collect()
@@ -3892,21 +3907,94 @@ def _kinds_from_schema_json(schema_json: str | None) -> dict[str, str]:
     return {f.name: _kind_of(f.dataType) for f in struct.fields}
 
 
-def _file_keep_expr(preds: list[tuple], kinds: dict[str, str]) -> Column:
+def _bloom_cannot_expr(col: str, v, k_terms: int) -> Column | None:
+    """``_bloom_may_contain is False`` as a Catalyst expression over a
+    ``file_index`` row's ``bloom_json`` (r12: the distributed twin of
+    the driver-side probe, so bloom pruning survives past driver JSON
+    at millions of files). TRUE iff the file's recorded bloom PROVES
+    the literal absent. The two domain-separated hashes h1/h2 depend
+    only on the LITERAL — computed here in Python, bit-for-bit the
+    writer's mixer — while the probe positions (h1 + i*h2) % m read m
+    from each file's own entry. Strictly conservative: NULL entry,
+    kind mismatch, malformed m, undersized buffer, or a recorded k
+    different from ``k_terms`` (the expression's static probe count)
+    all answer 'no information' → keep."""
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        return None
+    want_kind = "str" if isinstance(v, str) else "int"
+    s = v if isinstance(v, str) else str(v)
+
+    def _mix(prefix: str, const: int) -> int:
+        y = (zlib.crc32((prefix + s).encode("utf-8")) * const) % (1 << 32)
+        return y ^ (y >> 16)
+
+    h1 = _mix("b1:", _BLOOM_MIX1)
+    h2 = _mix("b2:", _BLOOM_MIX2) | 1
+    bj = F.col("bloom_json")
+    base = f"$.{col}"
+    m = F.get_json_object(bj, base + ".m").cast("long")
+    k = F.get_json_object(bj, base + ".k").cast("long")
+    kind = F.get_json_object(bj, base + ".kind")
+    buf = F.unbase64(F.get_json_object(bj, base + ".b64"))
+    usable = (
+        bj.isNotNull()
+        & (kind == F.lit(want_kind))
+        & m.isNotNull()
+        & (m > 0)
+        & (k == F.lit(int(k_terms)))
+        & buf.isNotNull()
+        & (F.length(buf) * 8 >= m)
+    )
+    all_set: Column | None = None
+    for i in range(int(k_terms)):
+        # explicit LONG literals: h1/h2 are 32-bit values and i*h2
+        # would overflow an int32 literal under ANSI arithmetic
+        p = (
+            F.lit(h1).cast("long")
+            + F.lit(i).cast("long") * F.lit(h2).cast("long")
+        ) % m
+        # byte p//8 (1-based substring), bit p%8 — the writer's
+        # little-endian 64-bit word packing flattens to exactly this
+        byte = F.substr(buf, (F.floor(p / 8) + 1).cast("int"), F.lit(1))
+        val = F.conv(F.hex(byte), 16, 10).cast("long")
+        # bit p%8 of a byte value: floor(val / 2^bit) % 2 — exact for
+        # val <= 255, and unlike shiftleft it takes a COLUMN bit count
+        two_bit = F.pow(F.lit(2.0), (p % 8).cast("double"))
+        bit_set = (F.floor(val / two_bit) % 2) == F.lit(1)
+        all_set = bit_set if all_set is None else (all_set & bit_set)
+    return usable & ~all_set
+
+
+def _file_keep_expr(
+    preds: list[tuple], kinds: dict[str, str], bloom_k: int = 0
+) -> Column:
     """``_file_may_match`` as a Catalyst expression over a
-    ``file_index`` row (``rows``, ``stats_json``): TRUE iff the file
-    may contain a matching row. Strictly conservative, like the driver
-    path — every unknown (missing stats, NULL JSON path, unencodable
-    literal) keeps the file; numeric bounds from the JSON text are
-    widened ~2 ULP outward before comparison so the text→double
-    round-trip can only loosen an envelope, never tighten it into a
-    wrong prune. Distinct-value sets are not consulted (min==max
-    equality bounds already cover partition-style columns)."""
+    ``file_index`` row (``rows``, ``stats_json``, ``bloom_json``):
+    TRUE iff the file may contain a matching row. Strictly
+    conservative, like the driver path — every unknown (missing stats,
+    NULL JSON path, unencodable literal) keeps the file; numeric
+    bounds from the JSON text are widened ~2 ULP outward before
+    comparison so the text→double round-trip can only loosen an
+    envelope, never tighten it into a wrong prune. Distinct-value sets
+    are not consulted (min==max equality bounds already cover
+    partition-style columns). ``bloom_k`` > 0 additionally probes
+    per-file blooms for ``=``/``in`` predicates (r12 — the driver
+    loop's distributed twin; files recorded under a different k keep
+    conservatively)."""
     stats = F.col("stats_json")
     rows = F.col("rows")
     # rows == 0 → no predicate can match (matches the driver rule)
     cannot: Column = rows.isNotNull() & (rows == 0)
     for col, op, v in preds:
+        if bloom_k > 0 and op in ("=", "in"):
+            vals = list(v) if op == "in" else [v]
+            bexprs = [_bloom_cannot_expr(col, x, bloom_k) for x in vals]
+            if all(b is not None for b in bexprs):
+                # '=': absent → prune; 'in': ALL members absent → prune
+                allabs = bexprs[0]
+                for b in bexprs[1:]:
+                    allabs = allabs & b
+                cannot = cannot | allabs
         kind = kinds.get(col)
         base = f"$.{col}"
         nulls = F.get_json_object(stats, base + ".nulls").cast("long")

@@ -161,16 +161,6 @@ def test_unsupported_bloom_type_raises(spark, tmp_path):
         t.append(spark.createDataFrame([(1.5,)], "x double"))
 
 
-def test_bloom_requires_stats(spark, tmp_path):
-    with pytest.raises(ValueError, match="stats"):
-        TxnTable(
-            spark,
-            str(tmp_path / "tbl"),
-            stats_columns=[],
-            bloom_columns=["uid"],
-        )
-
-
 def test_bad_bloom_bits_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="multiple of 64"):
         TxnTable(spark, str(tmp_path / "t"), bloom_bits=100)
@@ -263,14 +253,51 @@ def test_sink_bloom_unsupported_type_raises(spark, tmp_path):
         )
 
 
-def test_distributed_prune_ignores_bloom_conservatively(
-    table, shuffled_ids
-):
+def test_distributed_prune_probes_blooms(table, shuffled_ids):
+    """r12: the DISTRIBUTED prune path probes per-file blooms as a
+    Catalyst expression over file_index (the r11 watch item — at 10^6
+    files the driver-side bloom loop had to join the distributed
+    path). Same prune power as the driver loop, same no-false-negative
+    guarantee, and the two paths must agree file-for-file."""
     probe = shuffled_ids[5]
-    rep = table.prune_report([("uid", "=", probe)], distributed=True)
-    assert rep["total"] == 8  # kept may be 8: stats-only, conservative
+    drep = table.prune_report([("uid", "=", probe)], distributed=True)
+    rep = table.prune_report([("uid", "=", probe)])
+    assert drep["total"] == 8
+    assert drep["pruned"] >= 6  # blooms prune where min/max cannot
+    assert drep == rep  # distributed == driver, file-for-file power
     got = table.scan([("uid", "=", probe)], distributed=True).collect()
     assert [r["uid"] for r in got] == [probe]
+
+
+def test_distributed_bloom_no_false_negatives(table, shuffled_ids):
+    """Every present key must survive the distributed bloom prune —
+    probe a spread of real keys and require exact scan results."""
+    for probe in shuffled_ids[:3200:640]:  # keys the table holds
+        got = table.scan(
+            [("uid", "=", probe)], distributed=True
+        ).collect()
+        assert [r["uid"] for r in got] == [probe]
+
+
+def test_distributed_bloom_in_list_and_kind_guard(table, shuffled_ids):
+    """'in' prunes only when EVERY member is provably absent; a
+    cross-kind literal (string against an int bloom) never consults
+    the bloom on the distributed path either."""
+    present, absent = shuffled_ids[5], 10_000_000
+    got = table.scan(
+        [("uid", "in", (present, absent))], distributed=True
+    ).collect()
+    assert [r["uid"] for r in got] == [present]
+    # all-absent in-list: scans nothing but stays a valid empty read
+    rep = table.prune_report(
+        [("uid", "in", (10_000_001, 10_000_002))], distributed=True
+    )
+    assert rep["pruned"] == rep["total"] == 8
+    # cross-kind: str literal against the int bloom - conservative keep
+    rep2 = table.prune_report(
+        [("name", "=", 12345)], distributed=True
+    )
+    assert rep2["pruned"] == 0
 
 
 def test_blooms_collected_with_stats_disabled(spark, tmp_path):
