@@ -107,6 +107,10 @@ QUADRATIC_AUDIT_OK = {
     # the pigeonhole candidates (operators/dedup.py:
     # simhash_candidate_recall)
     "dedup_simhash_recall",
+    # exact all-pairs cosine ground truth the SemDeDup clustering is
+    # audited against (operators/dedup.py: semantic_dedup_recall) —
+    # the quadratic IS the measurand; fixture/QA scale only (r12)
+    "dedup_semantic_kmeans",
 }
 
 # Every oracled query is audited. The only exclusions are the three
