@@ -169,6 +169,9 @@ HEADLINE = [
     "token_count_bpe_real",
     "tokenize_ids_real",
     "ann_dedup_gate_shuffle",
+    # tokenize->detokenize identity + the real-vocab mixture budget
+    "detokenize_real",
+    "corpus_mix_real",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -547,3 +547,61 @@ SELECT ws.doc_id, CAST(ws.wpos AS BIGINT) AS wpos,
        CAST(v.tid AS BIGINT) AS token_id
 FROM words ws JOIN toks t USING (w) JOIN vocab v ON v.tok = t.tok
 """
+
+
+def byte_decode(s: str) -> str:
+    """Inverse of ``byte_encode``: map each codepoint back to its byte
+    and UTF-8-decode — the Python reference for detokenization."""
+    tbl = bytes_to_unicode()
+    inv = {c: b for b, c in tbl.items()}
+    return bytes(inv[c] for c in s).decode("utf-8")
+
+
+def bpe_detokenize(
+    ids_df: DataFrame,
+    vocab: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DETOKENIZE the ``bpe_tokenize_ids`` stream back to text —
+    ``(id_col, text_rebuilt)``, one row per doc: tokens resolve through
+    a BROADCAST id→token frame (50k rows ≈ 1 MB — never a shuffle on
+    the vocab), order is the (wpos, ti) struct sort inside one grouped
+    ``collect_list`` (per-doc state, bounded by doc length), and the
+    byte decode is one ``translate`` over the single-byte remapped
+    chars (Ġ→space etc.) — exact for ASCII text, the same constraint
+    the tokenize oracle documents; a non-ASCII corpus round-trips
+    through the Python ``byte_decode`` instead. Tokenize→detokenize is
+    the IDENTITY on the pre-token partition of the text, which makes
+    the cross-engine oracle of ``detokenize_real`` simply the source
+    text — the strongest end-to-end pin the tokenizer stack can get."""
+    vocab = real_vocab() if vocab is None else vocab
+    spark = ids_df.sparkSession
+    vdf = spark.createDataFrame(
+        [(int(i), t) for t, i in vocab.items()],
+        "token_id long, _tok string",
+    )
+    tbl = bytes_to_unicode()
+    remapped = [(c, b) for b, c in tbl.items() if b < 128 and c != chr(b)]
+    frm = "".join(c for c, _ in remapped)
+    to = "".join(chr(b) for _, b in remapped)
+    return (
+        ids_df.join(F.broadcast(vdf), "token_id")
+        .groupBy(id_col)
+        .agg(
+            F.translate(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("wpos", "ti", "_tok")
+                            )
+                        ),
+                        lambda s: s["_tok"],
+                    ),
+                ),
+                frm,
+                to,
+            ).alias("text_rebuilt")
+        )
+    )

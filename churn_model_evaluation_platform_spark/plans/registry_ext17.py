@@ -263,3 +263,93 @@ def q_sequence_pack_bpe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern=GPT2_SPLIT_PATTERN_PORTABLE,
     ).withColumnRenamed("n_tokens_exact", "n_tokens")
     return sequence_pack(docs, ctx_len=512, counts_df=counts)
+
+
+# ---------------------------------------------------------------------------
+# detokenize_real — TOKENIZE→DETOKENIZE IDENTITY (r12): the strongest
+# end-to-end pin the tokenizer stack can get. The Spark side runs the
+# FULL round trip — GPT-2 pre-tokenization → byte encode → 50k-merge
+# classic loop → vocab.json ids → broadcast id→token decode →
+# (wpos, ti)-ordered rebuild → byte decode — and the oracle is simply
+# the source text: pre-tokens partition the text exactly (regexp
+# alternation covers every character), merges only regroup bytes
+# within a pre-token, and the vocab is closed, so ANY defect anywhere
+# in the stack (a lost token, a wrong id, an order bug, a byte-encode
+# asymmetry) breaks the identity on the affected doc.
+# ---------------------------------------------------------------------------
+
+_DETOK_SQL = """
+SELECT doc_id, text AS text_rebuilt
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register("detokenize_real", _DETOK_SQL)
+def q_detokenize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        bpe_detokenize,
+        bpe_tokenize_ids,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    ids = bpe_tokenize_ids(docs, pattern=GPT2_SPLIT_PATTERN_PORTABLE)
+    return bpe_detokenize(ids)
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_real — the (lang, source) token-budget sign-off table
+# under the REAL 50k-merge vocabulary (completing the counter ladder:
+# whitespace proxy → 64-merge exact → 8k-table large → real-format
+# real-size). Same grouped-agg + broadcast single-row-total plan as
+# corpus_mix_report/_exact; only the per-doc counter changed.
+# ---------------------------------------------------------------------------
+
+
+def _mix_real_sql() -> str:
+    from ..operators.bpe_vocab import byte_vocab_count_sql
+    from .registry_ext14 import _MIX_EXACT_TAIL
+
+    counts = byte_vocab_count_sql("SELECT doc_id, text FROM documents")
+    return (
+        "WITH t AS (SELECT d.lang, d.source, b.n_tokens_exact "
+        f"FROM ({counts}) b JOIN documents d USING (doc_id))"
+        + _MIX_EXACT_TAIL
+    )
+
+
+@register("corpus_mix_real", _mix_real_sql())
+def q_corpus_mix_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        bpe_token_count_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe_token_count_bytes(
+        docs.select("doc_id", "text"),
+        pattern=GPT2_SPLIT_PATTERN_PORTABLE,
+    )
+    g = (
+        docs.select("doc_id", "lang", "source")
+        .join(counts, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_exact").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = g.agg(F.sum("n_tokens").cast("double").alias("total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total"), 6).alias(
+            "token_share"
+        ),
+    )

@@ -67,6 +67,7 @@ SINGLE_ROW_CROSS_OK = {
     # single-row token-total aggregate broadcast into the share column
     "corpus_mix_report",
     "corpus_mix_exact",  # same plan, exact-BPE counter (registry_ext14)
+    "corpus_mix_real",  # same plan, real-vocab counter (registry_ext17)
     # single-row n_orders aggregate broadcast into the lift/support cols
     "item_cooccurrence",
     # single-row feature-means aggregate broadcast into the attribution
