@@ -33,6 +33,7 @@ from churn_model_evaluation_platform_spark.plans import registry_ext14 as _regis
 from churn_model_evaluation_platform_spark.plans import registry_ext15 as _registry_ext15  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext16 as _registry_ext16  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext17 as _registry_ext17  # noqa: F401
+from churn_model_evaluation_platform_spark.plans import registry_ext18 as _registry_ext18  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

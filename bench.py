@@ -172,6 +172,14 @@ HEADLINE = [
     # tokenize->detokenize identity + the real-vocab mixture budget
     "detokenize_real",
     "corpus_mix_real",
+    # round-12 batch 2: the data-SELECTION stage (CCNet-style bigram-LM
+    # perplexity, DSIR importance weights), hybrid lexical+dense
+    # retrieval, and the per-language fertility audit under the real
+    # vocabulary
+    "lm_perplexity_bigram",
+    "dsir_select_en",
+    "hybrid_topk_rrf",
+    "tokenizer_fertility_real",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

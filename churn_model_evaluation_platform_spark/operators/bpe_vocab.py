@@ -605,3 +605,87 @@ def bpe_detokenize(
             ).alias("text_rebuilt")
         )
     )
+
+
+def tokenizer_fertility_bytes(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: "list[tuple[str, str]] | None" = None,
+    pattern: str | None = None,
+) -> DataFrame:
+    """Tokenizer FERTILITY audit per corpus slice under the real-format
+    vocabulary: tokens-per-whitespace-word (the standard fertility
+    metric — how many subwords the tokenizer spends per word; ~1 on
+    in-domain English, >2 signals out-of-vocabulary text) and
+    bytes-per-token (the compression ratio that sets the real cost of
+    a token budget). The number a data-mixing pipeline inspects per
+    LANGUAGE/SOURCE before committing token-budget weights — a
+    vocabulary trained on English spends 2-4x more tokens per byte on
+    unseen scripts, silently shrinking those slices' effective share.
+
+    Rides the O(1)-plan-depth distinct-word path
+    (``bpe_token_count_bytes``); the per-doc word/byte side is one
+    embarrassingly-parallel projection, and the group-by is
+    |slices|-row. Ratios rounded to 6 (cross-engine division parity).
+    """
+    counts = bpe_token_count_bytes(
+        df, text_col=text_col, id_col=id_col, merges=merges,
+        pattern=pattern,
+    )
+    sides = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")).alias("__words"),
+        F.octet_length(F.col(text_col)).alias("__bytes"),
+    )
+    return (
+        sides.join(counts, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens_exact").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens_exact") / F.sum("__words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("__bytes") / F.sum("n_tokens_exact"), 6
+            ).alias("bytes_per_token"),
+        )
+    )
+
+
+def tokenizer_fertility_sql(
+    corpus_sql: str,
+    group_col: str = "lang",
+    merges: "list[tuple[str, str]] | None" = None,
+    pattern: str = GPT2_SPLIT_PATTERN_PORTABLE,
+) -> str:
+    """DuckDB replay of ``tokenizer_fertility_bytes``: the per-doc
+    token counts come from the verbatim ``byte_vocab_count_sql`` replay
+    over ``corpus_sql`` (which must yield (doc_id, text, <group_col>));
+    words/bytes/ratios re-derived with identical expressions."""
+    counts = byte_vocab_count_sql(
+        f"SELECT doc_id, text FROM ({corpus_sql})",
+        merges=merges,
+        pattern=pattern,
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+counts AS ({counts}),
+sides AS (
+  SELECT doc_id, {group_col},
+         len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+           AS words,
+         octet_length(CAST(text AS BLOB)) AS bytes
+  FROM corpus WHERE text IS NOT NULL
+)
+SELECT {group_col},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens_exact) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens_exact) / sum(words), 6) AS fertility,
+       round(sum(bytes) / sum(n_tokens_exact), 6) AS bytes_per_token
+FROM sides JOIN counts USING (doc_id)
+GROUP BY {group_col}
+"""

@@ -1,0 +1,383 @@
+"""Training-data SELECTION operators — the quality/relevance filters a
+large-scale LLM data pipeline runs between dedup and tokenization
+(north-star extensions; SURVEY §7.2 item 7 family):
+
+- ``bigram_lm_scores``: perplexity filtering with an n-gram language
+  model (the CCNet recipe — Wenzek et al. 2019, "CCNet: Extracting
+  High Quality Monolingual Datasets from Web Crawl Data" — which
+  scores web text with a KenLM model and keeps the low-perplexity
+  head). Here the LM is a bigram model with stupid backoff (Brants et
+  al. 2007, "Large Language Models in Machine Translation" — the
+  backoff actually used at web scale because it needs no discounting
+  pass), trained on one half of the corpus and scoring the other.
+- ``dsir_importance_weights`` / ``dsir_select``: Data Selection with
+  Importance Resampling (Xie et al. 2023, NeurIPS) — hashed n-gram
+  bag-of-words importance weights log p_target(f) − log p_raw(f),
+  the published method for selecting raw web data that matches a
+  target distribution (e.g. Wikipedia-like English).
+
+Everything is pure Catalyst: explode → groupBy count tables → joins.
+No UDFs, no driver-side state. The count tables are the only shuffles
+and they are dimension-sized (vocabulary / bucket counts), so at
+100 TB the per-doc scoring side stays embarrassingly parallel and the
+model side broadcasts (unigram/bucket tables) or shuffle-joins on the
+token key (bigram table, uniformly distributed by construction of the
+key). Reference parity: the reference has no data-selection stage
+(its corpus is 1,050 churn rows); these extend the text family
+(text.py:560 lm_score is the unigram ancestor of the bigram LM here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash_int
+from .text import tokens
+
+#: Stupid-backoff weight (Brants et al. 2007 use 0.4 throughout).
+STUPID_BACKOFF_ALPHA = 0.4
+
+
+def _bigrams(toks_col):
+    """Adjacent-pair bigram strings of a token array (empty when the
+    array has fewer than 2 elements — Spark's ``sequence(1, 0)`` would
+    count DOWN, so the short case is guarded explicitly)."""
+    return F.when(
+        F.size(toks_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks_col, i), F.element_at(toks_col, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_lm_scores(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = STUPID_BACKOFF_ALPHA,
+) -> DataFrame:
+    """Score ``eval_df`` documents under a stupid-backoff bigram LM
+    trained on ``train`` — the CCNet-style perplexity quality filter.
+
+    Per bigram position (w1, w2) of an eval document::
+
+        score = ln( c(w1 w2) / c(w1 ·) )              if the bigram was seen
+              = ln( α · (c(w2)+1) / (T+V) )           otherwise (backoff to
+                                                       add-one unigram)
+
+    where c(w1 ·) counts w1 as a bigram CONTEXT in training (so the
+    seen branch is a proper conditional probability), T is the train
+    token total and V the train vocabulary size. The per-position log
+    is rounded to 6 before summing and the document mean re-rounded
+    (the tfidf/lm_score cross-engine parity recipe — libm-vs-JVM ln
+    noise stays below the rounding grain), and ``ppl = exp(−mean)``
+    is rounded to 4.
+
+    Output: (id, n_bigrams, n_backoff, lm_logprob, ppl); eval docs
+    with fewer than 2 tokens are excluded (no bigram positions — the
+    score is undefined, and reporting NULL would poison downstream
+    percentile gates).
+
+    Scale shape: the train pass is one explode + two groupBys (bigram
+    counts, context counts) plus the unigram table lm_score already
+    builds; (T, V) is a single broadcast row. The eval pass explodes
+    bigrams once and joins the three count tables — the bigram join
+    key is near-uniform (natural-language bigram frequency is Zipf but
+    the JOIN fan-out per key is 1 on the count side, so AQE handles the
+    hot keys), and the unigram/context tables broadcast at any corpus
+    size with a bounded vocabulary.
+    """
+    tr_toks = train.where(F.col(text_col).isNotNull()).select(
+        tokens(F.col(text_col)).alias("__toks")
+    )
+    tr_uni = (
+        tr_toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    tr_tot = tr_uni.agg(
+        F.sum("c_uni").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    tr_big = (
+        tr_toks.select(F.explode(_bigrams(F.col("__toks"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+    )
+    tr_ctx = (
+        tr_big.select(
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c_big"
+        )
+        .groupBy("w1")
+        .agg(F.sum("c_big").alias("c_ctx"))
+    )
+
+    ev = (
+        eval_df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(_bigrams(F.col("__toks"))).alias("bg"))
+        .withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
+    )
+    scored = (
+        ev.join(tr_big, "bg", "left")
+        .join(
+            tr_ctx, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"), "left"
+        )
+        .join(tr_uni.withColumnRenamed("w", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(tr_tot))
+    )
+    seen = F.col("c_big").isNotNull()
+    # Per-position log prob, rounded at grain 1e-6 and carried as an
+    # exact INTEGER (logp·10⁶): the per-doc sum is then order-free
+    # (doubles summed in different orders flip the 6th decimal at the
+    # rounding boundary — observed cross-engine; integers cannot).
+    logp_int = F.round(
+        F.when(seen, F.log(F.col("c_big") / F.col("c_ctx"))).otherwise(
+            F.log(
+                F.lit(alpha)
+                * (F.coalesce(F.col("c_uni"), F.lit(0)) + F.lit(1.0))
+                / (F.col("t_total") + F.col("v_size"))
+            )
+        )
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    mean = F.round(
+        F.sum("__logp_int") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            logp_int.alias("__logp_int"),
+            (~seen).cast("int").alias("__backoff"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("__backoff").cast("bigint").alias("n_backoff"),
+            mean.alias("lm_logprob"),
+            F.round(F.exp(-mean), 4).alias("ppl"),
+        )
+    )
+
+
+def bigram_lm_sql(
+    train_pred: str = "doc_id % 2 = 0",
+    eval_pred: str = "doc_id % 2 = 1",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = STUPID_BACKOFF_ALPHA,
+) -> str:
+    """DuckDB replay of ``bigram_lm_scores`` over a train/eval split of
+    one table — same tokenization, same count tables, same rounding."""
+    tok = (
+        f"string_split(trim(regexp_replace(lower({text_col}),"
+        " '\\s+', ' ', 'g')), ' ')"
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, {tok} AS toks
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+tr_uni AS (
+  SELECT w, count(*) AS c_uni FROM (
+    SELECT unnest(toks) AS w FROM tok WHERE {train_pred}
+  ) GROUP BY 1
+),
+tr_tot AS (SELECT sum(c_uni) AS t_total, count(*) AS v_size FROM tr_uni),
+tr_big AS (
+  SELECT bg, count(*) AS c_big FROM (
+    SELECT unnest(list_transform(generate_series(2, len(toks)),
+                                 i -> toks[i-1] || ' ' || toks[i])) AS bg
+    FROM tok WHERE {train_pred}
+  ) GROUP BY 1
+),
+tr_ctx AS (
+  SELECT str_split(bg, ' ')[1] AS w1, sum(c_big) AS c_ctx
+  FROM tr_big GROUP BY 1
+),
+ev AS (
+  SELECT {id_col},
+         unnest(list_transform(generate_series(2, len(toks)),
+                               i -> toks[i-1] || ' ' || toks[i])) AS bg
+  FROM tok WHERE {eval_pred}
+),
+scored AS (
+  SELECT ev.{id_col},
+         CAST(round((CASE WHEN b.c_big IS NOT NULL
+                    THEN ln(b.c_big / c.c_ctx)
+                    ELSE ln({alpha} * (coalesce(u.c_uni, 0) + 1.0)
+                            / (t.t_total + t.v_size)) END)
+                    * 1000000.0) AS BIGINT) AS logp_int,
+         CASE WHEN b.c_big IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM ev
+  LEFT JOIN tr_big b USING (bg)
+  LEFT JOIN tr_ctx c ON str_split(ev.bg, ' ')[1] = c.w1
+  LEFT JOIN tr_uni u ON str_split(ev.bg, ' ')[2] = u.w
+  CROSS JOIN tr_tot t
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(backoff) AS BIGINT) AS n_backoff,
+       round(CAST(sum(logp_int) AS DOUBLE) / (count(*) * 1000000.0), 6)
+         AS lm_logprob,
+       round(exp(-round(CAST(sum(logp_int) AS DOUBLE)
+                        / (count(*) * 1000000.0), 6)), 4) AS ppl
+FROM scored GROUP BY {id_col}
+"""
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_pred,
+    n_buckets: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_chars: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag-of-ngrams features, weight_d = Σ_b tf_{d,b} · (ln p_target(b) −
+    ln p_raw(b)) with add-one smoothing over ``n_buckets`` buckets.
+
+    ``target_pred`` is a boolean Column selecting the TARGET examples
+    (the distribution to match — e.g. a trusted high-quality slice);
+    the RAW distribution is the whole frame. Both count tables come
+    from ONE explode pass (the target side is a filtered aggregate of
+    the same rows, not a second scan). The per-bucket log-ratio is
+    rounded to 6 before the weighted sum and the document weight
+    re-rounded (cross-engine parity recipe).
+
+    Features hash with the engine-portable md5 integer hash
+    (functions/hashing.py — Spark xxhash64 and DuckDB hash() differ,
+    md5 is bit-identical everywhere), so the DuckDB oracle replays the
+    exact bucketing. Scale shape: the bucket table is ``n_buckets``
+    rows → broadcast; the doc-side explode+groupBy is the only wide
+    op and its key (id, bucket) is near-uniform. Output: (id,
+    n_features, dsir_weight).
+    """
+    feats = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            target_pred.alias("__is_target"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            "__is_target",
+            F.explode(
+                F.concat(F.col("__toks"), _bigrams(F.col("__toks")))
+            ).alias("f"),
+        )
+        .select(
+            F.col(id_col),
+            "__is_target",
+            (md5_hash_int(F.col("f"), hash_chars) % n_buckets).alias("b"),
+        )
+    )
+    doc_tf = feats.groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    buckets = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.col("__is_target").cast("long")).alias("c_tgt"),
+    )
+    totals = buckets.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    # Per-bucket log-ratio carried as an exact INTEGER (ratio·10⁶) so
+    # the per-doc weighted sum is order-free across engines (the
+    # bigram_lm_scores recipe).
+    ratio_int = F.round(
+        (
+            F.log(
+                (F.col("c_tgt") + F.lit(1.0))
+                / (F.col("t_tgt") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(1.0))
+                / (F.col("t_raw") + F.lit(float(n_buckets)))
+            )
+        )
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    return (
+        doc_tf.join(F.broadcast(buckets), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_features"),
+            F.round(
+                F.sum(F.col("tf") * ratio_int) / F.lit(1_000_000.0), 6
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+def dsir_sql(
+    target_pred_sql: str,
+    n_buckets: int = 2048,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_chars: int = 6,
+) -> str:
+    """DuckDB replay of ``dsir_importance_weights`` — identical
+    tokenization, bucketing, smoothing, and rounding."""
+    tok = (
+        f"string_split(trim(regexp_replace(lower({text_col}),"
+        " '\\s+', ' ', 'g')), ' ')"
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, CASE WHEN {target_pred_sql} THEN 1 ELSE 0 END AS is_t,
+         {tok} AS toks
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+feats AS (
+  SELECT {id_col}, is_t,
+         (CAST('0x' || substr(md5(f), 1, {hash_chars}) AS BIGINT)
+          % {n_buckets}) AS b
+  FROM (
+    SELECT {id_col}, is_t,
+           unnest(list_concat(toks,
+                  list_transform(generate_series(2, len(toks)),
+                                 i -> toks[i-1] || ' ' || toks[i]))) AS f
+    FROM tok
+  )
+),
+doc_tf AS (
+  SELECT {id_col}, b, count(*) AS tf
+  FROM feats GROUP BY 1, 2
+),
+buckets AS (
+  SELECT b, count(*) AS c_raw, sum(is_t) AS c_tgt FROM feats GROUP BY 1
+),
+totals AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM buckets)
+SELECT {id_col},
+       CAST(sum(tf) AS BIGINT) AS n_features,
+       round(CAST(sum(tf * CAST(round((
+         ln((c_tgt + 1.0) / (t_tgt + {float(n_buckets)}))
+         - ln((c_raw + 1.0) / (t_raw + {float(n_buckets)})))
+         * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 6)
+         AS dsir_weight
+FROM doc_tf JOIN buckets USING (b) CROSS JOIN totals
+GROUP BY {id_col}
+"""
+
+
+def dsir_select(
+    weights: DataFrame, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``n`` selection by DSIR weight (deterministic tie-break on
+    id) — the 'resampling' step run as a rank cut, which is the
+    argmax-n variant the paper evaluates alongside Gumbel sampling.
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    return (
+        weights.orderBy(F.col("dsir_weight").desc(), F.col(id_col))
+        .limit(n)
+    )

@@ -1128,3 +1128,95 @@ def embedding_outliers(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    lists: "list[DataFrame]",
+    id_col: str = "doc_id",
+    score_cols: "list[str] | None" = None,
+    rank_names: "list[str] | None" = None,
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) of
+    bounded rank lists: fused(d) = Σ_lists 1/(k0 + rank_list(d)),
+    absent-from-a-list contributing 0. The standard way to merge a
+    lexical (BM25) and a vector (cosine) retriever without score
+    calibration — ranks, not raw scores, so the two scales never meet.
+
+    Each input is a TOP-K FRAME (already bounded, e.g. ``bm25_topk`` /
+    ``cosine_topk`` output) — ranking it uses a single-partition
+    row_number window, which is the RIGHT plan for a ≤k-row frame: the
+    expensive global ordering already happened inside each retriever's
+    TakeOrderedAndProject; this window only touches the k survivors.
+    Ranks tie-break on id, and the fused score is a sum of exact
+    IEEE dyadic terms (1/(k0+r)) — no libm anywhere — so ties are
+    bit-identical across engines and the final (fused desc, id) order
+    is fully deterministic.
+    """
+    from pyspark.sql import Window as _W
+
+    if score_cols is None:
+        score_cols = ["score"] * len(lists)
+    if rank_names is None:
+        rank_names = [f"rank_{i}" for i in range(len(lists))]
+    ranked = []
+    for df, sc, rn in zip(lists, score_cols, rank_names):
+        w = _W.orderBy(F.col(sc).desc(), F.col(id_col))
+        ranked.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias(rn))
+        )
+    fused = ranked[0]
+    for r in ranked[1:]:
+        fused = fused.join(r, id_col, "full_outer")
+    score = None
+    for rn in rank_names:
+        term = F.coalesce(1.0 / (F.lit(k0) + F.col(rn)), F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        fused.select(
+            F.col(id_col),
+            *[F.col(rn).cast("int").alias(rn) for rn in rank_names],
+            F.round(score, 9).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_topk_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: "list[str]",
+    query_vec: "list[float]",
+    k: int = 10,
+    fetch_k: int = 50,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    exclude_vec_id: "int | None" = None,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 over ``docs`` fused with exact cosine
+    over ``embeddings`` by RRF — the retrieval stage of a RAG-style
+    corpus pipeline where neither signal alone suffices (lexical match
+    for rare literals, dense match for paraphrase). Each retriever
+    fetches its own top-``fetch_k``; fusion returns the top-``k``.
+
+    Scale shape: both retrievers end in TakeOrderedAndProject (bounded
+    driver results); fusion is a full-outer join of two ≤fetch_k-row
+    frames — negligible at any corpus size. The corpus scans dominate
+    and each is one pass."""
+    from .text import bm25_topk
+
+    lex = bm25_topk(docs, query_terms, k=fetch_k, id_col=id_col)
+    dense = cosine_topk(
+        embeddings, query_vec, k=fetch_k, exclude_id=exclude_vec_id
+    ).withColumnRenamed(vec_id_col, id_col)
+    return rrf_fuse(
+        [lex, dense],
+        id_col=id_col,
+        score_cols=["bm25", "cosine_sim"],
+        rank_names=["bm25_rank", "vec_rank"],
+        k0=k0,
+        k=k,
+    )

@@ -1,0 +1,212 @@
+"""Round-12 registry extensions, batch 2: the data-SELECTION stage of
+an LLM training-data pipeline (perplexity filtering, DSIR importance
+selection) plus hybrid lexical+dense retrieval and a tokenizer
+fertility audit under the real-format vocabulary.
+
+Same conventions as registry.py: every computed column aliased
+identically on both engines; integer aggregates cast to BIGINT on the
+DuckDB side; libm-adjacent doubles rounded before compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .registry_ext12 import _t
+
+# ---------------------------------------------------------------------------
+# hybrid_topk_rrf — Reciprocal Rank Fusion (Cormack et al. 2009) of
+# BM25 lexical retrieval over documents and exact cosine retrieval
+# over embeddings (ids shared by construction of the test corpus):
+# fused(d) = Σ 1/(60 + rank). The retrieval front-end of a RAG-style
+# corpus pipeline — ranks rather than raw scores, so the lexical and
+# dense scales never need calibration. Both retrievers end in
+# TakeOrderedAndProject over one corpus pass; the fusion join touches
+# ≤ 2·fetch_k rows. The fused score is a sum of exact IEEE dyadic
+# terms (1/(60+r)) — no libm — so cross-engine ties are bit-identical
+# and (rrf_score desc, doc_id) is fully deterministic.
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ("hash", "join", "merge")
+_RRF_FETCH_K = 50
+_RRF_K = 10
+_RRF_K0 = 60
+
+_RRF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT t.doc_id, d.dl, t.token, count(*) AS tf
+  FROM tok t JOIN dl d USING (doc_id)
+  WHERE t.token IN {tuple(_RRF_TERMS)!r}
+  GROUP BY 1, 2, 3
+),
+dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+w AS (
+  SELECT tf.doc_id,
+         round(
+           ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+           6
+         ) AS w
+  FROM tf JOIN dfq USING (token) CROSS JOIN stats
+),
+bm AS (
+  SELECT doc_id, round(sum(w), 6) AS bm25
+  FROM w GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT {_RRF_FETCH_K}
+),
+qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(ev, qv)
+           / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+           AS cosine_sim
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        FROM embeddings WHERE vec_id <> 0), qv
+  ORDER BY cosine_sim DESC, doc_id LIMIT {_RRF_FETCH_K}
+),
+br AS (SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+       FROM bm),
+vr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS vec_rank
+       FROM vs)
+SELECT doc_id,
+       CAST(bm25_rank AS INT) AS bm25_rank,
+       CAST(vec_rank AS INT) AS vec_rank,
+       round(coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K0} + bm25_rank), 0.0)
+             + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K0} + vec_rank), 0.0),
+             9) AS rrf_score
+FROM br FULL OUTER JOIN vr USING (doc_id)
+ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_K}
+"""
+
+
+@register("hybrid_topk_rrf", _RRF_SQL)
+def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hybrid_topk_rrf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    return hybrid_topk_rrf(
+        _t(spark, sf_dir, "documents"),
+        emb,
+        list(_RRF_TERMS),
+        [float(v) for v in qrow["embedding"]],
+        k=_RRF_K,
+        fetch_k=_RRF_FETCH_K,
+        k0=_RRF_K0,
+        exclude_vec_id=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity_bigram — CCNet-style perplexity filtering (Wenzek et
+# al. 2019): a stupid-backoff bigram LM (Brants et al. 2007) trained
+# on the even-doc_id half of the corpus scores the odd half; very high
+# ppl = text unlike the reference distribution (the signal CCNet cuts
+# on). Per-position logs rounded to 6 before the sum, doc mean
+# re-rounded, ppl = exp(−mean) rounded to 4 (the established libm
+# parity recipe). The backoff branch genuinely fires (held-out bigrams
+# unseen in train), which is what distinguishes this from lm_score's
+# single-distribution unigram proxy.
+# ---------------------------------------------------------------------------
+
+
+def _lm_bigram_sql() -> str:
+    from ..operators.selection import bigram_lm_sql
+
+    return bigram_lm_sql()
+
+
+@register("lm_perplexity_bigram", _lm_bigram_sql())
+def q_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dsir_select_en — Data Selection via Importance Resampling (Xie et
+# al. 2023): hashed unigram+bigram bag-of-ngrams importance weights
+# log p_target − log p_raw with add-one smoothing over 2048 buckets
+# (engine-portable md5 bucketing, functions/hashing.py), target = the
+# English slice, raw = the whole corpus; top-100 by weight with a
+# deterministic id tie-break. The published recipe for selecting raw
+# web data that matches a trusted target distribution. Bucket table is
+# 2048 rows → broadcast; the doc-side explode+groupBy is the only wide
+# op.
+# ---------------------------------------------------------------------------
+
+_DSIR_N = 100
+_DSIR_BUCKETS = 2048
+
+
+def _dsir_sql() -> str:
+    from ..operators.selection import dsir_sql
+
+    inner = dsir_sql("lang = 'en'", n_buckets=_DSIR_BUCKETS)
+    return f"""
+SELECT * FROM ({inner})
+ORDER BY dsir_weight DESC, doc_id LIMIT {_DSIR_N}
+"""
+
+
+@register("dsir_select_en", _dsir_sql())
+def q_dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import dsir_importance_weights, dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = dsir_importance_weights(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+    return dsir_select(weights, _DSIR_N)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility_real — per-language fertility (tokens per
+# whitespace word) and bytes-per-token under the REAL-format 50k-merge
+# vocabulary: the audit a data-mixing pipeline runs before committing
+# token-budget weights (an English-trained vocabulary spends far more
+# tokens per byte on other languages, silently shrinking their
+# effective share — exactly what this surfaces on the multilingual
+# documents table). Token counts ride the O(1)-plan-depth
+# distinct-word path; the oracle replays the verbatim
+# byte_vocab_count_sql and re-derives words/bytes/ratios with
+# identical expressions.
+# ---------------------------------------------------------------------------
+
+_FERTILITY_CORPUS_SQL = "SELECT doc_id, text, lang FROM documents"
+
+
+def _fertility_sql() -> str:
+    from ..operators.bpe_vocab import tokenizer_fertility_sql
+
+    return tokenizer_fertility_sql(_FERTILITY_CORPUS_SQL)
+
+
+@register("tokenizer_fertility_real", _fertility_sql())
+def q_tokenizer_fertility_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        tokenizer_fertility_bytes,
+    )
+
+    return tokenizer_fertility_bytes(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang"),
+        pattern=GPT2_SPLIT_PATTERN_PORTABLE,
+    )

@@ -1,0 +1,165 @@
+"""Data-selection operators (operators/selection.py, round 12):
+stupid-backoff bigram-LM perplexity scoring (the CCNet filter recipe)
+and DSIR hashed-ngram importance weights, plus RRF fusion
+(operators/similarity.py rrf_fuse) and the tokenizer fertility audit
+(operators/bpe_vocab.py). Registry twins: lm_perplexity_bigram,
+dsir_select_en, hybrid_topk_rrf, tokenizer_fertility_real."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from churn_model_evaluation_platform_spark.operators.selection import (
+    bigram_lm_scores,
+    dsir_importance_weights,
+    dsir_select,
+)
+from churn_model_evaluation_platform_spark.operators.similarity import rrf_fuse
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_hand_computed(spark):
+    # train: "a b a b c" → uni a2 b2 c1 (T=5, V=3);
+    # bigrams: "a b"x2, "b a", "b c" → c("a b")=2, ctx(a)=2.
+    # eval: "a b x" → "a b" seen: ln(2/2)=0; "b x" backoff, x unseen:
+    # ln(0.4 * 1 / 8) = ln(0.05) ≈ -2.995732 (rounded grain 1e-6).
+    train = _docs(spark, [(0, "a b a b c")])
+    ev = _docs(spark, [(1, "a b x")])
+    row = bigram_lm_scores(train, ev).collect()[0]
+    assert row["n_bigrams"] == 2
+    assert row["n_backoff"] == 1
+    expect_mean = round((0 + round(math.log(0.05) * 1e6)) / 2e6, 6)
+    assert row["lm_logprob"] == expect_mean
+    assert row["ppl"] == round(math.exp(-expect_mean), 4)
+
+
+def test_bigram_lm_seen_branch_is_conditional_probability(spark):
+    # Context counts use w1-as-context totals, not raw unigram counts:
+    # train "a b a c" → ctx(a)=2 (a b, a c), so p(b|a)=1/2 even though
+    # count(a)=2 == ctx(a) here; distinguish via "b a" context b=1.
+    train = _docs(spark, [(0, "a b a c")])
+    ev = _docs(spark, [(1, "a b")])
+    row = bigram_lm_scores(train, ev).collect()[0]
+    assert row["n_backoff"] == 0
+    assert row["lm_logprob"] == round(
+        round(math.log(0.5) * 1e6) / 1e6, 6
+    )
+
+
+def test_bigram_lm_short_docs_excluded(spark):
+    train = _docs(spark, [(0, "a b a b")])
+    ev = _docs(spark, [(1, "a"), (2, "a b"), (3, None)])
+    got = {r["doc_id"] for r in bigram_lm_scores(train, ev).collect()}
+    assert got == {2}
+
+
+def test_bigram_lm_backoff_ranks_gibberish_below_indomain(spark):
+    train = _docs(
+        spark, [(i, "the fast scan reads the sorted table") for i in range(4)]
+    )
+    ev = _docs(
+        spark,
+        [
+            (10, "the fast scan reads the sorted table"),
+            (11, "zq xv qqj zzk wpt vvx bbn mml"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(train, ev).collect()}
+    assert rows[10]["ppl"] < rows[11]["ppl"]
+    assert rows[11]["n_backoff"] == rows[11]["n_bigrams"]
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_separate_target_like_from_raw_like(spark):
+    # Target slice speaks 'alpha beta'; the raw remainder speaks
+    # 'gamma delta'. Two probe docs (one per dialect) must separate.
+    rows = [(i, "alpha beta alpha beta") for i in range(10)]
+    rows += [(100 + i, "gamma delta gamma delta") for i in range(10)]
+    rows += [(500, "alpha beta"), (501, "gamma delta")]
+    df = _docs(spark, rows)
+    w = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_importance_weights(
+            df, F.col("doc_id") < 100, n_buckets=64
+        ).collect()
+    }
+    assert w[500] > 0 > w[501]
+    assert w[500] > w[501]
+
+
+def test_dsir_select_topn_deterministic_tiebreak(spark):
+    # Identical texts → identical weights; the id tie-break pins the cut.
+    df = _docs(spark, [(i, "same text here") for i in range(6)])
+    sel = dsir_select(
+        dsir_importance_weights(df, F.col("doc_id") % 2 == 0, n_buckets=32),
+        n=3,
+    ).collect()
+    assert [r["doc_id"] for r in sel] == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 9.0), (4, 1.0)], "doc_id long, score double"
+    )
+    out = rrf_fuse([a, b], k0=60, k=4).collect()
+    got = [(r["doc_id"], r["rank_0"], r["rank_1"]) for r in out]
+    # id3: 1/63+1/61 (top); id1: 1/61; then the 1/62 tie id2 vs id4
+    # breaks on id.
+    assert got == [(3, 3, 1), (1, 1, None), (2, 2, None), (4, None, 2)]
+    assert out[0]["rrf_score"] == round(1 / 63 + 1 / 61, 9)
+    assert out[1]["rrf_score"] == round(1 / 61, 9)
+    assert out[2]["rrf_score"] == out[3]["rrf_score"] == round(1 / 62, 9)
+
+
+def test_rrf_fuse_rank_ties_break_on_id(spark):
+    a = spark.createDataFrame(
+        [(7, 1.0), (5, 1.0)], "doc_id long, score double"
+    )
+    out = rrf_fuse([a], k0=60, k=2).collect()
+    assert [(r["doc_id"], r["rank_0"]) for r in out] == [(5, 1), (7, 2)]
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from churn_model_evaluation_platform_spark.operators.bpe_vocab import (
+        tokenizer_fertility_bytes,
+    )
+
+    # No merge fires → one token per byte-encoded symbol: "aa bb" →
+    # pre-tokens "aa" (2) + " bb" (3, the Ġ counts) = 5 tokens over 2
+    # whitespace words and 5 bytes.
+    df = spark.createDataFrame(
+        [(0, "aa bb", "en")], "doc_id long, text string, lang string"
+    )
+    row = tokenizer_fertility_bytes(df, merges=[("x", "y")]).collect()[0]
+    assert row["lang"] == "en"
+    assert row["n_docs"] == 1
+    assert row["n_tokens"] == 5
+    assert row["fertility"] == 2.5
+    assert row["bytes_per_token"] == 1.0

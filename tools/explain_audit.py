@@ -96,6 +96,11 @@ SINGLE_ROW_CROSS_OK = {
     # bins × windows, never data (operators/drift.py:psi_from_binned)
     "value_drift_psi_window",
     "stream_value_drift",
+    # r12 selection family — the same single-row grand-totals
+    # broadcast pattern as lm_score/bm25_search:
+    "lm_perplexity_bigram",  # single-row (T, V) train-totals broadcast
+    "dsir_select_en",  # single-row (t_raw, t_tgt) totals broadcast
+    "hybrid_topk_rrf",  # bm25 leg's single-row (n_docs, avgdl) cross
 }
 
 # QA/audit operators whose all-pairs side IS the measurand: the exact
