@@ -178,6 +178,7 @@ HEADLINE = [
     # vocabulary
     "lm_perplexity_bigram",
     "dsir_select_en",
+    "dsir_sample_gumbel",
     "hybrid_topk_rrf",
     "tokenizer_fertility_real",
 ]

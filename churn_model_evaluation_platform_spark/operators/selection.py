@@ -381,3 +381,84 @@ def dsir_select(
         weights.orderBy(F.col("dsir_weight").desc(), F.col(id_col))
         .limit(n)
     )
+
+
+#: Denominator for the md5-derived uniform: hashes are < 16^7, so
+#: (h+1)/(16^7+1) lies strictly inside (0, 1) — both ln() calls in the
+#: Gumbel transform stay finite.
+_GUMBEL_DENOM = float(16**7 + 1)
+
+
+def gumbel_key_expr(id_col, weight_col, seed: int = 42):
+    """Deterministic Gumbel perturbation key for importance
+    RESAMPLING (the Gumbel top-k trick: top-n by log-weight + Gumbel
+    noise is an exact sample-without-replacement ∝ exp(log-weight) —
+    Vieira 2014; DSIR's sampling step, Xie et al. 2023 §2). The noise
+    is derived from the engine-portable md5 hash of (id, seed), so the
+    sample is reproducible and the DuckDB oracle replays it exactly:
+
+        u = (md5_int(id || '|gumbel|' || seed) + 1) / (16^7 + 1)
+        key = weight + round(-ln(-ln(u)), 6)
+
+    Both rounded-6 inputs are bit-identical doubles cross-engine, so
+    the final (key desc, id) order is total and portable."""
+    u = (
+        md5_hash_int(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(f"|gumbel|{seed}")
+            )
+        )
+        + F.lit(1.0)
+    ) / F.lit(_GUMBEL_DENOM)
+    g = F.round(-F.log(-F.log(u)), 6)
+    return F.round(F.col(weight_col) + g, 6)
+
+
+def dsir_gumbel_sample(
+    weights: DataFrame,
+    n: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_weight",
+) -> DataFrame:
+    """DSIR's published sampling step: Gumbel top-``n`` over the
+    importance weights — sampling WITHOUT replacement with probability
+    ∝ exp(weight), not the deterministic argmax-n cut (``dsir_select``),
+    so low-weight documents retain proportional probability mass and
+    the selected corpus is not a hard quality cliff. Deterministic by
+    seed (portable md5-derived noise); TakeOrderedAndProject — no
+    global sort."""
+    key = gumbel_key_expr(id_col, weight_col, seed)
+    return (
+        weights.select(
+            F.col(id_col),
+            F.col(weight_col),
+            key.alias("gumbel_key"),
+        )
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
+def dsir_gumbel_sql(
+    weights_sql: str,
+    n: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_weight",
+) -> str:
+    """DuckDB replay of ``dsir_gumbel_sample`` over ``weights_sql``
+    (a subquery yielding (id, ..., weight)) — identical hash, uniform,
+    Gumbel transform, rounding, and tie order."""
+    h = (
+        "CAST('0x' || substr(md5(CAST(" + id_col + " AS VARCHAR) || "
+        f"'|gumbel|{seed}'), 1, 7) AS BIGINT)"
+    )
+    return f"""
+SELECT {id_col}, {weight_col},
+       round({weight_col}
+             + round(-ln(-ln(({h} + 1.0) / {_GUMBEL_DENOM})), 6), 6)
+         AS gumbel_key
+FROM ({weights_sql})
+ORDER BY gumbel_key DESC, {id_col} LIMIT {n}
+"""

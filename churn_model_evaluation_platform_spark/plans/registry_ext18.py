@@ -210,3 +210,36 @@ def q_tokenizer_fertility_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id", "text", "lang"),
         pattern=GPT2_SPLIT_PATTERN_PORTABLE,
     )
+
+# ---------------------------------------------------------------------------
+# dsir_sample_gumbel — DSIR's PUBLISHED sampling step (Xie et al. 2023
+# §2): sample-without-replacement ∝ exp(weight) via the Gumbel top-k
+# trick (key = weight − ln(−ln(u))), instead of dsir_select_en's
+# deterministic argmax cut — low-weight documents retain proportional
+# probability mass, so the selected corpus is not a hard quality
+# cliff. The noise is derived from the engine-portable md5 hash of
+# (doc_id, seed) — reproducible by seed, replayed exactly by the
+# oracle. Plan: the weights plan + one TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_gumbel_sql() -> str:
+    from ..operators.selection import dsir_gumbel_sql, dsir_sql
+
+    return dsir_gumbel_sql(
+        dsir_sql("lang = 'en'", n_buckets=_DSIR_BUCKETS), n=_DSIR_N
+    )
+
+
+@register("dsir_sample_gumbel", _dsir_gumbel_sql())
+def q_dsir_sample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import (
+        dsir_gumbel_sample,
+        dsir_importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = dsir_importance_weights(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+    return dsir_gumbel_sample(weights.drop("n_features"), _DSIR_N)

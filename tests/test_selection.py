@@ -163,3 +163,63 @@ def test_tokenizer_fertility_hand_computed(spark):
     assert row["n_tokens"] == 5
     assert row["fertility"] == 2.5
     assert row["bytes_per_token"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# DSIR Gumbel sampling
+# ---------------------------------------------------------------------------
+
+
+def _py_gumbel_key(doc_id, weight, seed=42):
+    import hashlib
+
+    h = int(
+        hashlib.md5(f"{doc_id}|gumbel|{seed}".encode()).hexdigest()[:7], 16
+    )
+    u = (h + 1.0) / float(16**7 + 1)
+    return round(weight + round(-math.log(-math.log(u)), 6), 6)
+
+
+def test_dsir_gumbel_key_hand_computed(spark):
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        dsir_gumbel_sample,
+    )
+
+    w = spark.createDataFrame(
+        [(7, 1.25), (8, -0.5)], "doc_id long, dsir_weight double"
+    )
+    got = {
+        r["doc_id"]: r["gumbel_key"]
+        for r in dsir_gumbel_sample(w, n=2, seed=42).collect()
+    }
+    assert got[7] == _py_gumbel_key(7, 1.25)
+    assert got[8] == _py_gumbel_key(8, -0.5)
+
+
+def test_dsir_gumbel_reproducible_and_seed_sensitive(spark):
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        dsir_gumbel_sample,
+    )
+
+    w = spark.createDataFrame(
+        [(i, 0.0) for i in range(40)], "doc_id long, dsir_weight double"
+    )
+    s1 = [r["doc_id"] for r in dsir_gumbel_sample(w, n=10, seed=1).collect()]
+    s1b = [r["doc_id"] for r in dsir_gumbel_sample(w, n=10, seed=1).collect()]
+    s2 = [r["doc_id"] for r in dsir_gumbel_sample(w, n=10, seed=2).collect()]
+    assert s1 == s1b
+    assert s1 != s2  # equal weights: the sample IS the noise
+
+
+def test_dsir_gumbel_weight_dominates_noise(spark):
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        dsir_gumbel_sample,
+    )
+
+    # Gumbel noise from u in (0,1) spans a bounded range at grain 1e-7
+    # of u; a +100 weight gap cannot be overcome by any seed.
+    rows = [(0, 100.0)] + [(i, 0.0) for i in range(1, 30)]
+    w = spark.createDataFrame(rows, "doc_id long, dsir_weight double")
+    for seed in (1, 2, 3):
+        top = dsir_gumbel_sample(w, n=1, seed=seed).collect()[0]
+        assert top["doc_id"] == 0

@@ -100,6 +100,7 @@ SINGLE_ROW_CROSS_OK = {
     # broadcast pattern as lm_score/bm25_search:
     "lm_perplexity_bigram",  # single-row (T, V) train-totals broadcast
     "dsir_select_en",  # single-row (t_raw, t_tgt) totals broadcast
+    "dsir_sample_gumbel",  # same weights plan + Gumbel TakeOrdered
     "hybrid_topk_rrf",  # bm25 leg's single-row (n_docs, avgdl) cross
 }
 
