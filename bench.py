@@ -181,6 +181,9 @@ HEADLINE = [
     "dsir_sample_gumbel",
     "hybrid_topk_rrf",
     "tokenizer_fertility_real",
+    # engine-portable HLL: one-shot + the mergeable-partials pattern
+    "hll_users_estimate",
+    "hll_merge_daily",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

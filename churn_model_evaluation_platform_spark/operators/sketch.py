@@ -1,0 +1,214 @@
+"""Mergeable distinct-count sketches with ENGINE-PORTABLE determinism
+(HyperLogLog — Flajolet et al. 2007).
+
+Spark's built-in ``approx_count_distinct`` is an HLL++ whose hash and
+register layout are JVM-internal: fine for one-off estimates, but its
+state can't be stored, merged across increments, or replayed by an
+independent engine. This module builds the registers EXPLICITLY from
+the repo's portable md5 hash (functions/hashing.py), which buys the
+two things a 100 TB metrics pipeline actually needs:
+
+- **Mergeable partials** (the incremental-aggregate pattern): sketch
+  each day/partition once — an m-row register frame, thousands of
+  times smaller than the data — persist it, and answer "distinct over
+  any window" by max-merging registers instead of rescanning raw
+  events. Register max is associative/commutative/idempotent, so
+  merged == one-shot by construction (pinned in tests AND hash-checked
+  in the registry).
+- **Cross-engine replay**: every step (hash, bucket, rho via minimal
+  binary length, the 2^-rho sum) is exact integer/string arithmetic,
+  so the DuckDB oracle reproduces the registers and the estimate
+  bit-for-bit. The only libm in the stack is the final ln() of the
+  small-range (linear counting) correction, rounded at grain 1e-4.
+
+Layout: 60-bit md5 hash → bucket = h % m (p = log2(m) bits), suffix
+v = h >> p (w = 60 − p bits), rho = leading-zeros(v) + 1 in w bits =
+w − bitlength(v) + 1 (bitlength via length(bin(v)) — minimal binary
+string on both engines, verified). The indicator sum Σ 2^−M_j is
+carried as exact integers scaled by 2^(w+1) (max m·2^(w+1) ≪ 2^63),
+so it is order-free across engines; empty registers contribute 2^0.
+
+Scale shape: one explode-free projection + groupBy(bucket) partial
+aggregation (map-side combine does almost all the work; the shuffle
+is m rows per partial). Estimation is an m-row fold to one row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash_int
+
+HLL_P = 10  #: default precision: m = 1024 registers, ~3.25% std error
+_HASH_CHARS = 15  #: 60-bit portable hashes (< 2^63 after any shift)
+
+
+def _m(p: int) -> int:
+    return 1 << p
+
+
+def _w(p: int) -> int:
+    return 4 * _HASH_CHARS - p  # suffix bits
+
+
+def hll_alpha(p: int = HLL_P) -> float:
+    """Bias constant alpha_m (Flajolet et al. 2007, Fig. 3); written as
+    the same closed form the SQL oracle inlines so both engines fold
+    the identical double."""
+    m = _m(p)
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = HLL_P,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HLL register frame for ``col``: (``group_cols...``, bucket,
+    rho) with rho = max over the group's values — at most m rows per
+    group regardless of input size. NULLs are skipped (COUNT DISTINCT
+    semantics). This frame IS the mergeable partial: persist it per
+    increment, max-merge per bucket across increments."""
+    group_cols = group_cols or []
+    m = _m(p)
+    w = _w(p)
+    h = md5_hash_int(F.col(col).cast("string"), _HASH_CHARS)
+    # h >> p, NOT h / m: double division would round above 2^53.
+    v = F.shiftright(h, p)
+    rho = F.when(v > 0, F.lit(w) - F.length(F.bin(v)) + 1).otherwise(
+        F.lit(w + 1)
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, (h % F.lit(m)).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge register partials (e.g. one frame per day, unioned):
+    register max per bucket. Associative + idempotent — re-merging a
+    partial is a no-op, so at-least-once incremental maintenance is
+    safe."""
+    group_cols = group_cols or []
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = HLL_P,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate from a register frame: bias-corrected
+    harmonic mean with the small-range linear-counting correction
+    (E ≤ 2.5m and empty registers present → m·ln(m/zeros)). The
+    indicator sum is exact integer arithmetic (order-free); the final
+    estimate is rounded at 1e-4 (the ln() is the only libm step).
+    Returns (``group_cols...``, n_buckets_used, hll_estimate)."""
+    group_cols = group_cols or []
+    m = _m(p)
+    w = _w(p)
+    scale = F.shiftleft(F.lit(1).cast("bigint"), w + 1)
+    # shift amount is a COLUMN → the SQL form (pyspark's shiftleft
+    # helper only takes an int literal)
+    term = F.expr(f"shiftleft(cast(1 as bigint), {w + 1} - rho)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(term).alias("sum_int"),
+    )
+    zeros = F.lit(m) - F.col("n_used")
+    z_scaled = (F.col("sum_int") + zeros * scale).cast("double")
+    e_raw = (
+        F.lit(hll_alpha(p)) * F.lit(float(m * m)) * scale.cast("double")
+    ) / z_scaled
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        F.col("n_used").alias("n_buckets_used"),
+        F.round(est, 4).alias("hll_estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = HLL_P,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-shot distinct estimate: registers → estimate."""
+    return hll_estimate(
+        hll_registers(df, col, p=p, group_cols=group_cols),
+        p=p,
+        group_cols=group_cols,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB replay
+# ---------------------------------------------------------------------------
+
+
+def hll_registers_sql(
+    source_sql: str, col: str, p: int = HLL_P, group_cols: str = ""
+) -> str:
+    """Register CTE body over ``source_sql`` (yields ``col`` and any
+    group columns): identical hash/bucket/rho arithmetic."""
+    m = _m(p)
+    w = _w(p)
+    gsel = f"{group_cols}, " if group_cols else ""
+    h = (
+        f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, "
+        f"{_HASH_CHARS}) AS BIGINT)"
+    )
+    return f"""
+  SELECT {gsel}bucket, max(rho) AS rho FROM (
+    SELECT {gsel}({h}) % {m} AS bucket,
+           CASE WHEN ({h}) // {m} > 0
+                THEN {w} - length(bin(({h}) // {m})) + 1
+                ELSE {w + 1} END AS rho
+    FROM ({source_sql}) WHERE {col} IS NOT NULL
+  ) GROUP BY {"ALL" if not group_cols else gsel.rstrip(", ") + ", bucket"}
+"""
+
+
+def hll_estimate_sql(
+    registers_sql: str, p: int = HLL_P, group_cols: str = ""
+) -> str:
+    """Estimate over a register CTE — identical integer indicator sum,
+    bias constant, and small-range branch."""
+    m = _m(p)
+    w = _w(p)
+    gsel = f"{group_cols}, " if group_cols else ""
+    gby = f"GROUP BY {group_cols}" if group_cols else ""
+    alpha = f"(0.7213 / (1.0 + 1.079 / {float(m)}))"
+    scale = 1 << (w + 1)
+    return f"""
+  SELECT {gsel}
+         CAST(n_used AS BIGINT) AS n_buckets_used,
+         round(CASE WHEN ({alpha} * {float(m * m)} * {float(scale)})
+                         / CAST(sum_int + ({m} - n_used) * {scale}
+                                AS DOUBLE) <= {2.5 * m}
+                     AND {m} - n_used > 0
+                    THEN {float(m)} * ln({float(m)}
+                         / CAST({m} - n_used AS DOUBLE))
+                    ELSE ({alpha} * {float(m * m)} * {float(scale)})
+                         / CAST(sum_int + ({m} - n_used) * {scale}
+                                AS DOUBLE) END, 4) AS hll_estimate
+  FROM (
+    SELECT {gsel}count(*) AS n_used,
+           sum((CAST(1 AS BIGINT) << ({w + 1} - rho))) AS sum_int
+    FROM ({registers_sql}) {gby or "GROUP BY ALL" if group_cols else ""}
+  )
+"""

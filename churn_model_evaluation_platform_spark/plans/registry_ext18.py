@@ -243,3 +243,146 @@ def q_dsir_sample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
     )
     return dsir_gumbel_sample(weights.drop("n_features"), _DSIR_N)
+
+# ---------------------------------------------------------------------------
+# HLL sketch family (operators/sketch.py): engine-portable HyperLogLog
+# — explicit registers from the portable md5 hash, exact-integer
+# indicator sums, so the DuckDB oracle replays registers AND estimate
+# bit-for-bit (the built-in approx_count_distinct's state is
+# JVM-internal and can be neither persisted, merged, nor replayed).
+# hll_users_estimate: one-shot distinct users + the true count + the
+# realized relative error in one row. hll_merge_daily: the
+# INCREMENTAL-AGGREGATE pattern — per-day register partials (m rows
+# each) max-merged, pinned equal to the one-shot estimate in the same
+# hashed row. hll_users_by_type: grouped registers (the dashboard
+# grain), per-type estimate vs exact.
+# ---------------------------------------------------------------------------
+
+
+def _hll_users_sql() -> str:
+    from ..operators.sketch import hll_estimate_sql, hll_registers_sql
+
+    regs = hll_registers_sql("SELECT user_id FROM events", "user_id")
+    est = hll_estimate_sql(regs)
+    return f"""
+SELECT n_buckets_used, hll_estimate,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round(abs(hll_estimate - n_exact) / n_exact, 4) AS rel_err
+FROM ({est})
+CROSS JOIN (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+"""
+
+
+@register("hll_users_estimate", _hll_users_sql())
+def q_hll_users_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id")
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_buckets_used",
+        "hll_estimate",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _hll_merge_sql() -> str:
+    from ..operators.sketch import hll_estimate_sql, hll_registers_sql
+
+    daily = hll_registers_sql(
+        "SELECT day(ts) AS d, user_id FROM events", "user_id", group_cols="d"
+    )
+    merged_regs = f"SELECT bucket, max(rho) AS rho FROM ({daily}) GROUP BY 1"
+    oneshot_regs = hll_registers_sql("SELECT user_id FROM events", "user_id")
+    return f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ({daily})) AS n_partial_rows,
+       m.hll_estimate AS est_merged,
+       o.hll_estimate AS est_oneshot,
+       m.hll_estimate = o.hll_estimate AS merged_equals_oneshot
+FROM ({hll_estimate_sql(merged_regs)}) m
+CROSS JOIN ({hll_estimate_sql(oneshot_regs)}) o
+"""
+
+
+@register("hll_merge_daily", _hll_merge_sql())
+def q_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_distinct, hll_estimate, hll_merge, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_registers(
+        ev.select(F.dayofmonth("ts").alias("d"), "user_id"),
+        "user_id",
+        group_cols=["d"],
+    )
+    n_partials = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partial_rows")
+    )
+    merged = hll_estimate(hll_merge(daily.select("bucket", "rho")))
+    oneshot = hll_distinct(ev, "user_id")
+    return (
+        n_partials.crossJoin(
+            F.broadcast(
+                merged.select(F.col("hll_estimate").alias("est_merged"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                oneshot.select(F.col("hll_estimate").alias("est_oneshot"))
+            )
+        )
+        .select(
+            "n_partial_rows",
+            "est_merged",
+            "est_oneshot",
+            (F.col("est_merged") == F.col("est_oneshot")).alias(
+                "merged_equals_oneshot"
+            ),
+        )
+    )
+
+
+def _hll_bytype_sql() -> str:
+    from ..operators.sketch import hll_estimate_sql, hll_registers_sql
+
+    regs = hll_registers_sql(
+        "SELECT event_type, user_id FROM events",
+        "user_id",
+        group_cols="event_type",
+    )
+    est = hll_estimate_sql(regs, group_cols="event_type")
+    return f"""
+SELECT e.event_type, e.n_buckets_used, e.hll_estimate,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       round(abs(e.hll_estimate - x.n_exact) / x.n_exact, 4) AS rel_err
+FROM ({est}) e
+JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1) x USING (event_type)
+"""
+
+
+@register("hll_users_by_type", _hll_bytype_sql())
+def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_buckets_used",
+        "hll_estimate",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )
