@@ -181,9 +181,11 @@ HEADLINE = [
     "dsir_sample_gumbel",
     "hybrid_topk_rrf",
     "tokenizer_fertility_real",
-    # engine-portable HLL: one-shot + the mergeable-partials pattern
+    # engine-portable sketches: HLL one-shot + mergeable partials,
+    # count-min point frequencies
     "hll_users_estimate",
     "hll_merge_daily",
+    "cms_user_freq",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -212,3 +212,141 @@ def hll_estimate_sql(
     FROM ({registers_sql}) {gby or "GROUP BY ALL" if group_cols else ""}
   )
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the frequency
+# twin of the HLL: d portable hash rows × w counters, estimate =
+# min_j counter[j][h_j(x)]. Counters are SUMS, so partials merge by
+# addition (associative/commutative — NOT idempotent: exactly-once
+# increments required, which the txn-table sink's claimed batch ids
+# provide). Guarantees: est ≥ true count always; est ≤ true +
+# ε·N with probability 1−δ for ε = e/w, δ = e^−d. All integer
+# arithmetic on the portable md5 hash — the oracle replays counters
+# and estimates exactly.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  #: hash rows (δ = e^-4 ≈ 1.8%)
+CMS_W = 512  #: counters per row (ε = e/512 ≈ 0.53% of stream size)
+
+
+def cms_counters(
+    df: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Sparse counter frame (j, bucket, c) — ≤ d·w rows regardless of
+    input size; groupBy partials mean map-side combine carries the
+    weight. NULLs are skipped. Merge partials with
+    ``cms_merge`` (counter addition)."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        md5_hash_int(
+                            F.concat(
+                                F.col(col).cast("string"),
+                                F.lit(f"|cms|{j}"),
+                            )
+                        )
+                        % w
+                    ).alias("bucket"),
+                )
+                for j in range(d)
+            ]
+        )
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(rows.alias("s"))
+        .select("s.j", "s.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(counters: DataFrame) -> DataFrame:
+    """Merge counter partials: per-cell SUM (requires exactly-once
+    partial delivery — addition is not idempotent)."""
+    return counters.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "probe",
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` (one row per probe
+    value): est = min over the d rows of the addressed counter (0 when
+    the cell was never touched). Returns (probe, cms_estimate)."""
+    addressed = probes.select(
+        F.col(probe_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            md5_hash_int(
+                                F.concat(
+                                    F.col(probe_col).cast("string"),
+                                    F.lit(f"|cms|{j}"),
+                                )
+                            )
+                            % w
+                        ).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("s"),
+    ).select(probe_col, "s.j", "s.bucket")
+    return (
+        addressed.join(F.broadcast(counters), ["j", "bucket"], "left")
+        .groupBy(probe_col)
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
+    )
+
+
+def cms_sql(
+    source_sql: str,
+    col: str,
+    probes_sql: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> str:
+    """DuckDB replay: identical hashes, counters, min-estimate.
+    ``probes_sql`` yields one column ``probe``."""
+
+    def h(expr: str, j: int) -> str:
+        return (
+            f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR) || "
+            f"'|cms|{j}'), 1, 7) AS BIGINT) % {w}"
+        )
+
+    addr_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {h(col, j)} AS bucket FROM src" for j in range(d)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT probe, {j} AS j, {h('probe', j)} AS bucket FROM probes"
+        for j in range(d)
+    )
+    return f"""
+WITH src AS ({source_sql}),
+probes AS ({probes_sql}),
+counters AS (
+  SELECT j, bucket, count(*) AS c FROM ({addr_rows})
+  WHERE bucket IS NOT NULL GROUP BY 1, 2
+),
+addressed AS ({probe_rows})
+SELECT probe,
+       CAST(min(coalesce(c, 0)) AS BIGINT) AS cms_estimate
+FROM addressed LEFT JOIN counters USING (j, bucket)
+GROUP BY probe
+"""

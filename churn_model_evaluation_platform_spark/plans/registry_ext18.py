@@ -386,3 +386,60 @@ def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cms_user_freq — count-min sketch point-frequency estimates (Cormode
+# & Muthukrishnan 2005; operators/sketch.py): d=4 portable-hash rows ×
+# w=512 counters, est = min_j counter[j][h_j(x)]. Probes cover present
+# AND absent keys; the one-sided guarantee (est ≥ true, est ≤ true +
+# e/w·N w.h.p.) is carried IN the hashed row as overestimate = est −
+# exact (≥ 0 always — a negative value anywhere breaks the hash).
+# Counters merge by addition (exactly-once partials — the txn sink's
+# claimed batch ids), so the same frame serves the
+# incremental-aggregate pattern as the HLL registers.
+# ---------------------------------------------------------------------------
+
+_CMS_PROBES = (0, 1, 2, 57, 149, 999_983)
+
+
+def _cms_sql() -> str:
+    from ..operators.sketch import cms_sql
+
+    probes = " UNION ALL ".join(f"SELECT {p} AS probe" for p in _CMS_PROBES)
+    inner = cms_sql("SELECT user_id FROM events", "user_id", probes)
+    return f"""
+SELECT c.probe, c.cms_estimate,
+       CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact,
+       c.cms_estimate - CAST(coalesce(x.n_exact, 0) AS BIGINT)
+         AS overestimate
+FROM ({inner}) c
+LEFT JOIN (SELECT user_id AS probe, count(*) AS n_exact
+           FROM events GROUP BY 1) x USING (probe)
+"""
+
+
+@register("cms_user_freq", _cms_sql())
+def q_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_counters, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id")
+    probes = spark.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "probe long"
+    )
+    est = cms_estimate(counters, probes)
+    exact = ev.groupBy(F.col("user_id").alias("probe")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "probe", "left").select(
+        "probe",
+        "cms_estimate",
+        F.coalesce(F.col("n_exact"), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        (
+            F.col("cms_estimate")
+            - F.coalesce(F.col("n_exact"), F.lit(0)).cast("bigint")
+        ).alias("overestimate"),
+    )

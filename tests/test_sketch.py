@@ -103,3 +103,83 @@ def test_small_range_uses_linear_counting(spark):
 
 def test_alpha_closed_form():
     assert hll_alpha(10) == 0.7213 / (1.0 + 1.079 / 1024)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_overestimates_never_under(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    # Zipf-ish stream: value v appears (200 // (v+1)) times.
+    rows = [(v,) for v in range(100) for _ in range(200 // (v + 1))]
+    df = spark.createDataFrame(rows, "user_id long")
+    probes = spark.createDataFrame(
+        [(v,) for v in range(100)] + [(123456,)], "probe long"
+    )
+    est = {
+        r["probe"]: r["cms_estimate"]
+        for r in cms_estimate(cms_counters(df, "user_id"), probes).collect()
+    }
+    exact: dict[int, int] = {}
+    for (v,) in rows:
+        exact[v] = exact.get(v, 0) + 1
+    n = len(rows)
+    for v in range(100):
+        assert est[v] >= exact[v], v  # one-sided guarantee
+        assert est[v] - exact[v] <= 2.718 / 512 * n * 4 + 1, v  # ~4x eps slack
+    assert est[123456] >= 0  # absent key: pure collision mass
+
+
+def test_cms_merge_partials_equals_oneshot(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+        cms_merge,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(v % 37,) for v in range(1500)], "user_id long"
+    )
+    halves = [
+        cms_counters(df.where(F.col("user_id") % 2 == i), "user_id")
+        for i in (0, 1)
+    ]
+    merged = cms_merge(halves[0].unionByName(halves[1]))
+    oneshot = cms_counters(df, "user_id")
+    probes = spark.createDataFrame([(v,) for v in range(37)], "probe long")
+    em = {
+        r["probe"]: r["cms_estimate"]
+        for r in cms_estimate(merged, probes).collect()
+    }
+    eo = {
+        r["probe"]: r["cms_estimate"]
+        for r in cms_estimate(oneshot, probes).collect()
+    }
+    assert em == eo
+
+
+def test_cms_exact_when_no_collisions(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    # 3 keys in 512 buckets: if ANY of the 4 rows separates them, the
+    # min is exact. Verify estimates equal truth for this fixture.
+    df = spark.createDataFrame(
+        [(1,)] * 5 + [(2,)] * 3 + [(3,)], "user_id long"
+    )
+    probes = spark.createDataFrame([(1,), (2,), (3,)], "probe long")
+    est = {
+        r["probe"]: r["cms_estimate"]
+        for r in cms_estimate(cms_counters(df, "user_id"), probes).collect()
+    }
+    assert est == {1: 5, 2: 3, 3: 1}
