@@ -186,6 +186,8 @@ HEADLINE = [
     "hll_users_estimate",
     "hll_merge_daily",
     "cms_user_freq",
+    # streaming sketch maintenance through the txn table
+    "stream_hll_ingest",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

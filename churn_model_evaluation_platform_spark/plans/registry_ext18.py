@@ -443,3 +443,88 @@ def q_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.col("n_exact"), F.lit(0)).cast("bigint")
         ).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_hll_ingest — STREAMING SKETCH MAINTENANCE through the txn
+# table: writeStream over a file-drop source → foreachBatch{
+# hll_registers(batch) → TxnTable.append(batch_id=epoch) } → the query
+# max-merges ALL persisted partials and estimates. The end-to-end
+# composition of the incremental-aggregate pattern: per-epoch register
+# partials (≤m rows each) land as exactly-once commits; "distinct
+# users so far" never rescans raw events. The oracle is the verbatim
+# one-shot HLL replay over the FULL events table (hll_users_estimate's
+# SQL), so the hash pins merged-streamed-partials == one-shot across
+# arbitrary micro-batch boundaries — a stream that dropped, truncated,
+# or double-counted a batch breaks it. (HLL max-merge is additionally
+# IDEMPOTENT, so even at-least-once delivery would stay correct —
+# pinned in tests/test_stream_hll_ingest.py alongside restart
+# recovery; contrast the CMS, whose additive merge NEEDS the claimed
+# batch ids.)
+# ---------------------------------------------------------------------------
+
+
+@register("stream_hll_ingest", _hll_users_sql())
+def q_stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..operators.sketch import hll_estimate, hll_merge, hll_registers
+    from ..sources.txnlog import TxnTable
+    from .registry import drain_stream
+    from .registry_ext12 import _tmp_table_path
+    from .phases import timed_phase
+
+    ev = _t(spark, sf_dir, "events")
+    base = _tmp_table_path(sf_dir, "hllstream")
+    with timed_phase("stream_hll_ingest.build"):
+        drops = f"{base}/drops"
+        os.makedirs(drops, exist_ok=True)
+        # three drop files: thirds of the month (arbitrary uneven
+        # boundaries — the identity must hold for ANY split)
+        for i, (lo, hi) in enumerate([(1, 11), (11, 21), (21, 32)]):
+            tmp = f"{base}/tmp{i}"
+            ev.where(
+                (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
+            ).select("user_id").coalesce(1).write.mode("overwrite").parquet(
+                tmp
+            )
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, f"{drops}/b{i}.parquet")
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(f"{drops}/b{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+        table = TxnTable(spark, f"{base}/regs")
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            table.append(
+                hll_registers(batch_df, "user_id"), batch_id=batch_id
+            )
+
+        schema = T.StructType([T.StructField("user_id", T.LongType())])
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q)
+
+    est = hll_estimate(hll_merge(table.scan().select("bucket", "rho")))
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_buckets_used",
+        "hll_estimate",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -106,6 +106,7 @@ SINGLE_ROW_CROSS_OK = {
     # into the one-row audit/summary result
     "hll_users_estimate",
     "hll_merge_daily",
+    "stream_hll_ingest",  # same single-row estimate/exact cross
 }
 
 # QA/audit operators whose all-pairs side IS the measurand: the exact
