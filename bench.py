@@ -188,6 +188,9 @@ HEADLINE = [
     "cms_user_freq",
     # streaming sketch maintenance through the txn table
     "stream_hll_ingest",
+    # the query the register table exists for + the KMV bottom-k twin
+    "hll_window_7d",
+    "kmv_distinct_users",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
@@ -244,6 +247,16 @@ SLOPE_QUERIES = [
     # (vowel rotation multiplies the vocabulary), everything else
     # (explode/join/sum) is linear
     "token_count_bpe_large",
+    # round-12 additions: the selection stage's two explode+count-table
+    # shapes — bigram-LM scoring (vowel rotation multiplies the bigram
+    # vocabulary, so the count tables grow with the corpus; the scoring
+    # side is linear) and DSIR bucketing (bucket table FIXED at 2048
+    # rows at any scale — the slope proves the broadcast claim) — plus
+    # the HLL register build (map-side combine into m=1024 registers;
+    # the canonical "shuffle is m rows" claim, measured)
+    "lm_perplexity_bigram",
+    "dsir_select_en",
+    "hll_users_estimate",
 ]
 # Every listed column gets the same per-copy id offset, so join keys
 # stay CONSISTENT within a copy (4 disjoint subgraphs — structure-

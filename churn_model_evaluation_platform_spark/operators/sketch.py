@@ -350,3 +350,82 @@ SELECT probe,
 FROM addressed LEFT JOIN counters USING (j, bucket)
 GROUP BY probe
 """
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k / KMV sketch (Bar-Yossef et al. 2002; Beyer et al. 2007
+# "On Synopses for Distinct-Value Estimation...") — the k MINIMUM
+# portable-hash values over the distinct keys. One structure, three
+# uses: a uniform sample WITHOUT replacement over distinct keys, a
+# distinct-count estimator (KMV: (k−1)·H / h_(k) with H the hash-space
+# size), and (between two sketches) a Jaccard estimator. Mergeable by
+# taking the k smallest of the union — min-style, so idempotent like
+# the HLL (at-least-once safe). All integer arithmetic until the final
+# division; the oracle replays the sketch exactly.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  #: default k: std error ~ 1/sqrt(k-2) ≈ 12.7%
+_HASH_SPACE = float(16**_HASH_CHARS)  # 2^60
+
+
+def bottomk_sketch(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest distinct hash values of ``col`` (ties impossible
+    — distinct hashes): (hv, v) rows, ≤ k of them. ``v`` keeps one
+    witness value per hash, making the sketch a uniform distinct-key
+    sample. TakeOrderedAndProject over a distinct — no global sort."""
+    h = md5_hash_int(F.col(col).cast("string"), _HASH_CHARS)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("hv"), F.col(col).alias("v"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def bottomk_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge bottom-k partials (unioned (hv, v) frames): k smallest of
+    the union. Idempotent — safe under at-least-once delivery."""
+    return sketches.distinct().orderBy("hv").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """KMV distinct-count estimate from a bottom-k sketch: if the
+    sketch is full (n = k), est = (k−1)·H / h_(k); else the sketch
+    holds EVERY distinct hash and n IS the count (exact small-range).
+    Returns one row (n_sketch, kmv_estimate), rounded 1e-4."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+        F.max("hv").alias("h_k"),
+    )
+    est = F.when(
+        F.col("n_sketch") >= k,
+        F.lit(float(k - 1))
+        * F.lit(_HASH_SPACE)
+        / F.col("h_k").cast("double"),
+    ).otherwise(F.col("n_sketch").cast("double"))
+    return agg.select(
+        "n_sketch", F.round(est, 4).alias("kmv_estimate")
+    )
+
+
+def kmv_sql(source_sql: str, col: str, k: int = KMV_K) -> str:
+    """DuckDB replay of sketch + estimate over ``source_sql``."""
+    h = (
+        f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, "
+        f"{_HASH_CHARS}) AS BIGINT)"
+    )
+    return f"""
+  SELECT CAST(n_sketch AS BIGINT) AS n_sketch,
+         round(CASE WHEN n_sketch >= {k}
+                    THEN {float(k - 1)} * {_HASH_SPACE}
+                         / CAST(h_k AS DOUBLE)
+                    ELSE CAST(n_sketch AS DOUBLE) END, 4) AS kmv_estimate
+  FROM (
+    SELECT count(*) AS n_sketch, max(hv) AS h_k FROM (
+      SELECT DISTINCT {h} AS hv
+      FROM ({source_sql}) WHERE {col} IS NOT NULL
+      ORDER BY hv LIMIT {k}
+    )
+  )
+"""

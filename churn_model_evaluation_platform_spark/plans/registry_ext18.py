@@ -528,3 +528,137 @@ def q_stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hll_window_7d — the query the register table EXISTS for: trailing
+# 7-day distinct users per day, answered by max-merging ≤7 daily
+# register partials per window instead of rescanning raw events (a
+# sliding COUNT(DISTINCT) is otherwise unmergeable — each window
+# re-deduplicates from scratch). The spine×registers range join is
+# days × m rows; the exact side (a days × events range join) is the
+# AUDIT, not the serving path. Per-day realized error rides in the
+# hashed rows.
+# ---------------------------------------------------------------------------
+
+
+def _hll_window_sql() -> str:
+    from ..operators.sketch import hll_estimate_sql, hll_registers_sql
+
+    daily = hll_registers_sql(
+        "SELECT CAST(day(ts) AS INT) AS d, user_id FROM events",
+        "user_id",
+        group_cols="d",
+    )
+    est = hll_estimate_sql(
+        "SELECT day, bucket, rho FROM win", group_cols="day"
+    )
+    return f"""
+WITH daily AS ({daily}),
+spine AS (SELECT DISTINCT CAST(day(ts) AS INT) AS day FROM events),
+win AS (
+  SELECT s.day, r.bucket, max(r.rho) AS rho
+  FROM spine s JOIN daily r ON r.d <= s.day AND r.d > s.day - 7
+  GROUP BY 1, 2
+),
+est AS ({est}),
+exact AS (
+  SELECT s.day, count(DISTINCT e.user_id) AS n_exact
+  FROM spine s
+  JOIN events e ON CAST(day(e.ts) AS INT) <= s.day
+               AND CAST(day(e.ts) AS INT) > s.day - 7
+  GROUP BY 1
+)
+SELECT est.day, n_buckets_used, hll_estimate,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round(abs(hll_estimate - n_exact) / n_exact, 4) AS rel_err
+FROM est JOIN exact USING (day)
+"""
+
+
+@register("hll_window_7d", _hll_window_sql())
+def q_hll_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_registers(
+        ev.select(F.dayofmonth("ts").cast("int").alias("d"), "user_id"),
+        "user_id",
+        group_cols=["d"],
+    )
+    spine = ev.select(
+        F.dayofmonth("ts").cast("int").alias("day")
+    ).distinct()
+    win = (
+        F.broadcast(spine)
+        .join(
+            daily,
+            (F.col("d") <= F.col("day")) & (F.col("d") > F.col("day") - 7),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = hll_estimate(win, group_cols=["day"])
+    exact = (
+        F.broadcast(spine.withColumnRenamed("day", "xday"))
+        .join(
+            ev.select(F.dayofmonth("ts").cast("int").alias("ed"), "user_id"),
+            (F.col("ed") <= F.col("xday")) & (F.col("ed") > F.col("xday") - 7),
+        )
+        .groupBy(F.col("xday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "n_buckets_used",
+        "hll_estimate",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_users — bottom-k / KMV sketch (Bar-Yossef et al. 2002;
+# Beyer et al. 2007): the k=64 minimum portable-hash values over
+# distinct user_ids — simultaneously a uniform distinct-key sample, a
+# distinct-count estimator ((k−1)·H / h_(k)), and (idempotent
+# min-merge) the third mergeable synopsis next to the HLL (max) and
+# the CMS (sum). Small-range branch: a non-full sketch IS the exact
+# distinct set. Estimate + exact + realized error in the hashed row.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_sql() -> str:
+    from ..operators.sketch import kmv_sql
+
+    inner = kmv_sql("SELECT user_id FROM events", "user_id")
+    return f"""
+SELECT n_sketch, kmv_estimate,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round(abs(kmv_estimate - n_exact) / n_exact, 4) AS rel_err
+FROM ({inner})
+CROSS JOIN (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+"""
+
+
+@register("kmv_distinct_users", _kmv_sql())
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bottomk_sketch, kmv_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_estimate(bottomk_sketch(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_sketch",
+        "kmv_estimate",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -183,3 +183,78 @@ def test_cms_exact_when_no_collisions(spark):
         for r in cms_estimate(cms_counters(df, "user_id"), probes).collect()
     }
     assert est == {1: 5, 2: 3, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# bottom-k / KMV
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_small_range_is_exact(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        bottomk_sketch,
+        kmv_estimate,
+    )
+
+    row = kmv_estimate(
+        bottomk_sketch(_ids(spark, range(40)), "user_id")
+    ).collect()[0]
+    assert row["n_sketch"] == 40
+    assert row["kmv_estimate"] == 40.0  # non-full sketch IS the set
+
+
+def test_kmv_matches_python_reference_and_envelope(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        bottomk_sketch,
+        kmv_estimate,
+    )
+
+    n, k = 5000, 64
+    hs = sorted(
+        int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        for v in range(n)
+    )
+    expect = round((k - 1) * float(16**15) / hs[k - 1], 4)
+    row = kmv_estimate(
+        bottomk_sketch(_ids(spark, range(n)), "user_id")
+    ).collect()[0]
+    assert row["kmv_estimate"] == expect
+    assert abs(row["kmv_estimate"] - n) / n < 4 / math.sqrt(k - 2)
+
+
+def test_bottomk_merge_idempotent_and_equals_oneshot(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        bottomk_merge,
+        bottomk_sketch,
+        kmv_estimate,
+    )
+
+    df = _ids(spark, range(3000))
+    halves = [
+        bottomk_sketch(df.where(F.col("user_id") % 2 == i), "user_id")
+        for i in (0, 1)
+    ]
+    merged = bottomk_merge(
+        halves[0].unionByName(halves[1]).unionByName(halves[0])  # re-delivery
+    )
+    em = kmv_estimate(merged).collect()[0]["kmv_estimate"]
+    eo = kmv_estimate(bottomk_sketch(df, "user_id")).collect()[0][
+        "kmv_estimate"
+    ]
+    assert em == eo
+
+
+def test_bottomk_is_uniform_distinct_sample(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        bottomk_sketch,
+    )
+
+    # duplicates must not bias the sample: sketch of the multiset ==
+    # sketch of the set
+    dup = spark.createDataFrame(
+        [(v % 50,) for v in range(2000)], "user_id long"
+    )
+    uniq = _ids(spark, range(50))
+    sd = sorted(r["v"] for r in bottomk_sketch(dup, "user_id").collect())
+    su = sorted(r["v"] for r in bottomk_sketch(uniq, "user_id").collect())
+    assert sd == su

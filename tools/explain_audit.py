@@ -107,6 +107,11 @@ SINGLE_ROW_CROSS_OK = {
     "hll_users_estimate",
     "hll_merge_daily",
     "stream_hll_ingest",  # same single-row estimate/exact cross
+    # deliberate replicate-small-dim cross (value_drift_by_window's
+    # pattern): the ≤31-row day spine broadcast-range-joined into the
+    # m-row register table / the events scan (audit side)
+    "hll_window_7d",
+    "kmv_distinct_users",  # single-row estimate/exact cross
 }
 
 # QA/audit operators whose all-pairs side IS the measurand: the exact
