@@ -191,6 +191,8 @@ HEADLINE = [
     # the query the register table exists for + the KMV bottom-k twin
     "hll_window_7d",
     "kmv_distinct_users",
+    "cms_heavy_hitters",
+    "kmv_jaccard_cohorts",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -662,3 +662,186 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cms_heavy_hitters — the CMS's actual production use: report every
+# key whose estimated frequency clears a support floor. The one-sided
+# bound (est ≥ true, always) makes the report FALSE-NEGATIVE-FREE —
+# every true heavy hitter is present by construction; collision mass
+# can only add spurious borderline keys, and each row carries
+# (estimate, exact, is_true_hh) so the false-positive band is visible
+# in the hashed result. Candidates here are the distinct keys (150 at
+# sf0.01); at 100 TB the candidate set is whatever bounded stream the
+# pipeline tracks (e.g. the KMV sample) — the sketch side is unchanged.
+# Fixture uses an absolute support floor (80 events) so the report is
+# non-empty and deterministic at every SF.
+# ---------------------------------------------------------------------------
+
+_HH_FLOOR = 80
+
+
+def _cms_hh_sql() -> str:
+    from ..operators.sketch import cms_sql
+
+    inner = cms_sql(
+        "SELECT user_id FROM events",
+        "user_id",
+        "SELECT DISTINCT user_id AS probe FROM events",
+    )
+    return f"""
+SELECT c.probe AS user_id, c.cms_estimate,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       x.n_exact >= {_HH_FLOOR} AS is_true_hh
+FROM ({inner}) c
+JOIN (SELECT user_id AS probe, count(*) AS n_exact
+      FROM events GROUP BY 1) x USING (probe)
+WHERE c.cms_estimate >= {_HH_FLOOR}
+"""
+
+
+@register("cms_heavy_hitters", _cms_hh_sql())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_counters, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id")
+    probes = ev.select(F.col("user_id").alias("probe")).distinct()
+    est = cms_estimate(counters, probes)
+    exact = ev.groupBy(F.col("user_id").alias("probe")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        est.where(F.col("cms_estimate") >= _HH_FLOOR)
+        .join(exact, "probe")
+        .select(
+            F.col("probe").alias("user_id"),
+            "cms_estimate",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.col("n_exact") >= _HH_FLOOR).alias("is_true_hh"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# kmv_jaccard_cohorts — set OVERLAP between two populations from
+# their bottom-k sketches (Broder 1997's minwise estimate on the KMV
+# synopsis): customers who ordered in 1995 vs customers who ordered in
+# 2001 (true Jaccard ~0.50 on this data — a genuinely partial
+# overlap). jaccard_est = |{k smallest of A∪B} present in BOTH A and
+# B| / |union sketch| — computed entirely from the two ≤k-row
+# sketches; the exact Jaccard (a full distinct-intersection) rides
+# along as the audit. The pair (sketch-only estimate, exact) in one
+# hashed row is the cross-population dashboard pattern: persisted
+# per-cohort sketches answer ANY cohort-pair overlap later without
+# touching raw orders.
+# ---------------------------------------------------------------------------
+
+_KMV_YEAR_A = 1995
+_KMV_YEAR_B = 2001
+
+
+def _kmv_jaccard_sql() -> str:
+    from ..operators.sketch import _HASH_CHARS, KMV_K
+
+    h = (
+        "CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, "
+        f"{_HASH_CHARS}) AS BIGINT)"
+    )
+    return f"""
+WITH a AS (
+  SELECT DISTINCT {h} AS hv FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) = {_KMV_YEAR_A}
+  ORDER BY hv LIMIT {KMV_K}
+),
+b AS (
+  SELECT DISTINCT {h} AS hv FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) = {_KMV_YEAR_B}
+  ORDER BY hv LIMIT {KMV_K}
+),
+u AS (
+  SELECT DISTINCT hv FROM (SELECT hv FROM a UNION ALL SELECT hv FROM b)
+  ORDER BY hv LIMIT {KMV_K}
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_sketch,
+         CAST(sum(CASE WHEN hv IN (SELECT hv FROM a)
+                        AND hv IN (SELECT hv FROM b)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM u
+),
+x AS (
+  SELECT count(DISTINCT CASE WHEN in_a AND in_b THEN k END) AS n_inter,
+         count(DISTINCT k) AS n_union
+  FROM (
+    SELECT o_custkey AS k,
+           bool_or(year(CAST(o_orderdate AS DATE)) = {_KMV_YEAR_A}) AS in_a,
+           bool_or(year(CAST(o_orderdate AS DATE)) = {_KMV_YEAR_B}) AS in_b
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) IN ({_KMV_YEAR_A}, {_KMV_YEAR_B})
+    GROUP BY 1
+  )
+)
+SELECT n_union_sketch, n_both,
+       round(CAST(n_both AS DOUBLE) / n_union_sketch, 6) AS jaccard_est,
+       round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard_exact
+FROM m CROSS JOIN x
+"""
+
+
+@register("kmv_jaccard_cohorts", _kmv_jaccard_sql())
+def q_kmv_jaccard_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bottomk_merge, bottomk_sketch
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+    )
+    a = bottomk_sketch(
+        orders.where(F.col("yr") == _KMV_YEAR_A), "o_custkey"
+    ).select("hv")
+    b = bottomk_sketch(
+        orders.where(F.col("yr") == _KMV_YEAR_B), "o_custkey"
+    ).select("hv")
+    u = bottomk_merge(a.unionByName(b)).select("hv")
+    m = (
+        u.join(a.withColumn("ia", F.lit(1)), "hv", "left")
+        .join(b.withColumn("ib", F.lit(1)), "hv", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_union_sketch"),
+            F.sum(
+                (F.col("ia").isNotNull() & F.col("ib").isNotNull()).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_both"),
+        )
+    )
+    flags = (
+        orders.where(F.col("yr").isin(_KMV_YEAR_A, _KMV_YEAR_B))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((F.col("yr") == _KMV_YEAR_A).cast("int")).alias("in_a"),
+            F.max((F.col("yr") == _KMV_YEAR_B).cast("int")).alias("in_b"),
+        )
+    )
+    x = flags.agg(
+        F.countDistinct(
+            F.when(
+                (F.col("in_a") == 1) & (F.col("in_b") == 1),
+                F.col("o_custkey"),
+            )
+        ).alias("n_inter"),
+        F.countDistinct("o_custkey").alias("n_union"),
+    )
+    return m.crossJoin(F.broadcast(x)).select(
+        "n_union_sketch",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_union_sketch"), 6
+        ).alias("jaccard_est"),
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_union"), 6
+        ).alias("jaccard_exact"),
+    )

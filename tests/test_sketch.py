@@ -258,3 +258,43 @@ def test_bottomk_is_uniform_distinct_sample(spark):
     sd = sorted(r["v"] for r in bottomk_sketch(dup, "user_id").collect())
     su = sorted(r["v"] for r in bottomk_sketch(uniq, "user_id").collect())
     assert sd == su
+
+
+def test_cms_heavy_hitters_no_false_negatives(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    # heavy keys 0..4 (200 each) + 500 singleton keys; floor 100:
+    # every true HH must clear the estimate filter (est >= true).
+    rows = [(v,) for v in range(5) for _ in range(200)]
+    rows += [(1000 + v,) for v in range(500)]
+    df = spark.createDataFrame(rows, "user_id long")
+    probes = df.select(F.col("user_id").alias("probe")).distinct()
+    est = cms_estimate(cms_counters(df, "user_id"), probes)
+    passed = {
+        r["probe"] for r in est.where("cms_estimate >= 100").collect()
+    }
+    assert set(range(5)) <= passed  # guarantee: no true HH missing
+
+
+def test_kmv_jaccard_estimator_envelope(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        bottomk_merge,
+        bottomk_sketch,
+    )
+
+    # A = 0..999, B = 500..1499 → true J = 1/3; k=64 minwise estimate
+    # within ~4/sqrt(k) absolute.
+    a = bottomk_sketch(_ids(spark, range(1000)), "user_id").select("hv")
+    b = bottomk_sketch(_ids(spark, range(500, 1500)), "user_id").select(
+        "hv"
+    )
+    u = bottomk_merge(a.unionByName(b)).select("hv")
+    both = (
+        u.join(a, "hv", "leftsemi").join(b, "hv", "leftsemi").count()
+    )
+    n_u = u.count()
+    assert n_u == 64
+    assert abs(both / n_u - 1 / 3) < 4 / math.sqrt(64)

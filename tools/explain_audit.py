@@ -112,6 +112,7 @@ SINGLE_ROW_CROSS_OK = {
     # m-row register table / the events scan (audit side)
     "hll_window_7d",
     "kmv_distinct_users",  # single-row estimate/exact cross
+    "kmv_jaccard_cohorts",  # single-row sketch-agg x exact-agg cross
 }
 
 # QA/audit operators whose all-pairs side IS the measurand: the exact
