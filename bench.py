@@ -193,6 +193,8 @@ HEADLINE = [
     "kmv_distinct_users",
     "cms_heavy_hitters",
     "kmv_jaccard_cohorts",
+    # GPT-3-recipe token-level benchmark decontamination
+    "decontaminate_bpe_13gram",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -845,3 +845,135 @@ def q_kmv_jaccard_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_inter").cast("double") / F.col("n_union"), 6
         ).alias("jaccard_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_bpe_13gram — TOKEN-LEVEL benchmark decontamination,
+# the GPT-3 appendix-C recipe (also Llama/GPT-4 card practice): a
+# training candidate is contaminated if any 13-gram of its REAL-VOCAB
+# token ids appears in the eval set's 13-gram set. Token-level (not
+# word-shingle like contamination_check) because that is what the
+# published pipelines match on — tokenizer-normalized overlap survives
+# whitespace/case tricks that word shingles can miss. The corpus
+# plants 10 copies of eval docs behind a prefix (their interior token
+# runs are IDENTICAL — pre-tokenization is per-word, so the prefix
+# only perturbs the first pre-token); n_planted_caught == n_planted is
+# pinned by the hash. One tokenization pass over corpus∪eval (the
+# distinct-word plan), per-doc ordered id arrays, 13-grams via
+# slice+join, and a broadcast semi-join against the eval n-gram set —
+# corpus token streams never shuffle for the match.
+# ---------------------------------------------------------------------------
+
+_DECON_NG = 13
+_DECON_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id,
+       'copied benchmark row ' || text AS text
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def _decon_bpe_sql() -> str:
+    from ..operators.bpe_vocab import byte_tokenize_ids_sql
+
+    ids = byte_tokenize_ids_sql(_DECON_CORPUS_SQL)
+    n = _DECON_NG
+    return f"""
+WITH ids AS ({ids}),
+arrs AS (
+  SELECT doc_id,
+         list(CAST(token_id AS VARCHAR) ORDER BY wpos, ti) AS toks
+  FROM ids GROUP BY 1
+),
+ngrams AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(toks) - {n - 1}),
+           i -> array_to_string(toks[i:i + {n - 1}], '-'))) AS ng
+  FROM arrs
+),
+eval_ng AS (
+  SELECT DISTINCT ng FROM ngrams
+  WHERE doc_id % 50 = 0 AND doc_id < 10000000
+),
+corpus AS (
+  SELECT doc_id, ng FROM ngrams
+  WHERE doc_id % 50 != 0 OR doc_id >= 10000000
+),
+hits AS (
+  SELECT DISTINCT corpus.doc_id FROM corpus JOIN eval_ng USING (ng)
+)
+SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM corpus)
+         AS n_corpus_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM eval_ng) AS n_eval_ngrams,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_contaminated,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits WHERE doc_id >= 10000000)
+         AS n_planted_caught
+"""
+
+
+@register("decontaminate_bpe_13gram", _decon_bpe_sql())
+def q_decontaminate_bpe_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        bpe_tokenize_ids,
+    )
+
+    n = _DECON_NG
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("copied benchmark row "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    ids = bpe_tokenize_ids(
+        docs.unionByName(planted), pattern=GPT2_SPLIT_PATTERN_PORTABLE
+    )
+    arrs = ids.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("wpos", "ti", "token_id"))
+            ),
+            lambda s: s["token_id"].cast("string"),
+        ).alias("toks")
+    )
+    ngrams = arrs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.array_join(
+                        F.slice("toks", i, n), "-"
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ng"),
+    )
+    is_eval = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 10_000_000)
+    eval_ng = ngrams.where(is_eval).select("ng").distinct()
+    corpus = ngrams.where(~is_eval)
+    hits = (
+        corpus.join(F.broadcast(eval_ng), "ng", "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+    n_corpus = corpus.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus_docs")
+    )
+    n_eval = eval_ng.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_ngrams")
+    )
+    n_hits = hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated")
+    )
+    n_planted = hits.where(F.col("doc_id") >= 10_000_000).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted_caught")
+    )
+    return (
+        n_corpus.crossJoin(F.broadcast(n_eval))
+        .crossJoin(F.broadcast(n_hits))
+        .crossJoin(F.broadcast(n_planted))
+    )

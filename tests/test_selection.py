@@ -223,3 +223,42 @@ def test_dsir_gumbel_weight_dominates_noise(spark):
     for seed in (1, 2, 3):
         top = dsir_gumbel_sample(w, n=1, seed=seed).collect()[0]
         assert top["doc_id"] == 0
+
+
+# ---------------------------------------------------------------------------
+# token-level decontamination plant property
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_plant_preserves_interior_token_ngrams(spark):
+    # The decontaminate_bpe_13gram plant relies on this: a prefixed
+    # copy's token stream is IDENTICAL from the second word on
+    # (pre-tokenization is per-word), so interior 13-grams match.
+    from churn_model_evaluation_platform_spark.operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        bpe_tokenize_ids,
+    )
+
+    text = "the fast key order sort table scan merge row value part hash agg join"
+    df = spark.createDataFrame(
+        [(0, text), (1, "copied benchmark row " + text)],
+        "doc_id long, text string",
+    )
+    ids = bpe_tokenize_ids(df, pattern=GPT2_SPLIT_PATTERN_PORTABLE)
+    streams = {
+        r["doc_id"]: [x["token_id"] for x in r["s"]]
+        for r in ids.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("wpos", "ti", "token_id"))
+            ).alias("s")
+        )
+        .collect()
+    }
+    orig, copy = streams[0], streams[1]
+    # the original's stream from its 2nd word on is a contiguous
+    # suffix of the copy
+    suffix = orig[-13:]
+    assert any(
+        copy[i : i + 13] == suffix for i in range(len(copy) - 12)
+    )

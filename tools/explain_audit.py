@@ -113,6 +113,9 @@ SINGLE_ROW_CROSS_OK = {
     "hll_window_7d",
     "kmv_distinct_users",  # single-row estimate/exact cross
     "kmv_jaccard_cohorts",  # single-row sketch-agg x exact-agg cross
+    # four keyless one-row aggregates crossed into the summary row
+    # (the decontaminate_corpus pattern)
+    "decontaminate_bpe_13gram",
 }
 
 # QA/audit operators whose all-pairs side IS the measurand: the exact
