@@ -195,6 +195,8 @@ HEADLINE = [
     "kmv_jaccard_cohorts",
     # GPT-3-recipe token-level benchmark decontamination
     "decontaminate_bpe_13gram",
+    # the selection stages composed end-to-end
+    "curation_pipeline_v2",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -977,3 +977,119 @@ def q_decontaminate_bpe_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_hits))
         .crossJoin(F.broadcast(n_planted))
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline_v2 — the round-12 selection stages COMPOSED as one
+# curation run (the corpus_curation pattern at this round's
+# calibration level): reference-LM perplexity gate (bigram stupid
+# backoff trained on the even half, CCNet-style, keep ppl ≤ 32) →
+# DSIR top-200 importance cut (target = the English slice) → exact
+# content dedup (min-id survives per normalized-text md5) → REAL-VOCAB
+# token budget of the survivors. One hashed summary row carries every
+# stage's survivor count plus the final token budget, so a drift in
+# ANY stage — LM counts, bucket hashing, tie-breaks, dedup
+# canonicalization, or the 50k-merge tokenizer — moves the row. Each
+# stage is the already-oracled operator; the composition pins that
+# they agree on the HANDOFF frames too.
+# ---------------------------------------------------------------------------
+
+_CUR_PPL_MAX = 32.0
+_CUR_DSIR_N = 200
+
+
+def _curation_v2_sql() -> str:
+    from ..operators.bpe_vocab import byte_vocab_count_sql
+    from ..operators.selection import bigram_lm_sql, dsir_sql
+
+    ppl = bigram_lm_sql(train_pred="doc_id % 2 = 0", eval_pred="TRUE")
+    w = dsir_sql(
+        "lang = 'en'",
+        n_buckets=_DSIR_BUCKETS,
+        table="(SELECT doc_id, text, lang FROM q1)",
+    )
+    counts = byte_vocab_count_sql(
+        "SELECT d.doc_id, d.text FROM documents d JOIN q3 USING (doc_id)"
+    )
+    norm = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    return f"""
+WITH ppl AS ({ppl}),
+q1 AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN ppl USING (doc_id)
+  WHERE ppl.ppl <= {_CUR_PPL_MAX}
+),
+q2 AS (
+  SELECT doc_id FROM ({w})
+  ORDER BY dsir_weight DESC, doc_id LIMIT {_CUR_DSIR_N}
+),
+q2j AS (SELECT q1.* FROM q1 JOIN q2 USING (doc_id)),
+q3 AS (
+  SELECT min(doc_id) AS doc_id FROM q2j GROUP BY {norm}
+),
+counts AS ({counts})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+       (SELECT CAST(count(*) AS BIGINT) FROM q1) AS n_after_ppl,
+       (SELECT CAST(count(*) AS BIGINT) FROM q2j) AS n_after_dsir,
+       (SELECT CAST(count(*) AS BIGINT) FROM q3) AS n_final,
+       (SELECT CAST(sum(n_tokens_exact) AS BIGINT) FROM counts)
+         AS total_tokens_real
+"""
+
+
+@register("curation_pipeline_v2", _curation_v2_sql())
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        bpe_token_count_bytes,
+    )
+    from ..operators.selection import (
+        bigram_lm_scores,
+        dsir_importance_weights,
+        dsir_select,
+    )
+    from ..operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ppl = bigram_lm_scores(
+        docs.where(F.col("doc_id") % 2 == 0), docs
+    )
+    q1 = docs.join(
+        ppl.where(F.col("ppl") <= _CUR_PPL_MAX).select("doc_id"), "doc_id"
+    )
+    q2 = dsir_select(
+        dsir_importance_weights(
+            q1, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+        ),
+        _CUR_DSIR_N,
+    ).select("doc_id")
+    q2j = q1.join(q2, "doc_id")
+    q3 = q2j.groupBy(F.md5(normalize_text(F.col("text")))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    final_docs = q3.select("doc_id").join(docs, "doc_id")
+    counts = bpe_token_count_bytes(
+        final_docs.select("doc_id", "text"),
+        pattern=GPT2_SPLIT_PATTERN_PORTABLE,
+    )
+    n_input = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input")
+    )
+    n_ppl = q1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_ppl")
+    )
+    n_dsir = q2j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_dsir")
+    )
+    n_final = q3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_final")
+    )
+    budget = counts.agg(
+        F.sum("n_tokens_exact").cast("bigint").alias("total_tokens_real")
+    )
+    return (
+        n_input.crossJoin(F.broadcast(n_ppl))
+        .crossJoin(F.broadcast(n_dsir))
+        .crossJoin(F.broadcast(n_final))
+        .crossJoin(F.broadcast(budget))
+    )

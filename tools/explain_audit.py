@@ -116,6 +116,9 @@ SINGLE_ROW_CROSS_OK = {
     # four keyless one-row aggregates crossed into the summary row
     # (the decontaminate_corpus pattern)
     "decontaminate_bpe_13gram",
+    # five keyless one-row stage-count aggregates crossed into the
+    # summary row + the selection stages' own single-row totals
+    "curation_pipeline_v2",
 }
 
 # QA/audit operators whose all-pairs side IS the measurand: the exact
