@@ -298,3 +298,50 @@ def test_kmv_jaccard_estimator_envelope(spark):
     n_u = u.count()
     assert n_u == 64
     assert abs(both / n_u - 1 / 3) < 4 / math.sqrt(64)
+
+
+# ---------------------------------------------------------------------------
+# property: merge == one-shot over ARBITRARY partitionings
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300
+    ),
+    n_parts=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_hll_merge_any_partitioning(spark, values, n_parts, seed):
+    import random as _random
+
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    rng = _random.Random(seed)
+    parts: list[list[int]] = [[] for _ in range(n_parts)]
+    for v in values:
+        parts[rng.randrange(n_parts)].append(v)
+    regs = None
+    for p in parts:
+        if not p:
+            continue
+        r = hll_registers(_ids(spark, p), "user_id")
+        regs = r if regs is None else regs.unionByName(r)
+    merged = hll_estimate(hll_merge(regs)).collect()[0]["hll_estimate"]
+    oneshot = hll_distinct(_ids(spark, values), "user_id").collect()[0][
+        "hll_estimate"
+    ]
+    assert merged == oneshot
