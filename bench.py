@@ -197,6 +197,8 @@ HEADLINE = [
     "decontaminate_bpe_13gram",
     # the selection stages composed end-to-end
     "curation_pipeline_v2",
+    # full stupid-backoff chain at trigram order
+    "lm_perplexity_trigram",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -462,3 +462,251 @@ SELECT {id_col}, {weight_col},
 FROM ({weights_sql})
 ORDER BY gumbel_key DESC, {id_col} LIMIT {n}
 """
+
+
+def _ngrams_n(toks_col, n: int):
+    """Adjacent n-gram strings of a token array (same guard as
+    ``_bigrams``)."""
+    return F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks_col, i + j) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_lm_scores(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = STUPID_BACKOFF_ALPHA,
+) -> DataFrame:
+    """Stupid-backoff TRIGRAM LM scoring — the full backoff CHAIN the
+    web-scale recipe actually runs (Brants et al. 2007 use 5-gram;
+    the chain mechanism is identical, the order is a constant):
+
+        p(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2 ·)        if trigram seen
+                      = α · c(w2 w3) / c(w2 ·)           elif bigram seen
+                      = α² · (c(w3)+1) / (T+V)           else
+
+    Per-position logs carried as exact logp·10⁶ integers (order-free
+    sums, the bigram_lm_scores recipe). Output: (id, n_trigrams,
+    n_order3, n_order2, n_order1, lm_logprob, ppl); eval docs with
+    fewer than 3 tokens are excluded. Scale shape: the train pass is
+    one explode + four count tables (trigram, trigram-context =
+    bigram-as-prefix, bigram, bigram-context); the eval side explodes
+    trigrams once and joins them — context tables are vocabulary- or
+    vocabulary²-sized and shuffle-join on near-uniform string keys.
+    """
+    tr_toks = train.where(F.col(text_col).isNotNull()).select(
+        tokens(F.col(text_col)).alias("__toks")
+    )
+    tr_uni = (
+        tr_toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    tr_tot = tr_uni.agg(
+        F.sum("c_uni").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    tr_tri = (
+        tr_toks.select(F.explode(_ngrams_n(F.col("__toks"), 3)).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c_tri"))
+    )
+    tr_tctx = (
+        tr_tri.select(
+            F.concat_ws(
+                " ",
+                F.split(F.col("tg"), " ").getItem(0),
+                F.split(F.col("tg"), " ").getItem(1),
+            ).alias("p12"),
+            "c_tri",
+        )
+        .groupBy("p12")
+        .agg(F.sum("c_tri").alias("c_tctx"))
+    )
+    tr_big = (
+        tr_toks.select(F.explode(_bigrams(F.col("__toks"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+    )
+    tr_ctx = (
+        tr_big.select(
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c_big"
+        )
+        .groupBy("w1")
+        .agg(F.sum("c_big").alias("c_ctx"))
+    )
+
+    ev = (
+        eval_df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(_ngrams_n(F.col("__toks"), 3)).alias("tg"),
+        )
+        .withColumn(
+            "p12",
+            F.concat_ws(
+                " ",
+                F.split(F.col("tg"), " ").getItem(0),
+                F.split(F.col("tg"), " ").getItem(1),
+            ),
+        )
+        .withColumn(
+            "s23",
+            F.concat_ws(
+                " ",
+                F.split(F.col("tg"), " ").getItem(1),
+                F.split(F.col("tg"), " ").getItem(2),
+            ),
+        )
+        .withColumn("w2", F.split(F.col("tg"), " ").getItem(1))
+        .withColumn("w3", F.split(F.col("tg"), " ").getItem(2))
+    )
+    scored = (
+        ev.join(tr_tri, "tg", "left")
+        .join(tr_tctx, "p12", "left")
+        .join(
+            tr_big.withColumnRenamed("bg", "s23"), "s23", "left"
+        )
+        .join(tr_ctx.withColumnRenamed("w1", "w2"), "w2", "left")
+        .join(tr_uni.withColumnRenamed("w", "w3"), "w3", "left")
+        .crossJoin(F.broadcast(tr_tot))
+    )
+    seen3 = F.col("c_tri").isNotNull()
+    seen2 = F.col("c_big").isNotNull()
+    logp_int = F.round(
+        F.when(seen3, F.log(F.col("c_tri") / F.col("c_tctx")))
+        .when(
+            seen2,
+            F.log(F.lit(alpha) * F.col("c_big") / F.col("c_ctx")),
+        )
+        .otherwise(
+            F.log(
+                F.lit(alpha * alpha)
+                * (F.coalesce(F.col("c_uni"), F.lit(0)) + F.lit(1.0))
+                / (F.col("t_total") + F.col("v_size"))
+            )
+        )
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    mean = F.round(
+        F.sum("__logp_int") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            logp_int.alias("__logp_int"),
+            seen3.cast("int").alias("__o3"),
+            (~seen3 & seen2).cast("int").alias("__o2"),
+            (~seen3 & ~seen2).cast("int").alias("__o1"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum("__o3").cast("bigint").alias("n_order3"),
+            F.sum("__o2").cast("bigint").alias("n_order2"),
+            F.sum("__o1").cast("bigint").alias("n_order1"),
+            mean.alias("lm_logprob"),
+            F.round(F.exp(-mean), 4).alias("ppl"),
+        )
+    )
+
+
+def trigram_lm_sql(
+    train_pred: str = "doc_id % 2 = 0",
+    eval_pred: str = "doc_id % 2 = 1",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = STUPID_BACKOFF_ALPHA,
+) -> str:
+    """DuckDB replay of ``trigram_lm_scores``."""
+    tok = (
+        f"string_split(trim(regexp_replace(lower({text_col}),"
+        " '\\s+', ' ', 'g')), ' ')"
+    )
+    tg = (
+        "list_transform(generate_series(3, len(toks)),"
+        " i -> toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i])"
+    )
+    bg = (
+        "list_transform(generate_series(2, len(toks)),"
+        " i -> toks[i-1] || ' ' || toks[i])"
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, {tok} AS toks
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+tr_uni AS (
+  SELECT w, count(*) AS c_uni FROM (
+    SELECT unnest(toks) AS w FROM tok WHERE {train_pred}
+  ) GROUP BY 1
+),
+tr_tot AS (SELECT sum(c_uni) AS t_total, count(*) AS v_size FROM tr_uni),
+tr_tri AS (
+  SELECT tg, count(*) AS c_tri FROM (
+    SELECT unnest({tg}) AS tg FROM tok WHERE {train_pred}
+  ) GROUP BY 1
+),
+tr_tctx AS (
+  SELECT str_split(tg, ' ')[1] || ' ' || str_split(tg, ' ')[2] AS p12,
+         sum(c_tri) AS c_tctx
+  FROM tr_tri GROUP BY 1
+),
+tr_big AS (
+  SELECT bg, count(*) AS c_big FROM (
+    SELECT unnest({bg}) AS bg FROM tok WHERE {train_pred}
+  ) GROUP BY 1
+),
+tr_ctx AS (
+  SELECT str_split(bg, ' ')[1] AS w1, sum(c_big) AS c_ctx
+  FROM tr_big GROUP BY 1
+),
+ev AS (
+  SELECT {id_col}, unnest({tg}) AS tg
+  FROM tok WHERE {eval_pred}
+),
+scored AS (
+  SELECT ev.{id_col},
+         CAST(round((CASE
+           WHEN t.c_tri IS NOT NULL THEN ln(t.c_tri / tc.c_tctx)
+           WHEN b.c_big IS NOT NULL
+             THEN ln({alpha} * b.c_big / c.c_ctx)
+           ELSE ln({alpha * alpha} * (coalesce(u.c_uni, 0) + 1.0)
+                   / (tt.t_total + tt.v_size)) END)
+           * 1000000.0) AS BIGINT) AS logp_int,
+         CASE WHEN t.c_tri IS NOT NULL THEN 1 ELSE 0 END AS o3,
+         CASE WHEN t.c_tri IS NULL AND b.c_big IS NOT NULL
+              THEN 1 ELSE 0 END AS o2,
+         CASE WHEN t.c_tri IS NULL AND b.c_big IS NULL
+              THEN 1 ELSE 0 END AS o1
+  FROM ev
+  LEFT JOIN tr_tri t USING (tg)
+  LEFT JOIN tr_tctx tc
+    ON str_split(ev.tg, ' ')[1] || ' ' || str_split(ev.tg, ' ')[2] = tc.p12
+  LEFT JOIN tr_big b
+    ON str_split(ev.tg, ' ')[2] || ' ' || str_split(ev.tg, ' ')[3] = b.bg
+  LEFT JOIN tr_ctx c ON str_split(ev.tg, ' ')[2] = c.w1
+  LEFT JOIN tr_uni u ON str_split(ev.tg, ' ')[3] = u.w
+  CROSS JOIN tr_tot tt
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(o3) AS BIGINT) AS n_order3,
+       CAST(sum(o2) AS BIGINT) AS n_order2,
+       CAST(sum(o1) AS BIGINT) AS n_order1,
+       round(CAST(sum(logp_int) AS DOUBLE) / (count(*) * 1000000.0), 6)
+         AS lm_logprob,
+       round(exp(-round(CAST(sum(logp_int) AS DOUBLE)
+                        / (count(*) * 1000000.0), 6)), 4) AS ppl
+FROM scored GROUP BY {id_col}
+"""

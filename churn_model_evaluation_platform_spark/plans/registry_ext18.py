@@ -1093,3 +1093,31 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_final))
         .crossJoin(F.broadcast(budget))
     )
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity_trigram — the FULL stupid-backoff chain (trigram →
+# bigram → add-one unigram; Brants et al. 2007 run the same chain at
+# 5-gram — the order is a constant, the mechanism is what's proven):
+# trained on the even half, scoring the odd half, with per-order usage
+# counts (n_order3/2/1) in the hashed rows so the backoff actually
+# firing is itself oracled. Same integer-sum float discipline as the
+# bigram query.
+# ---------------------------------------------------------------------------
+
+
+def _lm_trigram_sql() -> str:
+    from ..operators.selection import trigram_lm_sql
+
+    return trigram_lm_sql()
+
+
+@register("lm_perplexity_trigram", _lm_trigram_sql())
+def q_lm_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import trigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return trigram_lm_scores(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )

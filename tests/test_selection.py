@@ -262,3 +262,43 @@ def test_prefix_plant_preserves_interior_token_ngrams(spark):
     assert any(
         copy[i : i + 13] == suffix for i in range(len(copy) - 12)
     )
+
+
+# ---------------------------------------------------------------------------
+# trigram LM backoff chain
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_lm_hand_computed_chain(spark):
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        trigram_lm_scores,
+    )
+
+    # train "a b c a b d": uni a2 b2 c1 d1 (T=6, V=4);
+    # trigrams: "a b c", "b c a", "c a b", "a b d" → c3("a b c")=1,
+    # ctx("a b")=2; bigrams: "a b"x2, "b c", "c a", "b d".
+    train = _docs(spark, [(0, "a b c a b d")])
+    # eval "a b c x": "a b c" order3 ln(1/2); "b c x" order1 via x
+    # unseen (bigram "c x" unseen): ln(0.16 * 1/10).
+    ev = _docs(spark, [(1, "a b c x")])
+    row = trigram_lm_scores(train, ev).collect()[0]
+    assert (row["n_trigrams"], row["n_order3"], row["n_order2"], row["n_order1"]) == (2, 1, 0, 1)
+    e1 = round(math.log(0.5) * 1e6)
+    e2 = round(math.log(0.16 * 1.0 / 10.0) * 1e6)
+    assert row["lm_logprob"] == round((e1 + e2) / 2e6, 6)
+
+
+def test_trigram_lm_order2_branch(spark):
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        trigram_lm_scores,
+    )
+
+    # train has bigram "c d" (via "b c d") but eval trigram "x c d" is
+    # unseen → order2: ln(0.4 * c("c d")/ctx(c)).
+    train = _docs(spark, [(0, "b c d x q")])
+    ev = _docs(spark, [(1, "x c d")])
+    row = trigram_lm_scores(train, ev).collect()[0]
+    assert (row["n_order3"], row["n_order2"], row["n_order1"]) == (0, 1, 0)
+    assert row["lm_logprob"] == round(
+        round(math.log(0.4 * 1.0 / 1.0) * 1e6) / 1e6, 6
+    )
