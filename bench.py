@@ -199,6 +199,9 @@ HEADLINE = [
     "curation_pipeline_v2",
     # full stupid-backoff chain at trigram order
     "lm_perplexity_trigram",
+    # EDA distinct profile + deterministic per-group exemplars
+    "hll_profile_orders",
+    "sample_per_lang",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

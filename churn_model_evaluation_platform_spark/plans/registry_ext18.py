@@ -1121,3 +1121,122 @@ def q_lm_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 0),
         docs.where(F.col("doc_id") % 2 == 1),
     )
+
+
+# ---------------------------------------------------------------------------
+# hll_profile_orders — the EDA distinct-cardinality PROFILE via
+# sketches: one register build per column (melted to (col, value)
+# rows, so the groupBy key is (col, bucket) and all columns share one
+# shuffle), per-column estimate vs exact COUNT(DISTINCT). The profile
+# a 100 TB onboarding job runs instead of N exact distinct scans —
+# and, persisted, the input to schema-drift monitoring (register
+# deltas per column per day).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderkey")
+
+
+def _hll_profile_sql() -> str:
+    from ..operators.sketch import hll_estimate_sql, hll_registers_sql
+
+    melted = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM orders"
+        for c in _PROFILE_COLS
+    )
+    regs = hll_registers_sql(melted, "val", group_cols="col")
+    est = hll_estimate_sql(
+        "SELECT col, bucket, rho FROM regs", group_cols="col"
+    )
+    exact = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, count(DISTINCT {c}) AS n_exact FROM orders"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH regs AS ({regs}),
+est AS ({est}),
+exact AS ({exact})
+SELECT col, n_buckets_used, hll_estimate,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round(abs(hll_estimate - n_exact) / n_exact, 4) AS rel_err
+FROM est JOIN exact USING (col)
+"""
+
+
+@register("hll_profile_orders", _hll_profile_sql())
+def q_hll_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_distinct
+
+    orders = _t(spark, sf_dir, "orders")
+    melted = None
+    for c in _PROFILE_COLS:
+        part = orders.select(
+            F.lit(c).alias("col"), F.col(c).cast("string").alias("val")
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    est = hll_distinct(melted, "val", group_cols=["col"])
+    exact = None
+    for c in _PROFILE_COLS:
+        part = orders.agg(
+            F.countDistinct(c).alias("n_exact")
+        ).select(F.lit(c).alias("col"), "n_exact")
+        exact = part if exact is None else exact.unionByName(part)
+    return est.join(F.broadcast(exact), "col").select(
+        "col",
+        "n_buckets_used",
+        "hll_estimate",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_per_lang — deterministic uniform EXEMPLARS per group: the k
+# smallest portable-hash docs per language (the bottom-k sketch at
+# dashboard grain — hash order is uniform and reproducible, so "show
+# me 3 random docs per language" returns the SAME docs on every
+# engine and every run; duplicates of a doc can't bias it). A window
+# per group over hash rank — partitioned by lang, never global.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 3
+
+
+def _sample_per_lang_sql() -> str:
+    from ..operators.sketch import _HASH_CHARS
+
+    h = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, "
+        f"{_HASH_CHARS}) AS BIGINT)"
+    )
+    return f"""
+SELECT lang, rk, doc_id FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id)
+              AS INT) AS rk
+  FROM documents
+) WHERE rk <= {_SAMPLE_K}
+"""
+
+
+@register("sample_per_lang", _sample_per_lang_sql())
+def q_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_hash_int
+    from ..operators.sketch import _HASH_CHARS
+
+    docs = _t(spark, sf_dir, "documents")
+    h = md5_hash_int(F.col("doc_id").cast("string"), _HASH_CHARS)
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        docs.select(
+            "lang",
+            F.row_number().over(w).cast("int").alias("rk"),
+            "doc_id",
+        )
+        .where(F.col("rk") <= _SAMPLE_K)
+    )
