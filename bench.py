@@ -202,6 +202,8 @@ HEADLINE = [
     # EDA distinct profile + deterministic per-group exemplars
     "hll_profile_orders",
     "sample_per_lang",
+    # chunk -> hash-embed -> dense+lexical -> RRF, end to end
+    "rag_hybrid_hashed",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

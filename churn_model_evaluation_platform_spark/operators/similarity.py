@@ -1220,3 +1220,85 @@ def hybrid_topk_rrf(
         k0=k0,
         k=k,
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing embeddings (Weinberger et al. 2009, "Feature Hashing
+# for Large Scale Multitask Learning"): a deterministic, model-free
+# text embedding — signed hashed bag-of-words over the portable md5
+# hash — that makes a full dense-retrieval pipeline exactly
+# replayable cross-engine (no torch, no weights). Not a semantic
+# model: the point is the PLUMBING parity (chunk → embed → index →
+# retrieve) with an embedder both engines can compute bit-for-bit;
+# swapping in a real encoder changes one projection.
+# ---------------------------------------------------------------------------
+
+FEATHASH_DIM = 16
+
+
+def _fh_bucket(tok: Column, dim: int) -> Column:
+    from ..functions.hashing import md5_hash_int
+
+    return md5_hash_int(tok, 6) % dim
+
+
+def _fh_sign(tok: Column) -> Column:
+    from ..functions.hashing import md5_hash_int
+
+    return 1 - 2 * (md5_hash_int(F.concat(tok, F.lit("#s")), 2) % 2)
+
+
+def feature_hash_embed(
+    text: Column, dim: int = FEATHASH_DIM
+) -> Column:
+    """Signed hashed bag-of-words vector of a text column as
+    ``array<bigint>`` — one fold over the token array (F.aggregate:
+    pure per-row expression, zero shuffle, O(dim · n_tokens))."""
+    from .text import tokens as _tokens  # lazy: avoid module cycle
+
+    toks = _tokens(text)
+    zero = F.expr(f"array_repeat(cast(0 as bigint), {dim})")
+    return F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(
+                _fh_bucket(t, dim) == i.cast("bigint"), _fh_sign(t)
+            ).otherwise(F.lit(0)),
+        ),
+    )
+
+
+def feature_hash_vec_py(text: str, dim: int = FEATHASH_DIM) -> list[int]:
+    """Python twin of ``feature_hash_embed`` for driver-side QUERY
+    vectors (identical md5 bucketing/sign; identical normalize-
+    tokenize)."""
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    vec = [0] * dim
+    for t in toks:
+        b = int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % dim
+        s = 1 - 2 * (
+            int(hashlib.md5((t + "#s").encode()).hexdigest()[:2], 16) % 2
+        )
+        vec[b] += s
+    return vec
+
+
+def feature_hash_sums_sql(dim: int = FEATHASH_DIM) -> str:
+    """DuckDB twin as explode+CASE sums over a ``(cid, token)`` frame
+    named ``ftok``: a list literal of per-bucket signed sums (identical
+    integers to the Spark fold — addition is exact)."""
+    b = "CAST('0x' || substr(md5(token), 1, 6) AS BIGINT) % " + str(dim)
+    s = (
+        "(1 - 2 * (CAST('0x' || substr(md5(token || '#s'), 1, 2) AS BIGINT)"
+        " % 2))"
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN ({b}) = {i} THEN {s} ELSE 0 END)" for i in range(dim)
+    )
+    return f"SELECT cid, [{sums}] AS vec FROM ftok GROUP BY cid"

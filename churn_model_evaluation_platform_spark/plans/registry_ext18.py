@@ -1240,3 +1240,156 @@ def q_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= _SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_hybrid_hashed — the RAG ingestion+retrieval pipeline END-TO-END
+# with an exactly-replayable embedder: chunk (50-token windows, stride
+# 40) → feature-hash embed (Weinberger et al. 2009 signed hashed BoW —
+# deterministic, model-free, bit-identical cross-engine; swapping in a
+# real encoder changes one projection) → dense cosine top-50 against
+# the hashed QUERY vector → BM25 top-50 over the same chunks → RRF
+# fusion. Every stage already oracled alone (doc_chunks, bm25_search,
+# hybrid_topk_rrf); this pins the full chain including the
+# chunk-grain composite id handoff. Integer dot products; the only
+# libm is the norm sqrt, rounded at 1e-6.
+# ---------------------------------------------------------------------------
+
+_RAG_QUERY = "hash join merge plan"
+_RAG_FETCH_K = 50
+_RAG_K = 10
+
+
+def _rag_sql() -> str:
+    from ..operators.similarity import (
+        FEATHASH_DIM,
+        feature_hash_sums_sql,
+        feature_hash_vec_py,
+    )
+
+    q = feature_hash_vec_py(_RAG_QUERY)
+    qnorm = sum(v * v for v in q) ** 0.5
+    dot = " + ".join(f"vec[{i + 1}] * ({q[i]})" for i in range(FEATHASH_DIM))
+    n2 = " + ".join(f"vec[{i + 1}] * vec[{i + 1}]" for i in range(FEATHASH_DIM))
+    terms = tuple(sorted(set(_RAG_QUERY.split())))
+    return f"""
+WITH tok0 AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (
+  SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 40)) AS start
+  FROM tok0
+),
+chunks AS (
+  SELECT doc_id * 100 + start // 40 AS cid,
+         array_to_string(tk[start + 1 : start + 50], ' ') AS chunk_text
+  FROM st
+),
+ftok AS (
+  SELECT cid,
+         unnest(string_split(trim(regexp_replace(lower(chunk_text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM chunks WHERE chunk_text IS NOT NULL
+),
+emb AS ({feature_hash_sums_sql()}),
+dense0 AS (
+  SELECT cid,
+         round(({dot}) / (sqrt({n2}) * {qnorm!r}), 6) AS cosine_sim
+  FROM emb WHERE ({n2}) > 0
+),
+vs AS (SELECT cid, cosine_sim FROM dense0
+       ORDER BY cosine_sim DESC, cid LIMIT {_RAG_FETCH_K}),
+dl AS (SELECT cid, count(*) AS dl FROM ftok GROUP BY cid),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT t.cid, d.dl, t.token, count(*) AS tf
+  FROM ftok t JOIN dl d USING (cid)
+  WHERE t.token IN {terms!r}
+  GROUP BY 1, 2, 3
+),
+dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+w AS (
+  SELECT tf.cid,
+         round(
+           ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+           6
+         ) AS w
+  FROM tf JOIN dfq USING (token) CROSS JOIN stats
+),
+bm AS (
+  SELECT cid, round(sum(w), 6) AS bm25
+  FROM w GROUP BY cid
+  ORDER BY bm25 DESC, cid LIMIT {_RAG_FETCH_K}
+),
+br AS (SELECT cid,
+              row_number() OVER (ORDER BY bm25 DESC, cid) AS bm25_rank
+       FROM bm),
+vr AS (SELECT cid,
+              row_number() OVER (ORDER BY cosine_sim DESC, cid) AS vec_rank
+       FROM vs)
+SELECT cid,
+       CAST(bm25_rank AS INT) AS bm25_rank,
+       CAST(vec_rank AS INT) AS vec_rank,
+       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + bm25_rank), 0.0)
+             + coalesce(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0),
+             9) AS rrf_score
+FROM br FULL OUTER JOIN vr USING (cid)
+ORDER BY rrf_score DESC, cid LIMIT {_RAG_K}
+"""
+
+
+@register("rag_hybrid_hashed", _rag_sql())
+def q_rag_hybrid_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        FEATHASH_DIM,
+        feature_hash_embed,
+        feature_hash_vec_py,
+        rrf_fuse,
+    )
+    from ..operators.text import bm25_topk, doc_chunks
+
+    q = feature_hash_vec_py(_RAG_QUERY)
+    qnorm = sum(v * v for v in q) ** 0.5
+    chunks = doc_chunks(_t(spark, sf_dir, "documents"), 50, 10).select(
+        (F.col("doc_id") * 100 + F.col("chunk_index")).alias("cid"),
+        "chunk_text",
+    )
+    emb = chunks.select(
+        "cid", feature_hash_embed(F.col("chunk_text")).alias("vec")
+    )
+    dot = None
+    n2 = None
+    for i in range(FEATHASH_DIM):
+        v = F.element_at("vec", i + 1)
+        dterm = v * F.lit(q[i])
+        nterm = v * v
+        dot = dterm if dot is None else dot + dterm
+        n2 = nterm if n2 is None else n2 + nterm
+    dense = (
+        emb.where(n2 > 0)
+        .select(
+            "cid",
+            F.round(
+                dot / (F.sqrt(n2.cast("double")) * F.lit(qnorm)), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("cid"))
+        .limit(_RAG_FETCH_K)
+    )
+    lex = bm25_topk(
+        chunks,
+        sorted(set(_RAG_QUERY.split())),
+        k=_RAG_FETCH_K,
+        text_col="chunk_text",
+        id_col="cid",
+    )
+    return rrf_fuse(
+        [lex, dense],
+        id_col="cid",
+        score_cols=["bm25", "cosine_sim"],
+        rank_names=["bm25_rank", "vec_rank"],
+        k=_RAG_K,
+    )

@@ -302,3 +302,32 @@ def test_trigram_lm_order2_branch(spark):
     assert row["lm_logprob"] == round(
         round(math.log(0.4 * 1.0 / 1.0) * 1e6) / 1e6, 6
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hash embedder parity
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hash_embed_matches_python_twin(spark):
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        feature_hash_embed,
+        feature_hash_vec_py,
+    )
+
+    texts = [
+        "hash join merge plan",
+        "the fast key ORDER   sort table",
+        "one",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "cid long, t string"
+    )
+    got = {
+        r["cid"]: list(r["v"])
+        for r in df.select(
+            "cid", feature_hash_embed(F.col("t")).alias("v")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == feature_hash_vec_py(t), t

@@ -103,6 +103,7 @@ SINGLE_ROW_CROSS_OK = {
     "dsir_select_en",  # single-row (t_raw, t_tgt) totals broadcast
     "dsir_sample_gumbel",  # same weights plan + Gumbel TakeOrdered
     "hybrid_topk_rrf",  # bm25 leg's single-row (n_docs, avgdl) cross
+    "rag_hybrid_hashed",  # same bm25 single-row stats cross, chunk grain
     # HLL family: single-row estimate/exact-count aggregates crossed
     # into the one-row audit/summary result
     "hll_users_estimate",
