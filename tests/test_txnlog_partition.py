@@ -229,7 +229,16 @@ def test_keep_expr_conservative_on_missing_stats(spark):
     """Files with NULL stats_json (pre-stats commits) always survive
     the distributed filter."""
     idx = spark.createDataFrame(
-        [("f1", None, None, None), ("f2", 10, 100, '{"x": {"kind": "num", "min": 5, "max": 9, "nulls": 0}}')],
+        [
+            ("f1", None, None, None, None),
+            (
+                "f2",
+                10,
+                100,
+                '{"x": {"kind": "num", "min": 5, "max": 9, "nulls": 0}}',
+                None,
+            ),
+        ],
         _FILE_INDEX_SCHEMA,
     )
     kept = {
