@@ -185,6 +185,7 @@ HEADLINE = [
     # count-min point frequencies
     "hll_users_estimate",
     "hll_merge_daily",
+    "hll_users_by_type",
     "cms_user_freq",
     # streaming sketch maintenance through the txn table
     "stream_hll_ingest",

@@ -40,18 +40,10 @@ STUPID_BACKOFF_ALPHA = 0.4
 
 
 def _bigrams(toks_col):
-    """Adjacent-pair bigram strings of a token array (empty when the
-    array has fewer than 2 elements — Spark's ``sequence(1, 0)`` would
-    count DOWN, so the short case is guarded explicitly)."""
-    return F.when(
-        F.size(toks_col) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks_col) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks_col, i), F.element_at(toks_col, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Adjacent-pair bigram strings of a token array — the n=2
+    instantiation of ``_ngrams_n`` (defined below; resolved at call
+    time)."""
+    return _ngrams_n(toks_col, 2)
 
 
 def bigram_lm_scores(

@@ -1253,20 +1253,29 @@ def feature_hash_embed(
 ) -> Column:
     """Signed hashed bag-of-words vector of a text column as
     ``array<bigint>`` — one fold over the token array (F.aggregate:
-    pure per-row expression, zero shuffle, O(dim · n_tokens))."""
+    pure per-row expression, zero shuffle, O(dim · n_tokens)). Tokens
+    hash ONCE into a (bucket, sign) struct array before the fold —
+    Catalyst does not CSE across higher-order-function lambdas, so
+    hashing inside the per-lane lambda would md5 each token 2·dim
+    times."""
     from .text import tokens as _tokens  # lazy: avoid module cycle
 
-    toks = _tokens(text)
+    hashed = F.transform(
+        _tokens(text),
+        lambda t: F.struct(
+            _fh_bucket(t, dim).alias("b"), _fh_sign(t).alias("s")
+        ),
+    )
     zero = F.expr(f"array_repeat(cast(0 as bigint), {dim})")
     return F.aggregate(
-        toks,
+        hashed,
         zero,
-        lambda acc, t: F.transform(
+        lambda acc, h: F.transform(
             acc,
             lambda x, i: x
-            + F.when(
-                _fh_bucket(t, dim) == i.cast("bigint"), _fh_sign(t)
-            ).otherwise(F.lit(0)),
+            + F.when(h["b"] == i.cast("bigint"), h["s"]).otherwise(
+                F.lit(0)
+            ),
         ),
     )
 

@@ -209,7 +209,7 @@ def hll_estimate_sql(
   FROM (
     SELECT {gsel}count(*) AS n_used,
            sum((CAST(1 AS BIGINT) << ({w + 1} - rho))) AS sum_int
-    FROM ({registers_sql}) {gby or "GROUP BY ALL" if group_cols else ""}
+    FROM ({registers_sql}) {gby}
   )
 """
 

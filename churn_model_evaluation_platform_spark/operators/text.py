@@ -690,3 +690,60 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.col(id_col))
         .limit(k)
     )
+
+
+def bm25_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: tuple = (),
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tok_cte: str | None = None,
+) -> str:
+    """DuckDB replay of ``bm25_topk`` as one parameterized builder —
+    the single source for every BM25 oracle (bm25_search, the RRF
+    hybrid, the RAG chain), so the formula constants and the round-6
+    parity recipe can never drift between copies. ``tok_cte`` names an
+    EXISTING outer CTE yielding (id_col, token) to skip the
+    tokenization stage (the RAG chain tokenizes chunks once and shares
+    the frame)."""
+    if not terms:
+        raise ValueError("bm25_sql: terms must be non-empty")
+    terms = tuple(sorted(set(terms)))
+    tok_src = (
+        tok_cte
+        if tok_cte
+        else f"""(
+  SELECT {id_col},
+         unnest(string_split(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM {table} WHERE {text_col} IS NOT NULL
+)"""
+    )
+    return f"""
+WITH tok_b AS (SELECT {id_col}, token FROM {tok_src}),
+dl AS (SELECT {id_col}, count(*) AS dl FROM tok_b GROUP BY {id_col}),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT t.{id_col}, d.dl, t.token, count(*) AS tf
+  FROM tok_b t JOIN dl d USING ({id_col})
+  WHERE t.token IN {terms!r}
+  GROUP BY 1, 2, 3
+),
+dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+w AS (
+  SELECT tf.{id_col},
+         round(
+           ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * ({round(1 - b, 2)} + {b} * dl / avgdl)),
+           6
+         ) AS w
+  FROM tf JOIN dfq USING (token) CROSS JOIN stats
+)
+SELECT {id_col}, round(sum(w), 6) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_matched
+FROM w GROUP BY {id_col}
+ORDER BY bm25 DESC, {id_col} LIMIT {k}
+"""

@@ -824,36 +824,13 @@ def q_matview_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("hash", "join", "merge")
 _BM25_K = 10
 
-_BM25_SQL = f"""
-WITH tok AS (
-  SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
-  FROM documents WHERE text IS NOT NULL
-),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-tf AS (
-  SELECT t.doc_id, d.dl, t.token, count(*) AS tf
-  FROM tok t JOIN dl d USING (doc_id)
-  WHERE t.token IN {tuple(_BM25_TERMS)!r}
-  GROUP BY 1, 2, 3
-),
-dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
-w AS (
-  SELECT tf.doc_id,
-         round(
-           ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))
-           * (tf * (1.2 + 1.0))
-           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-           6
-         ) AS w
-  FROM tf JOIN dfq USING (token) CROSS JOIN stats
-)
-SELECT doc_id, round(sum(w), 6) AS bm25,
-       CAST(count(*) AS BIGINT) AS n_terms_matched
-FROM w GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
-"""
+def _bm25_search_sql() -> str:
+    from ..operators.text import bm25_sql
+
+    return bm25_sql(terms=_BM25_TERMS, k=_BM25_K)
+
+
+_BM25_SQL = _bm25_search_sql()
 
 
 @register("bm25_search", _BM25_SQL)

@@ -34,36 +34,12 @@ _RRF_FETCH_K = 50
 _RRF_K = 10
 _RRF_K0 = 60
 
-_RRF_SQL = f"""
-WITH tok AS (
-  SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
-  FROM documents WHERE text IS NOT NULL
-),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-tf AS (
-  SELECT t.doc_id, d.dl, t.token, count(*) AS tf
-  FROM tok t JOIN dl d USING (doc_id)
-  WHERE t.token IN {tuple(_RRF_TERMS)!r}
-  GROUP BY 1, 2, 3
-),
-dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
-w AS (
-  SELECT tf.doc_id,
-         round(
-           ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))
-           * (tf * (1.2 + 1.0))
-           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-           6
-         ) AS w
-  FROM tf JOIN dfq USING (token) CROSS JOIN stats
-),
-bm AS (
-  SELECT doc_id, round(sum(w), 6) AS bm25
-  FROM w GROUP BY doc_id
-  ORDER BY bm25 DESC, doc_id LIMIT {_RRF_FETCH_K}
-),
+def _rrf_sql() -> str:
+    from ..operators.text import bm25_sql
+
+    bm = bm25_sql(terms=_RRF_TERMS, k=_RRF_FETCH_K)
+    return f"""
+WITH bm AS ({bm}),
 qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
        FROM embeddings WHERE vec_id = 0),
 vs AS (
@@ -90,6 +66,9 @@ SELECT doc_id,
 FROM br FULL OUTER JOIN vr USING (doc_id)
 ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_K}
 """
+
+
+_RRF_SQL = _rrf_sql()
 
 
 @register("hybrid_topk_rrf", _RRF_SQL)
@@ -1266,12 +1245,26 @@ def _rag_sql() -> str:
         feature_hash_sums_sql,
         feature_hash_vec_py,
     )
+    from ..operators.text import bm25_sql
 
     q = feature_hash_vec_py(_RAG_QUERY)
     qnorm = sum(v * v for v in q) ** 0.5
     dot = " + ".join(f"vec[{i + 1}] * ({q[i]})" for i in range(FEATHASH_DIM))
     n2 = " + ".join(f"vec[{i + 1}] * vec[{i + 1}]" for i in range(FEATHASH_DIM))
-    terms = tuple(sorted(set(_RAG_QUERY.split())))
+    bm = bm25_sql(
+        id_col="cid",
+        terms=tuple(_RAG_QUERY.split()),
+        k=_RAG_FETCH_K,
+        tok_cte="ftok",
+    )
+    # chunk id: the portable md5 of "doc_id#chunk_index" — collision-
+    # free at any document length (an arithmetic doc_id*K+index id
+    # collides once a doc has >= K chunks; web docs make that real);
+    # doc_id/chunk_index are recovered by joining the mapping back.
+    cid = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||"
+        " CAST(start // 40 AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
     return f"""
 WITH tok0 AS (
   SELECT doc_id,
@@ -1283,7 +1276,7 @@ st AS (
   FROM tok0
 ),
 chunks AS (
-  SELECT doc_id * 100 + start // 40 AS cid,
+  SELECT {cid} AS cid, doc_id, CAST(start // 40 AS INT) AS chunk_index,
          array_to_string(tk[start + 1 : start + 50], ' ') AS chunk_text
   FROM st
 ),
@@ -1300,49 +1293,31 @@ dense0 AS (
 ),
 vs AS (SELECT cid, cosine_sim FROM dense0
        ORDER BY cosine_sim DESC, cid LIMIT {_RAG_FETCH_K}),
-dl AS (SELECT cid, count(*) AS dl FROM ftok GROUP BY cid),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-tf AS (
-  SELECT t.cid, d.dl, t.token, count(*) AS tf
-  FROM ftok t JOIN dl d USING (cid)
-  WHERE t.token IN {terms!r}
-  GROUP BY 1, 2, 3
-),
-dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
-w AS (
-  SELECT tf.cid,
-         round(
-           ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))
-           * (tf * (1.2 + 1.0))
-           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-           6
-         ) AS w
-  FROM tf JOIN dfq USING (token) CROSS JOIN stats
-),
-bm AS (
-  SELECT cid, round(sum(w), 6) AS bm25
-  FROM w GROUP BY cid
-  ORDER BY bm25 DESC, cid LIMIT {_RAG_FETCH_K}
-),
+bm AS ({bm}),
 br AS (SELECT cid,
               row_number() OVER (ORDER BY bm25 DESC, cid) AS bm25_rank
        FROM bm),
 vr AS (SELECT cid,
               row_number() OVER (ORDER BY cosine_sim DESC, cid) AS vec_rank
-       FROM vs)
-SELECT cid,
-       CAST(bm25_rank AS INT) AS bm25_rank,
-       CAST(vec_rank AS INT) AS vec_rank,
-       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + bm25_rank), 0.0)
-             + coalesce(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0),
-             9) AS rrf_score
-FROM br FULL OUTER JOIN vr USING (cid)
-ORDER BY rrf_score DESC, cid LIMIT {_RAG_K}
+       FROM vs),
+fused AS (
+  SELECT cid,
+         CAST(bm25_rank AS INT) AS bm25_rank,
+         CAST(vec_rank AS INT) AS vec_rank,
+         round(coalesce(CAST(1.0 AS DOUBLE) / (60 + bm25_rank), 0.0)
+               + coalesce(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0),
+               9) AS rrf_score
+  FROM br FULL OUTER JOIN vr USING (cid)
+  ORDER BY rrf_score DESC, cid LIMIT {_RAG_K}
+)
+SELECT c.doc_id, c.chunk_index, f.bm25_rank, f.vec_rank, f.rrf_score
+FROM fused f JOIN chunks c USING (cid)
 """
 
 
 @register("rag_hybrid_hashed", _rag_sql())
 def q_rag_hybrid_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_hash_int
     from ..operators.similarity import (
         FEATHASH_DIM,
         feature_hash_embed,
@@ -1354,7 +1329,16 @@ def q_rag_hybrid_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feature_hash_vec_py(_RAG_QUERY)
     qnorm = sum(v * v for v in q) ** 0.5
     chunks = doc_chunks(_t(spark, sf_dir, "documents"), 50, 10).select(
-        (F.col("doc_id") * 100 + F.col("chunk_index")).alias("cid"),
+        md5_hash_int(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.col("chunk_index").cast("string"),
+            ),
+            15,
+        ).alias("cid"),
+        "doc_id",
+        "chunk_index",
         "chunk_text",
     )
     emb = chunks.select(
@@ -1386,10 +1370,13 @@ def q_rag_hybrid_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="chunk_text",
         id_col="cid",
     )
-    return rrf_fuse(
+    fused = rrf_fuse(
         [lex, dense],
         id_col="cid",
         score_cols=["bm25", "cosine_sim"],
         rank_names=["bm25_rank", "vec_rank"],
         k=_RAG_K,
     )
+    return fused.join(
+        chunks.select("cid", "doc_id", "chunk_index"), "cid"
+    ).select("doc_id", "chunk_index", "bm25_rank", "vec_rank", "rrf_score")
