@@ -205,6 +205,8 @@ HEADLINE = [
     "sample_per_lang",
     # chunk -> hash-embed -> dense+lexical -> RRF, end to end
     "rag_hybrid_hashed",
+    # additive-sketch streaming (exactly-once contrast to the HLL)
+    "stream_cms_ingest",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

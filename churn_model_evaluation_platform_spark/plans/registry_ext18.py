@@ -1380,3 +1380,97 @@ def q_rag_hybrid_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.join(
         chunks.select("cid", "doc_id", "chunk_index"), "cid"
     ).select("doc_id", "chunk_index", "bm25_rank", "vec_rank", "rrf_score")
+
+
+# ---------------------------------------------------------------------------
+# stream_cms_ingest — streaming COUNT-MIN maintenance through the txn
+# table: the ADDITIVE-merge contrast to stream_hll_ingest. CMS
+# counters merge by summation, which is NOT idempotent — a replayed
+# micro-batch would double-count — so this pipeline is exactly the
+# case the txn table's claimed batch ids exist for: foreachBatch
+# appends each epoch's sparse counter partial under batch_id=epoch,
+# replays are skipped at the commit log, and the query sums partials
+# per (j, bucket) before estimating. The oracle replays the one-shot
+# CMS over the full events table — a dropped, duplicated, or
+# re-delivered epoch breaks the hash. The replay-vs-genuine-
+# double-delivery distinction is pinned in
+# tests/test_stream_cms_ingest.py.
+# ---------------------------------------------------------------------------
+
+
+def _stream_cms_sql() -> str:
+    return _cms_sql()
+
+
+@register("stream_cms_ingest", _stream_cms_sql())
+def q_stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..operators.sketch import cms_counters, cms_estimate, cms_merge
+    from ..sources.txnlog import TxnTable
+    from .phases import timed_phase
+    from .registry import drain_stream
+    from .registry_ext12 import _tmp_table_path
+
+    ev = _t(spark, sf_dir, "events")
+    base = _tmp_table_path(sf_dir, "cmsstream")
+    with timed_phase("stream_cms_ingest.build"):
+        drops = f"{base}/drops"
+        os.makedirs(drops, exist_ok=True)
+        for i, (lo, hi) in enumerate([(1, 11), (11, 21), (21, 32)]):
+            tmp = f"{base}/tmp{i}"
+            ev.where(
+                (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
+            ).select("user_id").coalesce(1).write.mode("overwrite").parquet(
+                tmp
+            )
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, f"{drops}/b{i}.parquet")
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(
+                f"{drops}/b{i}.parquet",
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+
+        table = TxnTable(spark, f"{base}/counters")
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            table.append(
+                cms_counters(batch_df, "user_id"), batch_id=batch_id
+            )
+
+        schema = T.StructType([T.StructField("user_id", T.LongType())])
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q)
+
+    counters = cms_merge(table.scan().select("j", "bucket", "c"))
+    probes = spark.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "probe long"
+    )
+    est = cms_estimate(counters, probes)
+    exact = ev.groupBy(F.col("user_id").alias("probe")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "probe", "left").select(
+        "probe",
+        "cms_estimate",
+        F.coalesce(F.col("n_exact"), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        (
+            F.col("cms_estimate")
+            - F.coalesce(F.col("n_exact"), F.lit(0)).cast("bigint")
+        ).alias("overestimate"),
+    )
