@@ -207,6 +207,8 @@ HEADLINE = [
     "rag_hybrid_hashed",
     # additive-sketch streaming (exactly-once contrast to the HLL)
     "stream_cms_ingest",
+    # TPC-H Q14 shape: broadcast-dim conditional-aggregate ratio
+    "promo_revenue_ratio",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -1474,3 +1474,65 @@ def q_stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.col("n_exact"), F.lit(0)).cast("bigint")
         ).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# promo_revenue_ratio — the TPC-H Q14 shape (promotion revenue share
+# over a one-month shipdate window), completing the classic trio
+# (Q1/Q3/Q5 shapes landed r6 as pricing_summary / shipping_priority /
+# local_supplier_volume): lineitem ⋈ broadcast(part) with the date
+# filter PUSHED to the fact scan, one conditional-aggregate ratio row.
+# Float story: revenue terms are exact products of parquet doubles
+# summed per branch; cross-engine summation order differs, so both
+# sums round at 1e-4 before the ratio and the ratio re-rounds at 1e-6
+# (sums are O(10^5)-scale while the grain is 1e-4 — the established
+# tolerance argument for double-sum aggregates in registry.py).
+# ---------------------------------------------------------------------------
+
+_Q14_LO, _Q14_HI = "1998-03-01", "1998-04-01"
+
+_Q14_SQL = f"""
+SELECT round(100.0 * promo / total, 6) AS promo_revenue_pct,
+       promo AS promo_revenue, total AS total_revenue
+FROM (
+  SELECT round(sum(CASE WHEN p.p_type = 'ECONOMY'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0 END), 4) AS promo,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{_Q14_LO} 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '{_Q14_HI} 00:00:00'
+)
+"""
+
+
+@register("promo_revenue_ratio", _Q14_SQL)
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(f"{_Q14_LO} 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{_Q14_HI} 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                4,
+            ).alias("promo"),
+            F.round(F.sum(rev), 4).alias("total"),
+        )
+    )
+    return agg.select(
+        F.round(100.0 * F.col("promo") / F.col("total"), 6).alias(
+            "promo_revenue_pct"
+        ),
+        F.col("promo").alias("promo_revenue"),
+        F.col("total").alias("total_revenue"),
+    )
