@@ -209,6 +209,8 @@ HEADLINE = [
     "stream_cms_ingest",
     # TPC-H Q14 shape: broadcast-dim conditional-aggregate ratio
     "promo_revenue_ratio",
+    # privacy-governance release audit
+    "k_anonymity_customers",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

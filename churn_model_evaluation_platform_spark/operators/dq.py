@@ -86,3 +86,43 @@ def dq_verify(df: DataFrame, checks: list[Check]) -> DataFrame:
             )
         )
     return agg_row.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy-governance audit (Sweeney 2002 k-anonymity; Machanavajjhala
+    et al. 2007 l-diversity): group rows by the quasi-identifier
+    combination and report, in one summary row, how re-identifiable the
+    release is — ``n_classes`` equivalence classes, ``n_violating``
+    classes smaller than ``k``, ``n_rows_at_risk`` rows in them,
+    ``min_class_size`` (the realized k), and ``min_l`` (the smallest
+    per-class count of distinct sensitive values — l-diversity, which
+    k-anonymity alone cannot guarantee: a size-k class with ONE
+    sensitive value still leaks it).
+
+    One groupBy over the quasi columns (count + distinct-sensitive per
+    class), then a one-row fold — the shuffle key is the
+    quasi-identifier tuple, the class table is |classes| rows. The
+    audit a 100 TB release pipeline runs BEFORE publishing any
+    user-grain extract.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(sensitive_col).alias("__l"),
+    )
+    return classes.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum((F.col("__n") < k).cast("int"))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("__n").cast("bigint").alias("min_class_size"),
+        F.min("__l").cast("bigint").alias("min_l"),
+    )

@@ -1536,3 +1536,46 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("promo").alias("promo_revenue"),
         F.col("total").alias("total_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_customers — privacy-governance audit (Sweeney 2002;
+# l-diversity per Machanavajjhala et al. 2007) before releasing a
+# user-grain extract: equivalence classes over the quasi-identifiers
+# (nation, account-balance thousand-bucket), sensitive attribute =
+# market segment. One summary row: classes, sub-k classes, rows at
+# risk, realized k, realized l. One groupBy on the quasi tuple + a
+# one-row fold — |classes| rows ever shuffle.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_SQL = f"""
+SELECT CAST({_KANON_K} AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST(min(l) AS BIGINT) AS min_l
+FROM (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+         count(*) AS n, count(DISTINCT c_mktsegment) AS l
+  FROM customer GROUP BY 1, 2
+)
+"""
+
+
+@register("k_anonymity_customers", _KANON_SQL)
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dq import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_k"),
+        "c_mktsegment",
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "bal_k"], "c_mktsegment", k=_KANON_K
+    )

@@ -331,3 +331,29 @@ def test_feature_hash_embed_matches_python_twin(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == feature_hash_vec_py(t), t
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_audit_hand_computed(spark):
+    from churn_model_evaluation_platform_spark.operators.dq import (
+        k_anonymity_audit,
+    )
+
+    rows = [
+        # class (1, 'a'): 3 rows, sensitive {x, y} -> l=2
+        (1, "a", "x"), (1, "a", "x"), (1, "a", "y"),
+        # class (2, 'b'): 1 row (violates k=2), single sensitive -> l=1
+        (2, "b", "z"),
+    ]
+    df = spark.createDataFrame(rows, "q1 int, q2 string, s string")
+    row = k_anonymity_audit(df, ["q1", "q2"], "s", k=2).collect()[0]
+    assert row["k"] == 2
+    assert row["n_classes"] == 2
+    assert row["n_violating"] == 1
+    assert row["n_rows_at_risk"] == 1
+    assert row["min_class_size"] == 1
+    assert row["min_l"] == 1
