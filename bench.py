@@ -211,6 +211,8 @@ HEADLINE = [
     "promo_revenue_ratio",
     # privacy-governance release audit
     "k_anonymity_customers",
+    # ID-space drift from persisted register partials
+    "hll_cardinality_drift",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

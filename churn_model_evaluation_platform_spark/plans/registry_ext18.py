@@ -1579,3 +1579,81 @@ def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         cust, ["c_nationkey", "bal_k"], "c_mktsegment", k=_KANON_K
     )
+
+
+# ---------------------------------------------------------------------------
+# hll_cardinality_drift — schema/ID-space drift monitoring from
+# PERSISTED sketch partials (operationalizing hll_profile_orders'
+# "feeds schema-drift monitoring" claim): per-day HLL registers over
+# the event user-id space, per-day estimate, day-over-day delta, and
+# a drift flag when the estimate moves more than 3x the sketch's own
+# std error (1.04/√m) relative to the prior day — the signal that an
+# upstream join started duplicating ids or an extractor dropped a
+# shard. At 100 TB the serving side reads only the m-row-per-day
+# register table; the raw-events exact column here is the audit.
+# ---------------------------------------------------------------------------
+
+_CARD_DRIFT_BAND = 3 * 1.04 / 32.0  # 3 sigma at m=1024
+
+
+def _hll_drift_sql() -> str:
+    from ..operators.sketch import hll_estimate_sql, hll_registers_sql
+
+    daily = hll_registers_sql(
+        "SELECT CAST(day(ts) AS INT) AS d, user_id FROM events",
+        "user_id",
+        group_cols="d",
+    )
+    est = hll_estimate_sql(
+        "SELECT d, bucket, rho FROM daily", group_cols="d"
+    )
+    return f"""
+WITH daily AS ({daily}),
+est AS ({est}),
+exact AS (
+  SELECT CAST(day(ts) AS INT) AS d, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT d, hll_estimate,
+         lag(hll_estimate) OVER (ORDER BY d) AS prev_est
+  FROM est
+)
+SELECT l.d AS day, l.hll_estimate,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       round(coalesce(l.hll_estimate / l.prev_est - 1.0, 0.0), 6)
+         AS dod_change,
+       coalesce(abs(l.hll_estimate / l.prev_est - 1.0)
+                > {_CARD_DRIFT_BAND!r}, FALSE) AS drifted
+FROM lagged l JOIN exact x ON l.d = x.d
+"""
+
+
+@register("hll_cardinality_drift", _hll_drift_sql())
+def q_hll_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_registers(
+        ev.select(F.dayofmonth("ts").cast("int").alias("d"), "user_id"),
+        "user_id",
+        group_cols=["d"],
+    )
+    est = hll_estimate(daily, group_cols=["d"]).drop("n_buckets_used")
+    w = Window.orderBy("d")
+    lagged = est.withColumn("prev_est", F.lag("hll_estimate").over(w))
+    exact = ev.groupBy(
+        F.dayofmonth("ts").cast("int").alias("d")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    chg = F.col("hll_estimate") / F.col("prev_est") - 1.0
+    return lagged.join(exact, "d").select(
+        F.col("d").alias("day"),
+        "hll_estimate",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(F.coalesce(chg, F.lit(0.0)), 6).alias("dod_change"),
+        F.coalesce(
+            F.abs(chg) > F.lit(_CARD_DRIFT_BAND), F.lit(False)
+        ).alias("drifted"),
+    )
