@@ -213,6 +213,8 @@ HEADLINE = [
     "k_anonymity_customers",
     # ID-space drift from persisted register partials
     "hll_cardinality_drift",
+    # mergeable histogram quantiles (the 4th synopsis)
+    "hist_quantile_events",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -429,3 +429,149 @@ def kmv_sql(source_sql: str, col: str, k: int = KMV_K) -> str:
     )
   )
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles — the QUANTILE synopsis completing the
+# distinct (HLL) / frequency (CMS) / sample (KMV) trio: fixed-range
+# equi-width bin counts, mergeable by ADDITION (like the CMS — the
+# txn sink's exactly-once batch ids apply), answering any quantile to
+# within one bin width by linear interpolation over the cumulative
+# counts. The fixed range comes from domain knowledge or the txn
+# table's own min/max column stats (zero extra data pass); Spark's
+# percentile_approx answers one query but its internal state is not a
+# persistable, cross-engine-replayable table — this is.
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+
+
+def hist_registers(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = HIST_BINS,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width bin counts over ``[lo, hi)`` — ≤ nbins rows per
+    group; out-of-range values clamp to the edge bins (counted, so
+    quantiles stay rank-correct; edge-bin interpolation degrades to
+    the bin boundary). NULLs skipped. Merge partials by summing
+    counts per bin (``hist_merge``)."""
+    group_cols = group_cols or []
+    w = (hi - lo) / nbins
+    b = F.least(
+        F.lit(nbins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int"),
+        ),
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_merge(registers: DataFrame) -> DataFrame:
+    """Merge histogram partials: per-bin SUM (exactly-once delivery
+    required — addition is not idempotent)."""
+    return registers.groupBy("bin").agg(F.sum("c").alias("c"))
+
+
+def hist_quantiles(
+    registers: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile estimates from a histogram register frame: for each q,
+    locate the first bin whose cumulative count reaches rank q·N and
+    linearly interpolate inside it — error ≤ one bin width for
+    interior bins. All arithmetic from exact integer counts; the
+    interpolation is the only double math, rounded at 1e-6. Returns
+    (q, hist_estimate)."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / nbins
+    # single-partition window over ≤ nbins post-aggregate rows — the
+    # dashboard-grain shape, never data
+    cum = registers.select(
+        "bin",
+        "c",
+        F.sum("c").over(Window.orderBy("bin")).alias("cum"),
+    )
+    total = registers.agg(F.sum("c").alias("n_total"))
+    qdf = None
+    for q in qs:
+        row = F.broadcast(
+            total.select(
+                F.lit(q).alias("q"),
+                (F.lit(q) * F.col("n_total")).alias("target"),
+            )
+        )
+        qdf = row if qdf is None else qdf.unionByName(row)
+    hit = (
+        qdf.join(cum, F.col("cum") >= F.col("target"))
+        .groupBy("q", "target")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        hit.join(cum, "bin")
+        .select(
+            "q",
+            F.round(
+                F.lit(lo)
+                + F.col("bin") * F.lit(w)
+                + F.lit(w)
+                * (F.col("target") - (F.col("cum") - F.col("c")))
+                / F.col("c"),
+                6,
+            ).alias("hist_estimate"),
+        )
+    )
+    return est
+
+
+def hist_sql(
+    source_sql: str,
+    col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int = HIST_BINS,
+) -> str:
+    """DuckDB replay of registers + quantile interpolation over
+    ``source_sql``."""
+    w = (hi - lo) / nbins
+    q_rows = " UNION ALL ".join(f"SELECT CAST({q} AS DOUBLE) AS q" for q in qs)
+    return f"""
+WITH src AS ({source_sql}),
+regs AS (
+  SELECT least({nbins - 1},
+               greatest(0, CAST(floor(({col} - {lo!r}) / {w!r}) AS INT)))
+           AS bin,
+         count(*) AS c
+  FROM src WHERE {col} IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM regs
+),
+total AS (SELECT sum(c) AS n_total FROM regs),
+qs AS ({q_rows}),
+targets AS (SELECT q, q * n_total AS target FROM qs CROSS JOIN total),
+hit AS (
+  SELECT t.q, t.target, min(cum.bin) AS bin
+  FROM targets t JOIN cum ON cum.cum >= t.target
+  GROUP BY 1, 2
+)
+SELECT h.q,
+       round({lo!r} + h.bin * {w!r}
+             + {w!r} * (h.target - (cum.cum - cum.c)) / cum.c, 6)
+         AS hist_estimate
+FROM hit h JOIN cum ON cum.bin = h.bin
+"""

@@ -1657,3 +1657,121 @@ def q_hll_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(chg) > F.lit(_CARD_DRIFT_BAND), F.lit(False)
         ).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hist_quantile_events — the QUANTILE synopsis (completing the
+# mergeable set: HLL distinct / CMS frequency / KMV sample /
+# histogram quantiles): p50/p90/p99 of the event value from a
+# 256-bin fixed-range count table, with THREE pins per row — the
+# estimate from the one-shot registers, the estimate from per-day
+# partials merged by addition (must be identical: sum-merge is
+# order-free), and the exact percentile (Spark `percentile` ==
+# DuckDB `quantile_cont`, the established parity) with the absolute
+# error, which tests assert ≤ one bin width. The fixed range is
+# domain knowledge or the txn table's min/max stats — zero extra
+# pass.
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI = 0.0, 500.0
+_HIST_QS = [0.5, 0.9, 0.99]
+
+
+def _hist_sql() -> str:
+    from ..operators.sketch import HIST_BINS, hist_sql
+
+    oneshot = hist_sql(
+        "SELECT value FROM events", "value", _HIST_QS, _HIST_LO, _HIST_HI
+    )
+    # merged-from-daily twin: identical to one-shot by sum-merge — the
+    # oracle recomputes it independently and the hash pins equality
+    merged = hist_sql(
+        """SELECT value FROM (
+             SELECT CAST(day(ts) AS INT) AS d, value FROM events
+           )""",
+        "value",
+        _HIST_QS,
+        _HIST_LO,
+        _HIST_HI,
+    )
+    return f"""
+WITH one AS ({oneshot}),
+mrg AS ({merged}),
+exact AS (
+  SELECT * FROM (
+    SELECT CAST(0.5 AS DOUBLE) AS q,
+           quantile_cont(value, 0.5) AS exact_value FROM events
+    UNION ALL
+    SELECT 0.9, quantile_cont(value, 0.9) FROM events
+    UNION ALL
+    SELECT 0.99, quantile_cont(value, 0.99) FROM events
+  )
+)
+SELECT one.q, one.hist_estimate,
+       mrg.hist_estimate AS est_from_partials,
+       one.hist_estimate = mrg.hist_estimate AS merge_consistent,
+       round(exact_value, 6) AS exact_value,
+       round(abs(one.hist_estimate - exact_value), 6) AS abs_err
+FROM one JOIN mrg USING (q) JOIN exact USING (q)
+"""
+
+
+@register("hist_quantile_events", _hist_sql())
+def q_hist_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import (
+        hist_merge,
+        hist_quantiles,
+        hist_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    one = hist_quantiles(
+        hist_registers(ev, "value", _HIST_LO, _HIST_HI),
+        _HIST_QS,
+        _HIST_LO,
+        _HIST_HI,
+    )
+    daily = hist_registers(
+        ev.select(F.dayofmonth("ts").cast("int").alias("d"), "value"),
+        "value",
+        _HIST_LO,
+        _HIST_HI,
+        group_cols=["d"],
+    )
+    merged = hist_quantiles(
+        hist_merge(daily.select("bin", "c")),
+        _HIST_QS,
+        _HIST_LO,
+        _HIST_HI,
+    ).withColumnRenamed("hist_estimate", "est_from_partials")
+    exact = ev.agg(
+        F.expr(
+            f"percentile(value, array({','.join(str(q) for q in _HIST_QS)}))"
+        ).alias("xs")
+    ).select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(q)) for q in _HIST_QS]).alias("q"),
+                F.col("xs").alias("x"),
+            )
+        ).alias("z")
+    ).select(
+        F.col("z.q").alias("q"),
+        F.round(F.col("z.x"), 6).alias("exact_value"),
+    )
+    return (
+        one.join(merged, "q")
+        .join(F.broadcast(exact), "q")
+        .select(
+            "q",
+            "hist_estimate",
+            "est_from_partials",
+            (F.col("hist_estimate") == F.col("est_from_partials")).alias(
+                "merge_consistent"
+            ),
+            "exact_value",
+            F.round(
+                F.abs(F.col("hist_estimate") - F.col("exact_value")), 6
+            ).alias("abs_err"),
+        )
+    )

@@ -345,3 +345,75 @@ def test_property_hll_merge_any_partitioning(spark, values, n_parts, seed):
         "hll_estimate"
     ]
     assert merged == oneshot
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hist_quantile_hand_computed(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        hist_quantiles,
+        hist_registers,
+    )
+
+    # 10 values 0..9 into 10 bins over [0, 10): bin i holds value i.
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "value double")
+    regs = hist_registers(df, "value", 0.0, 10.0, nbins=10)
+    est = {
+        r["q"]: r["hist_estimate"]
+        for r in hist_quantiles(regs, [0.5, 1.0], 0.0, 10.0, nbins=10).collect()
+    }
+    # q=0.5 → target 5; first bin with cum>=5 is bin 4 (cum 5):
+    # est = 4 + 1*(5-4)/1 = 5.0; q=1.0 → bin 9, est = 10.0.
+    assert est[0.5] == 5.0
+    assert est[1.0] == 10.0
+
+
+def test_hist_quantile_error_bounded_by_bin_width(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        HIST_BINS,
+        hist_quantiles,
+        hist_registers,
+    )
+
+    vals = [(float((v * 37) % 500) + 0.5,) for v in range(5000)]
+    df = spark.createDataFrame(vals, "value double")
+    regs = hist_registers(df, "value", 0.0, 500.0)
+    w = 500.0 / HIST_BINS
+    exact = {
+        0.5: sorted(v[0] for v in vals)[2500],
+        0.9: sorted(v[0] for v in vals)[4500],
+    }
+    for r in hist_quantiles(regs, [0.5, 0.9], 0.0, 500.0).collect():
+        assert abs(r["hist_estimate"] - exact[r["q"]]) <= w + 1e-9
+
+
+def test_hist_merge_equals_oneshot_and_clamping(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        hist_merge,
+        hist_quantiles,
+        hist_registers,
+    )
+
+    # include out-of-range values: they clamp to edge bins and stay
+    # rank-correct
+    vals = [(-50.0,), (600.0,)] + [(float(v % 100),) for v in range(1000)]
+    df = spark.createDataFrame(vals, "value double")
+    halves = [
+        hist_registers(
+            df.where((F.col("value").cast("int") % 2) == i),
+            "value",
+            0.0,
+            100.0,
+        )
+        for i in (0, 1)
+    ]
+    merged = hist_quantiles(
+        hist_merge(halves[0].unionByName(halves[1])), [0.5], 0.0, 100.0
+    ).collect()[0]["hist_estimate"]
+    oneshot = hist_quantiles(
+        hist_registers(df, "value", 0.0, 100.0), [0.5], 0.0, 100.0
+    ).collect()[0]["hist_estimate"]
+    assert merged == oneshot

@@ -115,6 +115,9 @@ SINGLE_ROW_CROSS_OK = {
     "hll_window_7d",
     "kmv_distinct_users",  # single-row estimate/exact cross
     "kmv_jaccard_cohorts",  # single-row sketch-agg x exact-agg cross
+    # non-equi (cum >= target) join of two POST-AGGREGATE tiny frames
+    # (3 quantile targets x <=256 bins) + the single-row exact cross
+    "hist_quantile_events",
     # four keyless one-row aggregates crossed into the summary row
     # (the decontaminate_corpus pattern)
     "decontaminate_bpe_13gram",
