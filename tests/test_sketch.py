@@ -417,3 +417,77 @@ def test_hist_merge_equals_oneshot_and_clamping(spark):
         hist_registers(df, "value", 0.0, 100.0), [0.5], 0.0, 100.0
     ).collect()[0]["hist_estimate"]
     assert merged == oneshot
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=200), min_size=1, max_size=300
+    ),
+    n_parts=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_cms_and_hist_merge_any_partitioning(
+    spark, values, n_parts, seed
+):
+    import random as _random
+
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+        cms_merge,
+        hist_merge,
+        hist_quantiles,
+        hist_registers,
+    )
+
+    rng = _random.Random(seed)
+    parts: list[list[int]] = [[] for _ in range(n_parts)]
+    for v in values:
+        parts[rng.randrange(n_parts)].append(v)
+    frames = [
+        spark.createDataFrame([(v,) for v in p], "user_id long")
+        for p in parts
+        if p
+    ]
+    full = spark.createDataFrame([(v,) for v in values], "user_id long")
+
+    cms_parts = None
+    for f in frames:
+        c = cms_counters(f, "user_id")
+        cms_parts = c if cms_parts is None else cms_parts.unionByName(c)
+    probes = spark.createDataFrame(
+        [(v,) for v in sorted(set(values))[:20]], "probe long"
+    )
+    em = {
+        r["probe"]: r["cms_estimate"]
+        for r in cms_estimate(cms_merge(cms_parts), probes).collect()
+    }
+    eo = {
+        r["probe"]: r["cms_estimate"]
+        for r in cms_estimate(cms_counters(full, "user_id"), probes).collect()
+    }
+    assert em == eo
+
+    h_parts = None
+    for f in frames:
+        h = hist_registers(
+            f.select(F.col("user_id").cast("double").alias("value")),
+            "value", 0.0, 200.0, nbins=32,
+        )
+        h_parts = h if h_parts is None else h_parts.unionByName(h)
+    hm = hist_quantiles(
+        hist_merge(h_parts), [0.5], 0.0, 200.0, nbins=32
+    ).collect()[0]["hist_estimate"]
+    ho = hist_quantiles(
+        hist_registers(
+            full.select(F.col("user_id").cast("double").alias("value")),
+            "value", 0.0, 200.0, nbins=32,
+        ),
+        [0.5], 0.0, 200.0, nbins=32,
+    ).collect()[0]["hist_estimate"]
+    assert hm == ho
