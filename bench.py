@@ -215,6 +215,8 @@ HEADLINE = [
     "hll_cardinality_drift",
     # mergeable histogram quantiles (the 4th synopsis)
     "hist_quantile_events",
+    # the mapInPandas encoder slot, differentially pinned
+    "rag_embed_batch",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -1311,3 +1311,44 @@ def feature_hash_sums_sql(dim: int = FEATHASH_DIM) -> str:
         f"sum(CASE WHEN ({b}) = {i} THEN {s} ELSE 0 END)" for i in range(dim)
     )
     return f"SELECT cid, [{sums}] AS vec FROM ftok GROUP BY cid"
+
+
+def embed_map_in_pandas(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = FEATHASH_DIM,
+    encoder=None,
+) -> DataFrame:
+    """The MODEL-ENCODER integration point with REAL Spark plumbing:
+    Arrow-batched ``mapInPandas`` over (id, text) yielding (id,
+    embedding array<bigint>) — schema, batch shape, and partitioning
+    are exactly what a torch/onnx encoder needs (swap ``encoder``; the
+    ML libraries are not in this environment, so the default is the
+    DETERMINISTIC feature-hash reference encoder, which makes the
+    plumbing itself differentially verifiable: the UDF path must
+    reproduce the pure-Catalyst ``feature_hash_embed`` bit-for-bit —
+    pinned in the registry against the DuckDB replay AND in tests
+    against the JVM path). ``encoder`` contract:
+    ``callable(list[str]) -> list[list[int|float]]``, batch-at-a-time
+    (the Arrow batch is the model's natural micro-batch). Map-only:
+    no shuffle, linear in executors at any corpus size."""
+
+    enc = encoder or (
+        lambda texts: [feature_hash_vec_py(t or "", dim) for t in texts]
+    )
+
+    def _run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": enc(list(pdf[text_col])),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _run, f"{id_col} long, embedding array<bigint>"
+    )

@@ -1775,3 +1775,54 @@ def q_hist_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_embed_batch — the model-encoder INTEGRATION POINT verified as a
+# differential: documents embedded through the Arrow-batched
+# mapInPandas path (operators/similarity.py embed_map_in_pandas — the
+# slot a torch/onnx encoder drops into; the heavy libs are absent in
+# this environment, so the default encoder is the deterministic
+# feature-hash reference), exploded to (doc_id, idx, val) components.
+# The oracle computes the SAME embedding entirely in SQL (the
+# feature-hash sums), so the hash pins the UDF plumbing — Arrow batch
+# shapes, schema, null text handling, python-side tokenization parity
+# — against an independent engine. Map-only plan; the explode is for
+# hashing fidelity only.
+# ---------------------------------------------------------------------------
+
+
+def _rag_embed_sql() -> str:
+    from ..operators.similarity import feature_hash_sums_sql
+
+    sums = feature_hash_sums_sql()
+    return f"""
+WITH ftok AS (
+  SELECT doc_id AS cid,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+emb AS ({sums})
+SELECT cid AS doc_id,
+       CAST(generate_subscripts(vec, 1) AS INT) AS idx,
+       CAST(unnest(vec) AS BIGINT) AS val
+FROM emb
+"""
+
+
+@register("rag_embed_batch", _rag_embed_sql())
+def q_rag_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embed_map_in_pandas
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    emb = embed_map_in_pandas(docs)
+    return emb.select(
+        "doc_id",
+        F.posexplode("embedding").alias("idx0", "val"),
+    ).select(
+        "doc_id",
+        (F.col("idx0") + 1).cast("int").alias("idx"),
+        F.col("val").cast("bigint").alias("val"),
+    )

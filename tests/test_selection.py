@@ -357,3 +357,44 @@ def test_k_anonymity_audit_hand_computed(spark):
     assert row["n_rows_at_risk"] == 1
     assert row["min_class_size"] == 1
     assert row["min_l"] == 1
+
+
+def test_embed_map_in_pandas_matches_catalyst_path(spark):
+    # The UDF integration point must reproduce the pure-Catalyst fold
+    # bit-for-bit (same md5 bucketing/sign, same tokenization).
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        embed_map_in_pandas,
+        feature_hash_embed,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "hash join merge plan"), (1, "THE   fast Key"), (2, "x")],
+        "doc_id long, text string",
+    )
+    udf_path = {
+        r["doc_id"]: list(r["embedding"])
+        for r in embed_map_in_pandas(df).collect()
+    }
+    jvm_path = {
+        r["doc_id"]: list(r["v"])
+        for r in df.select(
+            "doc_id", feature_hash_embed(F.col("text")).alias("v")
+        ).collect()
+    }
+    assert udf_path == jvm_path
+
+
+def test_embed_map_in_pandas_custom_encoder_slot(spark):
+    # A swapped-in encoder (here: constant vectors — the stub shape a
+    # real model replaces) flows through the same plumbing.
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        embed_map_in_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "anything")], "doc_id long, text string"
+    )
+    out = embed_map_in_pandas(
+        df, encoder=lambda texts: [[1, 2, 3]] * len(texts)
+    ).collect()
+    assert [list(out[0]["embedding"])] == [[1, 2, 3]]
