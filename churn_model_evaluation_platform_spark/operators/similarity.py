@@ -1319,6 +1319,7 @@ def embed_map_in_pandas(
     id_col: str = "doc_id",
     dim: int = FEATHASH_DIM,
     encoder=None,
+    dtype: str = "bigint",
 ) -> DataFrame:
     """The MODEL-ENCODER integration point with REAL Spark plumbing:
     Arrow-batched ``mapInPandas`` over (id, text) yielding (id,
@@ -1331,8 +1332,11 @@ def embed_map_in_pandas(
     pinned in the registry against the DuckDB replay AND in tests
     against the JVM path). ``encoder`` contract:
     ``callable(list[str]) -> list[list[int|float]]``, batch-at-a-time
-    (the Arrow batch is the model's natural micro-batch). Map-only:
-    no shuffle, linear in executors at any corpus size."""
+    (the Arrow batch is the model's natural micro-batch); pass
+    ``dtype="double"`` for a float-vector encoder — the schema must
+    follow the encoder, or Arrow would silently truncate floats to the
+    integer default. Map-only: no shuffle, linear in executors at any
+    corpus size."""
 
     enc = encoder or (
         lambda texts: [feature_hash_vec_py(t or "", dim) for t in texts]
@@ -1350,5 +1354,5 @@ def embed_map_in_pandas(
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        _run, f"{id_col} long, embedding array<bigint>"
+        _run, f"{id_col} long, embedding array<{dtype}>"
     )

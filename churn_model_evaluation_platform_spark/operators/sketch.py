@@ -461,13 +461,16 @@ def hist_registers(
     counts per bin (``hist_merge``)."""
     group_cols = group_cols or []
     w = (hi - lo) / nbins
+    # clamp BEFORE the int cast: floor() yields bigint, and a value
+    # ~2^31 bin-widths past hi would WRAP through a bigint->int cast
+    # (ANSI off) into an interior bin instead of the edge
     b = F.least(
-        F.lit(nbins - 1),
+        F.lit(nbins - 1).cast("bigint"),
         F.greatest(
-            F.lit(0),
-            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(0).cast("bigint"),
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)),
         ),
-    )
+    ).cast("int")
     return (
         df.where(F.col(col).isNotNull())
         .select(*group_cols, b.alias("bin"))
@@ -544,20 +547,31 @@ def hist_sql(
     lo: float,
     hi: float,
     nbins: int = HIST_BINS,
+    partial_group: str | None = None,
 ) -> str:
     """DuckDB replay of registers + quantile interpolation over
-    ``source_sql``."""
+    ``source_sql``. With ``partial_group`` (a column ``source_sql``
+    must also yield), the registers are built as PER-GROUP PARTIALS
+    first and then sum-merged per bin — a genuinely independent replay
+    of the merge path, not a re-labeled one-shot."""
     w = (hi - lo) / nbins
     q_rows = " UNION ALL ".join(f"SELECT CAST({q} AS DOUBLE) AS q" for q in qs)
+    pg = f"{partial_group}, " if partial_group else ""
+    partials = f"""
+  SELECT {pg}CAST(least({nbins - 1},
+               greatest(0, CAST(floor(({col} - {lo!r}) / {w!r}) AS BIGINT)))
+           AS INT) AS bin,
+         count(*) AS c
+  FROM src WHERE {col} IS NOT NULL GROUP BY ALL
+"""
+    regs = (
+        f"SELECT bin, sum(c) AS c FROM ({partials}) GROUP BY bin"
+        if partial_group
+        else partials
+    )
     return f"""
 WITH src AS ({source_sql}),
-regs AS (
-  SELECT least({nbins - 1},
-               greatest(0, CAST(floor(({col} - {lo!r}) / {w!r}) AS INT)))
-           AS bin,
-         count(*) AS c
-  FROM src WHERE {col} IS NOT NULL GROUP BY 1
-),
+regs AS ({regs}),
 cum AS (
   SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM regs
 ),

@@ -367,6 +367,83 @@ def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_user_id_drops(spark, sf_dir: str, tag: str) -> str:
+    """Shared file-drop fixture for the sketch-ingest streams: claims
+    (and rmtree's) the per-run tmp dir ONCE, splits events' user_id
+    column into three day-range drop files under <base>/drops, and
+    returns base. Callers place their state table under the returned
+    base and then stream with ``_drain_user_id_drops``."""
+    import glob
+    import os
+    import shutil
+
+    from .registry_ext12 import _tmp_table_path
+
+    ev = _t(spark, sf_dir, "events")
+    base = _tmp_table_path(sf_dir, tag)
+    drops = f"{base}/drops"
+    os.makedirs(drops, exist_ok=True)
+    for i, (lo, hi) in enumerate([(1, 11), (11, 21), (21, 32)]):
+        tmp = f"{base}/tmp{i}"
+        ev.where(
+            (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
+        ).select("user_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{drops}/b{i}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(
+            f"{drops}/b{i}.parquet",
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+    return base
+
+
+def _drain_user_id_drops(spark, base: str, ingest) -> None:
+    """Stream the drop files one per trigger through ``foreachBatch
+    ingest`` (availableNow) and drain."""
+    from pyspark.sql import types as T
+
+    from .registry import drain_stream
+
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/drops")
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_stream(q)
+
+
+def _cms_probe_report(spark, counters, ev) -> DataFrame:
+    """Shared probe/exact/overestimate report tail for the CMS
+    queries (cms_user_freq, stream_cms_ingest)."""
+    from ..operators.sketch import cms_estimate
+
+    probes = spark.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "probe long"
+    )
+    est = cms_estimate(counters, probes)
+    exact = ev.groupBy(F.col("user_id").alias("probe")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "probe", "left").select(
+        "probe",
+        "cms_estimate",
+        F.coalesce(F.col("n_exact"), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        (
+            F.col("cms_estimate")
+            - F.coalesce(F.col("n_exact"), F.lit(0)).cast("bigint")
+        ).alias("overestimate"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # cms_user_freq — count-min sketch point-frequency estimates (Cormode
 # & Muthukrishnan 2005; operators/sketch.py): d=4 portable-hash rows ×
@@ -400,28 +477,10 @@ LEFT JOIN (SELECT user_id AS probe, count(*) AS n_exact
 
 @register("cms_user_freq", _cms_sql())
 def q_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketch import cms_counters, cms_estimate
+    from ..operators.sketch import cms_counters
 
     ev = _t(spark, sf_dir, "events")
-    counters = cms_counters(ev, "user_id")
-    probes = spark.createDataFrame(
-        [(p,) for p in _CMS_PROBES], "probe long"
-    )
-    est = cms_estimate(counters, probes)
-    exact = ev.groupBy(F.col("user_id").alias("probe")).agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return est.join(F.broadcast(exact), "probe", "left").select(
-        "probe",
-        "cms_estimate",
-        F.coalesce(F.col("n_exact"), F.lit(0))
-        .cast("bigint")
-        .alias("n_exact"),
-        (
-            F.col("cms_estimate")
-            - F.coalesce(F.col("n_exact"), F.lit(0)).cast("bigint")
-        ).alias("overestimate"),
-    )
+    return _cms_probe_report(spark, cms_counters(ev, "user_id"), ev)
 
 
 # ---------------------------------------------------------------------------
@@ -445,37 +504,13 @@ def q_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stream_hll_ingest", _hll_users_sql())
 def q_stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-
-    from pyspark.sql import types as T
-
     from ..operators.sketch import hll_estimate, hll_merge, hll_registers
     from ..sources.txnlog import TxnTable
-    from .registry import drain_stream
-    from .registry_ext12 import _tmp_table_path
     from .phases import timed_phase
 
     ev = _t(spark, sf_dir, "events")
-    base = _tmp_table_path(sf_dir, "hllstream")
     with timed_phase("stream_hll_ingest.build"):
-        drops = f"{base}/drops"
-        os.makedirs(drops, exist_ok=True)
-        # three drop files: thirds of the month (arbitrary uneven
-        # boundaries — the identity must hold for ANY split)
-        for i, (lo, hi) in enumerate([(1, 11), (11, 21), (21, 32)]):
-            tmp = f"{base}/tmp{i}"
-            ev.where(
-                (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
-            ).select("user_id").coalesce(1).write.mode("overwrite").parquet(
-                tmp
-            )
-            part = glob.glob(f"{tmp}/part-*.parquet")[0]
-            shutil.move(part, f"{drops}/b{i}.parquet")
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(f"{drops}/b{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
-
+        base = _make_user_id_drops(spark, sf_dir, "hllstream")
         table = TxnTable(spark, f"{base}/regs")
 
         def ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -483,17 +518,7 @@ def q_stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hll_registers(batch_df, "user_id"), batch_id=batch_id
             )
 
-        schema = T.StructType([T.StructField("user_id", T.LongType())])
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(drops)
-            .writeStream.foreachBatch(ingest)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        drain_stream(q)
+        _drain_user_id_drops(spark, base, ingest)
 
     est = hll_estimate(hll_merge(table.scan().select("bucket", "rho")))
     exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
@@ -1398,44 +1423,15 @@ def q_rag_hybrid_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _stream_cms_sql() -> str:
-    return _cms_sql()
-
-
-@register("stream_cms_ingest", _stream_cms_sql())
+@register("stream_cms_ingest", _cms_sql())
 def q_stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-
-    from pyspark.sql import types as T
-
-    from ..operators.sketch import cms_counters, cms_estimate, cms_merge
+    from ..operators.sketch import cms_counters, cms_merge
     from ..sources.txnlog import TxnTable
     from .phases import timed_phase
-    from .registry import drain_stream
-    from .registry_ext12 import _tmp_table_path
 
     ev = _t(spark, sf_dir, "events")
-    base = _tmp_table_path(sf_dir, "cmsstream")
     with timed_phase("stream_cms_ingest.build"):
-        drops = f"{base}/drops"
-        os.makedirs(drops, exist_ok=True)
-        for i, (lo, hi) in enumerate([(1, 11), (11, 21), (21, 32)]):
-            tmp = f"{base}/tmp{i}"
-            ev.where(
-                (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
-            ).select("user_id").coalesce(1).write.mode("overwrite").parquet(
-                tmp
-            )
-            part = glob.glob(f"{tmp}/part-*.parquet")[0]
-            shutil.move(part, f"{drops}/b{i}.parquet")
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(
-                f"{drops}/b{i}.parquet",
-                (1_700_000_000 + i, 1_700_000_000 + i),
-            )
-
+        base = _make_user_id_drops(spark, sf_dir, "cmsstream")
         table = TxnTable(spark, f"{base}/counters")
 
         def ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -1443,37 +1439,10 @@ def q_stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cms_counters(batch_df, "user_id"), batch_id=batch_id
             )
 
-        schema = T.StructType([T.StructField("user_id", T.LongType())])
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(drops)
-            .writeStream.foreachBatch(ingest)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        drain_stream(q)
+        _drain_user_id_drops(spark, base, ingest)
 
     counters = cms_merge(table.scan().select("j", "bucket", "c"))
-    probes = spark.createDataFrame(
-        [(p,) for p in _CMS_PROBES], "probe long"
-    )
-    est = cms_estimate(counters, probes)
-    exact = ev.groupBy(F.col("user_id").alias("probe")).agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return est.join(F.broadcast(exact), "probe", "left").select(
-        "probe",
-        "cms_estimate",
-        F.coalesce(F.col("n_exact"), F.lit(0))
-        .cast("bigint")
-        .alias("n_exact"),
-        (
-            F.col("cms_estimate")
-            - F.coalesce(F.col("n_exact"), F.lit(0)).cast("bigint")
-        ).alias("overestimate"),
-    )
+    return _cms_probe_report(spark, counters, ev)
 
 
 # ---------------------------------------------------------------------------
@@ -1495,7 +1464,7 @@ _Q14_SQL = f"""
 SELECT round(100.0 * promo / total, 6) AS promo_revenue_pct,
        promo AS promo_revenue, total AS total_revenue
 FROM (
-  SELECT round(sum(CASE WHEN p.p_type = 'ECONOMY'
+  SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
                         THEN l.l_extendedprice * (1 - l.l_discount)
                         ELSE 0 END), 4) AS promo,
          round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total
@@ -1520,7 +1489,7 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
                         F.lit(0)
                     )
                 ),
@@ -1683,29 +1652,25 @@ def _hist_sql() -> str:
     oneshot = hist_sql(
         "SELECT value FROM events", "value", _HIST_QS, _HIST_LO, _HIST_HI
     )
-    # merged-from-daily twin: identical to one-shot by sum-merge — the
-    # oracle recomputes it independently and the hash pins equality
+    # merged-from-daily twin: per-day partials genuinely built and
+    # sum-merged INSIDE the oracle (hist_sql partial_group), so the
+    # merge path is replayed independently, not re-labeled
     merged = hist_sql(
-        """SELECT value FROM (
-             SELECT CAST(day(ts) AS INT) AS d, value FROM events
-           )""",
+        "SELECT CAST(day(ts) AS INT) AS d, value FROM events",
         "value",
         _HIST_QS,
         _HIST_LO,
         _HIST_HI,
+        partial_group="d",
     )
+    qlist = ", ".join(str(q) for q in _HIST_QS)
     return f"""
 WITH one AS ({oneshot}),
 mrg AS ({merged}),
 exact AS (
-  SELECT * FROM (
-    SELECT CAST(0.5 AS DOUBLE) AS q,
-           quantile_cont(value, 0.5) AS exact_value FROM events
-    UNION ALL
-    SELECT 0.9, quantile_cont(value, 0.9) FROM events
-    UNION ALL
-    SELECT 0.99, quantile_cont(value, 0.99) FROM events
-  )
+  SELECT unnest([{qlist}]) AS q,
+         unnest(quantile_cont(value, [{qlist}])) AS exact_value
+  FROM events
 )
 SELECT one.q, one.hist_estimate,
        mrg.hist_estimate AS est_from_partials,
