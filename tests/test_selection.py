@@ -398,3 +398,19 @@ def test_embed_map_in_pandas_custom_encoder_slot(spark):
         df, encoder=lambda texts: [[1, 2, 3]] * len(texts)
     ).collect()
     assert [list(out[0]["embedding"])] == [[1, 2, 3]]
+
+
+def test_embed_map_in_pandas_float_encoder_dtype(spark):
+    # A float-vector encoder with dtype="double" survives intact (the
+    # integer default schema would truncate it).
+    from churn_model_evaluation_platform_spark.operators.similarity import (
+        embed_map_in_pandas,
+    )
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    out = embed_map_in_pandas(
+        df,
+        encoder=lambda texts: [[0.25, -0.5]] * len(texts),
+        dtype="double",
+    ).collect()
+    assert list(out[0]["embedding"]) == [0.25, -0.5]

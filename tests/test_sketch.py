@@ -491,3 +491,20 @@ def test_property_cms_and_hist_merge_any_partitioning(
         [0.5], 0.0, 200.0, nbins=32,
     ).collect()[0]["hist_estimate"]
     assert hm == ho
+
+
+def test_hist_extreme_outliers_clamp_not_wrap(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        hist_registers,
+    )
+
+    # values billions of bin-widths out of range must land in the edge
+    # bins (a bigint->int cast wrap would put them in interior bins)
+    df = spark.createDataFrame(
+        [(8.39e9,), (-8.39e9,), (50.0,)], "value double"
+    )
+    got = {
+        r["bin"]: r["c"]
+        for r in hist_registers(df, "value", 0.0, 500.0, nbins=256).collect()
+    }
+    assert got == {255: 1, 0: 1, 25: 1}
