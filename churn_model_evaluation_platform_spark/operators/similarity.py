@@ -1287,7 +1287,14 @@ def feature_hash_vec_py(text: str, dim: int = FEATHASH_DIM) -> list[int]:
     import hashlib
     import re
 
-    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    # ASCII whitespace class only: Java/RE2 \s (the Catalyst tokens()
+    # and DuckDB paths) is ASCII, Python \s is Unicode-aware — U+00A0
+    # etc. must NOT split here either.
+    toks = (
+        re.sub(r"[ \t\n\r\f\v]+", " ", text.lower())
+        .strip(" ")  # Spark trim() strips ASCII space only
+        .split(" ")
+    )
     vec = [0] * dim
     for t in toks:
         b = int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % dim

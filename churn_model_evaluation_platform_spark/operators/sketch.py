@@ -192,7 +192,11 @@ def hll_estimate_sql(
     w = _w(p)
     gsel = f"{group_cols}, " if group_cols else ""
     gby = f"GROUP BY {group_cols}" if group_cols else ""
-    alpha = f"(0.7213 / (1.0 + 1.079 / {float(m)}))"
+    # Single alpha source for both engines: hll_alpha() returns table
+    # constants for m<128 where the closed form would diverge.
+    # CAST: DuckDB parses a bare float literal as DECIMAL, which
+    # overflows in the m²·2^(w+1) product; Spark folds a double.
+    alpha = f"CAST({hll_alpha(p)!r} AS DOUBLE)"
     scale = 1 << (w + 1)
     return f"""
   SELECT {gsel}
@@ -472,7 +476,13 @@ def hist_registers(
         ),
     ).cast("int")
     return (
-        df.where(F.col(col).isNotNull())
+        # NaN rows are dropped alongside NULLs: Spark's non-ANSI cast
+        # would silently bin floor(NaN) while DuckDB raises on the
+        # BIGINT conversion — filtering keeps both engines comparable.
+        df.where(
+            F.col(col).isNotNull()
+            & ~F.isnan(F.col(col).cast("double"))
+        )
         .select(*group_cols, b.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -562,7 +572,9 @@ def hist_sql(
                greatest(0, CAST(floor(({col} - {lo!r}) / {w!r}) AS BIGINT)))
            AS INT) AS bin,
          count(*) AS c
-  FROM src WHERE {col} IS NOT NULL GROUP BY ALL
+  FROM src
+  WHERE {col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))
+  GROUP BY ALL
 """
     regs = (
         f"SELECT bin, sum(c) AS c FROM ({partials}) GROUP BY bin"

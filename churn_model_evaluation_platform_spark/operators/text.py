@@ -712,6 +712,10 @@ def bm25_sql(
     if not terms:
         raise ValueError("bm25_sql: terms must be non-empty")
     terms = tuple(sorted(set(terms)))
+    # Build the IN list explicitly: Python tuple repr would emit a
+    # trailing comma for a single term (invalid SQL) and repr-quote
+    # embedded quotes in a non-SQL way.
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     tok_src = (
         tok_cte
         if tok_cte
@@ -728,7 +732,7 @@ stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 tf AS (
   SELECT t.{id_col}, d.dl, t.token, count(*) AS tf
   FROM tok_b t JOIN dl d USING ({id_col})
-  WHERE t.token IN {terms!r}
+  WHERE t.token IN ({in_list})
   GROUP BY 1, 2, 3
 ),
 dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
@@ -737,7 +741,7 @@ w AS (
          round(
            ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))
            * (tf * ({k1} + 1.0))
-           / (tf + {k1} * ({round(1 - b, 2)} + {b} * dl / avgdl)),
+           / (tf + {k1} * ({(1.0 - b)!r} + {b} * dl / avgdl)),
            6
          ) AS w
   FROM tf JOIN dfq USING (token) CROSS JOIN stats
