@@ -217,6 +217,12 @@ HEADLINE = [
     "hist_quantile_events",
     # the mapInPandas encoder slot, differentially pinned
     "rag_embed_batch",
+    # round-13 additions: the HTML extraction front end (map-only
+    # stdlib parse + zero-shuffle Catalyst boilerplate gates) and the
+    # full curation composition it completes
+    "html_extract_blocks",
+    "html_extract_text",
+    "curation_pipeline_v3",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

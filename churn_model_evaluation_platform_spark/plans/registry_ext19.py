@@ -1,0 +1,191 @@
+"""Round-13 registry extensions: the HTML extraction front end of the
+curation pipeline (parse → boilerplate gates → clean text), wired into
+the established quality/dedup/token-budget stages as
+``curation_pipeline_v3``.
+
+Oracle strategy (the ``detokenize_real`` trick): the corpus is
+RENDERED from ``documents.text`` through a deterministic template, so
+DuckDB predicts every block arithmetically and replays the gates —
+the stdlib parser must land on the prediction exactly. See
+``operators/html_extract.py`` docstring for the scale posture
+(map-only parse, zero-shuffle Catalyst gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.html_extract import (
+    boilerplate_keep_sql,
+    demo_blocks_sql,
+    html_extract_blocks,
+    html_extract_text,
+    render_demo_html,
+)
+from .registry import register
+from .registry_ext12 import _t
+
+
+def _rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        render_demo_html(F.col("text"), F.col("doc_id")).alias("html"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# html_extract_blocks — the raw per-block frame: 5 predicted blocks
+# per doc (title / nav / h1 / p / footer) with exact collapsed text,
+# char count, and link-char count. Map-only parse + narrow explode;
+# the oracle is pure arithmetic over documents.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "html_extract_blocks",
+    f"""
+WITH blocks AS ({demo_blocks_sql()})
+SELECT doc_id, CAST(block_idx AS INT) AS block_idx, tag, text,
+       n_chars, n_link_chars
+FROM blocks
+""",
+)
+def q_html_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return html_extract_blocks(_rendered(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# html_extract_text — gated extraction: structural-role tags
+# (nav/footer/aside/header) and high-link-density / short blocks
+# dropped in a Catalyst array filter, survivors joined with newline
+# block boundaries. Zero shuffles end-to-end. The oracle replays the
+# same integer gates over the predicted blocks, so a drift in EITHER
+# the parser counts or the gate arithmetic moves rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "html_extract_text",
+    f"""
+WITH blocks AS ({demo_blocks_sql()}),
+kept AS (SELECT * FROM blocks WHERE {boilerplate_keep_sql()}),
+agg AS (
+  SELECT doc_id,
+         string_agg(text, chr(10) ORDER BY block_idx) AS extracted,
+         count(*) AS k
+  FROM kept GROUP BY doc_id
+),
+raw AS (SELECT doc_id, count(*) AS r FROM blocks GROUP BY doc_id)
+SELECT raw.doc_id,
+       coalesce(agg.extracted, '') AS extracted,
+       CAST(raw.r AS INT) AS n_blocks_raw,
+       CAST(coalesce(agg.k, 0) AS INT) AS n_blocks_kept
+FROM raw LEFT JOIN agg USING (doc_id)
+""",
+)
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return html_extract_text(_rendered(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline_v3 — the v2 composition with the missing FRONT
+# END: render → extract+boilerplate-gate → Gopher quality gates →
+# exact content dedup → real-vocab token budget. One hashed summary
+# row carries every stage's survivor count; the extraction handoff
+# frame (extracted == the doc's clean text for every surviving page)
+# is itself differentially pinned by the upstream stages.
+# ---------------------------------------------------------------------------
+
+
+def _curation_v3_sql() -> str:
+    from ..operators.bpe_vocab import byte_vocab_count_sql
+    from .registry_ext import _EN_STOP, _NORM_SQL, _TOKENS_SQL
+
+    counts = byte_vocab_count_sql(
+        "SELECT e.doc_id, e.text FROM ext e JOIN q3 USING (doc_id)"
+    )
+    return f"""
+WITH blocks AS ({demo_blocks_sql()}),
+kept AS (SELECT * FROM blocks WHERE {boilerplate_keep_sql()}),
+ext AS (
+  SELECT doc_id, string_agg(text, chr(10) ORDER BY block_idx) AS text
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS tk FROM ext
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(tk) AS DOUBLE) AS nt,
+         round(CAST(len(list_filter(tk, t -> t IN ({_EN_STOP}))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE), 6) AS stop_r,
+         round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(norm) AS DOUBLE), 6) AS alpha_r,
+         round((CAST(length(norm) AS DOUBLE) - (len(tk) - 1)) / len(tk), 6)
+           AS mtl
+  FROM base
+),
+q1 AS (
+  SELECT e.doc_id, e.text
+  FROM ext e JOIN c USING (doc_id)
+  WHERE CASE WHEN nt < 5 THEN 'r'
+             WHEN stop_r < 0.05 THEN 'r'
+             WHEN alpha_r < 0.6 THEN 'r'
+             WHEN mtl > 12.0 THEN 'r'
+             ELSE '' END = ''
+),
+q3 AS (SELECT min(doc_id) AS doc_id FROM q1 GROUP BY md5({_NORM_SQL})),
+counts AS ({counts})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE text IS NOT NULL) AS n_input,
+       (SELECT CAST(count(*) AS BIGINT) FROM blocks) AS n_blocks_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM q1) AS n_after_quality,
+       (SELECT CAST(count(*) AS BIGINT) FROM q3) AS n_final,
+       (SELECT CAST(sum(n_tokens_exact) AS BIGINT) FROM counts)
+         AS total_tokens_real
+"""
+
+
+@register("curation_pipeline_v3", _curation_v3_sql())
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        bpe_token_count_bytes,
+    )
+    from ..operators.text import normalize_text, quality_filter
+
+    ext = html_extract_text(_rendered(spark, sf_dir)).select(
+        "doc_id", F.col("extracted").alias("text"), "n_blocks_raw"
+    )
+    qf = quality_filter(ext)
+    q1 = ext.select("doc_id", "text").join(
+        qf.where(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    q3 = q1.groupBy(F.md5(normalize_text(F.col("text")))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    final = q3.select("doc_id").join(q1, "doc_id")
+    counts = bpe_token_count_bytes(
+        final.select("doc_id", "text"), pattern=GPT2_SPLIT_PATTERN_PORTABLE
+    )
+    n_input = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_input"))
+    n_blocks = ext.agg(
+        F.sum("n_blocks_raw").cast("bigint").alias("n_blocks_total")
+    )
+    n_q1 = q1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_quality")
+    )
+    n_q3 = q3.agg(F.count(F.lit(1)).cast("bigint").alias("n_final"))
+    budget = counts.agg(
+        F.sum("n_tokens_exact").cast("bigint").alias("total_tokens_real")
+    )
+    return (
+        n_input.crossJoin(F.broadcast(n_blocks))
+        .crossJoin(F.broadcast(n_q1))
+        .crossJoin(F.broadcast(n_q3))
+        .crossJoin(F.broadcast(budget))
+    )

@@ -124,6 +124,9 @@ SINGLE_ROW_CROSS_OK = {
     # five keyless one-row stage-count aggregates crossed into the
     # summary row + the selection stages' own single-row totals
     "curation_pipeline_v2",
+    # same summary-row shape: five keyless one-row stage counts
+    # (input / blocks / quality / dedup / token budget) crossed
+    "curation_pipeline_v3",
 }
 
 # QA/audit operators whose all-pairs side IS the measurand: the exact
