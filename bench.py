@@ -223,6 +223,8 @@ HEADLINE = [
     "html_extract_blocks",
     "html_extract_text",
     "curation_pipeline_v3",
+    # a real matrix-multiply model through the encoder slot
+    "rag_embed_mlp",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

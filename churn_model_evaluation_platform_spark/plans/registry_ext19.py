@@ -189,3 +189,51 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_q3))
         .crossJoin(F.broadcast(budget))
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_embed_mlp — a REAL (matrix-multiply) model through the encoder
+# slot: the pinned-weight 2-layer numpy MLP (operators/mlp_encoder.py)
+# runs through embed_map_in_pandas(dtype="double") exactly as a
+# torch/onnx encoder would. Dyadic weights over integer inputs make
+# every output an EXACT multiple of 1/16, so the Pandas slot, the
+# pure-Catalyst matmul replay (pinned in tests), and this DuckDB
+# list_dot_product replay must agree bit-for-bit with no rounding —
+# the differential now checks a genuine two-layer model end to end,
+# not just the hash embedder. Map-only plan.
+# ---------------------------------------------------------------------------
+
+
+def _rag_embed_mlp_sql() -> str:
+    from ..operators.mlp_encoder import mlp_sql
+    from ..operators.similarity import feature_hash_sums_sql
+
+    return f"""
+WITH ftok AS (
+  SELECT doc_id AS cid,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+emb AS ({feature_hash_sums_sql()}),
+mlp AS ({mlp_sql("emb")})
+SELECT cid AS doc_id,
+       CAST(generate_subscripts(out, 1) AS INT) AS idx,
+       CAST(unnest(out) AS DOUBLE) AS val
+FROM mlp
+"""
+
+
+@register("rag_embed_mlp", _rag_embed_mlp_sql())
+def q_rag_embed_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mlp_encoder import embed_mlp
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        embed_mlp(docs)
+        .select("doc_id", F.posexplode("embedding").alias("idx0", "val"))
+        .select(
+            "doc_id",
+            (F.col("idx0") + 1).cast("int").alias("idx"),
+            F.col("val").alias("val"),
+        )
+    )
