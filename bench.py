@@ -225,6 +225,9 @@ HEADLINE = [
     "curation_pipeline_v3",
     # a real matrix-multiply model through the encoder slot
     "rag_embed_mlp",
+    # register partials through the native txnlog sink (shuffle-free
+    # map-side combine ingest)
+    "stream_hll_sink",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
@@ -245,6 +248,54 @@ HEADLINE = [
 # r03 recorded a 5.57 minhash ratio that steady-state reruns measure at
 # ~1.7 — single-shot timings on a shared box are contention-dominated.
 SLOPE_FACTOR = 4
+# ---------------------------------------------------------------------------
+# Headline rotation (r13, VERDICT r12 next #4): the registry grew past
+# 100 benchable queries, so benching ALL of HEADLINE every round mixes
+# new-query cost into the trend and grows the wall linearly. Each run
+# now times a BOUNDED active set:
+#   - the fixed r1 subset (HEADLINE[:27]) — always, so r1_subset_total
+#     stays apples-to-apples back to round 1;
+#   - every query with no prior measurement (new this round — it needs
+#     a first number even if that busts the budget);
+#   - least-recently-benched rotation filling up to BENCH_BUDGET.
+# Deferral state rides in BENCH_DETAIL.json (bench_history: name →
+# last run index; last_timings: most recent measurement for EVERY
+# query, so regression flags survive deferral gaps).
+# ---------------------------------------------------------------------------
+
+BENCH_BUDGET = 60
+FIXED_N = 27  # the round-1 headline prefix — never rotated out
+
+
+def select_rotation(
+    headline: list, prev_detail: dict
+) -> tuple[list, list, dict, int]:
+    """Returns (active, deferred, history, run_idx). ``history`` is
+    already updated for this run's active set."""
+    history = dict(prev_detail.get("bench_history") or {})
+    run_idx = int(prev_detail.get("bench_run_idx") or 0) + 1
+    if not history:
+        # seed from the pre-rotation era: anything measured last round
+        # counts as benched at run 0
+        for n in prev_detail.get("queries", {}) or {}:
+            history[n] = 0
+    fixed = headline[:FIXED_N]
+    new = [n for n in headline[FIXED_N:] if n not in history]
+    rest = sorted(
+        (n for n in headline[FIXED_N:] if n in history),
+        key=lambda n: (history[n], headline.index(n)),
+    )
+    active = fixed + new
+    for n in rest:
+        if len(active) >= BENCH_BUDGET:
+            break
+        active.append(n)
+    deferred = [n for n in headline if n not in set(active)]
+    for n in active:
+        history[n] = run_idx
+    return active, deferred, history, run_idx
+
+
 SLOPE_QUERIES = [
     "dedup_exact",
     "dedup_minhash_signatures",

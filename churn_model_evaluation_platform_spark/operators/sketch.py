@@ -76,6 +76,19 @@ def hll_registers(
     semantics). This frame IS the mergeable partial: persist it per
     increment, max-merge per bucket across increments."""
     group_cols = group_cols or []
+    bucket, rho = hll_register_cols(col, p)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_register_cols(col: str, p: int = HLL_P):
+    """The ROW-LEVEL (bucket, rho) projection shared by the batch
+    aggregate and the streaming partial path — one hash-arithmetic
+    source."""
     m = _m(p)
     w = _w(p)
     h = md5_hash_int(F.col(col).cast("string"), _HASH_CHARS)
@@ -84,12 +97,52 @@ def hll_registers(
     rho = F.when(v > 0, F.lit(w) - F.length(F.bin(v)) + 1).otherwise(
         F.lit(w + 1)
     )
-    return (
-        df.where(F.col(col).isNotNull())
-        .select(*group_cols, (h % F.lit(m)).alias("bucket"), rho.alias("rho"))
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("rho").alias("rho"))
+    return (h % F.lit(m)), rho
+
+
+def hll_stream_partials(
+    sdf: DataFrame, col: str, p: int = HLL_P
+) -> DataFrame:
+    """APPEND-MODE streaming register partials — the shape the native
+    ``writeStream.format("txnlog")`` sink can carry. A streaming
+    ``groupBy(bucket).max(rho)`` is a STATEFUL aggregation (needs
+    update/complete mode, which a DSv2 append sink refuses); instead
+    this is the classic map-side partial combine made explicit: the
+    (bucket, rho) projection stays in Catalyst (row-narrow, the same
+    ``hll_register_cols`` arithmetic as the batch path), and a
+    stateless ``mapInArrow`` pass keeps ONE running max per bucket per
+    partition, emitting ≤ m rows per input partition per micro-batch.
+    Appended partials max-merge at read time to exactly the one-shot
+    registers (max is associative/commutative/idempotent), so the
+    estimate is EXACT vs the batch path at any partitioning — and the
+    ingest never shuffles at all (the library ``foreachBatch`` path
+    shuffles per batch; this one defers ALL merging to read).
+    """
+    import pyarrow as pa
+
+    bucket, rho = hll_register_cols(col, p)
+    rows = sdf.where(F.col(col).isNotNull()).select(
+        bucket.alias("bucket"), rho.alias("rho")
     )
+
+    def _partial(batches):
+        best: dict = {}
+        for batch in batches:
+            for b, r in zip(
+                batch.column(0).to_pylist(), batch.column(1).to_pylist()
+            ):
+                if r > best.get(b, 0):
+                    best[b] = r
+        if best:
+            yield pa.record_batch(
+                [
+                    pa.array(list(best.keys()), pa.int64()),
+                    pa.array(list(best.values()), pa.int32()),
+                ],
+                names=["bucket", "rho"],
+            )
+
+    return rows.mapInArrow(_partial, "bucket long, rho int")
 
 
 def hll_merge(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:

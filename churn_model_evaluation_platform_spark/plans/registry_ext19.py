@@ -237,3 +237,79 @@ def q_rag_embed_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("val").alias("val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_hll_sink — the r12 verdict's symmetry gap closed: the SAME
+# streaming HLL maintenance as stream_hll_ingest, but the register
+# partials flow through the NATIVE writeStream.format("txnlog") sink
+# (exactly-once keyed sinkId:batchId) instead of the library
+# TxnTable.append in foreachBatch. A streaming groupBy is stateful
+# (update mode — refused by a DSv2 append sink), so the partials are
+# the map-side combine made explicit (hll_stream_partials): Catalyst
+# row-level (bucket, rho) + a stateless per-partition running max —
+# the ingest path never shuffles AT ALL, and appended partials
+# max-merge at read time to exactly the one-shot registers. Shares
+# stream_hll_ingest's verbatim one-shot oracle, so sink-path commits
+# that dropped, truncated, or double-applied a batch break the hash.
+# ---------------------------------------------------------------------------
+
+
+@register("stream_hll_sink", None)
+def q_stream_hll_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_stream_partials,
+    )
+    from ..sources.txnlog import TxnTable
+    from ..sources.txnlog_datasource import register_txnlog_source
+    from .phases import timed_phase
+    from .registry import drain_stream
+    from .registry_ext18 import _make_user_id_drops
+
+    ev = _t(spark, sf_dir, "events")
+    register_txnlog_source(spark)
+    with timed_phase("stream_hll_sink.build"):
+        base = _make_user_id_drops(spark, sf_dir, "hllsink")
+        from pyspark.sql import types as T
+
+        schema = T.StructType([T.StructField("user_id", T.LongType())])
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/drops")
+        )
+        q = (
+            hll_stream_partials(sdf, "user_id")
+            .writeStream.format("txnlog")
+            .option("path", f"{base}/regs")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .option("sinkId", "hllsink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q)
+    table = TxnTable(spark, f"{base}/regs")
+    est = hll_estimate(hll_merge(table.scan().select("bucket", "rho")))
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_buckets_used",
+        "hll_estimate",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _install_stream_hll_sink_oracle() -> None:
+    from .registry import _ORACLES
+    from .registry_ext18 import _hll_users_sql
+
+    _ORACLES["stream_hll_sink"] = _hll_users_sql()
+
+
+_install_stream_hll_sink_oracle()

@@ -109,6 +109,7 @@ SINGLE_ROW_CROSS_OK = {
     "hll_users_estimate",
     "hll_merge_daily",
     "stream_hll_ingest",  # same single-row estimate/exact cross
+    "stream_hll_sink",  # same cross, native-sink variant
     # deliberate replicate-small-dim cross (value_drift_by_window's
     # pattern): the ≤31-row day spine broadcast-range-joined into the
     # m-row register table / the events scan (audit side)
