@@ -313,3 +313,33 @@ def _install_stream_hll_sink_oracle() -> None:
 
 
 _install_stream_hll_sink_oracle()
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity_5gram — the generalized stupid-backoff chain at the
+# order Brants et al. 2007 actually ran (r12 verdict #5): the bigram
+# and trigram queries are now instances of ngram_lm_scores (their
+# oracles unchanged — instance equality is re-proven by their own
+# diffcheck), and this query exercises the 5-level ladder
+# (5→4→3→2→add-one-unigram) with every per-order usage count in the
+# hashed rows, so each backoff level genuinely firing is itself
+# oracled.
+# ---------------------------------------------------------------------------
+
+
+def _lm_5gram_sql() -> str:
+    from ..operators.selection import ngram_lm_sql
+
+    return ngram_lm_sql(order=5)
+
+
+@register("lm_perplexity_5gram", _lm_5gram_sql())
+def q_lm_perplexity_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import ngram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_lm_scores(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        order=5,
+    )

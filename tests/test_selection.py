@@ -414,3 +414,82 @@ def test_embed_map_in_pandas_float_encoder_dtype(spark):
         dtype="double",
     ).collect()
     assert list(out[0]["embedding"]) == [0.25, -0.5]
+
+
+# ---------------------------------------------------------------------------
+# generalized n-gram chain (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_chain_order4_hand_computed(spark):
+    """Order-4 ladder on a planted corpus: one eval 4-gram hits each
+    backoff level, every branch hand-computed including the repeated-
+    multiplication α powers."""
+    import math
+
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        STUPID_BACKOFF_ALPHA as A,
+    )
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        ngram_lm_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    )
+    # eval docs, each with exactly one 4-gram:
+    #   10: "a b c d"  -> seen 4-gram: ln(c4/ctx4) = ln(1/1)
+    #   11: "x b c d"  -> suffix tri "b c d" seen: ln(a * 1/1)
+    #   12: "x y c d"  -> suffix bi  "c d" seen:  ln(a^2 * 1/1)
+    #   13: "x y z d"  -> unigram backoff: ln(a^3 * (1+1)/(5+5))
+    ev = spark.createDataFrame(
+        [
+            (10, "a b c d"),
+            (11, "x b c d"),
+            (12, "x y c d"),
+            (13, "x y z d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_lm_scores(train, ev, order=4).collect()
+    }
+    flags = {
+        i: (
+            out[i]["n_order4"],
+            out[i]["n_order3"],
+            out[i]["n_order2"],
+            out[i]["n_order1"],
+        )
+        for i in out
+    }
+    assert flags == {
+        10: (1, 0, 0, 0),
+        11: (0, 1, 0, 0),
+        12: (0, 0, 1, 0),
+        13: (0, 0, 0, 1),
+    }
+
+    def pin(x):
+        return round(round(math.log(x) * 1e6) / 1e6, 6)
+
+    assert out[10]["lm_logprob"] == pin(1.0)
+    assert out[11]["lm_logprob"] == pin(A * 1.0)
+    assert out[12]["lm_logprob"] == pin(A * A * 1.0)
+    assert out[13]["lm_logprob"] == pin(A * A * A * 2.0 / 10.0)
+    assert all(out[i]["n_ngrams"] == 1 for i in out)
+
+
+def test_ngram_order_guard():
+    import pytest as _pytest
+
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        ngram_lm_scores,
+        ngram_lm_sql,
+    )
+
+    with _pytest.raises(ValueError):
+        ngram_lm_sql(order=1)
+    with _pytest.raises(ValueError):
+        ngram_lm_scores(None, None, order=1)

@@ -100,6 +100,7 @@ SINGLE_ROW_CROSS_OK = {
     # broadcast pattern as lm_score/bm25_search:
     "lm_perplexity_bigram",  # single-row (T, V) train-totals broadcast
     "lm_perplexity_trigram",  # same totals cross, trigram chain
+    "lm_perplexity_5gram",  # same totals cross, 5-level ladder
     "dsir_select_en",  # single-row (t_raw, t_tgt) totals broadcast
     "dsir_sample_gumbel",  # same weights plan + Gumbel TakeOrdered
     "hybrid_topk_rrf",  # bm25 leg's single-row (n_docs, avgdl) cross
