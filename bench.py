@@ -228,6 +228,8 @@ HEADLINE = [
     # register partials through the native txnlog sink (shuffle-free
     # map-side combine ingest)
     "stream_hll_sink",
+    # the generalized stupid-backoff ladder at Brants et al.'s order
+    "lm_perplexity_5gram",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
@@ -456,6 +458,7 @@ def main() -> None:
     # JSON instead of in SCALE.md prose)
     prev_timings: dict = {}
     prev_calib: float | None = None
+    _prev_detail: dict = {}
     try:
         with open(
             os.path.join(
@@ -464,10 +467,21 @@ def main() -> None:
             )
         ) as f:
             _prev_detail = json.load(f)
-        prev_timings = _prev_detail.get("queries", {}) or {}
+        # last_timings carries the most recent measurement for EVERY
+        # query across deferral gaps; fall back to the pre-rotation
+        # per-run map
+        prev_timings = (
+            _prev_detail.get("last_timings")
+            or _prev_detail.get("queries", {})
+            or {}
+        )
         prev_calib = (_prev_detail.get("calibration") or {}).get("min")
     except Exception:
         pass
+
+    active, deferred, bench_history, bench_run_idx = select_rotation(
+        HEADLINE, _prev_detail
+    )
     spark = get_spark(app_name="churn_model_evaluation_platform_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -492,7 +506,7 @@ def main() -> None:
     # sf0.001 is ~1% of the timed run — the warm pass is cheap.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in active:
             try:
                 qs[name](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -515,7 +529,7 @@ def main() -> None:
     # a feed/scan regression in the txnlog/ANN-store queries is visible
     # instead of hiding inside multi-commit fixture noise.
     phase_split: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in active:
         fn = qs[name]
         try:
             best = float("inf")
@@ -604,6 +618,18 @@ def main() -> None:
 
     # Full detail: an EARLIER stdout line (outside the driver's 2000-char
     # tail) + a file the judge can read verbatim.
+    # carry the most recent measurement for every query across
+    # deferral gaps (regression flags compare against this when a
+    # deferred query rotates back in)
+    last_timings = {
+        **{
+            k: v
+            for k, v in prev_timings.items()
+            if isinstance(v, (int, float))
+        },
+        **timings,
+    }
+
     detail = {
         "queries": timings,
         "phase_split": phase_split,
@@ -611,6 +637,15 @@ def main() -> None:
         "rerun": rerun,
         "errors": errors,
         "contention": contention,
+        "bench_history": bench_history,
+        "bench_run_idx": bench_run_idx,
+        "last_timings": last_timings,
+        "rotation": {
+            "budget": BENCH_BUDGET,
+            "n_active": len(active),
+            "n_deferred": len(deferred),
+            "deferred": deferred,
+        },
         # the load-normalization index for NEXT round's flags: the
         # probe's best time this round (start/end kept for drift
         # visibility — a big start/end gap means the load changed
@@ -635,7 +670,7 @@ def main() -> None:
                     "unit": "sec",
                     "sf": sf,
                     "r1_subset_total": r1_subset,
-                    "method": "best_of_2_warmed",
+                    "method": "best_of_2_warmed_rotated",
                     **detail,
                 },
                 f,
@@ -657,8 +692,9 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "r1_subset_total": r1_subset,
-        "method": "best_of_2_warmed",
+        "method": "best_of_2_warmed_rotated",
         "n_queries": len(timings),
+        "n_deferred": len(deferred),
         "n_errors": len(errors),
         "n_reruns": len(rerun),
         **contention,
