@@ -230,6 +230,8 @@ HEADLINE = [
     "stream_hll_sink",
     # the generalized stupid-backoff ladder at Brants et al.'s order
     "lm_perplexity_5gram",
+    # streaming HTML curation into the native sink (stateless chain)
+    "stream_curation_sink",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -226,6 +226,43 @@ def quality_filter(
     ).withColumn("keep", F.col("reject_reason") == "")
 
 
+def quality_keep_col(
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_stopword_ratio: float = 0.05,
+    min_alpha_ratio: float = 0.6,
+    max_mean_token_len: float = 12.0,
+) -> Column:
+    """The ``quality_filter`` admission rule as ONE stateless Column
+    over the text — for streaming pipelines where joining the
+    (id, keep) frame back would be a stateful stream-stream join.
+    Same exact counts and the same ROUNDED ratios as
+    ``text_quality``/``quality_filter`` (equivalence pinned in
+    tests), so batch and streaming admission can never drift."""
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    toks = tokens(t)
+    nt = F.size(toks).cast("double")
+    en_sw = LANG_STOPWORDS["en"]
+    stop_r = F.round(
+        F.size(F.filter(toks, lambda x: x.isin(*en_sw))).cast("double")
+        / nt,
+        6,
+    )
+    alpha_r = F.round(
+        F.length(F.regexp_replace(norm, r"[^a-z]", "")).cast("double")
+        / F.length(norm).cast("double"),
+        6,
+    )
+    mtl = F.round((F.length(norm) - (nt - 1)) / nt, 6)
+    return (
+        (nt >= F.lit(float(min_tokens)))
+        & (stop_r >= F.lit(min_stopword_ratio))
+        & (alpha_r >= F.lit(min_alpha_ratio))
+        & (mtl <= F.lit(max_mean_token_len))
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,

@@ -343,3 +343,110 @@ def q_lm_perplexity_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 1),
         order=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_curation_sink — the curation FRONT END as a STREAMING ingest:
+# HTML pages drop as files → html_extract_text (the parse is a
+# stateless mapInArrow and the gates are array lambdas, so the whole
+# extraction chain runs in append mode unchanged) → the Gopher
+# admission rule as one stateless predicate (quality_keep_col — the
+# (id, keep) join of the batch composition would be a stateful
+# stream-stream join) → exactly-once into the native txnlog sink.
+# The table then IS the curated corpus. Oracle = the batch prediction
+# over the full rendered corpus (blocks → gates → reassembly →
+# quality replay), so a stream that dropped, double-applied, or
+# reordered any page's blocks breaks the hash — and streaming
+# admission is pinned bit-equal to batch admission.
+# ---------------------------------------------------------------------------
+
+
+def _stream_curation_sql() -> str:
+    from .registry_ext import _EN_STOP, _NORM_SQL, _TOKENS_SQL
+
+    return f"""
+WITH blocks AS ({demo_blocks_sql()}),
+kept AS (SELECT * FROM blocks WHERE {boilerplate_keep_sql()}),
+ext AS (
+  SELECT doc_id, string_agg(text, chr(10) ORDER BY block_idx) AS text
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS tk FROM ext
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(tk) AS DOUBLE) AS nt,
+         round(CAST(len(list_filter(tk, t -> t IN ({_EN_STOP}))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE), 6) AS stop_r,
+         round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(norm) AS DOUBLE), 6) AS alpha_r,
+         round((CAST(length(norm) AS DOUBLE) - (len(tk) - 1)) / len(tk), 6)
+           AS mtl
+  FROM base
+)
+SELECT e.doc_id, e.text
+FROM ext e JOIN c USING (doc_id)
+WHERE nt >= 5 AND stop_r >= 0.05 AND alpha_r >= 0.6 AND mtl <= 12.0
+"""
+
+
+@register("stream_curation_sink", _stream_curation_sql())
+def q_stream_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from ..operators.text import quality_keep_col
+    from ..sources.txnlog import TxnTable
+    from ..sources.txnlog_datasource import register_txnlog_source
+    from .phases import timed_phase
+    from .registry import drain_stream
+    from .registry_ext12 import _tmp_table_path
+
+    register_txnlog_source(spark)
+    with timed_phase("stream_curation_sink.build"):
+        base = _tmp_table_path(sf_dir, "curastream")
+        drops = f"{base}/drops"
+        os.makedirs(drops, exist_ok=True)
+        pages = _rendered(spark, sf_dir)
+        for i in range(3):
+            tmp = f"{base}/tmp{i}"
+            pages.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, f"{drops}/b{i}.parquet")
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(
+                f"{drops}/b{i}.parquet",
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("html", T.StringType()),
+            ]
+        )
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+        )
+        curated = (
+            html_extract_text(sdf)
+            .select("doc_id", F.col("extracted").alias("text"))
+            .where(quality_keep_col())
+        )
+        q = (
+            curated.writeStream.format("txnlog")
+            .option("path", f"{base}/tbl")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .option("sinkId", "curation")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q)
+    return TxnTable(spark, f"{base}/tbl").scan().select("doc_id", "text")

@@ -229,3 +229,43 @@ def test_exploded_blocks_view(spark, pages):
     assert [r["block_idx"] for r in rows] == [0, 1, 2]
     nav = rows[0]
     assert nav["n_link_chars"] == len("Home") + len("Links")
+
+
+# ---------------------------------------------------------------------------
+# streaming curation (r13): stateless admission predicate parity
+# ---------------------------------------------------------------------------
+
+
+def test_quality_keep_col_matches_quality_filter(spark):
+    """The one-column streaming admission rule must agree with the
+    batch quality_filter on every document (same rounded ratios) —
+    including edge shapes the gates actually reject."""
+    from churn_model_evaluation_platform_spark.operators.text import (
+        quality_filter,
+        quality_keep_col,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),  # empty
+            (9002, "one two"),  # too few tokens
+            (9003, "the " * 50),  # all stopwords, trailing space
+            (9004, "zzzzzzzzzzzzzzzzzz " * 20),  # long tokens, no stop
+            (9005, "1234 5678 9012 3456 7890 2345"),  # low alpha
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(edge)
+    batch = {
+        r["doc_id"]: r["keep"] for r in quality_filter(df).collect()
+    }
+    stream_kept = {
+        r["doc_id"]
+        for r in df.where(quality_keep_col()).select("doc_id").collect()
+    }
+    assert stream_kept == {k for k, keep in batch.items() if keep}
+    # the edge rows are all rejected by both
+    assert not stream_kept & {9001, 9002, 9004, 9005}
