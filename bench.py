@@ -232,6 +232,9 @@ HEADLINE = [
     "lm_perplexity_5gram",
     # streaming HTML curation into the native sink (stateless chain)
     "stream_curation_sink",
+    # the Gopher repetition gates (dup lines, top-n-gram and
+    # coverage-union dup-n-gram character fractions)
+    "gopher_repetition",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -450,3 +450,48 @@ def q_stream_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         drain_stream(q)
     return TxnTable(spark, f"{base}/tbl").scan().select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition — the REPETITION half of the Gopher quality suite
+# (Rae et al. 2021 Table A1), completing quality_filter's length/
+# stopword/alpha gates: duplicate-line fractions (array-only, zero
+# shuffle), top-{2,3,4}-gram character fractions (one explode +
+# (doc, gram) count each), and duplicate-5-gram POSITION-COVERAGE
+# character fraction (overlap-safe union of covered token positions).
+# Three planted pathological docs (a top-gram spam page, a repeated
+# 5-gram page, a duplicated-lines page) ride along with real ids
+# >= 10^6 so every reject branch provably fires inside the hashed
+# result; thresholds compare the same rounded doubles on both
+# engines.
+# ---------------------------------------------------------------------------
+
+_REP_PLANTED = [
+    (1_000_001, "spam spam spam spam spam spam spam spam"),
+    (1_000_002, "a b c d e a b c d e a b c d e"),
+    (1_000_003, "good line\ngood line\nunique tail line"),
+]
+
+
+def _gopher_repetition_sql() -> str:
+    from ..operators.repetition import repetition_sql
+
+    planted = ", ".join(
+        "({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
+        for i, t in _REP_PLANTED
+    )
+    return repetition_sql(
+        f"""SELECT doc_id, text FROM documents
+UNION ALL SELECT * FROM (VALUES {planted}) AS pl(doc_id, text)"""
+    )
+
+
+@register("gopher_repetition", _gopher_repetition_sql())
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.repetition import gopher_repetition_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        _REP_PLANTED, "doc_id long, text string"
+    )
+    return gopher_repetition_filter(docs.unionByName(planted))
