@@ -235,6 +235,8 @@ HEADLINE = [
     # the Gopher repetition gates (dup lines, top-n-gram and
     # coverage-union dup-n-gram character fractions)
     "gopher_repetition",
+    # C4-style corpus-wide line dedup over ungated extracted pages
+    "line_dedup_extracted",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -207,8 +207,11 @@ def block_keep_pred(
     not a structural-boilerplate tag, at least ``min_chars`` collapsed
     chars, and link density ≤ num/den by integer cross-multiplication
     (exact on both engines; default 1/2)."""
+    tag_ok = (
+        ~b["tag"].isin(*drop_tags) if drop_tags else F.lit(True)
+    )
     return (
-        ~b["tag"].isin(*drop_tags)
+        tag_ok
         & (b["n_chars"] >= F.lit(min_chars))
         & (
             b["n_link_chars"] * F.lit(link_density_den)

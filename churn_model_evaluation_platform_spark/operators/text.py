@@ -226,6 +226,92 @@ def quality_filter(
     ).withColumn("keep", F.col("reject_reason") == "")
 
 
+def line_dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style corpus-wide LINE dedup (Raffel et al. 2020 §2.2 also
+    ran a line-grain pass; CCNet dedups paragraph hashes the same
+    way): only the FIRST occurrence — lexicographic (doc_id,
+    line position) — of every distinct trimmed line survives, and
+    each document is rebuilt from its surviving lines. Repeated
+    boilerplate (nav bars, cookie banners, footers) collapses to one
+    copy corpus-wide even when no structural tag identifies it — the
+    statistical complement to ``html_extract``'s tag/link-density
+    gates.
+
+    Returns (id, text_deduped, n_lines_kept, n_lines_removed) — one
+    row per non-null-text doc; a fully-deduplicated doc comes back
+    ``''``. Lines are ASCII-space-trimmed; blank lines never count.
+
+    Scale: one explode (O(corpus lines)); the wide exchange groups a
+    128-bit line DIGEST (16-byte keys however long the line), the
+    span_dedup_corpus discipline; first-occurrence is a struct min —
+    unbounded positions, any orderable id. NULL ids fail loudly."""
+    # fail-loud NULL-id guard. NOT folded into the dedup subtree: a
+    # NULL id makes the struct-equality filter all-NULL → `kept`
+    # empty → AQE's empty-relation propagation replaces the right
+    # side of the final join WITHOUT awaiting the failing stage (the
+    # assert then fires only in a background broadcast thread whose
+    # failure never propagates — observed). Folding it into the LEFT
+    # side's per-row output makes it un-prunable.
+    _id_ok = F.coalesce(
+        F.assert_true(
+            F.col("id").isNotNull(),
+            F.lit("line_dedup_corpus: NULL id — dedup order undefined"),
+        ).cast("int"),
+        F.lit(0),
+    )
+    docs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        ).alias("ls"),
+    )
+    lines = docs.select(
+        "id", F.posexplode("ls").alias("p0", "line")
+    ).select(
+        "id",
+        (F.col("p0") + 1).alias("pos"),
+        F.md5(F.encode("line", "UTF-8")).alias("k"),
+        "line",
+    )
+    first = lines.groupBy("k").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("first_occ")
+    )
+    kept = (
+        lines.join(first, "k")
+        .where(F.struct(F.col("id"), F.col("pos")) == F.col("first_occ"))
+        .select("id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select("id", (F.size("ls") + _id_ok).alias("n_lines"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_kept", F.lit(0))
+            .cast("long")
+            .alias("n_lines_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
 def quality_keep_col(
     text_col: str = "text",
     min_tokens: int = 5,
@@ -320,8 +406,14 @@ def span_dedup_corpus(
     AQE-coalesced. No sort, no window, no driver state; this is the
     shape distributed exact-substring dedup pipelines actually run
     when a suffix array doesn't fit."""
-    # fail-loud NULL-id guard, folded into the position column so the
-    # optimizer cannot prune it: assert_true yields NULL on pass
+    # fail-loud NULL-id guard. Folded into the FINAL left side's
+    # per-row output (n_words), NOT into the dedup subtree: a NULL id
+    # empties `dup_words` (struct comparisons go NULL), and AQE's
+    # empty-relation propagation then replaces the anti-join's right
+    # side WITHOUT awaiting the failing stage — the assert fired only
+    # in a background thread whose failure never propagated, and the
+    # doc came back silently destroyed (caught r13 via the line-dedup
+    # twin; previously this guard sat on the position column).
     _id_ok = F.coalesce(
         F.assert_true(
             F.col("id").isNotNull(),
@@ -347,7 +439,7 @@ def span_dedup_corpus(
         )
         .select(
             "id",
-            (F.col("p0") + 1 + _id_ok).alias("pos"),
+            (F.col("p0") + 1).alias("pos"),
             F.md5(F.encode("gram", "UTF-8")).alias("g128"),
         )
     )
@@ -383,7 +475,7 @@ def span_dedup_corpus(
         F.count(F.lit(1)).alias("n_kept"),
     )
     return (
-        toks.select("id", F.size("ws").alias("n_words"))
+        toks.select("id", (F.size("ws") + _id_ok).alias("n_words"))
         .join(rebuilt, "id", "left")
         .select(
             F.col("id").alias(id_col),

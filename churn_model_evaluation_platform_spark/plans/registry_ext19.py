@@ -495,3 +495,56 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _REP_PLANTED, "doc_id long, text string"
     )
     return gopher_repetition_filter(docs.unionByName(planted))
+
+
+# ---------------------------------------------------------------------------
+# line_dedup_extracted — C4-style corpus-wide line dedup over the
+# UNGATED extracted pages: the nav bar line repeats on every page, so
+# the statistical dedup (first occurrence survives corpus-wide)
+# strips exactly the boilerplate the tag/link-density gates catch
+# structurally — two independent mechanisms, one predicted result.
+# The oracle replays global first-occurrence (row_number over the
+# line text ordered by (doc_id, pos)) against Spark's md5-digest
+# struct-min — equivalent keys to 2^-128.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "line_dedup_extracted",
+    f"""
+WITH blocks AS ({demo_blocks_sql()}),
+lines AS (SELECT doc_id, block_idx + 1 AS pos, text AS line FROM blocks),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY line ORDER BY doc_id, pos
+    ) AS rn FROM lines
+  ) WHERE rn = 1
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_deduped,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, count(*) AS n_lines FROM blocks GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(r.text_deduped, '') AS text_deduped,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(b.n_lines - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_lines_removed
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_line_dedup_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import line_dedup_corpus
+
+    # ungated extraction: every block becomes a line (min_chars=0,
+    # no structural drops, link gate vacuous at num=den=1)
+    pages = html_extract_text(
+        _rendered(spark, sf_dir),
+        min_chars=0,
+        link_density_num=1,
+        link_density_den=1,
+        drop_tags=(),
+    ).select("doc_id", F.col("extracted").alias("text"))
+    return line_dedup_corpus(pages)

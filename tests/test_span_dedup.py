@@ -142,3 +142,26 @@ def test_null_id_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="NULL id"):
         span_dedup_corpus(df, n=3).collect()
+
+
+def test_null_id_fails_loudly_even_after_warm_run(spark):
+    """Regression (r13): same AQE empty-relation hole as the line
+    dedup twin — a warm plan shape let the NULL-id doc through as
+    text_deduped='' / everything-removed while the assert fired only
+    in a background thread. Guard now on the left side's n_words."""
+    import pytest as _pytest
+
+    from churn_model_evaluation_platform_spark.operators.text import (
+        span_dedup_corpus,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e x y")],
+        "doc_id long, text string",
+    )
+    span_dedup_corpus(ok).collect()
+    bad = spark.createDataFrame(
+        [(None, "a b c d e f g")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="NULL id"):
+        span_dedup_corpus(bad).collect()
