@@ -237,6 +237,9 @@ HEADLINE = [
     "gopher_repetition",
     # C4-style corpus-wide line dedup over ungated extracted pages
     "line_dedup_extracted",
+    # the full composed pipeline: extract -> gates -> line dedup ->
+    # quality -> repetition -> token budget
+    "curation_pipeline_v4",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -548,3 +548,147 @@ def q_line_dedup_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop_tags=(),
     ).select("doc_id", F.col("extracted").alias("text"))
     return line_dedup_corpus(pages)
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline_v4 — ALL the r13 stages composed as one curation
+# run, the full modern web-pipeline shape (RefinedWeb/Gopher order):
+# render → extract + structural boilerplate gates → corpus-wide line
+# dedup (collapses exact-duplicate pages to their first copy — the C4
+# line pass subsumes exact content dedup at this grain) → Gopher
+# length/stopword/alpha gates → Gopher REPETITION gates → real-vocab
+# token budget. One hashed summary row carries every stage's survivor
+# count, so any stage OR any handoff frame drifting moves the row;
+# each stage is an independently-oracled operator.
+# ---------------------------------------------------------------------------
+
+
+def _curation_v4_sql() -> str:
+    from ..operators.bpe_vocab import byte_vocab_count_sql
+    from ..operators.repetition import repetition_sql
+    from .registry_ext import _EN_STOP, _NORM_SQL, _TOKENS_SQL
+
+    rep = repetition_sql("SELECT doc_id, text FROM q1")
+    counts = byte_vocab_count_sql(
+        "SELECT q1.doc_id, q1.text FROM q1 JOIN q2 USING (doc_id)"
+    )
+    return f"""
+WITH blocks AS ({demo_blocks_sql()}),
+kept AS (SELECT * FROM blocks WHERE {boilerplate_keep_sql()}),
+ext AS (
+  SELECT doc_id, string_agg(text, chr(10) ORDER BY block_idx) AS text
+  FROM kept GROUP BY doc_id
+),
+exlines AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ls, 1) AS INT) AS pos,
+         unnest(ls) AS line
+  FROM (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      x -> trim(x, ' ')),
+                       x -> x <> '') AS ls
+    FROM ext
+  )
+),
+ldkept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY line ORDER BY doc_id, pos
+    ) AS rn FROM exlines
+  ) WHERE rn = 1
+),
+ld AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM ldkept GROUP BY doc_id
+),
+qbase AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS tk FROM ld
+),
+qc AS (
+  SELECT doc_id,
+         CAST(len(tk) AS DOUBLE) AS nt,
+         round(CAST(len(list_filter(tk, t -> t IN ({_EN_STOP}))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE), 6) AS stop_r,
+         round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(norm) AS DOUBLE), 6) AS alpha_r,
+         round((CAST(length(norm) AS DOUBLE) - (len(tk) - 1)) / len(tk), 6)
+           AS mtl
+  FROM qbase
+),
+q1 AS (
+  SELECT l.doc_id, l.text
+  FROM ld l JOIN qc USING (doc_id)
+  WHERE CASE WHEN nt < 5 THEN 'r'
+             WHEN stop_r < 0.05 THEN 'r'
+             WHEN alpha_r < 0.6 THEN 'r'
+             WHEN mtl > 12.0 THEN 'r'
+             ELSE '' END = ''
+),
+q2 AS (SELECT doc_id FROM ({rep}) WHERE keep),
+counts AS ({counts})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE text IS NOT NULL) AS n_input,
+       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_blocks_kept,
+       (SELECT CAST(count(*) AS BIGINT) FROM ld) AS n_after_linededup,
+       (SELECT CAST(count(*) AS BIGINT) FROM q1) AS n_after_quality,
+       (SELECT CAST(count(*) AS BIGINT) FROM q2) AS n_after_repetition,
+       (SELECT CAST(sum(n_tokens_exact) AS BIGINT) FROM counts)
+         AS total_tokens_real
+"""
+
+
+@register("curation_pipeline_v4", _curation_v4_sql())
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        bpe_token_count_bytes,
+    )
+    from ..operators.repetition import gopher_repetition_filter
+    from ..operators.text import line_dedup_corpus, quality_keep_col
+
+    ext = html_extract_text(_rendered(spark, sf_dir)).select(
+        "doc_id",
+        F.col("extracted").alias("text"),
+        F.col("n_blocks_kept"),
+    )
+    ld = (
+        line_dedup_corpus(ext.where(F.col("n_blocks_kept") > 0))
+        .where(F.col("n_lines_kept") > 0)
+        .select("doc_id", F.col("text_deduped").alias("text"))
+    )
+    q1 = ld.where(quality_keep_col())
+    q2 = q1.join(
+        gopher_repetition_filter(q1)
+        .where(F.col("keep"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    counts = bpe_token_count_bytes(
+        q2.select("doc_id", "text"), pattern=GPT2_SPLIT_PATTERN_PORTABLE
+    )
+    n_input = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_input"))
+    n_blocks = ext.agg(
+        F.sum("n_blocks_kept").cast("bigint").alias("n_blocks_kept")
+    )
+    n_ld = ld.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_linededup")
+    )
+    n_q1 = q1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_quality")
+    )
+    n_q2 = q2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_repetition")
+    )
+    budget = counts.agg(
+        F.sum("n_tokens_exact").cast("bigint").alias("total_tokens_real")
+    )
+    return (
+        n_input.crossJoin(F.broadcast(n_blocks))
+        .crossJoin(F.broadcast(n_ld))
+        .crossJoin(F.broadcast(n_q1))
+        .crossJoin(F.broadcast(n_q2))
+        .crossJoin(F.broadcast(budget))
+    )

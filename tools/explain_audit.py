@@ -129,6 +129,9 @@ SINGLE_ROW_CROSS_OK = {
     # same summary-row shape: five keyless one-row stage counts
     # (input / blocks / quality / dedup / token budget) crossed
     "curation_pipeline_v3",
+    # six keyless one-row stage counts crossed (adds line-dedup and
+    # repetition stages)
+    "curation_pipeline_v4",
 }
 
 # QA/audit operators whose all-pairs side IS the measurand: the exact
