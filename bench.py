@@ -240,6 +240,8 @@ HEADLINE = [
     # the full composed pipeline: extract -> gates -> line dedup ->
     # quality -> repetition -> token budget
     "curation_pipeline_v4",
+    # Luhn-validated payment-card scrub (exact-integer checksum fold)
+    "pii_credit_cards",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

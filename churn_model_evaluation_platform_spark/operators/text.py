@@ -642,6 +642,100 @@ def pii_scrub(
     )
 
 
+#: Payment-card candidate: 13–19 digits allowing single space/dash
+#: separators, anchored on digits at both ends. Deliberately
+#: lookaround-free (Java regex has lookbehind, RE2 does not — the
+#: pattern must mean the same thing on both engines); length is
+#: re-checked on the separator-stripped digits.
+CC_CANDIDATE_RE = "[0-9][0-9 -]{11,21}[0-9]"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) over a pure-digit string as an
+    exact integer Catalyst fold: from the RIGHTMOST digit, double
+    every second digit, subtract 9 when the doubled value exceeds 9,
+    sum, valid iff ≡ 0 (mod 10). Plus the 13–19 length window. This is
+    what separates a real card number from thirteen arbitrary digits —
+    regex-only scrubbing false-positives on order ids, timestamps,
+    and checksums-that-aren't."""
+    rev = F.split(F.reverse(digits), "")
+    terms = F.transform(
+        rev,
+        lambda x, i: F.when(
+            (i + 1) % 2 == 0,
+            x.cast("int") * 2
+            - F.when(x.cast("int") >= 5, F.lit(9)).otherwise(F.lit(0)),
+        ).otherwise(x.cast("int")),
+    )
+    s = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+    return (
+        (s % 10 == 0)
+        & (F.length(digits) >= 13)
+        & (F.length(digits) <= 19)
+    )
+
+
+def credit_card_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Checksum-validated payment-card detection + redaction — the
+    PII scrub step ``pii_scrub``'s shape-only patterns can't do
+    (Presidio/Macie-class scrubbers all validate Luhn). Candidates
+    come from ``CC_CANDIDATE_RE``; each candidate's separators are
+    stripped and the Luhn fold decides validity. Redaction is
+    conservative: EVERY candidate is replaced (a near-miss checksum
+    is still a probable typo'd card), while the counts split
+    candidates from Luhn-valid hits so the false-positive rate is
+    itself measurable. Map-only, whole-stage codegen, zero shuffle.
+
+    Output: (id, n_cc_candidates, n_cc_valid, scrubbed).
+    """
+    src = F.col(text_col)
+    cands = F.regexp_extract_all(src, F.lit(CC_CANDIDATE_RE), 0)
+    digits = F.transform(
+        cands, lambda c: F.regexp_replace(c, "[ -]", "")
+    )
+    in_window = F.filter(
+        digits, lambda d: (F.length(d) >= 13) & (F.length(d) <= 19)
+    )
+    valid = F.filter(digits, luhn_valid)
+    return df.where(src.isNotNull()).select(
+        F.col(id_col),
+        F.size(in_window).cast("int").alias("n_cc_candidates"),
+        F.size(valid).cast("int").alias("n_cc_valid"),
+        F.regexp_replace(src, CC_CANDIDATE_RE, "<CC>").alias("scrubbed"),
+    )
+
+
+def credit_card_sql(source_sql: str) -> str:
+    """DuckDB replay of ``credit_card_scan`` over ``source_sql``
+    yielding (doc_id, text): same candidate pattern (RE2-safe), same
+    separator strip, same exact-integer Luhn fold."""
+    luhn = """list_sum([
+      CASE WHEN i % 2 = 0
+           THEN CAST(reverse(d)[i] AS INT) * 2
+                - CASE WHEN CAST(reverse(d)[i] AS INT) >= 5
+                       THEN 9 ELSE 0 END
+           ELSE CAST(reverse(d)[i] AS INT) END
+      FOR i IN range(1, length(d) + 1)]) % 10 = 0"""
+    return f"""
+SELECT doc_id,
+       CAST(len(list_filter(ds, d -> length(d) BETWEEN 13 AND 19))
+            AS INT) AS n_cc_candidates,
+       CAST(len(list_filter(ds, d -> length(d) BETWEEN 13 AND 19
+                                     AND ({luhn})))
+            AS INT) AS n_cc_valid,
+       regexp_replace(text, '{CC_CANDIDATE_RE}', '<CC>', 'g') AS scrubbed
+FROM (
+  SELECT doc_id, text,
+         list_transform(
+           regexp_extract_all(text, '{CC_CANDIDATE_RE}', 0),
+           c -> regexp_replace(c, '[ -]', '', 'g')) AS ds
+  FROM ({source_sql}) WHERE text IS NOT NULL
+)
+"""
+
+
 def doc_chunks(
     df: DataFrame,
     chunk_tokens: int = 50,

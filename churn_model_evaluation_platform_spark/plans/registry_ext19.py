@@ -692,3 +692,48 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_q2))
         .crossJoin(F.broadcast(budget))
     )
+
+
+# ---------------------------------------------------------------------------
+# pii_credit_cards — checksum-validated payment-card scrubbing: the
+# Luhn fold (exact integer arithmetic, identical on both engines)
+# separates real card numbers from thirteen arbitrary digits, which
+# shape-only PII regexes cannot. Planted docs carry a valid Visa
+# test number (plain and separator-formatted), a one-digit-off
+# invalid twin, a valid 15-digit Amex, a 13-digit non-card, and a
+# digits-too-short line — so candidate-vs-valid splits and the
+# redaction are all provably exercised inside the hashed result;
+# real documents contribute the zero mass.
+# ---------------------------------------------------------------------------
+
+_CC_PLANTED = [
+    (2_000_001, "pay 4111111111111111 today"),
+    (2_000_002, "card 4111 1111 1111 1111 on file"),
+    (2_000_003, "typo 4111111111111112 rejected"),
+    (2_000_004, "amex 378282246310005 works"),
+    (2_000_005, "order 1234567890123 is not a card"),
+    (2_000_006, "short 12345 number"),
+]
+
+
+def _cc_sql() -> str:
+    from ..operators.text import credit_card_sql
+
+    planted = ", ".join(
+        f"({i}, '{t}')" for i, t in _CC_PLANTED
+    )
+    return credit_card_sql(
+        f"""SELECT doc_id, text FROM documents
+UNION ALL SELECT * FROM (VALUES {planted}) AS pl(doc_id, text)"""
+    )
+
+
+@register("pii_credit_cards", _cc_sql())
+def q_pii_credit_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import credit_card_scan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        _CC_PLANTED, "doc_id long, text string"
+    )
+    return credit_card_scan(docs.unionByName(planted))

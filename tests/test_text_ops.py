@@ -41,3 +41,54 @@ def test_bm25_empty_terms_raises(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         bm25_topk(spark.range(1).selectExpr("id doc_id", "'x' text"), [])
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated credit-card scan (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_luhn_validation_and_redaction(spark):
+    from pyspark.sql import functions as F
+
+    from churn_model_evaluation_platform_spark.operators.text import (
+        credit_card_scan,
+        luhn_valid,
+    )
+
+    rows = [
+        (1, "pay 4111111111111111 today"),  # valid Visa test number
+        (2, "card 4111 1111 1111 1111 on file"),  # separated, valid
+        (3, "typo 4111111111111112 rejected"),  # checksum off by one
+        (4, "amex 378282246310005 works"),  # valid 15-digit
+        (5, "order 1234567890123 is not a card"),  # 13 digits, invalid
+        (6, "short 12345 number"),  # below candidate window
+        (7, "no digits at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["n_cc_candidates"],
+            r["n_cc_valid"],
+            r["scrubbed"],
+        )
+        for r in credit_card_scan(df).collect()
+    }
+    assert out[1] == (1, 1, "pay <CC> today")
+    assert out[2] == (1, 1, "card <CC> on file")
+    assert out[3] == (1, 0, "typo <CC> rejected")  # redacted anyway
+    assert out[4] == (1, 1, "amex <CC> works")
+    assert out[5] == (1, 0, "order <CC> is not a card")
+    assert out[6] == (0, 0, "short 12345 number")
+    assert out[7] == (0, 0, "no digits at all here")
+
+    # the fold itself on bare digit strings
+    d = spark.createDataFrame(
+        [("4111111111111111",), ("4111111111111112",), ("0000000000000",)],
+        "d string",
+    )
+    got = [
+        r["ok"]
+        for r in d.select(luhn_valid(F.col("d")).alias("ok")).collect()
+    ]
+    assert got == [True, False, True]  # all-zeros IS Luhn-valid
