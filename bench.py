@@ -242,6 +242,8 @@ HEADLINE = [
     "curation_pipeline_v4",
     # Luhn-validated payment-card scrub (exact-integer checksum fold)
     "pii_credit_cards",
+    # NFC canonical dedup (two independent UAX #15 implementations)
+    "dedup_exact_nfc",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -737,3 +737,48 @@ def q_pii_credit_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CC_PLANTED, "doc_id long, text string"
     )
     return credit_card_scan(docs.unionByName(planted))
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_nfc — exact dedup with Unicode NFC canonicalization
+# first (operators/unicode_norm.py): composed/decomposed twins and
+# singleton mappings (U+212B ANGSTROM SIGN vs U+00C5) are the same
+# text to every consumer but different BYTES, so byte-level md5 dedup
+# keeps both copies. The differential is genuine two-implementation
+# checking: Spark-side Python unicodedata (UAX #15) vs DuckDB's own
+# independent nfc_normalize must agree on every row. Planted twin
+# pairs collapse inside the hashed result (min-id winner, n_copies=2);
+# the NFC-invariant ligature row pins NFC != NFKC.
+# ---------------------------------------------------------------------------
+
+_NFC_PLANTED = [
+    (3_000_001, "caf\u00e9 composed form"),
+    (3_000_002, "cafe\u0301 composed form"),  # decomposed twin
+    (3_000_003, "\u212bngstrom unit sign"),  # ANGSTROM SIGN
+    (3_000_004, "\u00c5ngstrom unit sign"),  # precomposed twin
+    (3_000_005, "\ufb01nance ligature stays"),  # NFC-invariant
+]
+
+
+def _nfc_sql() -> str:
+    from ..operators.unicode_norm import exact_dedup_nfc_sql
+
+    planted = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _NFC_PLANTED
+    )
+    return exact_dedup_nfc_sql(
+        "SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {planted}) AS pl(doc_id, text)"
+    )
+
+
+@register("dedup_exact_nfc", _nfc_sql())
+def q_dedup_exact_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unicode_norm import exact_dedup_nfc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        _NFC_PLANTED, "doc_id long, text string"
+    )
+    return exact_dedup_nfc(docs.unionByName(planted))
