@@ -632,6 +632,16 @@ def main() -> None:
 
     # Full detail: an EARLIER stdout line (outside the driver's 2000-char
     # tail) + a file the judge can read verbatim.
+    # a query that ERRORED produced no measurement: restore its prior
+    # history stamp so it RETRIES next run instead of being treated as
+    # freshly benched and rotated out for a full cycle (review r13)
+    _prev_hist = _prev_detail.get("bench_history") or {}
+    for n in errors:
+        if n in _prev_hist:
+            bench_history[n] = _prev_hist[n]
+        else:
+            bench_history.pop(n, None)
+
     # carry the most recent measurement for every query across
     # deferral gaps (regression flags compare against this when a
     # deferred query rotates back in)

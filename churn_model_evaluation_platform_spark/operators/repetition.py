@@ -189,12 +189,12 @@ def gopher_repetition_filter(
 
 
 def _ngrams_sql(n: int) -> str:
-    """DuckDB n-gram list over a token list ``tk`` — EMPTY below n
-    tokens (matches ``_ngrams_n``)."""
-    return (
-        f"[array_to_string(list_slice(tk, i, i + {n - 1}), ' ') "
-        f"FOR i IN range(1, greatest(len(tk) - {n - 1}, 0) + 1)]"
-    )
+    """DuckDB n-gram list over the token list ``tk`` — the shared
+    ``selection.duckdb_ngrams_sql`` fragment (one SQL twin of
+    ``_ngrams_n`` across the LM and repetition oracles)."""
+    from .selection import duckdb_ngrams_sql
+
+    return duckdb_ngrams_sql(n, "tk")
 
 
 def repetition_sql(
@@ -223,8 +223,10 @@ def repetition_sql(
 )"""
         )
         top_sel.append(
-            f"round(coalesce(top{n}_chars, 0) / doc_chars, 6)"
-            f" AS top{n}_frac"
+            f"CASE WHEN doc_chars > 0"
+            f" THEN round(coalesce(top{n}_chars, 0)"
+            f" / CAST(doc_chars AS DOUBLE), 6)"
+            f" ELSE 0.0 END AS top{n}_frac"
         )
     stats = f"""
 WITH src AS ({source_sql}),

@@ -397,6 +397,17 @@ ORDER BY gumbel_key DESC, {id_col} LIMIT {n}
 """
 
 
+def duckdb_ngrams_sql(n: int, lst: str = "toks") -> str:
+    """DuckDB adjacent n-gram list over a token-list column ``lst`` —
+    EMPTY below n tokens, matching ``_ngrams_n``. THE single SQL twin
+    (review r13: the LM and repetition oracles each grew their own
+    construction; an edge-case fix to one would have split them)."""
+    cat = " || ' ' || ".join(f"{lst}[i-{n - 1 - j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series({n}, len({lst})), i -> {cat})"
+    )
+
+
 def _ngrams_n(toks_col, n: int):
     """Adjacent n-gram strings of a token array (same guard as
     ``_bigrams``)."""
@@ -734,13 +745,7 @@ def ngram_lm_sql(
         " '\\s+', ' ', 'g')), ' ')"
     )
 
-    def gram(k: int) -> str:
-        cat = " || ' ' || ".join(
-            f"toks[i-{k - 1 - j}]" for j in range(k)
-        )
-        return (
-            f"list_transform(generate_series({k}, len(toks)), i -> {cat})"
-        )
+    gram = duckdb_ngrams_sql  # shared fragment (see its docstring)
 
     def suffix(k: int) -> str:  # 1-based positions order-k+1..order
         return " || ' ' || ".join(

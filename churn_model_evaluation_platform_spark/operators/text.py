@@ -642,12 +642,17 @@ def pii_scrub(
     )
 
 
-#: Payment-card candidate: 13–19 digits allowing single space/dash
-#: separators, anchored on digits at both ends. Deliberately
-#: lookaround-free (Java regex has lookbehind, RE2 does not — the
-#: pattern must mean the same thing on both engines); length is
-#: re-checked on the separator-stripped digits.
-CC_CANDIDATE_RE = "[0-9][0-9 -]{11,21}[0-9]"
+#: Payment-card candidate: EXACTLY 13–19 digits allowing at most one
+#: space/dash separator between digits — the digit count is enforced
+#: by the pattern itself, so the redaction can never touch a run that
+#: could not be a card (a date like ``2026-08-16 12`` has 10 digits
+#: and no longer matches; review r13 — the old ``[0-9 -]{11,21}``
+#: form redacted such runs while correctly counting zero candidates).
+#: Deliberately lookaround-free (Java regex has lookbehind, RE2 does
+#: not — the pattern must mean the same thing on both engines);
+#: leftmost-first greedy semantics verified identical on both. The
+#: stripped-digit length window stays as a belt in the counting path.
+CC_CANDIDATE_RE = "[0-9](?:[ -]?[0-9]){12,18}"
 
 
 def luhn_valid(digits: Column) -> Column:
@@ -682,11 +687,13 @@ def credit_card_scan(
     PII scrub step ``pii_scrub``'s shape-only patterns can't do
     (Presidio/Macie-class scrubbers all validate Luhn). Candidates
     come from ``CC_CANDIDATE_RE``; each candidate's separators are
-    stripped and the Luhn fold decides validity. Redaction is
-    conservative: EVERY candidate is replaced (a near-miss checksum
-    is still a probable typo'd card), while the counts split
-    candidates from Luhn-valid hits so the false-positive rate is
-    itself measurable. Map-only, whole-stage codegen, zero shuffle.
+    stripped and the Luhn fold decides validity. Redaction replaces
+    every candidate the pattern can match — which by construction is
+    only 13–19-digit runs (a near-miss checksum is still a probable
+    typo'd card, so validity does NOT gate redaction) — while the
+    counts split candidates from Luhn-valid hits so the
+    false-positive rate is itself measurable. Map-only, whole-stage
+    codegen, zero shuffle.
 
     Output: (id, n_cc_candidates, n_cc_valid, scrubbed).
     """

@@ -9,10 +9,10 @@ canonicalizes before hashing.
 Spark has no built-in Unicode normalizer, so the normalize step is
 Python's ``unicodedata`` (a C implementation of the same UAX #15
 tables DuckDB's ``nfc_normalize`` uses) run through a map-only
-``mapInArrow`` pass with two fast paths: a pure-ASCII batch check
-(ASCII is NFC-invariant — the common case costs one scan, no
-allocation) and ``unicodedata.is_normalized`` (C quick-check) per
-string before any rewrite. Zero shuffle at any corpus size.
+``mapInArrow`` pass, with ``unicodedata.is_normalized`` — the UAX #15
+quick-check, implemented in C — deciding per string whether any
+rewrite/allocation happens at all (already-NFC text, including all
+ASCII, passes through untouched). Zero shuffle at any corpus size.
 
 The differential is REAL here in a way most of the registry's
 oracles can't be: Spark-side Python ``unicodedata.normalize`` is

@@ -367,27 +367,22 @@ def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _make_user_id_drops(spark, sf_dir: str, tag: str) -> str:
-    """Shared file-drop fixture for the sketch-ingest streams: claims
-    (and rmtree's) the per-run tmp dir ONCE, splits events' user_id
-    column into three day-range drop files under <base>/drops, and
-    returns base. Callers place their state table under the returned
-    base and then stream with ``_drain_user_id_drops``."""
+def write_drop_files(frames, drops: str) -> None:
+    """Write each DataFrame as ONE parquet drop file ``b{i}.parquet``
+    with deterministic increasing mtimes — the drain order a
+    ``maxFilesPerTrigger=1`` file stream follows. THE single copy of
+    the fragile part-file-glob/move/utime choreography (review r13;
+    previously repeated in three places); the staging dir lives
+    BESIDE ``drops`` so the file stream can never glob half-written
+    parts or mistake staging subdirs for partitions."""
     import glob
     import os
     import shutil
 
-    from .registry_ext12 import _tmp_table_path
-
-    ev = _t(spark, sf_dir, "events")
-    base = _tmp_table_path(sf_dir, tag)
-    drops = f"{base}/drops"
     os.makedirs(drops, exist_ok=True)
-    for i, (lo, hi) in enumerate([(1, 11), (11, 21), (21, 32)]):
-        tmp = f"{base}/tmp{i}"
-        ev.where(
-            (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
-        ).select("user_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+    for i, df in enumerate(frames):
+        tmp = f"{drops.rstrip('/')}__stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
         shutil.move(part, f"{drops}/b{i}.parquet")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -395,6 +390,27 @@ def _make_user_id_drops(spark, sf_dir: str, tag: str) -> str:
             f"{drops}/b{i}.parquet",
             (1_700_000_000 + i, 1_700_000_000 + i),
         )
+
+
+def _make_user_id_drops(spark, sf_dir: str, tag: str) -> str:
+    """Shared file-drop fixture for the sketch-ingest streams: claims
+    (and rmtree's) the per-run tmp dir ONCE, splits events' user_id
+    column into three day-range drop files under <base>/drops, and
+    returns base. Callers place their state table under the returned
+    base and then stream with ``_drain_user_id_drops``."""
+    from .registry_ext12 import _tmp_table_path
+
+    ev = _t(spark, sf_dir, "events")
+    base = _tmp_table_path(sf_dir, tag)
+    write_drop_files(
+        (
+            ev.where(
+                (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
+            ).select("user_id")
+            for lo, hi in [(1, 11), (11, 21), (21, 32)]
+        ),
+        f"{base}/drops",
+    )
     return base
 
 

@@ -99,9 +99,43 @@ def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _quality_gate_ctes(src: str) -> str:
+    """The Gopher quality-gate replay over a CTE ``src`` yielding
+    (doc_id, text): emits the ``qg_base``/``qg_c`` CTE bodies whose
+    columns the ``_QG_KEEP`` predicate consumes. The ONE source for
+    every composed oracle in this file (v3 / streaming / v4) — a
+    threshold or rounding change can no longer desynchronize them
+    (review r13; previously copy-pasted three times)."""
+    from .registry_ext import _EN_STOP, _NORM_SQL, _TOKENS_SQL
+
+    return f"""qg_base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS tk FROM {src}
+),
+qg_c AS (
+  SELECT doc_id,
+         CAST(len(tk) AS DOUBLE) AS nt,
+         round(CAST(len(list_filter(tk, t -> t IN ({_EN_STOP}))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE), 6) AS stop_r,
+         round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(norm) AS DOUBLE), 6) AS alpha_r,
+         round((CAST(length(norm) AS DOUBLE) - (len(tk) - 1)) / len(tk), 6)
+           AS mtl
+  FROM qg_base
+)"""
+
+
+#: Admission predicate over qg_c's columns — the quality_filter CASE
+#: (first failed rule rejects), shared by all three composed oracles.
+_QG_KEEP = """CASE WHEN nt < 5 THEN 'r'
+             WHEN stop_r < 0.05 THEN 'r'
+             WHEN alpha_r < 0.6 THEN 'r'
+             WHEN mtl > 12.0 THEN 'r'
+             ELSE '' END = ''"""
+
+
 def _curation_v3_sql() -> str:
     from ..operators.bpe_vocab import byte_vocab_count_sql
-    from .registry_ext import _EN_STOP, _NORM_SQL, _TOKENS_SQL
+    from .registry_ext import _NORM_SQL
 
     counts = byte_vocab_count_sql(
         "SELECT e.doc_id, e.text FROM ext e JOIN q3 USING (doc_id)"
@@ -113,28 +147,11 @@ ext AS (
   SELECT doc_id, string_agg(text, chr(10) ORDER BY block_idx) AS text
   FROM kept GROUP BY doc_id
 ),
-base AS (
-  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS tk FROM ext
-),
-c AS (
-  SELECT doc_id,
-         CAST(len(tk) AS DOUBLE) AS nt,
-         round(CAST(len(list_filter(tk, t -> t IN ({_EN_STOP}))) AS DOUBLE)
-               / CAST(len(tk) AS DOUBLE), 6) AS stop_r,
-         round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
-               / CAST(length(norm) AS DOUBLE), 6) AS alpha_r,
-         round((CAST(length(norm) AS DOUBLE) - (len(tk) - 1)) / len(tk), 6)
-           AS mtl
-  FROM base
-),
+{_quality_gate_ctes("ext")},
 q1 AS (
   SELECT e.doc_id, e.text
-  FROM ext e JOIN c USING (doc_id)
-  WHERE CASE WHEN nt < 5 THEN 'r'
-             WHEN stop_r < 0.05 THEN 'r'
-             WHEN alpha_r < 0.6 THEN 'r'
-             WHEN mtl > 12.0 THEN 'r'
-             ELSE '' END = ''
+  FROM ext e JOIN qg_c USING (doc_id)
+  WHERE {_QG_KEEP}
 ),
 q3 AS (SELECT min(doc_id) AS doc_id FROM q1 GROUP BY md5({_NORM_SQL})),
 counts AS ({counts})
@@ -362,8 +379,6 @@ def q_lm_perplexity_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_curation_sql() -> str:
-    from .registry_ext import _EN_STOP, _NORM_SQL, _TOKENS_SQL
-
     return f"""
 WITH blocks AS ({demo_blocks_sql()}),
 kept AS (SELECT * FROM blocks WHERE {boilerplate_keep_sql()}),
@@ -371,57 +386,32 @@ ext AS (
   SELECT doc_id, string_agg(text, chr(10) ORDER BY block_idx) AS text
   FROM kept GROUP BY doc_id
 ),
-base AS (
-  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS tk FROM ext
-),
-c AS (
-  SELECT doc_id,
-         CAST(len(tk) AS DOUBLE) AS nt,
-         round(CAST(len(list_filter(tk, t -> t IN ({_EN_STOP}))) AS DOUBLE)
-               / CAST(len(tk) AS DOUBLE), 6) AS stop_r,
-         round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
-               / CAST(length(norm) AS DOUBLE), 6) AS alpha_r,
-         round((CAST(length(norm) AS DOUBLE) - (len(tk) - 1)) / len(tk), 6)
-           AS mtl
-  FROM base
-)
+{_quality_gate_ctes("ext")}
 SELECT e.doc_id, e.text
-FROM ext e JOIN c USING (doc_id)
-WHERE nt >= 5 AND stop_r >= 0.05 AND alpha_r >= 0.6 AND mtl <= 12.0
+FROM ext e JOIN qg_c USING (doc_id)
+WHERE {_QG_KEEP}
 """
 
 
 @register("stream_curation_sink", _stream_curation_sql())
 def q_stream_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-
     from ..operators.text import quality_keep_col
     from ..sources.txnlog import TxnTable
     from ..sources.txnlog_datasource import register_txnlog_source
     from .phases import timed_phase
     from .registry import drain_stream
     from .registry_ext12 import _tmp_table_path
+    from .registry_ext18 import write_drop_files
 
     register_txnlog_source(spark)
     with timed_phase("stream_curation_sink.build"):
         base = _tmp_table_path(sf_dir, "curastream")
         drops = f"{base}/drops"
-        os.makedirs(drops, exist_ok=True)
         pages = _rendered(spark, sf_dir)
-        for i in range(3):
-            tmp = f"{base}/tmp{i}"
-            pages.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = glob.glob(f"{tmp}/part-*.parquet")[0]
-            shutil.move(part, f"{drops}/b{i}.parquet")
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(
-                f"{drops}/b{i}.parquet",
-                (1_700_000_000 + i, 1_700_000_000 + i),
-            )
+        write_drop_files(
+            (pages.where(F.col("doc_id") % 3 == i) for i in range(3)),
+            drops,
+        )
         from pyspark.sql import types as T
 
         schema = T.StructType(
@@ -566,7 +556,6 @@ def q_line_dedup_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curation_v4_sql() -> str:
     from ..operators.bpe_vocab import byte_vocab_count_sql
     from ..operators.repetition import repetition_sql
-    from .registry_ext import _EN_STOP, _NORM_SQL, _TOKENS_SQL
 
     rep = repetition_sql("SELECT doc_id, text FROM q1")
     counts = byte_vocab_count_sql(
@@ -602,28 +591,11 @@ ld AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
   FROM ldkept GROUP BY doc_id
 ),
-qbase AS (
-  SELECT doc_id, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS tk FROM ld
-),
-qc AS (
-  SELECT doc_id,
-         CAST(len(tk) AS DOUBLE) AS nt,
-         round(CAST(len(list_filter(tk, t -> t IN ({_EN_STOP}))) AS DOUBLE)
-               / CAST(len(tk) AS DOUBLE), 6) AS stop_r,
-         round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
-               / CAST(length(norm) AS DOUBLE), 6) AS alpha_r,
-         round((CAST(length(norm) AS DOUBLE) - (len(tk) - 1)) / len(tk), 6)
-           AS mtl
-  FROM qbase
-),
+{_quality_gate_ctes("ld")},
 q1 AS (
   SELECT l.doc_id, l.text
-  FROM ld l JOIN qc USING (doc_id)
-  WHERE CASE WHEN nt < 5 THEN 'r'
-             WHEN stop_r < 0.05 THEN 'r'
-             WHEN alpha_r < 0.6 THEN 'r'
-             WHEN mtl > 12.0 THEN 'r'
-             ELSE '' END = ''
+  FROM ld l JOIN qg_c USING (doc_id)
+  WHERE {_QG_KEEP}
 ),
 q2 AS (SELECT doc_id FROM ({rep}) WHERE keep),
 counts AS ({counts})

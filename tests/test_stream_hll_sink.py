@@ -12,10 +12,6 @@ missing next to the HLL/CMS pair:
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
-
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -34,17 +30,11 @@ from churn_model_evaluation_platform_spark.operators.sketch import (
 
 
 def _drops(spark, base: str, frames) -> None:
-    os.makedirs(f"{base}/drops", exist_ok=True)
-    for i, df in enumerate(frames):
-        tmp = f"{base}/tmp{i}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        shutil.move(part, f"{base}/drops/b{i}.parquet")
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(
-            f"{base}/drops/b{i}.parquet",
-            (1_700_000_000 + i, 1_700_000_000 + i),
-        )
+    from churn_model_evaluation_platform_spark.plans.registry_ext18 import (
+        write_drop_files,
+    )
+
+    write_drop_files(frames, f"{base}/drops")
 
 
 @pytest.fixture()
