@@ -244,6 +244,8 @@ HEADLINE = [
     "pii_credit_cards",
     # NFC canonical dedup (two independent UAX #15 implementations)
     "dedup_exact_nfc",
+    # per-doc character-entropy gibberish gate
+    "char_entropy_gate",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

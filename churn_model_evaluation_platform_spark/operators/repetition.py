@@ -188,6 +188,94 @@ def gopher_repetition_filter(
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_bits: float = 2.0,
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits) over the
+    normalized text — the gibberish/degenerate-content gate next to
+    the repetition fractions: a run of one repeated character scores
+    ~0 bits, random base64 blobs score near log2(64), natural language
+    sits ~4 bits. H = −Σ_c p_c·log2(p_c) with p_c = n_c/N from exact
+    character counts.
+
+    Cross-engine float discipline: each character's −p·log2(p) term is
+    rounded at 1e-6 and carried as an exact INTEGER (term·10⁶), so the
+    per-doc sum is order-free (the lm_scores recipe); the final H is
+    the integer sum scaled back. Output: (id, n_chars, n_distinct_chars,
+    char_entropy, keep) with keep = H ≥ ``min_bits`` on the rounded
+    value.
+
+    Scale shape: one explode (O(corpus chars)) → (doc, char) count →
+    per-doc sum; the (doc, char) key space is doc-bounded (≤ alphabet
+    per doc), all codegen, no UDFs."""
+    norm = normalize_text(F.col(text_col))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.length(norm).alias("__n"),
+        F.explode(F.split(norm, "")).alias("__ch"),
+    )
+    per_char = base.groupBy(id_col, "__n", "__ch").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term_int = F.round(
+        -p * F.log2(p) * F.lit(1_000_000.0)
+    ).cast("bigint")
+    out = per_char.select(
+        F.col(id_col),
+        F.col("__n"),
+        term_int.alias("__t"),
+    ).groupBy(id_col, "__n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.round(
+            F.sum("__t") / F.lit(1_000_000.0), 6
+        ).alias("char_entropy"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("__n").cast("bigint").alias("n_chars"),
+        "n_distinct_chars",
+        "char_entropy",
+        (F.col("char_entropy") >= F.lit(min_bits)).alias("keep"),
+    )
+
+
+def char_entropy_sql(source_sql: str, min_bits: float = 2.0) -> str:
+    """DuckDB replay of ``char_entropy`` over ``source_sql`` yielding
+    (doc_id, text) — same normalize, same integer-term rounding."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(norm) AS n,
+         unnest(string_split_regex(norm, '')) AS ch
+  FROM (SELECT doc_id, {norm} AS norm FROM ({source_sql})
+        WHERE text IS NOT NULL)
+  WHERE length(norm) > 0
+),
+per_char AS (
+  SELECT doc_id, n, ch, count(*) AS c FROM base
+  WHERE ch <> '' GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT doc_id, n,
+         CAST(round(-(CAST(c AS DOUBLE) / n)
+                    * log2(CAST(c AS DOUBLE) / n)
+                    * 1000000.0) AS BIGINT) AS t
+  FROM per_char
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       round(CAST(sum(t) AS DOUBLE) / 1000000.0, 6) AS char_entropy,
+       round(CAST(sum(t) AS DOUBLE) / 1000000.0, 6) >= {min_bits}
+         AS keep
+FROM terms GROUP BY 1, 2
+"""
+
+
 def _ngrams_sql(n: int) -> str:
     """DuckDB n-gram list over the token list ``tk`` — the shared
     ``selection.duckdb_ngrams_sql`` fragment (one SQL twin of

@@ -754,3 +754,41 @@ def q_dedup_exact_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NFC_PLANTED, "doc_id long, text string"
     )
     return exact_dedup_nfc(docs.unionByName(planted))
+
+
+# ---------------------------------------------------------------------------
+# char_entropy_gate — per-doc character-level Shannon entropy (bits)
+# as the gibberish/degenerate-content gate beside the repetition
+# fractions: repeated-character runs score ~0 bits, random-looking
+# hex blobs score high, natural text sits ~4. Per-character
+# −p·log2(p) terms ride as exact rounded integers (order-free sums,
+# the lm_scores recipe). Planted docs pin a near-0-bit run, a 1-bit
+# alternation, and a high-entropy blob inside the hashed result.
+# ---------------------------------------------------------------------------
+
+_ENT_PLANTED = [
+    (4_000_001, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # ~0 bits
+    (4_000_002, "abababababababababababababababab"),  # 1 bit
+    (4_000_003, "9f8e7d6c5b4a39281706f5e4d3c2b1a0"),  # hex blob ~4
+]
+
+
+def _char_entropy_sql() -> str:
+    from ..operators.repetition import char_entropy_sql
+
+    planted = ", ".join(f"({i}, '{t}')" for i, t in _ENT_PLANTED)
+    return char_entropy_sql(
+        "SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {planted}) AS pl(doc_id, text)"
+    )
+
+
+@register("char_entropy_gate", _char_entropy_sql())
+def q_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.repetition import char_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        _ENT_PLANTED, "doc_id long, text string"
+    )
+    return char_entropy(docs.unionByName(planted))

@@ -110,3 +110,51 @@ def test_null_text_excluded(spark):
     )
     rows = repetition_stats(df).collect()
     assert [r["doc_id"] for r in rows] == [2]
+
+
+# ---------------------------------------------------------------------------
+# character entropy gate (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from churn_model_evaluation_platform_spark.operators.repetition import (
+        char_entropy,
+    )
+
+    rows = [
+        (1, "aaaa"),  # one symbol -> exactly 0 bits
+        (2, "abab"),  # two equiprobable symbols -> exactly 1 bit
+        (3, "abcd"),  # four equiprobable -> exactly 2 bits
+        (4, "aab"),  # 2/3,1/3 mix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict() for r in char_entropy(df).collect()
+    }
+    assert out[1]["char_entropy"] == 0.0 and out[1]["keep"] is False
+    assert out[2]["char_entropy"] == 1.0 and out[2]["keep"] is False
+    assert out[3]["char_entropy"] == 2.0 and out[3]["keep"] is True
+
+    def term(p):
+        return round(-p * math.log2(p) * 1e6)
+
+    want = round((term(2 / 3) + term(1 / 3)) / 1e6, 6)
+    assert out[4]["char_entropy"] == want
+    assert (out[3]["n_chars"], out[3]["n_distinct_chars"]) == (4, 4)
+
+
+def test_char_entropy_normalization_applied(spark):
+    from churn_model_evaluation_platform_spark.operators.repetition import (
+        char_entropy,
+    )
+
+    # "AA  aa" normalizes to "aa aa": chars {a:4, ' ':1}
+    df = spark.createDataFrame(
+        [(1, "AA  aa")], "doc_id long, text string"
+    )
+    row = char_entropy(df).collect()[0]
+    assert row["n_chars"] == 5
+    assert row["n_distinct_chars"] == 2
