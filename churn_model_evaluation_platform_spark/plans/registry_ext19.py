@@ -1,13 +1,26 @@
-"""Round-13 registry extensions: the HTML extraction front end of the
-curation pipeline (parse → boilerplate gates → clean text), wired into
-the established quality/dedup/token-budget stages as
-``curation_pipeline_v3``.
+"""Round-13 registry extensions — the curation pipeline's FRONT END
+and the gates around it:
 
-Oracle strategy (the ``detokenize_real`` trick): the corpus is
-RENDERED from ``documents.text`` through a deterministic template, so
-DuckDB predicts every block arithmetically and replays the gates —
-the stdlib parser must land on the prediction exactly. See
-``operators/html_extract.py`` docstring for the scale posture
+* HTML extraction (parse → boilerplate gates → clean text) +
+  ``curation_pipeline_v3``, and the streaming twin
+  ``stream_curation_sink`` (the stateless chain through the native
+  txnlog sink);
+* a real matrix-multiply model through the encoder slot
+  (``rag_embed_mlp``), HLL register partials through the native sink
+  (``stream_hll_sink``), the generalized stupid-backoff ladder at
+  order 5 (``lm_perplexity_5gram``);
+* the Gopher repetition gates (``gopher_repetition``), C4 corpus-wide
+  line dedup (``line_dedup_extracted``), the per-doc char-entropy
+  gibberish gate (``char_entropy_gate``), Luhn-validated card
+  scrubbing (``pii_credit_cards``), NFC canonical dedup
+  (``dedup_exact_nfc``), and the full composition
+  ``curation_pipeline_v4``.
+
+Oracle strategy for the extraction family (the ``detokenize_real``
+trick): the corpus is RENDERED from ``documents.text`` through a
+deterministic template, so DuckDB predicts every block arithmetically
+and replays the gates — the stdlib parser must land on the prediction
+exactly. See ``operators/html_extract.py`` for the scale posture
 (map-only parse, zero-shuffle Catalyst gates).
 """
 
