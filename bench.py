@@ -246,6 +246,8 @@ HEADLINE = [
     "dedup_exact_nfc",
     # per-doc character-entropy gibberish gate
     "char_entropy_gate",
+    # bloom-gated decontamination (fixed-size bitmap broadcast)
+    "contamination_bloom",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

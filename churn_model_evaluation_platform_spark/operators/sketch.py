@@ -654,3 +654,169 @@ SELECT h.q,
          AS hist_estimate
 FROM hit h JOIN cum ON cum.bin = h.bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter — the FIFTH mergeable sketch (OR-merge,
+# IDEMPOTENT like HLL/KMV: at-least-once delivery safe), and the
+# scale path for membership gates whose reference set outgrows a raw
+# broadcast: the filter is a FIXED-SIZE bitmap table (≤ m_words rows
+# of 63 usable bits each — 63, not 64, so ``1 << bit`` can never
+# overflow a signed BIGINT on either engine) built once over the
+# reference values and broadcast everywhere. One-sided error: NO
+# false negatives (a membership gate built on it can never MISS), a
+# measurable false-positive rate ≈ fill_ratio^k. All arithmetic is
+# exact integers from portable md5 (positions = md5(value || '#' || i)
+# mod m_bits), so DuckDB replays the bitmap — and therefore the exact
+# false-positive SET — bit for bit.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_WORDS = 256  # 256 * 63 = 16,128 bits
+BLOOM_K = 4
+_BLOOM_CHARS = 15  # 60-bit positive md5 prefix
+
+
+def bloom_positions(col: Column, k: int = BLOOM_K, m_words: int = BLOOM_M_WORDS):
+    """The k (word, bit) pairs for a STRING column value — an array of
+    structs, pure Catalyst."""
+    m_bits = m_words * 63
+    return F.array(
+        *[
+            F.struct(
+                F.floor(
+                    (md5_hash_int(
+                        F.concat(col, F.lit(f"#{i}")), _BLOOM_CHARS
+                    ) % m_bits)
+                    / F.lit(63)
+                ).cast("int").alias("w"),
+                (
+                    md5_hash_int(
+                        F.concat(col, F.lit(f"#{i}")), _BLOOM_CHARS
+                    ) % m_bits
+                    % 63
+                ).cast("int").alias("b"),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_registers(
+    df: DataFrame,
+    col: str,
+    k: int = BLOOM_K,
+    m_words: int = BLOOM_M_WORDS,
+) -> DataFrame:
+    """Bloom bitmap over ``col`` (cast to string): (word_idx, bits) —
+    ≤ m_words rows regardless of input size. Persist per increment;
+    OR-merge partials (``bloom_merge``)."""
+    pos = df.where(F.col(col).isNotNull()).select(
+        F.explode(
+            bloom_positions(F.col(col).cast("string"), k, m_words)
+        ).alias("p")
+    )
+    return (
+        pos.select(F.col("p.w").alias("word_idx"), F.col("p.b").alias("b"))
+        .groupBy("word_idx")
+        .agg(
+            F.expr("bit_or(shiftleft(1L, b))").cast("bigint").alias("bits")
+        )
+    )
+
+
+def bloom_merge(registers: DataFrame) -> DataFrame:
+    """Merge partials: per-word bitwise OR — idempotent (at-least-once
+    safe, the HLL/KMV side of the merge-semantics contrast)."""
+    return registers.groupBy("word_idx").agg(
+        F.expr("bit_or(bits)").cast("bigint").alias("bits")
+    )
+
+
+def bloom_probe_counts(
+    candidates: DataFrame,
+    registers: DataFrame,
+    col: str,
+    group_cols: list,
+    k: int = BLOOM_K,
+    m_words: int = BLOOM_M_WORDS,
+) -> DataFrame:
+    """Per-group count of candidate values the filter says are
+    members: explode each candidate's k (word, bit) pairs, broadcast-
+    join the ≤ m_words bitmap, member iff ALL k bits set. Returns
+    (group_cols..., n_bloom_hits). The corpus side never shuffles its
+    text — only (group, candidate) hit partials aggregate."""
+    pos = candidates.select(
+        *group_cols,
+        F.col(col).cast("string").alias("__v"),
+        F.explode(
+            bloom_positions(F.col(col).cast("string"), k, m_words)
+        ).alias("p"),
+    ).select(
+        *group_cols,
+        "__v",
+        F.col("p.w").alias("word_idx"),
+        F.col("p.b").alias("b"),
+    )
+    hits = (
+        pos.join(F.broadcast(bloom_merge(registers)), "word_idx")
+        .where(F.expr("(bits >> b) & 1") == 1)
+        .groupBy(*group_cols, "__v")
+        .agg(F.count(F.lit(1)).alias("__n_set"))
+        .where(F.col("__n_set") == k)
+    )
+    return hits.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits")
+    )
+
+
+def bloom_sql(
+    values_sql: str,
+    k: int = BLOOM_K,
+    m_words: int = BLOOM_M_WORDS,
+) -> str:
+    """DuckDB replay of ``bloom_registers`` over ``values_sql``
+    yielding a single column ``v`` (already string)."""
+    m_bits = m_words * 63
+    pos_rows = " UNION ALL ".join(
+        f"SELECT CAST('0x' || substr(md5(v || '#{i}'), 1, {_BLOOM_CHARS})"
+        f" AS BIGINT) % {m_bits} AS pos FROM vals"
+        for i in range(k)
+    )
+    return f"""
+  SELECT CAST(pos // 63 AS INT) AS word_idx,
+         CAST(bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS BIGINT)
+           AS bits
+  FROM (WITH vals AS ({values_sql}) {pos_rows})
+  GROUP BY 1
+"""
+
+
+def bloom_probe_sql(
+    cand_sql: str,
+    registers_sql: str,
+    group_cols: str,
+    k: int = BLOOM_K,
+    m_words: int = BLOOM_M_WORDS,
+) -> str:
+    """DuckDB replay of ``bloom_probe_counts`` — ``cand_sql`` yields
+    (group_cols..., v)."""
+    m_bits = m_words * 63
+    pos_rows = " UNION ALL ".join(
+        f"SELECT {group_cols}, v,"
+        f" CAST('0x' || substr(md5(v || '#{i}'), 1, {_BLOOM_CHARS})"
+        f" AS BIGINT) % {m_bits} AS pos FROM cands"
+        for i in range(k)
+    )
+    return f"""
+  SELECT {group_cols}, CAST(count(*) AS BIGINT) AS n_bloom_hits
+  FROM (
+    SELECT {group_cols}, v
+    FROM (
+      SELECT p.*, r.bits FROM (
+        WITH cands AS ({cand_sql}) {pos_rows}
+      ) p JOIN ({registers_sql}) r
+        ON CAST(p.pos // 63 AS INT) = r.word_idx
+      WHERE (r.bits >> CAST(p.pos % 63 AS INT)) & 1 = 1
+    ) GROUP BY {group_cols}, v HAVING count(*) = {k}
+  ) GROUP BY {group_cols}
+"""

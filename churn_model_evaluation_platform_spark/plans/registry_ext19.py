@@ -805,3 +805,88 @@ def q_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ENT_PLANTED, "doc_id long, text string"
     )
     return char_entropy(docs.unionByName(planted))
+
+
+# ---------------------------------------------------------------------------
+# contamination_bloom — decontamination through the portable BLOOM
+# sketch (operators/sketch.py): when the eval set outgrows a raw
+# shingle broadcast, broadcast its FIXED-SIZE bitmap instead
+# (≤ m_words rows at ANY eval size) and gate membership through it.
+# One-sided error means the gate can never MISS contamination; the
+# per-doc exact hit count rides alongside the bloom hit count in the
+# hashed rows, so the (deterministic, md5-derived) false-positive
+# behavior is itself oracled — n_bloom >= n_exact row by row, both
+# engines reproducing the identical bitmap and FP set bit for bit.
+# ---------------------------------------------------------------------------
+
+
+def _contamination_bloom_sql() -> str:
+    from ..operators.sketch import bloom_probe_sql, bloom_sql
+    from .registry_ext import _SHINGLE_HASH_CTE
+
+    regs = bloom_sql(
+        "SELECT DISTINCT CAST(h AS VARCHAR) AS v FROM sh"
+        " WHERE doc_id % 97 = 0"
+    )
+    probe = bloom_probe_sql(
+        "SELECT doc_id, CAST(h AS VARCHAR) AS v FROM sh",
+        "SELECT * FROM regs",
+        "doc_id",
+    )
+    return (
+        _SHINGLE_HASH_CTE
+        + f""",
+regs AS ({regs}),
+probe AS ({probe}),
+evals AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+exact AS (
+  SELECT s.doc_id, count(*) AS n_exact_hits
+  FROM sh s JOIN evals e USING (h) GROUP BY 1
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+SELECT p.doc_id,
+       CAST(z.n_sh AS BIGINT) AS n_sh,
+       p.n_bloom_hits,
+       CAST(coalesce(e.n_exact_hits, 0) AS BIGINT) AS n_exact_hits
+FROM probe p
+JOIN sizes z USING (doc_id)
+LEFT JOIN exact e USING (doc_id)
+WHERE p.n_bloom_hits >= 5
+"""
+    )
+
+
+@register("contamination_bloom", _contamination_bloom_sql())
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bloom_probe_counts, bloom_registers
+    from ..operators.text import shingle_hashes
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingle_hashes(F.col("text"), 3)).alias("h"),
+    )
+    evals = sh.where(F.col("doc_id") % 97 == 0).select("h").distinct()
+    regs = bloom_registers(evals, "h")
+    probe = bloom_probe_counts(sh, regs, "h", ["doc_id"])
+    exact = (
+        sh.join(F.broadcast(evals), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_hits"))
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    return (
+        probe.where(F.col("n_bloom_hits") >= 5)
+        .join(sizes, "doc_id")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_bloom_hits",
+            F.coalesce("n_exact_hits", F.lit(0))
+            .cast("bigint")
+            .alias("n_exact_hits"),
+        )
+    )
