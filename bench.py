@@ -248,6 +248,8 @@ HEADLINE = [
     "char_entropy_gate",
     # bloom-gated decontamination (fixed-size bitmap broadcast)
     "contamination_bloom",
+    # bloom bitmap maintained as a stream through the native sink
+    "stream_bloom_sink",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -820,3 +820,48 @@ def bloom_probe_sql(
     ) GROUP BY {group_cols}, v HAVING count(*) = {k}
   ) GROUP BY {group_cols}
 """
+
+
+def bloom_stream_partials(
+    sdf: DataFrame,
+    col: str,
+    k: int = BLOOM_K,
+    m_words: int = BLOOM_M_WORDS,
+) -> DataFrame:
+    """APPEND-MODE streaming bloom partials — the
+    ``hll_stream_partials`` pattern with OR instead of max: the
+    (word, bit) projection stays in Catalyst, a stateless
+    ``mapInArrow`` pass keeps ONE running word-mask per partition
+    (≤ m_words rows out per partition per micro-batch), and read-time
+    OR-merge reproduces the one-shot bitmap exactly (OR is
+    associative/commutative/idempotent). Zero shuffles at ingest; the
+    native txnlog sink carries the partials exactly-once — though OR,
+    like max, would survive at-least-once too."""
+    import pyarrow as pa
+
+    rows = sdf.where(F.col(col).isNotNull()).select(
+        F.explode(
+            bloom_positions(F.col(col).cast("string"), k, m_words)
+        ).alias("p")
+    ).select(
+        F.col("p.w").alias("word_idx"),
+        F.expr("shiftleft(1L, p.b)").cast("bigint").alias("bits"),
+    )
+
+    def _partial(batches):
+        acc: dict = {}
+        for batch in batches:
+            for w, b in zip(
+                batch.column(0).to_pylist(), batch.column(1).to_pylist()
+            ):
+                acc[w] = acc.get(w, 0) | b
+        if acc:
+            yield pa.record_batch(
+                [
+                    pa.array(list(acc.keys()), pa.int32()),
+                    pa.array(list(acc.values()), pa.int64()),
+                ],
+                names=["word_idx", "bits"],
+            )
+
+    return rows.mapInArrow(_partial, "word_idx int, bits bigint")

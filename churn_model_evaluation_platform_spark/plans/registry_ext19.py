@@ -890,3 +890,61 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_exact_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_bloom_sink — the bloom membership filter MAINTAINED as a
+# stream through the native sink, completing the transport symmetry
+# across the idempotent sketches (HLL max / bloom OR): the map-side
+# partial combine (bloom_stream_partials — Catalyst (word,bit)
+# projection + stateless per-partition running OR, zero exchanges at
+# ingest) lands ≤ m_words rows per partition per micro-batch
+# exactly-once via writeStream.format("txnlog"); read-time OR-merge
+# must equal the ONE-SHOT bitmap, which the oracle computes
+# independently over the full events table — so dropped, truncated,
+# or double-applied batches (harmless here, but still detected as
+# no-ops) and any partial-combine drift break the hash.
+# ---------------------------------------------------------------------------
+
+
+def _stream_bloom_sql() -> str:
+    from ..operators.sketch import bloom_sql
+
+    return bloom_sql(
+        "SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events"
+        " WHERE user_id IS NOT NULL"
+    )
+
+
+@register("stream_bloom_sink", _stream_bloom_sql())
+def q_stream_bloom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bloom_merge, bloom_stream_partials
+    from ..sources.txnlog import TxnTable
+    from ..sources.txnlog_datasource import register_txnlog_source
+    from .phases import timed_phase
+    from .registry import drain_stream
+    from .registry_ext18 import _make_user_id_drops
+
+    register_txnlog_source(spark)
+    with timed_phase("stream_bloom_sink.build"):
+        base = _make_user_id_drops(spark, sf_dir, "bloomsink")
+        from pyspark.sql import types as T
+
+        schema = T.StructType([T.StructField("user_id", T.LongType())])
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/drops")
+        )
+        q = (
+            bloom_stream_partials(sdf, "user_id")
+            .writeStream.format("txnlog")
+            .option("path", f"{base}/regs")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .option("sinkId", "bloomsink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q)
+    table = TxnTable(spark, f"{base}/regs")
+    return bloom_merge(table.scan().select("word_idx", "bits"))

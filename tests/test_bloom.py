@@ -85,3 +85,36 @@ def test_nulls_skipped(spark):
     only_a = bloom_registers(_vals(spark, ["a"]), "v").collect()
     assert _bits(regs) == _bits(only_a)
     assert len(regs) <= BLOOM_K
+
+
+def test_stream_partials_or_merge_to_one_shot(spark):
+    """The map-side streaming combine (per-partition running OR) must
+    reproduce the one-shot bitmap exactly under any partitioning, and
+    its plan must be Exchange-free."""
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        bloom_stream_partials,
+    )
+
+    flat = spark.createDataFrame(
+        [(f"u{i}",) for i in range(3000)], "v string"
+    )
+    # the combine itself adds no Exchange (probe the un-repartitioned
+    # plan; the repartition below is the TEST's scatter, not the op's)
+    plan = (
+        bloom_stream_partials(flat, "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    partials = bloom_stream_partials(flat.repartition(5), "v")
+    merged = _bits(bloom_merge(partials).collect())
+    one_shot = _bits(
+        bloom_registers(
+            spark.createDataFrame(
+                [(f"u{i}",) for i in range(3000)], "v string"
+            ),
+            "v",
+        ).collect()
+    )
+    assert merged == one_shot
