@@ -250,6 +250,8 @@ HEADLINE = [
     "contamination_bloom",
     # bloom bitmap maintained as a stream through the native sink
     "stream_bloom_sink",
+    # real nearest-neighbor image resize (decode -> index map -> stats)
+    "multimodal_resize",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -124,11 +124,101 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def decode_png_pixels(content) -> "tuple | None":
+    """Pixel-level PNG decode (8-bit RGB non-interlaced — the same
+    subset ``decode_media_bytes`` handles): returns (w, h, rgb bytes
+    row-major) or None on anything else. Reuses the real inflater +
+    ``_png_unfilter``; same zip-bomb bound as the stats decoder."""
+    import zlib
+
+    if not content or bytes(content[:8]) != b"\x89PNG\r\n\x1a\n":
+        return None
+    b = bytes(content)
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    if b[24] != 8 or b[25] != 2 or b[28] != 0:
+        return None
+    if w <= 0 or h <= 0 or w * h > 16_777_216:
+        return None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        clen = int.from_bytes(b[i : i + 4], "big")
+        ctype = b[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat += b[i + 8 : i + 8 + clen]
+        i += 12 + clen
+    expected = h * (1 + w * 3)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) < expected:
+        return None
+    return w, h, bytes(_png_unfilter(raw, w, h, 3))
+
+
+def resize_nearest(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 6,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL nearest-neighbor image resize (the north-star resize step,
+    replacing ``resize_stub`` for decodable PNG blobs): decode →
+    numpy index-map (out(X, Y, c) = in(X·w/out_w, Y·h/out_h, c), the
+    standard floor mapping) → resized interleaved RGB as
+    ``array<int>``, so every downstream statistic stays in Catalyst.
+    Map-only, Arrow-batched; an undecodable blob yields a NULL pixel
+    array rather than failing the job (the decode_media degrade-
+    don't-raise rule). Output: (id, src_w, src_h, out_w, out_h,
+    pixels)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, sw, sh, px = [], [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                ids.append(mid)
+                d = decode_png_pixels(content)
+                if d is None:
+                    sw.append(None)
+                    sh.append(None)
+                    px.append(None)
+                    continue
+                w, h, rgb = d
+                arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = arr[ys][:, xs, :]
+                sw.append(w)
+                sh.append(h)
+                px.append([int(v) for v in out.reshape(-1)])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "src_w": pd.array(sw, dtype="Int32"),
+                    "src_h": pd.array(sh, dtype="Int32"),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "pixels": px,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run,
+        f"{id_col} long, src_w int, src_h int, out_w int, out_h int, "
+        "pixels array<int>",
+    )
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes blobs through the Arrow boundary and
     restamps metadata. The pixel work is a STUB (no codecs here) — the
-    content is passed through unchanged; a real impl replaces the
-    identity in ``run``."""
+    content is passed through unchanged. Superseded for decodable PNGs
+    by the REAL ``resize_nearest`` above (r13); kept for the opaque
+    formats the container genuinely cannot decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -948,3 +948,97 @@ def q_stream_bloom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain_stream(q)
     table = TxnTable(spark, f"{base}/regs")
     return bloom_merge(table.scan().select("word_idx", "bits"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal_resize — the north-star resize step made REAL (it was the
+# one remaining stub in the multimodal family): complete PNG files
+# synthesized per doc id (valid CRCs, filtered zlib scanlines — the
+# multimodal_decode fixture) → real stdlib pixel decode → numpy
+# nearest-neighbor resize to 8×6 → resized RGB as array<int>, with
+# ALL statistics (count / mean / min / max / position-weighted
+# checksum, which pins pixel ORDER — a transposed or mirrored resize
+# breaks it) computed in Catalyst from the array. The oracle predicts
+# every resized pixel arithmetically from the generator formula and
+# the floor index mapping, so an error in the encoder, the decoder,
+# OR the resize indexing breaks the hash.
+# ---------------------------------------------------------------------------
+
+_RS_W, _RS_H = 8, 6
+
+
+@register(
+    "multimodal_resize",
+    f"""
+WITH png AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+  FROM documents WHERE doc_id % 4 = 0
+),
+grid AS (
+  SELECT media_id, w, h,
+         (yy * {_RS_W} + xx) * 3 + c + 1 AS pos,
+         (media_id + 11 * ((yy * h) // {_RS_H})
+          + (3 * ((xx * w) // {_RS_W}) + c)) % 256 AS v
+  FROM png
+  CROSS JOIN generate_series(0, {_RS_H - 1}) ys(yy)
+  CROSS JOIN generate_series(0, {_RS_W - 1}) xs(xx)
+  CROSS JOIN generate_series(0, 2) cs(c)
+)
+SELECT media_id,
+       CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       CAST(count(*) AS BIGINT) AS n_values,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_value,
+       CAST(min(v) AS INT) AS min_value,
+       CAST(max(v) AS INT) AS max_value,
+       CAST(sum(v * pos) AS BIGINT) AS checksum
+FROM grid GROUP BY 1, 2, 3
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from ..operators.multimodal import (
+        resize_nearest,
+        synth_decodable_media_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 4 == 0
+    ).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        synth_decodable_media_bytes(int(m))
+                        for m in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    out = resize_nearest(media, out_w=_RS_W, out_h=_RS_H)
+    px = F.col("pixels")
+    n = F.size(px)
+    s = F.aggregate(px, F.lit(0).cast("bigint"), lambda a, v: a + v)
+    chk = F.aggregate(
+        F.zip_with(
+            px,
+            F.sequence(F.lit(1), n),
+            lambda v, i: v.cast("bigint") * i,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, t: a + t,
+    )
+    return out.where(px.isNotNull()).select(
+        "media_id",
+        "src_w",
+        "src_h",
+        n.cast("bigint").alias("n_values"),
+        F.round(s / n, 6).alias("mean_value"),
+        F.array_min(px).cast("int").alias("min_value"),
+        F.array_max(px).cast("int").alias("max_value"),
+        chk.alias("checksum"),
+    )

@@ -484,3 +484,53 @@ def test_jpeg_fixture_roundtrip_and_degradation():
     blob = synth_jpeg_bytes(5)
     out = decode_media_bytes(blob[: len(blob) - 4])
     assert out["format"] == "jpeg" and out["n_values"] is None
+
+
+# ---------------------------------------------------------------------------
+# real nearest-neighbor resize (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_nearest_hand_computed(spark):
+    """4x2 gradient PNG resized to 2x1: nearest-neighbor floor mapping
+    picks in(0,0) and in(2,0) — hand-verified per channel."""
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        decode_png_pixels,
+        resize_nearest,
+        synth_decodable_media_bytes,
+    )
+
+    # media_id 0 -> PNG w=4, h=4; formula byte j of row y = (11y + j) % 256
+    blob = synth_decodable_media_bytes(0)
+    w, h, rgb = decode_png_pixels(blob)
+    assert (w, h) == (4, 4)
+    assert rgb[0] == 0 and rgb[1] == 1  # row 0: j % 256
+    assert rgb[w * 3] == 11  # row 1 starts at 11*1 + 0
+
+    df = spark.createDataFrame(
+        [(0, bytearray(blob))], "media_id long, content binary"
+    )
+    row = resize_nearest(df, out_w=2, out_h=2).collect()[0]
+    assert (row["src_w"], row["src_h"]) == (4, 4)
+    px = list(row["pixels"])
+    # out(X,Y,c) = in(X*4//2, Y*4//2, c) = (11*(2Y) + 3*(2X) + c) % 256
+    want = [
+        (11 * (2 * Y) + 3 * (2 * X) + c) % 256
+        for Y in range(2)
+        for X in range(2)
+        for c in range(3)
+    ]
+    assert px == want
+
+
+def test_resize_undecodable_blob_degrades(spark):
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a png at all, sorry!"))],
+        "media_id long, content binary",
+    )
+    row = resize_nearest(df).collect()[0]
+    assert row["pixels"] is None and row["src_w"] is None
