@@ -212,10 +212,18 @@ def char_entropy(
     per-doc sum; the (doc, char) key space is doc-bounded (≤ alphabet
     per doc), all codegen, no UDFs."""
     norm = normalize_text(F.col(text_col))
-    base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.length(norm).alias("__n"),
-        F.explode(F.split(norm, "")).alias("__ch"),
+    # Guards mirror the DuckDB replay exactly (length(norm) > 0 and
+    # ch <> '') instead of leaning on Spark's current split(col, '')
+    # behavior (drops empty elements, [] for empty input) — a Spark
+    # upgrade that changes empty-pattern split can't skew edge docs.
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.length(norm).alias("__n"),
+            F.explode(F.split(norm, "")).alias("__ch"),
+        )
+        .where((F.col("__n") > 0) & (F.col("__ch") != ""))
     )
     per_char = base.groupBy(id_col, "__n", "__ch").agg(
         F.count(F.lit(1)).alias("__c")

@@ -743,14 +743,19 @@ def bloom_probe_counts(
     """Per-group count of candidate values the filter says are
     members: explode each candidate's k (word, bit) pairs, broadcast-
     join the ≤ m_words bitmap, member iff ALL k bits set. Returns
-    (group_cols..., n_bloom_hits). The corpus side never shuffles its
-    text — only (group, candidate) hit partials aggregate."""
+    (group_cols..., n_bloom_hits). Candidates are deduplicated per
+    group INSIDE the operator — a value occurring twice would explode
+    to 2k hit rows and fail the ``== k`` membership test, silently
+    dropping a genuine member (a false negative from an operator whose
+    contract is false-negative-freedom). Only (group, candidate)
+    pairs shuffle; the corpus text itself never does."""
     pos = candidates.select(
         *group_cols,
         F.col(col).cast("string").alias("__v"),
-        F.explode(
-            bloom_positions(F.col(col).cast("string"), k, m_words)
-        ).alias("p"),
+    ).dropDuplicates([*group_cols, "__v"]).select(
+        *group_cols,
+        "__v",
+        F.explode(bloom_positions(F.col("__v"), k, m_words)).alias("p"),
     ).select(
         *group_cols,
         "__v",
@@ -799,7 +804,9 @@ def bloom_probe_sql(
     m_words: int = BLOOM_M_WORDS,
 ) -> str:
     """DuckDB replay of ``bloom_probe_counts`` — ``cand_sql`` yields
-    (group_cols..., v)."""
+    (group_cols..., v). Mirrors the operator's internal per-group
+    dedup (SELECT DISTINCT) so duplicate candidate values cannot
+    inflate the per-value bit-hit count past k."""
     m_bits = m_words * 63
     pos_rows = " UNION ALL ".join(
         f"SELECT {group_cols}, v,"
@@ -807,6 +814,7 @@ def bloom_probe_sql(
         f" AS BIGINT) % {m_bits} AS pos FROM cands"
         for i in range(k)
     )
+    cand_sql = f"SELECT DISTINCT {group_cols}, v FROM ({cand_sql})"
     return f"""
   SELECT {group_cols}, CAST(count(*) AS BIGINT) AS n_bloom_hits
   FROM (

@@ -118,3 +118,52 @@ def test_stream_partials_or_merge_to_one_shot(spark):
         ).collect()
     )
     assert merged == one_shot
+
+
+def test_duplicate_candidates_not_dropped(spark):
+    # Regression (r14): a candidate value occurring more than once in a
+    # group used to explode to 2k bit-hit rows and fail the "== k"
+    # membership test — a silent FALSE NEGATIVE from an operator whose
+    # contract is false-negative-freedom. The operator now dedupes
+    # (group, value) internally; duplicates must count exactly once.
+    members = [f"member-{i}" for i in range(50)]
+    regs = bloom_registers(_vals(spark, members), "v")
+    cands = spark.createDataFrame(
+        [(1, "member-0"), (1, "member-0"), (1, "member-1"),
+         (2, "member-2")] + [(2, "member-3")] * 5,
+        "g long, v string",
+    )
+    out = {
+        r["g"]: r["n_bloom_hits"]
+        for r in bloom_probe_counts(cands, regs, "v", ["g"]).collect()
+    }
+    assert out == {1: 2, 2: 2}
+
+
+def test_duplicate_candidates_sql_parity(spark):
+    # The DuckDB replay must mirror the internal dedup bit-for-bit.
+    import duckdb
+
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        bloom_probe_sql,
+        bloom_sql,
+    )
+
+    members = [f"member-{i}" for i in range(50)]
+    regs = bloom_registers(_vals(spark, members), "v")
+    cands = spark.createDataFrame(
+        [(1, "member-0"), (1, "member-0"), (1, "member-1")],
+        "g long, v string",
+    )
+    got = bloom_probe_counts(cands, regs, "v", ["g"]).collect()
+    member_rows = " UNION ALL ".join(
+        f"SELECT '{m}' AS v" for m in members
+    )
+    cand_rows = (
+        "SELECT 1 AS g, 'member-0' AS v UNION ALL "
+        "SELECT 1 AS g, 'member-0' AS v UNION ALL "
+        "SELECT 1 AS g, 'member-1' AS v"
+    )
+    sql = bloom_probe_sql(cand_rows, bloom_sql(member_rows), "g")
+    want = duckdb.sql(sql).fetchall()
+    assert [(r["g"], r["n_bloom_hits"]) for r in got] == want

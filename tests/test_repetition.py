@@ -158,3 +158,22 @@ def test_char_entropy_normalization_applied(spark):
     row = char_entropy(df).collect()[0]
     assert row["n_chars"] == 5
     assert row["n_distinct_chars"] == 2
+
+
+def test_char_entropy_edge_docs_guarded(spark):
+    # Regression (r14): the Spark side now carries the same guards as
+    # the DuckDB replay (length(norm) > 0, ch <> '') instead of relying
+    # on split(col, '') dropping empty elements — empty and
+    # whitespace-only docs must vanish from the output on both paths,
+    # even if a Spark upgrade changes empty-pattern split semantics.
+    from churn_model_evaluation_platform_spark.operators.repetition import (
+        char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "abcd")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in char_entropy(df).collect()}
+    assert set(out) == {4}
+    assert out[4]["char_entropy"] == 2.0
