@@ -366,6 +366,18 @@ SLOPE_QUERIES = [
     "lm_perplexity_bigram",
     "dsir_select_en",
     "hll_users_estimate",
+    # round-14 additions (VERDICT r13 next #1): the whole r13 heavy
+    # family gets a measured slope — extraction chain + line dedup
+    # (digest-keyed shuffle), repetition gates (doc-keyed explodes),
+    # the Arrow-batched entropy gate (map-only after the r14 reshape),
+    # the 5-level backoff ladder (vocabulary-sized count tables), the
+    # fixed-bitmap bloom gate, and the full v4 composition
+    "char_entropy_gate",
+    "gopher_repetition",
+    "line_dedup_extracted",
+    "lm_perplexity_5gram",
+    "contamination_bloom",
+    "curation_pipeline_v4",
 ]
 # Every listed column gets the same per-copy id offset, so join keys
 # stay CONSISTENT within a copy (4 disjoint subgraphs — structure-

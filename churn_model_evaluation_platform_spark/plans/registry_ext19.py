@@ -41,7 +41,20 @@ from .registry_ext12 import _t
 
 
 def _rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # documents.parquet at test SFs is one row-group → one input split,
+    # so without an explicit scatter EVERY downstream Arrow pass
+    # (HTML parse, BPE, repetition explodes) runs serial — profiled
+    # 1-task stages end to end at sf0.1 (r14). Repartitioning the raw
+    # doc rows (~2 MB here; one cheap round-robin exchange) pins the
+    # extraction chain's parallelism to the CLUSTER, not the incoming
+    # file layout — the standard scatter-before-expensive-map pattern.
+    # At 100 TB the scan has thousands of natural splits and AQE keeps
+    # this exchange from over-splitting small inputs.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.select(
         "doc_id",
         render_demo_html(F.col("text"), F.col("doc_id")).alias("html"),
@@ -632,6 +645,15 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.repetition import gopher_repetition_filter
     from ..operators.text import line_dedup_corpus, quality_keep_col
 
+    # The six stage-count aggregates below are separate plan branches,
+    # but they do NOT re-derive the chain: every branch reads the
+    # line-dedup exchange through ReusedExchange (verified in the
+    # executed plan), so the expensive front end runs once. An explicit
+    # persist() of the handoff frames was A/B-measured SLOWER (9.0 s vs
+    # 7.4 s best-of-3 at sf0.1) — the eager cache materialization costs
+    # more than the exchange reuse it would replace. The real r14 win
+    # was upstream: ``_rendered`` now scatters the one-row-group
+    # documents scan so the whole chain runs 32-wide instead of serial.
     ext = html_extract_text(_rendered(spark, sf_dir)).select(
         "doc_id",
         F.col("extracted").alias("text"),
