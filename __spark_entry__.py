@@ -35,6 +35,7 @@ from churn_model_evaluation_platform_spark.plans import registry_ext16 as _regis
 from churn_model_evaluation_platform_spark.plans import registry_ext17 as _registry_ext17  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext18 as _registry_ext18  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext19 as _registry_ext19  # noqa: F401
+from churn_model_evaluation_platform_spark.plans import registry_ext20 as _registry_ext20  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

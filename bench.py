@@ -252,6 +252,9 @@ HEADLINE = [
     "stream_bloom_sink",
     # real nearest-neighbor image resize (decode -> index map -> stats)
     "multimodal_resize",
+    # round-14 additions
+    # streaming C4 line dedup (per-batch digest-gate through txn store)
+    "stream_line_dedup",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -249,6 +249,50 @@ def line_dedup_corpus(
     128-bit line DIGEST (16-byte keys however long the line), the
     span_dedup_corpus discipline; first-occurrence is a struct min —
     unbounded positions, any orderable id. NULL ids fail loudly."""
+    per_doc, _kept = _line_dedup_frames(df, text_col, id_col, seen=None)
+    return per_doc
+
+
+def line_dedup_increment(
+    df: DataFrame,
+    seen: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple:
+    """One INCREMENT of corpus-wide line dedup — the streaming /
+    incremental-ingest form of ``line_dedup_corpus`` (the
+    ``dedup_incremental`` gate pattern at LINE grain): lines already
+    committed by earlier increments (``seen`` — a frame with the
+    16-byte-hex digest column ``k``; None for the first increment)
+    never survive, and within the batch the usual lexicographic
+    (id, pos) first occurrence wins. Because each increment only ever
+    sees state from STRICTLY earlier increments, draining a stream of
+    increments reproduces one-shot ``line_dedup_corpus`` under the
+    arrival order (pinned by q:``stream_line_dedup``'s oracle).
+
+    Returns ``(per_doc, new_digests)``: ``per_doc`` is this batch's
+    rows in ``line_dedup_corpus``'s exact output schema; ``new_digests``
+    is the batch's kept digest set (one row per newly-seen line) to
+    append to the state table for the next increment.
+
+    Scale: the batch side is the corpus operator's shape (one explode,
+    digest-keyed exchange); the gate is a left-anti join on 16-byte
+    digests against the state table — bounded by batch lines, with the
+    state scan prunable by the txn store's file stats, and bloom-
+    gateable (``sketch.bloom_registers``) when the state outgrows a
+    comfortable shuffle."""
+    return _line_dedup_frames(df, text_col, id_col, seen=seen)
+
+
+def _line_dedup_frames(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seen: DataFrame | None,
+) -> tuple:
+    """Shared body of ``line_dedup_corpus`` / ``line_dedup_increment``:
+    returns ``(per_doc, kept_lines)`` where ``kept_lines`` carries
+    (id, pos, line, k) for every surviving line."""
     # fail-loud NULL-id guard. NOT folded into the dedup subtree: a
     # NULL id makes the struct-equality filter all-NULL → `kept`
     # empty → AQE's empty-relation propagation replaces the right
@@ -281,10 +325,14 @@ def line_dedup_corpus(
     first = lines.groupBy("k").agg(
         F.min(F.struct(F.col("id"), F.col("pos"))).alias("first_occ")
     )
+    if seen is not None:
+        first = first.join(
+            seen.select("k").dropDuplicates(["k"]), "k", "left_anti"
+        )
     kept = (
         lines.join(first, "k")
         .where(F.struct(F.col("id"), F.col("pos")) == F.col("first_occ"))
-        .select("id", "pos", "line")
+        .select("id", "pos", "line", "k")
     )
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
@@ -296,7 +344,7 @@ def line_dedup_corpus(
         ).alias("text_deduped"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    return (
+    per_doc = (
         docs.select("id", (F.size("ls") + _id_ok).alias("n_lines"))
         .join(rebuilt, "id", "left")
         .select(
@@ -310,6 +358,7 @@ def line_dedup_corpus(
             .alias("n_lines_removed"),
         )
     )
+    return per_doc, kept
 
 
 def quality_keep_col(
