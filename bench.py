@@ -255,6 +255,8 @@ HEADLINE = [
     # round-14 additions
     # streaming C4 line dedup (per-batch digest-gate through txn store)
     "stream_line_dedup",
+    # two-tokenizer extraction differential over the adversarial corpus
+    "html_extract_adversarial",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -9,6 +9,10 @@ streaming/differential/perceptual gaps (VERDICT r13 next-round list):
   claimed batch ids. Oracle = the batch line-dedup replay under the
   stream's arrival order, so a drop, replay double-apply, or
   wrong-order batch breaks the hash.
+* ``html_extract_adversarial`` — extraction as a TWO-IMPLEMENTATION
+  differential: the stdlib-parser primary vs a from-scratch scanner
+  twin over a generated adversarial corpus, row-level agreement inside
+  the hashed result, every block predicted arithmetically by DuckDB.
 
 Oracle strategy follows ext19: the corpus is RENDERED from
 ``documents.text`` through the deterministic template, so DuckDB
@@ -147,4 +151,199 @@ def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain_stream(q)
     return docs_tbl.scan().select(
         "doc_id", "text_deduped", "n_lines_kept", "n_lines_removed"
+    )
+
+
+# ---------------------------------------------------------------------------
+# html_extract_adversarial — extraction correctness beyond the rendered
+# template (VERDICT r13 #3): a deterministically-generated ADVERSARIAL
+# corpus (nested mixed-case tables, comments containing markup, bogus
+# declarations, unclosed elements, numeric/named character references
+# next to bare '&', quoted attributes containing '>', CDATA script/
+# style bodies full of fake tags, literal '<'/'>' in text) is parsed by
+# BOTH the stdlib-parser primary (html_extract) and a from-scratch
+# character-level scanner twin (html_extract_twin) — two independent
+# tokenizers, one spec. Row-level agreement rides INSIDE the hashed
+# result (twins_agree), and the DuckDB oracle predicts every block
+# arithmetically from the generator formula, so a recovery-path bug in
+# EITHER implementation breaks the hash. Scale: both parses are
+# map-only Arrow passes; the agreement join is doc-keyed (a QA query,
+# not a pipeline stage).
+# ---------------------------------------------------------------------------
+
+
+def render_adversarial_html(text, doc_id):
+    """Adversarial page around a document's text, variant by
+    doc_id % 6 — every construct is in the twin's supported-construct
+    contract and its block list is predictable arithmetically."""
+    sid = doc_id.cast("string")
+    esc = F.replace(
+        F.replace(
+            F.replace(text, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    v = doc_id % 6
+    head = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>A"),
+        sid,
+        F.lit("</title></head><body>"),
+    )
+    v0 = F.concat(
+        F.lit("<TABLE><tr><td>cell one "),
+        sid,
+        F.lit("</td><td><table><tr><td>inner cell "),
+        sid,
+        F.lit("</td></tr></table></td></tr></TABLE>"),
+    )
+    v1 = F.concat(
+        F.lit(
+            "<!-- <p>phantom</p> <div>never</div> --><p>after comment "
+        ),
+        sid,
+        F.lit("</p><! bogus decl ><p>post bogus "),
+        sid,
+        F.lit("</p>"),
+    )
+    v2 = F.concat(
+        F.lit("<p>first unclosed "),
+        sid,
+        F.lit("<p>second unclosed "),
+        sid,
+        F.lit("<div>div text "),
+        sid,
+    )
+    v3 = F.concat(
+        F.lit(
+            "<p>&#65;&#x42;C dash &#8212; amp &amp; bare AT&T nb "
+            "x&nbsp;&nbsp;y "
+        ),
+        sid,
+        F.lit("</p>"),
+    )
+    v4 = F.concat(
+        F.lit("<div title=\"a>b\" data-x='c>d'>attr text "),
+        sid,
+        F.lit(
+            "</div><div><a href=\"/x?a>b\">Click here now</a>"
+            " tail of div</div>"
+        ),
+    )
+    v5 = F.concat(
+        F.lit(
+            '<script>if (a<b) { document.write("<td>never</td>"); }'
+            "</script><style>p>span { color: blue }</style>"
+            "<p>after cdata "
+        ),
+        sid,
+        F.lit("</p>"),
+    )
+    body = (
+        F.when(v == 0, v0)
+        .when(v == 1, v1)
+        .when(v == 2, v2)
+        .when(v == 3, v3)
+        .when(v == 4, v4)
+        .otherwise(v5)
+    )
+    tail = F.concat(
+        F.lit("<p>3 < 5 or 7 > 2, "),
+        sid,
+        F.lit("</p><p>"),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    return F.concat(head, body, tail)
+
+
+def _adversarial_sql() -> str:
+    return """
+WITH src AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid, doc_id % 6 AS v,
+         trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')
+           AS ptext
+  FROM documents WHERE text IS NOT NULL
+),
+raw AS (
+  SELECT doc_id, 0 AS ord, 'title' AS tag, 'A' || sid AS text,
+         0 AS n_link FROM src
+  UNION ALL SELECT doc_id, 10, 'td', 'cell one ' || sid, 0
+    FROM src WHERE v = 0
+  UNION ALL SELECT doc_id, 11, 'td', 'inner cell ' || sid, 0
+    FROM src WHERE v = 0
+  UNION ALL SELECT doc_id, 10, 'p', 'after comment ' || sid, 0
+    FROM src WHERE v = 1
+  UNION ALL SELECT doc_id, 11, 'p', 'post bogus ' || sid, 0
+    FROM src WHERE v = 1
+  UNION ALL SELECT doc_id, 10, 'p', 'first unclosed ' || sid, 0
+    FROM src WHERE v = 2
+  UNION ALL SELECT doc_id, 11, 'p', 'second unclosed ' || sid, 0
+    FROM src WHERE v = 2
+  UNION ALL SELECT doc_id, 12, 'div', 'div text ' || sid, 0
+    FROM src WHERE v = 2
+  UNION ALL SELECT doc_id, 10, 'p',
+    'ABC dash ' || chr(8212) || ' amp & bare AT&T nb x'
+      || chr(160) || chr(160) || 'y ' || sid, 0
+    FROM src WHERE v = 3
+  UNION ALL SELECT doc_id, 10, 'div', 'attr text ' || sid, 0
+    FROM src WHERE v = 4
+  UNION ALL SELECT doc_id, 11, 'div', 'Click here now tail of div', 14
+    FROM src WHERE v = 4
+  UNION ALL SELECT doc_id, 10, 'p', 'after cdata ' || sid, 0
+    FROM src WHERE v = 5
+  UNION ALL SELECT doc_id, 90, 'p', '3 < 5 or 7 > 2, ' || sid, 0
+    FROM src
+  UNION ALL SELECT doc_id, 91, 'p', ptext, 0 FROM src WHERE ptext <> ''
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+            AS INT) AS block_idx,
+       tag, text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(n_link AS INT) AS n_link_chars,
+       TRUE AS twins_agree
+FROM raw
+"""
+
+
+@register("html_extract_adversarial", _adversarial_sql())
+def q_html_extract_adversarial(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.html_extract import html_parse_blocks
+    from ..operators.html_extract_twin import twin_parse_blocks
+    from .registry_ext12 import _t
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    pages = docs.select(
+        "doc_id",
+        render_adversarial_html(F.col("text"), F.col("doc_id")).alias(
+            "html"
+        ),
+    )
+    primary = html_parse_blocks(pages)
+    twin = twin_parse_blocks(pages).withColumnRenamed(
+        "blocks", "blocks_twin"
+    )
+    j = primary.join(twin, "doc_id")
+    b = F.explode("blocks").alias("b")
+    return j.select(
+        "doc_id",
+        (F.col("blocks") == F.col("blocks_twin")).alias("twins_agree"),
+        b,
+    ).select(
+        "doc_id",
+        F.col("b.block_idx").alias("block_idx"),
+        F.col("b.tag").alias("tag"),
+        F.col("b.text").alias("text"),
+        F.col("b.n_chars").alias("n_chars"),
+        F.col("b.n_link_chars").alias("n_link_chars"),
+        "twins_agree",
     )
