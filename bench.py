@@ -257,6 +257,8 @@ HEADLINE = [
     "stream_line_dedup",
     # two-tokenizer extraction differential over the adversarial corpus
     "html_extract_adversarial",
+    # perceptual image dedup: 63-bit dHash + Hamming-banded pairs
+    "multimodal_dedup_phash",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

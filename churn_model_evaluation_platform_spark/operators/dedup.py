@@ -775,33 +775,36 @@ def simhash(
     return agg.select(F.col("id").alias(id_col), fp.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bits: int = 32,
+def fingerprint_hamming_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str,
+    bits: int,
     max_hamming: int = 3,
     chunks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    """Near-dup pairs among integer fingerprints by Hamming distance ≤
+    ``max_hamming`` — the pigeonhole banding extracted from
+    ``simhash_pairs`` (r14) so the image dHash family
+    (``multimodal_dedup.dhash_bits``) shares one candidate generator:
+    split the fingerprint into ``chunks`` chunks; any pair within
+    distance < chunks must agree on ≥1 chunk → join per chunk bucket,
+    then verify with ``bit_count``. Returns (id_a, id_b, hamming).
 
-    Candidate generation by the pigeonhole trick: split the fingerprint
-    into ``chunks`` chunks; any pair within distance < chunks must agree
-    on ≥1 chunk → join per chunk bucket, then verify with ``bit_count``.
-    """
+    Scale: the shuffle keys are (chunk, chunk-bits) buckets — pair
+    work is bucket-bounded exactly like MinHash LSH, never corpus²."""
     # No cache — self-join sides share one exchange (see minhash_lsh_pairs).
-    sh = simhash(df, text_col, id_col, bits)
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    chunked = sh.select(
+    chunked = fp.select(
         F.col(id_col).alias("id"),
-        "simhash",
+        F.col(fp_col).alias("__fp"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(ci).alias("chunk"),
-                        F.shiftright(F.col("simhash"), ci * chunk_bits)
+                        F.shiftright(F.col(fp_col), ci * chunk_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("ckey"),
                     )
@@ -809,7 +812,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("id", "simhash", "c.chunk", "c.ckey")
+    ).select("id", "__fp", "c.chunk", "c.ckey")
     a = chunked.alias("a")
     b = chunked.alias("b")
     cand = (
@@ -822,14 +825,30 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.__fp").alias("fp_a"),
+            F.col("b.__fp").alias("fp_b"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming —
+    ``fingerprint_hamming_pairs`` over the text SimHash."""
+    sh = simhash(df, text_col, id_col, bits)
+    return fingerprint_hamming_pairs(
+        sh, "simhash", id_col, bits, max_hamming, chunks
     )
 
 

@@ -1994,3 +1994,51 @@ def synth_media_bytes(media_id: int) -> bytes:
         + b"data"
         + struct.pack("<I", data_size)
     )
+
+
+def synth_noise_png_bytes(media_id: int, corrupt: bool = False) -> bytes:
+    """Deterministic NOISE PNG for the perceptual-dedup fixtures.
+    ``synth_decodable_media_bytes``'s ramp images collapse into a
+    handful of dHash fingerprints (measured: 1,251 images → 378
+    fingerprints, 379-image clusters — useless as a dedup corpus), so
+    this generator draws every pixel from a Knuth multiplicative mix:
+    8-bit RGB, w=4+id%13, h=4+id%11, channel byte =
+    ``((id + 1000·y + 3·x + c) · 2654435761 mod 2³²) >> 24`` — still
+    closed-form for a DuckDB oracle, yet fingerprint-diverse
+    (measured: 1,090 distinct fingerprints / 1,251 images, max cluster
+    4). ``corrupt=True`` XORs 128 into pixel (0,0)'s channels — the
+    planted PERTURBED near-duplicate (measured dHash hamming ≤ 2 over
+    the full 4x id range, inside the banding guarantee)."""
+    import struct
+    import zlib
+
+    m = int(media_id)
+    w, h = 4 + m % 13, 4 + m % 11
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter: None
+        for x in range(w):
+            for c in range(3):
+                v = (
+                    ((m + 1000 * y + 3 * x + c) * 2654435761)
+                    % 4294967296
+                ) >> 24
+                if corrupt and y == 0 and x == 0:
+                    v ^= 128
+                raw.append(v)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )

@@ -347,3 +347,149 @@ def q_html_extract_adversarial(
         F.col("b.n_link_chars").alias("n_link_chars"),
         "twins_agree",
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup_phash — PERCEPTUAL image dedup (VERDICT r13 #4):
+# noise PNGs synthesized per id (complete files, valid CRCs) → real
+# pixel decode → 10×7 nearest-neighbor resize → 63-bit dHash assembled
+# in Catalyst → Hamming-banded candidate pairs (7 chunks × 9 bits —
+# pigeonhole-complete for hamming ≤ 6) verified with bit_count. Two
+# planted duplicate families ride along for every 20th base image: a
+# byte-identical re-encode under a new id (hamming 0) and a perturbed
+# twin with pixel (0,0) XORed by 128 (measured hamming ≤ 2 over the 4x
+# id range) — both must surface inside the hashed pair list, labeled.
+# The DuckDB oracle recomputes every fingerprint arithmetically from
+# the generator formula + floor mapping and brute-forces the pairs, so
+# an error in the encoder, decoder, resize indexing, grayscale,
+# packing, banding, or verification breaks the hash.
+# ---------------------------------------------------------------------------
+
+_PH_COPY, _PH_PERT = 1_000_000, 2_000_000
+
+
+def _phash_sql() -> str:
+    mixv = (
+        "(((src + 1000 * ((yy * (4 + src % 11)) // 7) "
+        "+ 3 * ((xx * (4 + src % 13)) // 10) + {c}) "
+        "* 2654435761) % 4294967296) // 16777216"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS m FROM documents WHERE doc_id % 4 = 0
+),
+imgs AS (
+  SELECT m AS media_id, m AS src, FALSE AS corrupt FROM base
+  UNION ALL SELECT m + {_PH_COPY}, m, FALSE FROM base WHERE m % 20 = 0
+  UNION ALL SELECT m + {_PH_PERT}, m, TRUE FROM base WHERE m % 20 = 0
+),
+g AS (
+  SELECT media_id, yy, xx,
+         CASE WHEN corrupt
+                   AND (yy * (4 + src % 11)) // 7 = 0
+                   AND (xx * (4 + src % 13)) // 10 = 0
+              THEN xor({mixv.format(c=0)}, 128)
+                   + xor({mixv.format(c=1)}, 128)
+                   + xor({mixv.format(c=2)}, 128)
+              ELSE {mixv.format(c=0)} + {mixv.format(c=1)}
+                   + {mixv.format(c=2)}
+         END AS gray
+  FROM imgs
+  CROSS JOIN generate_series(0, 6) ys(yy)
+  CROSS JOIN generate_series(0, 9) xs(xx)
+),
+fps AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN nxt > gray
+                       THEN 1::BIGINT << (yy * 9 + xx)
+                       ELSE 0 END) AS BIGINT) AS fp
+  FROM (
+    SELECT media_id, yy, xx, gray,
+           lead(gray) OVER (PARTITION BY media_id, yy ORDER BY xx)
+             AS nxt
+    FROM g
+  ) WHERE xx < 9
+  GROUP BY media_id
+)
+SELECT f1.media_id AS id_a, f2.media_id AS id_b,
+       CAST(bit_count(xor(f1.fp, f2.fp)) AS INT) AS hamming,
+       CASE WHEN f1.media_id % {_PH_COPY} = f2.media_id % {_PH_COPY}
+            THEN CASE WHEN f2.media_id >= {_PH_PERT}
+                      THEN 'planted_perturbed'
+                      ELSE 'planted_exact' END
+            ELSE 'background' END AS kind
+FROM fps f1 JOIN fps f2 ON f1.media_id < f2.media_id
+WHERE bit_count(xor(f1.fp, f2.fp)) <= 6
+"""
+
+
+@register("multimodal_dedup_phash", _phash_sql())
+def q_multimodal_dedup_phash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as _pd
+
+    from ..operators.dedup import fingerprint_hamming_pairs
+    from ..operators.multimodal import synth_noise_png_bytes
+    from ..operators.multimodal_dedup import DHASH_BITS, dhash_bits
+    from .registry_ext12 import _t
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    twins = base.where(F.col("media_id") % 20 == 0)
+    ids = (
+        base.unionByName(
+            twins.select(
+                (F.col("media_id") + F.lit(_PH_COPY)).alias("media_id")
+            )
+        )
+        .unionByName(
+            twins.select(
+                (F.col("media_id") + F.lit(_PH_PERT)).alias("media_id")
+            )
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        synth_noise_png_bytes(
+                            int(m) % _PH_COPY,
+                            corrupt=int(m) >= _PH_PERT,
+                        )
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(synth, "media_id long, content binary")
+    pairs = fingerprint_hamming_pairs(
+        dhash_bits(media),
+        "dhash",
+        "media_id",
+        bits=DHASH_BITS,
+        max_hamming=6,
+        chunks=7,
+    )
+    same = F.col("id_a") % _PH_COPY == F.col("id_b") % _PH_COPY
+    kind = (
+        F.when(
+            same & (F.col("id_b") >= _PH_PERT),
+            F.lit("planted_perturbed"),
+        )
+        .when(same, F.lit("planted_exact"))
+        .otherwise(F.lit("background"))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+        kind.alias("kind"),
+    )
