@@ -259,6 +259,10 @@ HEADLINE = [
     "html_extract_adversarial",
     # perceptual image dedup: 63-bit dHash + Hamming-banded pairs
     "multimodal_dedup_phash",
+    # pinned-weight logistic quality classifier (integer margin gate)
+    "quality_classifier_score",
+    # the 7-stage composition ending in the classifier + token budget
+    "curation_pipeline_v5",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

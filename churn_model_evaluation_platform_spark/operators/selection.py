@@ -164,6 +164,43 @@ FROM scored GROUP BY {id_col}
 """
 
 
+def hashed_ngram_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    hash_chars: int,
+    extra: dict | None = None,
+) -> DataFrame:
+    """The DSIR hashed unigram+bigram feature space, factored out
+    (r14) so the learned quality classifier shares it: one explode over
+    tokens ∪ bigrams, engine-portable md5 bucketing. ``extra`` maps
+    output names to Columns carried alongside (e.g. the DSIR target
+    flag). Returns (id, *extra, b) — one row per feature OCCURRENCE."""
+    extra = extra or {}
+    names = list(extra)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            *[c.alias(n) for n, c in extra.items()],
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            *names,
+            F.explode(
+                F.concat(F.col("__toks"), _bigrams(F.col("__toks")))
+            ).alias("f"),
+        )
+        .select(
+            F.col(id_col),
+            *names,
+            (md5_hash_int(F.col("f"), hash_chars) % n_buckets).alias("b"),
+        )
+    )
+
+
 def dsir_importance_weights(
     df: DataFrame,
     target_pred,
@@ -192,25 +229,13 @@ def dsir_importance_weights(
     op and its key (id, bucket) is near-uniform. Output: (id,
     n_features, dsir_weight).
     """
-    feats = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            target_pred.alias("__is_target"),
-            tokens(F.col(text_col)).alias("__toks"),
-        )
-        .select(
-            F.col(id_col),
-            "__is_target",
-            F.explode(
-                F.concat(F.col("__toks"), _bigrams(F.col("__toks")))
-            ).alias("f"),
-        )
-        .select(
-            F.col(id_col),
-            "__is_target",
-            (md5_hash_int(F.col("f"), hash_chars) % n_buckets).alias("b"),
-        )
+    feats = hashed_ngram_buckets(
+        df,
+        text_col,
+        id_col,
+        n_buckets,
+        hash_chars,
+        extra={"__is_target": target_pred},
     )
     doc_tf = feats.groupBy(id_col, "b").agg(
         F.count(F.lit(1)).alias("tf")
@@ -300,6 +325,116 @@ SELECT {id_col},
          AS dsir_weight
 FROM doc_tf JOIN buckets USING (b) CROSS JOIN totals
 GROUP BY {id_col}
+"""
+
+
+#: Pinned-classifier constants: dyadic weights over 2048 buckets with
+#: denominator 4096, bias numerator 137 (an arbitrary released-model
+#: stand-in — see quality_classifier_scores).
+QC_BUCKETS = 2048
+QC_DENOM = 4096
+QC_BIAS_NUM = 137
+QC_MIX = 2654435761
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    n_buckets: int = QC_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_chars: int = 6,
+    bias_num: int = QC_BIAS_NUM,
+) -> DataFrame:
+    """LEARNED quality filter slot (the GPT-3 Appendix A / WebText
+    recipe: a linear classifier over document features scores
+    keep/drop next to the rule gates) — a logistic model over the
+    hashed unigram+bigram bag, ``dsir_importance_weights``' exact
+    feature space via the shared ``hashed_ngram_buckets``.
+
+    The weight vector is PINNED and dyadic: w_b = n_b / 4096 with
+    n_b = ((b+1)·2654435761 mod 4096) − 2048 — the released-checkpoint
+    stand-in (the integer-dot-product discipline proven by
+    ``permutation_importance``/``shap_linear``: swap in a trained
+    vector and every downstream bit stays exact). Because the weights
+    are a FORMULA of the bucket index, scoring needs NO weight table
+    at all — no broadcast, no join: one explode, bucket arithmetic,
+    one per-doc sum. The margin is carried as its exact integer
+    NUMERATOR (Σ tf·n_b + bias), so the keep/drop gate is an integer
+    comparison — no float in the decision; margin (an exact dyadic
+    double) and the 1e-6-rounded sigmoid are emitted for reporting.
+
+    Output: (id, n_features, margin, prob_keep, keep).
+    Scale: explode O(corpus tokens) → (id) partial-agg sum; map-side
+    combine does the heavy lifting, the exchange carries one row per
+    doc."""
+    feats = hashed_ngram_buckets(
+        df, text_col, id_col, n_buckets, hash_chars
+    )
+    wnum = (
+        (F.col("b") + 1) * F.lit(QC_MIX) % F.lit(QC_DENOM)
+        - F.lit(QC_DENOM // 2)
+    )
+    per = feats.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        (F.sum(wnum) + F.lit(bias_num)).alias("__mn"),
+    )
+    margin = F.col("__mn").cast("double") / F.lit(float(QC_DENOM))
+    return per.select(
+        F.col(id_col),
+        "n_features",
+        margin.alias("margin"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6
+        ).alias("prob_keep"),
+        (F.col("__mn") >= 0).alias("keep"),
+    )
+
+
+def quality_classifier_sql(
+    n_buckets: int = QC_BUCKETS,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_chars: int = 6,
+    bias_num: int = QC_BIAS_NUM,
+) -> str:
+    """DuckDB replay of ``quality_classifier_scores`` — identical
+    tokenization, bucketing, pinned-weight formula, and integer
+    margin."""
+    tok = (
+        f"string_split(trim(regexp_replace(lower({text_col}),"
+        " '\\s+', ' ', 'g')), ' ')"
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, {tok} AS toks
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+feats AS (
+  SELECT {id_col},
+         (CAST('0x' || substr(md5(f), 1, {hash_chars}) AS BIGINT)
+          % {n_buckets}) AS b
+  FROM (
+    SELECT {id_col},
+           unnest(list_concat(toks,
+                  list_transform(generate_series(2, len(toks)),
+                                 i -> toks[i-1] || ' ' || toks[i]))) AS f
+    FROM tok
+  )
+),
+per AS (
+  SELECT {id_col}, count(*) AS n_features,
+         {bias_num} + sum(((b + 1) * {QC_MIX}) % {QC_DENOM}
+                          - {QC_DENOM // 2}) AS mn
+  FROM feats GROUP BY 1
+)
+SELECT {id_col},
+       CAST(n_features AS BIGINT) AS n_features,
+       CAST(mn AS DOUBLE) / {float(QC_DENOM)} AS margin,
+       round(1.0 / (1.0 + exp(-(CAST(mn AS DOUBLE) / {float(QC_DENOM)}))),
+             6) AS prob_keep,
+       mn >= 0 AS keep
+FROM per
 """
 
 

@@ -493,3 +493,174 @@ def q_multimodal_dedup_phash(
         F.col("hamming").cast("int").alias("hamming"),
         kind.alias("kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_score — the LEARNED quality filter (VERDICT r13
+# #5; GPT-3 Appendix A / WebText run a linear classifier next to the
+# rule gates): pinned-dyadic-weight logistic over the DSIR hashed
+# unigram+bigram feature space, margin carried as its exact integer
+# numerator so the keep/drop gate is an integer comparison on both
+# engines. No weight table, no join — the weights are a formula of
+# the bucket index; one explode + one per-doc sum.
+# ---------------------------------------------------------------------------
+
+
+def _qc_sql() -> str:
+    from ..operators.selection import quality_classifier_sql
+
+    return quality_classifier_sql()
+
+
+@register("quality_classifier_score", _qc_sql())
+def q_quality_classifier_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.selection import quality_classifier_scores
+    from .registry_ext12 import _t
+
+    return quality_classifier_scores(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline_v5 — v4 + the learned classifier as the final
+# admission stage (the modern recipe: rule gates first, model score
+# last): render → extract + structural gates → corpus-wide line dedup
+# → Gopher length/stopword/alpha → repetition gates → quality
+# classifier → real-vocab token budget. Seven stage survivor counts in
+# one hashed row; every stage is an independently-oracled operator.
+# ---------------------------------------------------------------------------
+
+
+def _curation_v5_sql() -> str:
+    from ..operators.bpe_vocab import byte_vocab_count_sql
+    from ..operators.repetition import repetition_sql
+    from ..operators.selection import quality_classifier_sql
+    from .registry_ext19 import _QG_KEEP, _quality_gate_ctes
+
+    rep = repetition_sql("SELECT doc_id, text FROM q1")
+    qc = quality_classifier_sql(table="q2v")
+    counts = byte_vocab_count_sql(
+        "SELECT q2.doc_id, q2.text FROM q2 JOIN q3 USING (doc_id)"
+    )
+    return f"""
+WITH blocks AS ({demo_blocks_sql()}),
+kept AS (SELECT * FROM blocks WHERE {boilerplate_keep_sql()}),
+ext AS (
+  SELECT doc_id, string_agg(text, chr(10) ORDER BY block_idx) AS text
+  FROM kept GROUP BY doc_id
+),
+exlines AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ls, 1) AS INT) AS pos,
+         unnest(ls) AS line
+  FROM (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      x -> trim(x, ' ')),
+                       x -> x <> '') AS ls
+    FROM ext
+  )
+),
+ldkept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY line ORDER BY doc_id, pos
+    ) AS rn FROM exlines
+  ) WHERE rn = 1
+),
+ld AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM ldkept GROUP BY doc_id
+),
+{_quality_gate_ctes("ld")},
+q1 AS (
+  SELECT l.doc_id, l.text
+  FROM ld l JOIN qg_c USING (doc_id)
+  WHERE {_QG_KEEP}
+),
+q2 AS (SELECT q1.doc_id, q1.text FROM q1
+       JOIN (SELECT doc_id FROM ({rep}) WHERE keep) r USING (doc_id)),
+q2v AS (SELECT doc_id, text FROM q2),
+q3 AS (SELECT doc_id FROM ({qc}) WHERE keep),
+counts AS ({counts})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE text IS NOT NULL) AS n_input,
+       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_blocks_kept,
+       (SELECT CAST(count(*) AS BIGINT) FROM ld) AS n_after_linededup,
+       (SELECT CAST(count(*) AS BIGINT) FROM q1) AS n_after_quality,
+       (SELECT CAST(count(*) AS BIGINT) FROM q2) AS n_after_repetition,
+       (SELECT CAST(count(*) AS BIGINT) FROM q3) AS n_after_classifier,
+       (SELECT CAST(sum(n_tokens_exact) AS BIGINT) FROM counts)
+         AS total_tokens_real
+"""
+
+
+@register("curation_pipeline_v5", _curation_v5_sql())
+def q_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_vocab import (
+        GPT2_SPLIT_PATTERN_PORTABLE,
+        bpe_token_count_bytes,
+    )
+    from ..operators.repetition import gopher_repetition_filter
+    from ..operators.selection import quality_classifier_scores
+    from ..operators.text import line_dedup_corpus, quality_keep_col
+    from .registry_ext12 import _t
+
+    ext = html_extract_text(_rendered(spark, sf_dir)).select(
+        "doc_id",
+        F.col("extracted").alias("text"),
+        F.col("n_blocks_kept"),
+    )
+    ld = (
+        line_dedup_corpus(ext.where(F.col("n_blocks_kept") > 0))
+        .where(F.col("n_lines_kept") > 0)
+        .select("doc_id", F.col("text_deduped").alias("text"))
+    )
+    q1 = ld.where(quality_keep_col())
+    q2 = q1.join(
+        gopher_repetition_filter(q1)
+        .where(F.col("keep"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    q3 = q2.join(
+        quality_classifier_scores(q2)
+        .where(F.col("keep"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    counts = bpe_token_count_bytes(
+        q3.select("doc_id", "text"), pattern=GPT2_SPLIT_PATTERN_PORTABLE
+    )
+    n_input = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_input"))
+    aggs = [
+        ext.agg(
+            F.sum("n_blocks_kept").cast("bigint").alias("n_blocks_kept")
+        ),
+        ld.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after_linededup")
+        ),
+        q1.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after_quality")
+        ),
+        q2.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after_repetition")
+        ),
+        q3.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after_classifier")
+        ),
+        counts.agg(
+            F.sum("n_tokens_exact").cast("bigint").alias(
+                "total_tokens_real"
+            )
+        ),
+    ]
+    out = n_input
+    for a in aggs:
+        out = out.crossJoin(F.broadcast(a))
+    return out

@@ -493,3 +493,87 @@ def test_ngram_order_guard():
         ngram_lm_sql(order=1)
     with _pytest.raises(ValueError):
         ngram_lm_scores(None, None, order=1)
+
+
+# ---------------------------------------------------------------------------
+# learned quality classifier (r14)
+# ---------------------------------------------------------------------------
+
+
+def _qc_scalar(text: str, bias_num: int = 137) -> tuple:
+    """Independent scalar replay of the pinned classifier."""
+    import hashlib
+    import math
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip(" ")
+    toks = norm.split(" ") if norm else [""]
+    feats = toks + [
+        f"{toks[i - 1]} {toks[i]}" for i in range(1, len(toks))
+    ]
+    mn = bias_num
+    for f in feats:
+        b = int(hashlib.md5(f.encode()).hexdigest()[:6], 16) % 2048
+        mn += ((b + 1) * 2654435761) % 4096 - 2048
+    margin = mn / 4096.0
+    prob = round(1.0 / (1.0 + math.exp(-margin)), 6)
+    return len(feats), margin, prob, mn >= 0
+
+
+def test_quality_classifier_matches_scalar_replay(spark):
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        quality_classifier_scores,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spam spam spam"),
+        (3, "a"),
+        (4, "Mixed CASE   and\twhitespace\nnormalization here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores(df).collect()
+    }
+    for i, t in rows:
+        nf, margin, prob, keep = _qc_scalar(t)
+        assert out[i]["n_features"] == nf
+        assert out[i]["margin"] == margin  # exact dyadic, no tolerance
+        assert out[i]["prob_keep"] == prob
+        assert out[i]["keep"] is keep
+
+
+def test_quality_classifier_gate_is_integer_exact(spark):
+    # margins are dyadic rationals (denominator 4096): the keep gate
+    # compares the integer numerator, so a margin of exactly 0 keeps
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        quality_classifier_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    )
+    row = quality_classifier_scores(df, bias_num=0).collect()[0]
+    # whatever the sum, margin*4096 must round-trip to an exact int
+    assert row["margin"] * 4096 == int(row["margin"] * 4096)
+
+
+def test_hashed_ngram_buckets_shared_space(spark):
+    # the classifier's feature space IS dsir's: same explode, same
+    # bucketing (refactor regression for hashed_ngram_buckets)
+    from pyspark.sql import functions as F
+
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        hashed_ngram_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = hashed_ngram_buckets(df, "text", "doc_id", 2048, 6).collect()
+    assert len(rows) == 5  # 3 unigrams + 2 bigrams
+    extra = hashed_ngram_buckets(
+        df, "text", "doc_id", 2048, 6, extra={"flag": F.lit(True)}
+    ).collect()
+    assert all(r["flag"] is True for r in extra)

@@ -132,6 +132,9 @@ SINGLE_ROW_CROSS_OK = {
     # six keyless one-row stage counts crossed (adds line-dedup and
     # repetition stages)
     "curation_pipeline_v4",
+    # seven keyless one-row stage counts crossed (adds the learned
+    # classifier stage)
+    "curation_pipeline_v5",
 }
 
 # QA/audit operators whose all-pairs side IS the measurand: the exact
