@@ -263,6 +263,8 @@ HEADLINE = [
     "quality_classifier_score",
     # the 7-stage composition ending in the classifier + token budget
     "curation_pipeline_v5",
+    # bloom-pruned streaming line-dedup gate (same oracle as the exact)
+    "stream_line_dedup_bloom",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -774,6 +774,45 @@ def bloom_probe_counts(
     )
 
 
+def bloom_member_flags(
+    df: DataFrame,
+    col: str,
+    registers: DataFrame,
+    k: int = BLOOM_K,
+    m_words: int = BLOOM_M_WORDS,
+) -> DataFrame:
+    """Per-ROW bloom membership flag: returns ``df`` plus a boolean
+    ``bloom_maybe`` (all k bits set — possibly a member; false =
+    DEFINITELY not, the no-false-negative contract). The prefilter
+    behind ``line_dedup_increment_bloom``'s pruned anti-join.
+    Requires ``col``'s values to be DISTINCT across rows (the per-value
+    hit count otherwise inflates past k and flips a member to false —
+    the bloom_probe_counts dedup lesson); callers pass frames keyed by
+    ``col``. Scale: one explode of k positions per row + a broadcast of
+    the ≤ m_words bitmap — no shuffle of ``df`` itself beyond the
+    flag's group-back, keyed by the same digest column."""
+    hits = (
+        df.select(
+            F.col(col),
+            F.explode(
+                bloom_positions(F.col(col).cast("string"), k, m_words)
+            ).alias("p"),
+        )
+        .join(
+            F.broadcast(bloom_merge(registers)),
+            F.col("p.w") == F.col("word_idx"),
+        )
+        .where(F.expr("(bits >> p.b) & 1") == 1)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n_set"))
+        .where(F.col("__n_set") == k)
+        .select(F.col(col), F.lit(True).alias("bloom_maybe"))
+    )
+    return df.join(hits, col, "left").withColumn(
+        "bloom_maybe", F.coalesce(F.col("bloom_maybe"), F.lit(False))
+    )
+
+
 def bloom_sql(
     values_sql: str,
     k: int = BLOOM_K,

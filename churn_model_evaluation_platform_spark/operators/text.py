@@ -278,10 +278,51 @@ def line_dedup_increment(
     Scale: the batch side is the corpus operator's shape (one explode,
     digest-keyed exchange); the gate is a left-anti join on 16-byte
     digests against the state table — bounded by batch lines, with the
-    state scan prunable by the txn store's file stats, and bloom-
-    gateable (``sketch.bloom_registers``) when the state outgrows a
-    comfortable shuffle."""
+    state scan prunable by the txn store's file stats. When the state
+    outgrows a comfortable shuffle, use ``line_dedup_increment_bloom``:
+    same output bit-for-bit, anti-join input pruned by a fixed-size
+    broadcast bitmap."""
     return _line_dedup_frames(df, text_col, id_col, seen=seen)
+
+
+def line_dedup_increment_bloom(
+    df: DataFrame,
+    seen: DataFrame | None,
+    bloom_regs: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple:
+    """``line_dedup_increment`` with the anti-join BLOOM-GATED (the
+    scale path when the kept corpus's digest table outgrows a
+    comfortable per-batch shuffle): the ≤256-row broadcast bitmap
+    (``sketch.bloom_registers`` over the seen digests) splits the
+    batch's first-occurrence digests into definitely-new (bypass the
+    exact join — the filter has NO false negatives) and possibly-seen
+    (exact anti-join, so false positives cost a lookup, never a wrong
+    answer). Output is BIT-IDENTICAL to the plain increment — the two
+    share one oracle. Extra bits in the bitmap are always SAFE (they
+    only force the exact check), so at-least-once bloom maintenance
+    and crash-replay with a fresher bitmap cannot corrupt the corpus;
+    MISSING bits are not — commit the bloom partials BEFORE the digest
+    state (see q:``stream_line_dedup_bloom``)."""
+    from .sketch import bloom_member_flags
+
+    if bloom_regs is None or seen is None:
+        return _line_dedup_frames(df, text_col, id_col, seen=seen)
+
+    def gate(first: DataFrame) -> DataFrame:
+        flagged = bloom_member_flags(first, "k", bloom_regs)
+        definite_new = flagged.where(~F.col("bloom_maybe")).drop(
+            "bloom_maybe"
+        )
+        maybe = flagged.where(F.col("bloom_maybe")).drop("bloom_maybe")
+        return definite_new.unionByName(
+            maybe.join(
+                seen.select("k").dropDuplicates(["k"]), "k", "left_anti"
+            )
+        )
+
+    return _line_dedup_frames(df, text_col, id_col, seen=None, gate=gate)
 
 
 def _line_dedup_frames(
@@ -289,10 +330,14 @@ def _line_dedup_frames(
     text_col: str,
     id_col: str,
     seen: DataFrame | None,
+    gate=None,
 ) -> tuple:
-    """Shared body of ``line_dedup_corpus`` / ``line_dedup_increment``:
-    returns ``(per_doc, kept_lines)`` where ``kept_lines`` carries
-    (id, pos, line, k) for every surviving line."""
+    """Shared body of the line-dedup family: returns
+    ``(per_doc, kept_lines)`` where ``kept_lines`` carries
+    (id, pos, line, k) for every surviving line. ``gate`` (a
+    DataFrame→DataFrame hook over the first-occurrence frame)
+    overrides the default seen-digest anti-join — the bloom variant's
+    entry point."""
     # fail-loud NULL-id guard. NOT folded into the dedup subtree: a
     # NULL id makes the struct-equality filter all-NULL → `kept`
     # empty → AQE's empty-relation propagation replaces the right
@@ -325,7 +370,9 @@ def _line_dedup_frames(
     first = lines.groupBy("k").agg(
         F.min(F.struct(F.col("id"), F.col("pos"))).alias("first_occ")
     )
-    if seen is not None:
+    if gate is not None:
+        first = gate(first)
+    elif seen is not None:
         first = first.join(
             seen.select("k").dropDuplicates(["k"]), "k", "left_anti"
         )

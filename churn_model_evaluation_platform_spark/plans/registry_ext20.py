@@ -94,17 +94,25 @@ FROM exdocs d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
-@register("stream_line_dedup", _stream_line_dedup_sql())
-def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import line_dedup_increment
+def _run_stream_line_dedup(
+    spark: SparkSession, sf_dir: str, tag: str, bloom: bool
+) -> DataFrame:
+    """Shared build for the two streaming line-dedup queries: drop
+    files → extraction chain → per-batch digest gate (exact anti-join,
+    or bloom-pruned when ``bloom``) → claimed appends → scan."""
+    from ..operators.sketch import bloom_registers
+    from ..operators.text import (
+        line_dedup_increment,
+        line_dedup_increment_bloom,
+    )
     from ..sources.txnlog import TxnTable
     from .phases import timed_phase
     from .registry import drain_stream
     from .registry_ext12 import _tmp_table_path
     from .registry_ext18 import write_drop_files
 
-    with timed_phase("stream_line_dedup.build"):
-        base = _tmp_table_path(sf_dir, "linededupstream")
+    with timed_phase(f"{tag}.build"):
+        base = _tmp_table_path(sf_dir, tag)
         drops = f"{base}/drops"
         pages = _rendered(spark, sf_dir)
         write_drop_files(
@@ -113,6 +121,7 @@ def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         docs_tbl = TxnTable(spark, f"{base}/docs")
         state_tbl = TxnTable(spark, f"{base}/digests")
+        bloom_tbl = TxnTable(spark, f"{base}/bloom")
 
         def ingest(batch_df: DataFrame, batch_id: int) -> None:
             ext = html_extract_text(batch_df).where(
@@ -123,11 +132,29 @@ def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if state_tbl.latest_version() is None
                 else state_tbl.scan()
             )
-            per_doc, new_k = line_dedup_increment(ext, seen)
-            # docs first, digests second: a crash between the two
-            # commits replays with the digest state still missing this
-            # batch, so the recomputed per_doc is identical and the
-            # claimed batch_id skips the already-landed append.
+            if bloom:
+                regs = (
+                    None
+                    if bloom_tbl.latest_version() is None
+                    else bloom_tbl.scan()
+                )
+                per_doc, new_k = line_dedup_increment_bloom(
+                    ext, seen, regs
+                )
+                # BLOOM FIRST: extra bits in the bitmap only force the
+                # exact check (safe); a committed digest whose bit is
+                # missing would later read "definitely new" and let a
+                # duplicate through. bloom → docs → digests means any
+                # crash point replays to the identical recompute.
+                bloom_tbl.append(
+                    bloom_registers(new_k, "k"), batch_id=batch_id
+                )
+            else:
+                per_doc, new_k = line_dedup_increment(ext, seen)
+            # docs before digests: a crash between the two commits
+            # replays with the digest state still missing this batch,
+            # so the recomputed per_doc is identical and the claimed
+            # batch_id skips the already-landed append.
             docs_tbl.append(per_doc, batch_id=batch_id)
             state_tbl.append(new_k.select("k"), batch_id=batch_id)
 
@@ -151,6 +178,36 @@ def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain_stream(q)
     return docs_tbl.scan().select(
         "doc_id", "text_deduped", "n_lines_kept", "n_lines_removed"
+    )
+
+
+@register("stream_line_dedup", _stream_line_dedup_sql())
+def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_stream_line_dedup(
+        spark, sf_dir, "linededupstream", bloom=False
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_line_dedup_bloom — the SCALE PATH of the streaming line-dedup
+# gate: the per-batch anti-join's input is pruned by the fixed-size
+# bloom bitmap maintained as a fourth txn table (OR-merged partials,
+# ≤256 rows broadcast), so only possibly-seen digests reach the exact
+# join — definitely-new lines (the vast majority of a healthy crawl)
+# bypass it entirely. No false negatives → output BIT-IDENTICAL to
+# stream_line_dedup: the two queries share one oracle, which is itself
+# the differential proof that the bloom pruning changes cost, never
+# answers. Commit order bloom → docs → digests (extra bloom bits are
+# safe, missing ones are not — see line_dedup_increment_bloom).
+# ---------------------------------------------------------------------------
+
+
+@register("stream_line_dedup_bloom", _stream_line_dedup_sql())
+def q_stream_line_dedup_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _run_stream_line_dedup(
+        spark, sf_dir, "linededupbloom", bloom=True
     )
 
 

@@ -153,3 +153,100 @@ def test_null_id_fails_loudly_in_increment(spark):
     per_doc, _ = line_dedup_increment(bad, None)
     with pytest.raises(Exception, match="NULL id"):
         per_doc.collect()
+
+
+# ---------------------------------------------------------------------------
+# bloom-gated variant (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_increment_bit_identical_to_plain(spark):
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        bloom_registers,
+    )
+
+    seen_lines = [f"seen line {i}" for i in range(40)]
+    seen = spark.createDataFrame(
+        [(_k(x),) for x in seen_lines], "k string"
+    )
+    regs = bloom_registers(seen, "k")
+    batch = _docs(
+        spark,
+        [
+            (1, "seen line 3\nfresh alpha\nseen line 7"),
+            (2, "fresh alpha\nfresh beta"),
+        ],
+    )
+    from churn_model_evaluation_platform_spark.operators.text import (
+        line_dedup_increment_bloom,
+    )
+
+    plain_docs, plain_k = line_dedup_increment(batch, seen)
+    bloom_docs, bloom_k = line_dedup_increment_bloom(batch, seen, regs)
+    assert sorted(map(tuple, bloom_docs.collect())) == sorted(
+        map(tuple, plain_docs.collect())
+    )
+    assert sorted(r["k"] for r in bloom_k.collect()) == sorted(
+        r["k"] for r in plain_k.collect()
+    )
+
+
+def test_bloom_false_positive_forces_exact_check(spark):
+    # a digest the bitmap claims "maybe" but that is NOT in the state
+    # table must still survive — fp costs a lookup, never a line
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        bloom_member_flags,
+        bloom_registers,
+    )
+    from churn_model_evaluation_platform_spark.operators.text import (
+        line_dedup_increment_bloom,
+    )
+
+    seen = spark.createDataFrame([(_k("the seen one"),)], "k string")
+    # registers deliberately saturated so EVERYTHING reads maybe
+    fat = spark.createDataFrame(
+        [(f"x{i}",) for i in range(20000)], "v string"
+    )
+    regs = bloom_registers(fat, "v")
+    probe = spark.createDataFrame([(_k("fresh line"),)], "k string")
+    assert bloom_member_flags(probe, "k", regs).collect()[0][
+        "bloom_maybe"
+    ]  # saturated: fp
+    batch = _docs(spark, [(1, "fresh line\nthe seen one")])
+    per_doc, new_k = line_dedup_increment_bloom(batch, seen, regs)
+    row = per_doc.collect()[0]
+    assert row["text_deduped"] == "fresh line"
+    assert row["n_lines_removed"] == 1
+    assert [r["k"] for r in new_k.collect()] == [_k("fresh line")]
+
+
+def test_bloom_replay_with_fresher_bitmap_is_identical(spark, tmp_path):
+    # crash between the bloom commit and the digest commit: the replay
+    # sees EXTRA bloom bits (this batch's) but the same digest state —
+    # extra bits only force the exact check, so the recompute is
+    # identical and the claimed appends skip
+    from churn_model_evaluation_platform_spark.operators.sketch import (
+        bloom_registers,
+    )
+    from churn_model_evaluation_platform_spark.operators.text import (
+        line_dedup_increment_bloom,
+    )
+    from churn_model_evaluation_platform_spark.sources.txnlog import (
+        TxnTable,
+    )
+
+    state = TxnTable(spark, str(tmp_path / "digests"))
+    bloom = TxnTable(spark, str(tmp_path / "bloom"))
+    b0 = _docs(spark, [(1, "shared nav\nbody one")])
+    per0, k0 = line_dedup_increment_bloom(b0, None, None)
+    bloom.append(bloom_registers(k0, "k"), batch_id=0)
+    # CRASH here: digests never committed. Replay epoch 0:
+    regs = bloom.scan()  # fresher than the digest state
+    seen = None if state.latest_version() is None else state.scan()
+    per0r, k0r = line_dedup_increment_bloom(b0, seen, regs)
+    assert sorted(map(tuple, per0r.collect())) == sorted(
+        map(tuple, per0.collect())
+    )
+    assert sorted(r["k"] for r in k0r.collect()) == sorted(
+        r["k"] for r in k0.collect()
+    )
