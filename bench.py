@@ -265,6 +265,8 @@ HEADLINE = [
     "curation_pipeline_v5",
     # bloom-pruned streaming line-dedup gate (same oracle as the exact)
     "stream_line_dedup_bloom",
+    # streaming perceptual dedup: per-batch banded gate vs seen dhashes
+    "stream_image_dedup",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

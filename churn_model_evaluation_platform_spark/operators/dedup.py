@@ -836,6 +836,73 @@ def fingerprint_hamming_pairs(
     )
 
 
+def fingerprint_hamming_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    fp_col: str,
+    id_col: str,
+    bits: int,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Banded Hamming join of a PROBE fingerprint frame against a
+    REFERENCE frame — the incremental/streaming form of
+    ``fingerprint_hamming_pairs``: for every probe row, count the
+    reference rows with STRICTLY SMALLER id within ``max_hamming``.
+    Returns (id, n_earlier, min_hamming) — probe rows with no earlier
+    match are ABSENT (left-join the probe back for a keep flag).
+
+    Scale: each side explodes only its own ``chunks`` chunk keys; the
+    join is (chunk, chunk-bits)-bucket-bounded, so a micro-batch probe
+    against a large accumulated reference never goes corpus² — the
+    image-dedup analog of the line-dedup digest gate, with the
+    pigeonhole guarantee (complete for hamming < chunks)."""
+    chunk_bits = bits // chunks
+
+    def _chunked(fp: DataFrame, side: str) -> DataFrame:
+        mask = (1 << chunk_bits) - 1
+        return fp.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(fp_col).alias(f"{side}_fp"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(ci).alias("chunk"),
+                            F.shiftright(F.col(fp_col), ci * chunk_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("ckey"),
+                        )
+                        for ci in range(chunks)
+                    ]
+                )
+            ).alias("c"),
+        ).select(f"{side}_id", f"{side}_fp", "c.chunk", "c.ckey")
+
+    p = _chunked(probe, "p")
+    r = _chunked(ref, "r")
+    cand = (
+        p.join(
+            r,
+            (p["chunk"] == r["chunk"])
+            & (p["ckey"] == r["ckey"])
+            & (F.col("r_id") < F.col("p_id")),
+        )
+        .select("p_id", "p_fp", "r_id", "r_fp")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("p_fp").bitwiseXOR(F.col("r_fp")))
+    return (
+        cand.select("p_id", "r_id", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy(F.col("p_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_earlier"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

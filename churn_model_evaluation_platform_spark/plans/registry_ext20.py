@@ -13,6 +13,15 @@ streaming/differential/perceptual gaps (VERDICT r13 next-round list):
   differential: the stdlib-parser primary vs a from-scratch scanner
   twin over a generated adversarial corpus, row-level agreement inside
   the hashed result, every block predicted arithmetically by DuckDB.
+* ``multimodal_dedup_phash`` / ``stream_image_dedup`` — perceptual
+  image dedup: 63-bit dHash over really-decoded pixels, Hamming-banded
+  pairs with planted re-encoded/perturbed twins; and the STREAMING
+  arrival-order gate (keep iff no earlier image within hamming ≤ 6)
+  through the txn store.
+* ``quality_classifier_score`` / ``curation_pipeline_v5`` — the
+  learned quality filter (pinned-dyadic-weight logistic over the DSIR
+  hashed n-gram bag, integer-numerator margin gate) and the seven-stage
+  composition that ends in it.
 
 Oracle strategy follows ext19: the corpus is RENDERED from
 ``documents.text`` through the deterministic template, so DuckDB
@@ -425,14 +434,17 @@ def q_html_extract_adversarial(
 _PH_COPY, _PH_PERT = 1_000_000, 2_000_000
 
 
-def _phash_sql() -> str:
+def _phash_fps_ctes() -> str:
+    """The shared DuckDB fingerprint prediction (base → imgs → g →
+    fps) for the batch and streaming perceptual-dedup oracles: every
+    image's 63-bit dHash recomputed arithmetically from the noise-PNG
+    generator formula and the floor resize mapping."""
     mixv = (
         "(((src + 1000 * ((yy * (4 + src % 11)) // 7) "
         "+ 3 * ((xx * (4 + src % 13)) // 10) + {c}) "
         "* 2654435761) % 4294967296) // 16777216"
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id AS m FROM documents WHERE doc_id % 4 = 0
 ),
 imgs AS (
@@ -467,7 +479,12 @@ fps AS (
     FROM g
   ) WHERE xx < 9
   GROUP BY media_id
-)
+)"""
+
+
+def _phash_sql() -> str:
+    return f"""
+WITH {_phash_fps_ctes()}
 SELECT f1.media_id AS id_a, f2.media_id AS id_b,
        CAST(bit_count(xor(f1.fp, f2.fp)) AS INT) AS hamming,
        CASE WHEN f1.media_id % {_PH_COPY} = f2.media_id % {_PH_COPY}
@@ -480,15 +497,14 @@ WHERE bit_count(xor(f1.fp, f2.fp)) <= 6
 """
 
 
-@register("multimodal_dedup_phash", _phash_sql())
-def q_multimodal_dedup_phash(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual-dedup image corpus (shared by the batch and
+    streaming queries): noise PNGs for every 4th doc id, plus — for
+    every 20th base — a byte-identical re-encode under id+1M and a
+    pixel-(0,0)-corrupted perturbed twin under id+2M."""
     import pandas as _pd
 
-    from ..operators.dedup import fingerprint_hamming_pairs
     from ..operators.multimodal import synth_noise_png_bytes
-    from ..operators.multimodal_dedup import DHASH_BITS, dhash_bits
     from .registry_ext12 import _t
 
     base = (
@@ -526,7 +542,17 @@ def q_multimodal_dedup_phash(
                 }
             )
 
-    media = ids.mapInPandas(synth, "media_id long, content binary")
+    return ids.mapInPandas(synth, "media_id long, content binary")
+
+
+@register("multimodal_dedup_phash", _phash_sql())
+def q_multimodal_dedup_phash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import fingerprint_hamming_pairs
+    from ..operators.multimodal_dedup import DHASH_BITS, dhash_bits
+
+    media = _phash_media(spark, sf_dir)
     pairs = fingerprint_hamming_pairs(
         dhash_bits(media),
         "dhash",
@@ -721,3 +747,137 @@ def q_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in aggs:
         out = out.crossJoin(F.broadcast(a))
     return out
+
+
+# ---------------------------------------------------------------------------
+# stream_image_dedup — PERCEPTUAL dedup as a STREAMING ingest (the
+# image analog of stream_line_dedup, composing r14's dHash with the
+# incremental-state pattern): images drop as files in three batches →
+# per batch, each image's 63-bit dHash is banded-joined
+# (fingerprint_hamming_join) against the fingerprints of ALL
+# strictly-earlier images — the accumulated state table plus the
+# batch's own earlier rows — and an image is kept iff no earlier image
+# sits within hamming ≤ 6 ("first occurrence survives" at perceptual
+# grain; arrival = (batch, media_id), encoded as one orderable key).
+# Per-image verdict rows and the batch's fingerprints land in two txn
+# tables, appends claimed under the epoch id (docs before state, the
+# stream_line_dedup replay argument). The planted re-encoded/perturbed
+# twins always land in a DIFFERENT batch than their base (the +1M/+2M
+# offsets shift media_id % 3), so the cross-batch gate — not
+# within-batch dedup — must catch them. Oracle: DuckDB recomputes
+# every fingerprint arithmetically and brute-forces "count earlier
+# within 6" over the arrival order, so a dropped batch, wrong batch
+# order, or any fingerprint/banding error breaks the hash.
+# ---------------------------------------------------------------------------
+
+#: arrival key = batch * _ARR + media_id (media ids < 10^7).
+_ARR = 10_000_000
+
+
+def _stream_image_sql() -> str:
+    return f"""
+WITH {_phash_fps_ctes()},
+arr AS (
+  SELECT media_id, fp,
+         media_id % 3 AS batch,
+         (media_id % 3) * {_ARR} + media_id AS arrival
+  FROM fps
+)
+SELECT a.media_id,
+       CAST(a.batch AS INT) AS batch_idx,
+       a.fp AS dhash,
+       CAST(count(e.media_id) AS BIGINT) AS n_earlier_dups,
+       count(e.media_id) = 0 AS keep
+FROM arr a LEFT JOIN arr e
+  ON e.arrival < a.arrival AND bit_count(xor(a.fp, e.fp)) <= 6
+GROUP BY a.media_id, a.batch, a.fp
+"""
+
+
+@register("stream_image_dedup", _stream_image_sql())
+def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import fingerprint_hamming_join
+    from ..operators.multimodal_dedup import DHASH_BITS, dhash_bits
+    from ..sources.txnlog import TxnTable
+    from .phases import timed_phase
+    from .registry import drain_stream
+    from .registry_ext12 import _tmp_table_path
+    from .registry_ext18 import write_drop_files
+
+    with timed_phase("stream_image_dedup.build"):
+        base = _tmp_table_path(sf_dir, "imagededupstream")
+        drops = f"{base}/drops"
+        media = _phash_media(spark, sf_dir)
+        write_drop_files(
+            (media.where(F.col("media_id") % 3 == i) for i in range(3)),
+            drops,
+        )
+        docs_tbl = TxnTable(spark, f"{base}/docs")
+        state_tbl = TxnTable(spark, f"{base}/fps")
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            fps = dhash_bits(batch_df).select(
+                "media_id",
+                F.col("dhash"),
+                (F.lit(batch_id) * F.lit(_ARR) + F.col("media_id"))
+                .alias("arrival"),
+            )
+            seen = (
+                None
+                if state_tbl.latest_version() is None
+                else state_tbl.scan()
+            )
+            ref = (
+                fps
+                if seen is None
+                else fps.select("arrival", "dhash").unionByName(
+                    seen.select("arrival", "dhash")
+                )
+            )
+            earlier = fingerprint_hamming_join(
+                fps,
+                ref,
+                "dhash",
+                "arrival",
+                bits=DHASH_BITS,
+                max_hamming=6,
+                chunks=7,
+            )
+            per_img = (
+                fps.join(earlier, "arrival", "left")
+                .select(
+                    "media_id",
+                    F.lit(batch_id).cast("int").alias("batch_idx"),
+                    "dhash",
+                    F.coalesce("n_earlier", F.lit(0))
+                    .cast("bigint")
+                    .alias("n_earlier_dups"),
+                    F.col("n_earlier").isNull().alias("keep"),
+                )
+            )
+            docs_tbl.append(per_img, batch_id=batch_id)
+            state_tbl.append(
+                fps.select("arrival", "dhash"), batch_id=batch_id
+            )
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        )
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q)
+    return docs_tbl.scan().select(
+        "media_id", "batch_idx", "dhash", "n_earlier_dups", "keep"
+    )

@@ -156,3 +156,74 @@ def test_banding_pigeonhole_guarantee(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [
         (1, 2, 6)
     ]
+
+
+def test_hamming_join_counts_strictly_earlier(spark):
+    from churn_model_evaluation_platform_spark.operators.dedup import (
+        fingerprint_hamming_join,
+    )
+
+    base = _py_dhash(8)
+    rows = [(10, base), (20, base), (30, base ^ 1), (40, base ^ (1 << 40))]
+    fps = spark.createDataFrame(rows, "arrival long, dhash long")
+    got = {
+        r["arrival"]: (r["n_earlier"], r["min_hamming"])
+        for r in fingerprint_hamming_join(
+            fps, fps, "dhash", "arrival",
+            bits=DHASH_BITS, max_hamming=6, chunks=7,
+        ).collect()
+    }
+    # 10 has nothing earlier -> absent; 20 matches 10 (ham 0);
+    # 30 matches 10 and 20 (ham 1); 40 matches all three (ham 1 or 2)
+    assert 10 not in got
+    assert got[20] == (1, 0)
+    assert got[30] == (2, 1)
+    assert got[40] == (3, 1)
+
+
+def test_stream_image_gate_equals_batch_bruteforce(spark):
+    # drained verdicts == "no earlier image within T" brute force
+    from churn_model_evaluation_platform_spark.operators.dedup import (
+        fingerprint_hamming_join,
+    )
+
+    specs = [(m, m) for m in (0, 4, 8, 20, 24)] + [
+        (1_000_020, 20),          # exact re-encode of 20
+        (2_000_024, 24 + 1_000_000),  # perturbed twin of 24
+    ]
+    fps = {
+        r["media_id"]: r["dhash"]
+        for r in dhash_bits(_media(spark, specs)).collect()
+    }
+    # arrival = (media_id % 3, media_id)
+    order = sorted(fps, key=lambda m: (m % 3, m))
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    want = {}
+    for i, m in enumerate(order):
+        n = sum(1 for e in order[:i] if ham(fps[m], fps[e]) <= 6)
+        want[m] = (n, n == 0)
+    arr_rows = [
+        ((m % 3) * 10_000_000 + m, fps[m], m) for m in fps
+    ]
+    arr = spark.createDataFrame(
+        arr_rows, "arrival long, dhash long, media_id long"
+    )
+    earlier = fingerprint_hamming_join(
+        arr, arr, "dhash", "arrival",
+        bits=DHASH_BITS, max_hamming=6, chunks=7,
+    )
+    got = {
+        r["media_id"]: (r["n"], r["n"] == 0)
+        for r in arr.join(earlier, "arrival", "left")
+        .select(
+            "media_id",
+            F.coalesce("n_earlier", F.lit(0)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the planted twins were rejected by the cross-batch gate
+    assert want[1_000_020][1] is False or want[20][1] is False
