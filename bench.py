@@ -267,6 +267,8 @@ HEADLINE = [
     "stream_line_dedup_bloom",
     # streaming perceptual dedup: per-batch banded gate vs seen dhashes
     "stream_image_dedup",
+    # audio frame-energy fingerprint dedup (exact-integer energies)
+    "multimodal_dedup_audio",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
@@ -393,6 +395,16 @@ SLOPE_QUERIES = [
     "lm_perplexity_5gram",
     "contamination_bloom",
     "curation_pipeline_v4",
+    # round-14 additions: the classifier (explode + per-doc sum — the
+    # map-side-combine claim), the two-tokenizer differential (two
+    # Arrow parses + a doc-keyed join), the dHash pair query (banded
+    # buckets — pair work must stay bucket-bounded as images multiply),
+    # and the 7-stage composition (streaming builds are excluded from
+    # slopes like the other trigger-machinery queries)
+    "quality_classifier_score",
+    "html_extract_adversarial",
+    "multimodal_dedup_phash",
+    "curation_pipeline_v5",
 ]
 # Every listed column gets the same per-copy id offset, so join keys
 # stay CONSISTENT within a copy (4 disjoint subgraphs — structure-

@@ -2042,3 +2042,66 @@ def synth_noise_png_bytes(media_id: int, corrupt: bool = False) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+def synth_noise_wav_bytes(media_id: int, corrupt: bool = False) -> bytes:
+    """Deterministic NOISE WAV for the audio-dedup fixtures (the ramp
+    samples of ``synth_decodable_media_bytes`` collapse into 912
+    frame-energy fingerprints with 102-clip clusters — useless as a
+    dedup corpus): PCM16 mono 8 kHz, n = 256 + id % 200 samples,
+    sample i = ``(((id + 1009·i) · 2654435761 mod 2³²) >> 20) − 2048``
+    (measured: 3,533 distinct fingerprints / 5,250 clips, max cluster
+    12). ``corrupt=True`` zeroes the FIRST energy frame (samples
+    [0, n//32)) — the planted perturbed near-duplicate (measured
+    fingerprint hamming ≤ 1 over the full 4x id range)."""
+    import struct
+
+    m = int(media_id)
+    n = 256 + m % 200
+    vals = [
+        (((m + 1009 * i) * 2654435761) % 4294967296 >> 20) - 2048
+        for i in range(n)
+    ]
+    if corrupt:
+        for i in range(n // 32):
+            vals[i] = 0
+    samples = struct.pack("<" + "h" * n, *vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(samples))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
+
+
+def decode_wav_samples(content) -> "list | None":
+    """PCM16 mono WAV → list of int samples, or None on anything else
+    (the ``decode_png_pixels`` twin for audio). Walks RIFF chunks like
+    ``parse_media_header`` — no fixed 44-byte-header assumption."""
+    import struct
+
+    if not content or bytes(content[:4]) != b"RIFF":
+        return None
+    b = bytes(content)
+    if b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt_ok = False
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            tag, ch, _, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt_ok = tag == 1 and ch == 1 and bits == 16
+        elif cid == b"data" and fmt_ok:
+            n = len(body) // 2
+            return list(struct.unpack("<" + "h" * n, body[: 2 * n]))
+        pos += 8 + clen + (clen & 1)
+    return None

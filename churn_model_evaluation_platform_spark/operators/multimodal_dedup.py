@@ -78,3 +78,83 @@ def dhash_bits(
     return rs.where(px.isNotNull()).select(
         id_col, "src_w", "src_h", fp.alias("dhash")
     )
+
+
+#: audio fingerprint: 32 energy frames → 31 comparison bits.
+AFP_FRAMES = 32
+AFP_BITS = AFP_FRAMES - 1
+
+
+def audio_fingerprint_bits(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-energy audio fingerprint — the audio member of the
+    perceptual-dedup family (Haitsma & Kalker 2002's energy-difference
+    hash reduced to the time axis so every quantity is an EXACT
+    integer; no FFT, no floats anywhere): decode PCM16 → split into 32
+    frames by the floor mapping (frame f covers samples
+    [f·n//32, (f+1)·n//32)) → frame energy = Σ s² (exact BIGINT —
+    PCM16 squares can't overflow) → bit f = energy(f+1) > energy(f),
+    a 31-bit fingerprint. Robust to uniform gain DOWN-scaling and id
+    re-encodes; localized edits flip only their frames' bits.
+
+    The only Python is decode + the integer energy sums (the
+    char-entropy r14 pattern: exact counting Python-side, the
+    comparisons and bit packing in Catalyst); map-only, zero
+    exchanges. Undecodable blobs are dropped (degrade-don't-raise).
+    Output: (id, n_samples, afp)."""
+    import pandas as pd
+
+    from .multimodal import decode_wav_samples
+
+    def run(batches):
+        for pdf in batches:
+            ids, ns, es = [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                s = decode_wav_samples(content)
+                if s is None or len(s) < AFP_FRAMES:
+                    continue
+                n = len(s)
+                ids.append(mid)
+                ns.append(n)
+                es.append(
+                    [
+                        sum(
+                            v * v
+                            for v in s[
+                                f * n // AFP_FRAMES : (f + 1)
+                                * n
+                                // AFP_FRAMES
+                            ]
+                        )
+                        for f in range(AFP_FRAMES)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="Int64"),
+                    "n_samples": pd.array(ns, dtype="Int32"),
+                    # object dtype: an all-dropped batch must still
+                    # convert to Arrow list<int64> (empty inference
+                    # otherwise picks a dtype Arrow refuses)
+                    "energies": pd.Series(es, dtype="object"),
+                }
+            )
+
+    en = df.select(id_col, content_col).mapInPandas(
+        run, f"{id_col} long, n_samples int, energies array<long>"
+    )
+    e = F.col("energies")
+    terms = [
+        F.when(
+            F.element_at(e, f + 2) > F.element_at(e, f + 1),
+            F.lit(1 << f),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        for f in range(AFP_BITS)
+    ]
+    fp = reduce(lambda a, b: a + b, terms)
+    return en.select(id_col, "n_samples", fp.alias("afp"))

@@ -881,3 +881,146 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_tbl.scan().select(
         "media_id", "batch_idx", "dhash", "n_earlier_dups", "keep"
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup_audio — the AUDIO member of the perceptual-dedup
+# family (images got dHash above; a multimodal corpus needs the same
+# gate for clips): noise WAVs synthesized per id → real PCM16 decode →
+# 32 exact-integer frame energies → 31-bit energy-difference
+# fingerprint (comparisons + packing in Catalyst) → Hamming-banded
+# pairs (4 chunks × 7 bits — pigeonhole-complete for hamming ≤ 3).
+# Planted per 20th clip: a byte-identical re-encode under id+1M
+# (hamming 0) and a first-frame-silenced perturbed twin under id+2M
+# (measured hamming ≤ 1 over the 4x id range) — both surface labeled
+# in the hashed pair list. Oracle recomputes every energy and
+# fingerprint arithmetically from the generator formula and
+# brute-forces the pairs.
+# ---------------------------------------------------------------------------
+
+
+def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from ..operators.multimodal import synth_noise_wav_bytes
+    from .registry_ext12 import _t
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 2)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    twins = base.where(F.col("media_id") % 20 == 2)
+    ids = (
+        base.unionByName(
+            twins.select(
+                (F.col("media_id") + F.lit(_PH_COPY)).alias("media_id")
+            )
+        )
+        .unionByName(
+            twins.select(
+                (F.col("media_id") + F.lit(_PH_PERT)).alias("media_id")
+            )
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        synth_noise_wav_bytes(
+                            int(m) % _PH_COPY,
+                            corrupt=int(m) >= _PH_PERT,
+                        )
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(synth, "media_id long, content binary")
+
+
+def _audio_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id AS m FROM documents WHERE doc_id % 4 = 2
+),
+clips AS (
+  SELECT m AS media_id, m AS src, FALSE AS corrupt FROM base
+  UNION ALL SELECT m + {_PH_COPY}, m, FALSE FROM base WHERE m % 20 = 2
+  UNION ALL SELECT m + {_PH_PERT}, m, TRUE FROM base WHERE m % 20 = 2
+),
+en AS (
+  SELECT media_id, f,
+         sum(CASE WHEN corrupt AND f = 0 THEN 0 ELSE v * v END) AS e
+  FROM (
+    SELECT c.media_id, c.corrupt, ff.f, ii.i,
+           ((((c.src + 1009 * ii.i) * 2654435761) % 4294967296)
+            // 1048576) - 2048 AS v,
+           256 + c.src % 200 AS n
+    FROM clips c
+    CROSS JOIN generate_series(0, 31) ff(f)
+    CROSS JOIN generate_series(0, 454) ii(i)
+  )
+  WHERE i >= (f * n) // 32 AND i < ((f + 1) * n) // 32
+  GROUP BY 1, 2
+),
+fps AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN nxt > e THEN 1::BIGINT << f ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM (
+    SELECT media_id, f, e,
+           lead(e) OVER (PARTITION BY media_id ORDER BY f) AS nxt
+    FROM en
+  ) WHERE f < 31
+  GROUP BY media_id
+)
+SELECT f1.media_id AS id_a, f2.media_id AS id_b,
+       CAST(bit_count(xor(f1.fp, f2.fp)) AS INT) AS hamming,
+       CASE WHEN f1.media_id % {_PH_COPY} = f2.media_id % {_PH_COPY}
+            THEN CASE WHEN f2.media_id >= {_PH_PERT}
+                      THEN 'planted_perturbed'
+                      ELSE 'planted_exact' END
+            ELSE 'background' END AS kind
+FROM fps f1 JOIN fps f2 ON f1.media_id < f2.media_id
+WHERE bit_count(xor(f1.fp, f2.fp)) <= 3
+"""
+
+
+@register("multimodal_dedup_audio", _audio_sql())
+def q_multimodal_dedup_audio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import fingerprint_hamming_pairs
+    from ..operators.multimodal_dedup import (
+        AFP_BITS,
+        audio_fingerprint_bits,
+    )
+
+    pairs = fingerprint_hamming_pairs(
+        audio_fingerprint_bits(_audio_media(spark, sf_dir)),
+        "afp",
+        "media_id",
+        bits=AFP_BITS,
+        max_hamming=3,
+        chunks=4,
+    )
+    same = F.col("id_a") % _PH_COPY == F.col("id_b") % _PH_COPY
+    kind = (
+        F.when(
+            same & (F.col("id_b") >= _PH_PERT),
+            F.lit("planted_perturbed"),
+        )
+        .when(same, F.lit("planted_exact"))
+        .otherwise(F.lit("background"))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+        kind.alias("kind"),
+    )

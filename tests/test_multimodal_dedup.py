@@ -227,3 +227,102 @@ def test_stream_image_gate_equals_batch_bruteforce(spark):
     assert got == want
     # the planted twins were rejected by the cross-batch gate
     assert want[1_000_020][1] is False or want[20][1] is False
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (r14)
+# ---------------------------------------------------------------------------
+
+
+def _py_afp(m: int, corrupt: bool = False) -> int:
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        decode_wav_samples,
+        synth_noise_wav_bytes,
+    )
+
+    s = decode_wav_samples(synth_noise_wav_bytes(m, corrupt))
+    n = len(s)
+    E = [
+        sum(v * v for v in s[f * n // 32 : (f + 1) * n // 32])
+        for f in range(32)
+    ]
+    return sum(1 << f for f in range(31) if E[f + 1] > E[f])
+
+
+def _audio(spark, rows):
+    import pandas as pd
+
+    from churn_model_evaluation_platform_spark.operators.multimodal import (
+        synth_noise_wav_bytes,
+    )
+
+    df = spark.createDataFrame(rows, "media_id long, spec long")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        synth_noise_wav_bytes(
+                            int(s) % 1_000_000,
+                            corrupt=int(s) >= 1_000_000,
+                        )
+                        for s in pdf["spec"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(synth, "media_id long, content binary")
+
+
+def test_audio_fingerprint_matches_scalar_replay(spark):
+    from churn_model_evaluation_platform_spark.operators.multimodal_dedup import (
+        AFP_BITS,
+        audio_fingerprint_bits,
+    )
+
+    ids = [2, 6, 22, 42]
+    out = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint_bits(
+            _audio(spark, [(m, m) for m in ids])
+        ).collect()
+    }
+    assert out == {m: _py_afp(m) for m in ids}
+    assert all(0 <= v < (1 << AFP_BITS) for v in out.values())
+
+
+def test_audio_twins_and_undecodable(spark):
+    import pandas as pd
+
+    from churn_model_evaluation_platform_spark.operators.dedup import (
+        fingerprint_hamming_pairs,
+    )
+    from churn_model_evaluation_platform_spark.operators.multimodal_dedup import (
+        AFP_BITS,
+        audio_fingerprint_bits,
+    )
+
+    rows = [(1, 42), (2, 42), (3, 42 + 1_000_000)]
+    fps = audio_fingerprint_bits(_audio(spark, rows))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in fingerprint_hamming_pairs(
+            fps, "afp", "media_id", bits=AFP_BITS,
+            max_hamming=3, chunks=4,
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0        # byte-identical re-encode
+    assert pairs[(1, 3)] <= 1        # first-frame-silenced twin
+    # undecodable blob dropped, not failed
+    df = spark.createDataFrame([(9,)], "media_id long")
+
+    def bad(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": [b"nope"]}
+            )
+
+    media = df.mapInPandas(bad, "media_id long, content binary")
+    assert audio_fingerprint_bits(media).collect() == []
