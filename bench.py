@@ -269,6 +269,8 @@ HEADLINE = [
     "stream_image_dedup",
     # audio frame-energy fingerprint dedup (exact-integer energies)
     "multimodal_dedup_audio",
+    # perceptual pairs -> connected-component clusters
+    "multimodal_dedup_clusters",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -1024,3 +1024,67 @@ def q_multimodal_dedup_audio(
         F.col("hamming").cast("int").alias("hamming"),
         kind.alias("kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup_clusters — perceptual pairs → CLUSTERS: connected
+# components (min-label propagation, the dedup_clusters pattern) over
+# the dHash near-dup graph, so a dedup job can keep one canonical
+# image per perceptual component instead of reasoning about pair
+# lists. cluster_id = min media_id of the component. Oracle: DuckDB
+# recursive-CTE reachability over the arithmetically-recomputed
+# fingerprint pairs.
+# ---------------------------------------------------------------------------
+
+
+def _phash_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_phash_fps_ctes()},
+prs AS (
+  SELECT f1.media_id AS id_a, f2.media_id AS id_b
+  FROM fps f1 JOIN fps f2 ON f1.media_id < f2.media_id
+  WHERE bit_count(xor(f1.fp, f2.fp)) <= 6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM prs
+),
+reach(id, r) AS (
+  SELECT media_id, media_id FROM fps
+  UNION
+  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id
+)
+SELECT id AS media_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+@register("multimodal_dedup_clusters", _phash_clusters_sql())
+def q_multimodal_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import fingerprint_hamming_pairs
+    from ..operators.graph import connected_components
+    from ..operators.multimodal_dedup import DHASH_BITS, dhash_bits
+
+    fps = dhash_bits(_phash_media(spark, sf_dir))
+    pairs = fingerprint_hamming_pairs(
+        fps,
+        "dhash",
+        "media_id",
+        bits=DHASH_BITS,
+        max_hamming=6,
+        chunks=7,
+    )
+    comp = connected_components(
+        fps.select("media_id"),
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+        id_col="media_id",
+    )
+    return comp.select(
+        F.col("id").alias("media_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
