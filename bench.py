@@ -271,6 +271,8 @@ HEADLINE = [
     "multimodal_dedup_audio",
     # perceptual pairs -> connected-component clusters
     "multimodal_dedup_clusters",
+    # streaming curation with the learned gate in append-mode admission
+    "stream_curation_classified",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -390,6 +390,41 @@ def quality_classifier_scores(
     )
 
 
+def quality_classifier_margin_num(
+    text_col: str = "text",
+    n_buckets: int = QC_BUCKETS,
+    hash_chars: int = 6,
+    bias_num: int = QC_BIAS_NUM,
+):
+    """The classifier's integer margin NUMERATOR as ONE stateless
+    Column (the ``quality_keep_col`` pattern): tokens ∪ bigrams as an
+    array expression, per-feature pinned weight via array lambdas, and
+    the order-free integer sum via ``aggregate`` — no explode, no
+    groupBy, so the learned gate runs in APPEND-MODE STREAMING
+    unchanged. Bit-equal to ``quality_classifier_scores``' ``margin``
+    numerator (integer sums commute; pinned in tests). keep =
+    ``quality_classifier_margin_num() >= 0``."""
+    from ..functions.hashing import md5_hash_int
+
+    toks = tokens(F.col(text_col))
+    feats = F.concat(toks, _bigrams(toks))
+
+    def wnum(f):
+        b = md5_hash_int(f, hash_chars) % n_buckets
+        return (b + 1) * F.lit(QC_MIX) % F.lit(QC_DENOM) - F.lit(
+            QC_DENOM // 2
+        )
+
+    return (
+        F.aggregate(
+            F.transform(feats, wnum),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        + F.lit(bias_num)
+    )
+
+
 def quality_classifier_sql(
     n_buckets: int = QC_BUCKETS,
     table: str = "documents",

@@ -1088,3 +1088,92 @@ def q_multimodal_dedup_clusters(
         F.col("id").alias("media_id"),
         F.col("component").cast("bigint").alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_curation_classified — the r13 streaming curation ingest with
+# the LEARNED gate composed into admission: because the classifier's
+# pinned weights are a formula of the md5 bucket, its integer margin
+# is expressible as ONE stateless array-lambda Column
+# (quality_classifier_margin_num — no explode, no groupBy), so the
+# model-scored admission runs in APPEND MODE exactly like the rule
+# gates. Oracle = the batch chain (extract → Gopher rules → classifier
+# replay) over the full rendered corpus; streaming admission is pinned
+# bit-equal to batch admission for BOTH gate kinds.
+# ---------------------------------------------------------------------------
+
+
+def _stream_classified_sql() -> str:
+    from ..operators.selection import quality_classifier_sql
+    from .registry_ext19 import _QG_KEEP, _quality_gate_ctes
+
+    qc = quality_classifier_sql(table="adm")
+    return f"""
+WITH blocks AS ({demo_blocks_sql()}),
+kept AS (SELECT * FROM blocks WHERE {boilerplate_keep_sql()}),
+ext AS (
+  SELECT doc_id, string_agg(text, chr(10) ORDER BY block_idx) AS text
+  FROM kept GROUP BY doc_id
+),
+{_quality_gate_ctes("ext")},
+adm AS (
+  SELECT e.doc_id, e.text
+  FROM ext e JOIN qg_c USING (doc_id)
+  WHERE {_QG_KEEP}
+),
+qck AS (SELECT doc_id FROM ({qc}) WHERE keep)
+SELECT a.doc_id, a.text FROM adm a JOIN qck USING (doc_id)
+"""
+
+
+@register("stream_curation_classified", _stream_classified_sql())
+def q_stream_curation_classified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.selection import quality_classifier_margin_num
+    from ..operators.text import quality_keep_col
+    from ..sources.txnlog import TxnTable
+    from ..sources.txnlog_datasource import register_txnlog_source
+    from .phases import timed_phase
+    from .registry import drain_stream
+    from .registry_ext12 import _tmp_table_path
+    from .registry_ext18 import write_drop_files
+
+    register_txnlog_source(spark)
+    with timed_phase("stream_curation_classified.build"):
+        base = _tmp_table_path(sf_dir, "curaclassified")
+        drops = f"{base}/drops"
+        pages = _rendered(spark, sf_dir)
+        write_drop_files(
+            (pages.where(F.col("doc_id") % 3 == i) for i in range(3)),
+            drops,
+        )
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("html", T.StringType()),
+            ]
+        )
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+        )
+        curated = (
+            html_extract_text(sdf)
+            .select("doc_id", F.col("extracted").alias("text"))
+            .where(quality_keep_col())
+            .where(quality_classifier_margin_num() >= 0)
+        )
+        q = (
+            curated.writeStream.format("txnlog")
+            .option("path", f"{base}/tbl")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .option("sinkId", "curationclassified")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q)
+    return TxnTable(spark, f"{base}/tbl").scan().select("doc_id", "text")

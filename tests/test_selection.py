@@ -577,3 +577,34 @@ def test_hashed_ngram_buckets_shared_space(spark):
         df, "text", "doc_id", 2048, 6, extra={"flag": F.lit(True)}
     ).collect()
     assert all(r["flag"] is True for r in extra)
+
+
+def test_classifier_margin_col_bit_equal_to_aggregate(spark):
+    # the stateless array-lambda Column (streaming form) must produce
+    # the EXACT integer numerator the explode+groupBy form produces
+    from pyspark.sql import functions as F
+
+    from churn_model_evaluation_platform_spark.operators.selection import (
+        QC_DENOM,
+        quality_classifier_margin_num,
+        quality_classifier_scores,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a"),
+        (3, "Mixed CASE   and\twhitespace\nnormalization here"),
+        (4, "x " * 200),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    agg = {
+        r["doc_id"]: r["margin"]
+        for r in quality_classifier_scores(df).collect()
+    }
+    col = {
+        r["doc_id"]: r["mn"]
+        for r in df.select(
+            "doc_id", quality_classifier_margin_num().alias("mn")
+        ).collect()
+    }
+    assert {k: v / QC_DENOM for k, v in col.items()} == agg
