@@ -59,22 +59,41 @@ def dhash_bits(
     )
     px = F.col("pixels")
 
-    def gray(y: int, x: int):
-        base = (y * DHASH_W + x) * 3
+    def gray_at(p):
+        # p: 0-based pixel index Column in the W×H grid
+        base = p * 3
         return (
             F.element_at(px, base + 1).cast("bigint")
             + F.element_at(px, base + 2)
             + F.element_at(px, base + 3)
         )
 
-    terms = [
-        F.when(gray(y, x + 1) > gray(y, x), F.lit(1 << (y * 9 + x)))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        for y in range(DHASH_H)
-        for x in range(DHASH_W - 1)
-    ]
-    fp = reduce(lambda a, b: a + b, terms)
+    w = DHASH_W
+
+    def bit_term(acc, i):
+        # bit i ↔ (y = i div 9, x = i mod 9): compare pixel (y, x+1)
+        # vs (y, x) in the W-wide grid
+        y = ((i - i % (w - 1)) / (w - 1)).cast("int")
+        x = i % (w - 1)
+        p = y * w + x
+        return acc + F.when(
+            gray_at(p + 1) > gray_at(p),
+            # shiftleft's Python wrapper wants a literal bit count;
+            # the SQL function accepts a column expression
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), i.cast("int")
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    # ONE aggregate over the bit indices instead of 63 inlined when-
+    # terms: identical values, ~60× smaller expression tree — the
+    # 63-term form cost seconds of codegen PER PLAN, which multiplied
+    # across the streaming ingest's many small jobs (r14 profile)
+    fp = F.aggregate(
+        F.sequence(F.lit(0), F.lit(DHASH_BITS - 1)),
+        F.lit(0).cast("bigint"),
+        bit_term,
+    )
     return rs.where(px.isNotNull()).select(
         id_col, "src_w", "src_h", fp.alias("dhash")
     )

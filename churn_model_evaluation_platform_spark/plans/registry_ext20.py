@@ -816,12 +816,19 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_tbl = TxnTable(spark, f"{base}/fps")
 
         def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            # Both per-batch frames are MATERIALIZED once
+            # (localCheckpoint, the ngram_novelty pattern — ≤ batch
+            # rows): each txn append re-evaluates its input lineage
+            # for the data write, so without the cut the decode and
+            # the banded join re-ran inside every append — profiled
+            # 35 s of the drain's 49 s at sf0.1; with it the two
+            # appends cost 6 s total.
             fps = dhash_bits(batch_df).select(
                 "media_id",
                 F.col("dhash"),
                 (F.lit(batch_id) * F.lit(_ARR) + F.col("media_id"))
                 .alias("arrival"),
-            )
+            ).localCheckpoint(eager=True)
             seen = (
                 None
                 if state_tbl.latest_version() is None
@@ -854,7 +861,7 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_earlier_dups"),
                     F.col("n_earlier").isNull().alias("keep"),
                 )
-            )
+            ).localCheckpoint(eager=True)
             docs_tbl.append(per_img, batch_id=batch_id)
             state_tbl.append(
                 fps.select("arrival", "dhash"), batch_id=batch_id
