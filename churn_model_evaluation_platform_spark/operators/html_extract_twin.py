@@ -16,18 +16,27 @@ row-level agreement inside the hashed result, and the DuckDB oracle
 predicts every block arithmetically from the generator formula — a
 tokenizer bug in either implementation breaks the hash.
 
-Supported-construct contract (everything the adversarial generator and
-the fixtures emit; the stdlib parser is the reference beyond it):
-ASCII tag names (any case), double/single-quoted attribute values,
-``<!-- -->`` comments (markup inside ignored wholesale), ``<!``/``<?``
-bogus markup skipped to the next ``>``, unclosed elements, ``<x/>``
-self-closing (start+end), CDATA elements closed by a literal
-``</name`` (or left open to EOF), decimal/hex numeric references and
-the named references in ``_NAMED`` (with semicolons), bare
-``&``/``<``/``>`` in text. Known divergence OUTSIDE the contract,
-found by this differential and pinned in tests: a comment left open at
-EOF — the stdlib parser emits the raw tail as text, the twin follows
-the HTML5 tokenizer (comment to EOF, what browsers do).
+Supported-construct contract (everything the adversarial generator,
+the fixtures, AND the hypothesis fuzz grammar emit — fuzzed to 25,000
+random documents with zero divergence; the stdlib parser is the
+reference beyond it): tolerant tag names (leading ASCII letter, then
+anything but whitespace/``/``/``>`` — so ``<a<!--`` is ONE tag named
+``a<!--``), the stdlib's tolerant attribute grammar (names may start
+with ``=`` or quotes; a quote delimits a value only after name +
+``=``; unquoted values run to whitespace/``>``; self-closing iff a
+bare ``/`` immediately precedes ``>``), ``<!-- -->`` comments (markup
+inside ignored wholesale), ``<!``/``<?`` bogus markup skipped to the
+next ``>``, the stdlib end-tag ladder (strict ``</name>`` → tolerant
+name → ``</>``/bogus consumed silently), truncated
+tags/declarations at EOF recovered as raw text, unclosed elements,
+``<x/>`` self-closing (start+end), CDATA elements closed by a literal
+``</name`` (or left open to EOF), decimal/hex numeric references with
+OPTIONAL semicolons under the HTML5 value mapping (NUL/C1/surrogate
+remaps), the named references in ``_NAMED`` (semicolons required),
+bare ``&``/``<``/``>`` in text. Known divergence OUTSIDE the
+contract, found by this differential and pinned in tests: a comment
+left open at EOF — the stdlib parser emits the raw tail as text, the
+twin follows the HTML5 tokenizer (comment to EOF, what browsers do).
 
 Scale shape: identical to the primary (one Arrow pass, map-only); the
 twin exists for differential testing, not as a second production path.
@@ -53,16 +62,41 @@ _NAMED = {
     "mdash": "—",
 }
 
-_REF_RE = re.compile(r"&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
-_START_NAME_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9-]*)")
-_END_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9-]*)[^>]*>")
+_REF_RE = re.compile(
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]*;)"
+)
+# tag NAMES per the stdlib's tolerant grammar: anything but ASCII
+# whitespace, '/', '>', NUL after the leading letter — so '<a<!--' is
+# ONE start tag named 'a<!--' (fuzz catch r14), not junk + a comment
+_START_NAME_RE = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
+_END_STRICT_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_NAME_TOL_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
 _WS = " \t\n\r\f\v"
 
 
+def _num_char(num: int) -> str:
+    """HTML5 numeric-reference value mapping (the spec's tables, not
+    tokenization machinery): NUL/C1 range remap through the published
+    windows-1252 table, surrogates and out-of-range become U+FFFD,
+    noncharacters vanish (fuzz catch r14: '&#0' must decode to
+    U+FFFD, with or without a semicolon)."""
+    from html import _invalid_charrefs, _invalid_codepoints
+
+    if num in _invalid_charrefs:
+        return _invalid_charrefs[num]
+    if 0xD800 <= num <= 0xDFFF or num > 0x10FFFF:
+        return "�"
+    if num in _invalid_codepoints:
+        return ""
+    return chr(num)
+
+
 def _decode_refs(s: str) -> str:
-    """Character-reference decoding from scratch (decimal, hex, and the
-    ``_NAMED`` table — all with semicolons; anything else, including a
-    bare ``&``, stays verbatim like the stdlib parser leaves it)."""
+    """Character-reference decoding from scratch: decimal/hex numeric
+    refs (semicolon optional, HTML5 value mapping) and the ``_NAMED``
+    table (semicolons required — the supported-construct contract);
+    anything else, including a bare ``&``, stays verbatim like the
+    stdlib parser leaves it."""
     out = []
     i = 0
     while True:
@@ -73,13 +107,14 @@ def _decode_refs(s: str) -> str:
         out.append(s[i:j])
         m = _REF_RE.match(s, j)
         if m:
-            body = m.group(1)
+            body = m.group(1).rstrip(";")
+            name = m.group(1)[:-1] if m.group(1).endswith(";") else None
             if body[:2] in ("#x", "#X"):
-                out.append(chr(int(body[2:], 16)))
+                out.append(_num_char(int(body[2:], 16)))
             elif body[0] == "#":
-                out.append(chr(int(body[1:])))
-            elif body in _NAMED:
-                out.append(_NAMED[body])
+                out.append(_num_char(int(body[1:])))
+            elif name in _NAMED:
+                out.append(_NAMED[name])
             else:
                 out.append(m.group(0))
             i = m.end()
@@ -134,36 +169,100 @@ def twin_tokens(html: str) -> list:
             i = n if j < 0 else j + 3
             continue
         if html.startswith("<!", i) or html.startswith("<?", i):
-            emit_data()
             j = html.find(">", i)
-            i = n if j < 0 else j + 1
+            if j < 0:
+                # truncated at EOF: the stdlib parser's recovery is
+                # raw text (fuzz catch r14: '<!', '<?php x')
+                data.append(html[i:])
+                i = n
+                continue
+            emit_data()
+            i = j + 1
             continue
         if html.startswith("</", i):
-            m = _END_RE.match(html, i)
+            # the stdlib's parse_endtag ladder (fuzz catches r14):
+            # no '>' at all → raw tail as text; strict '</name>' →
+            # end event; tolerant name → end event, skip to '>';
+            # '</>' and '</'+non-name (bogus comment) → consumed
+            # silently to the '>'
+            gt = html.find(">", i + 2)
+            if gt < 0:
+                data.append(html[i:])
+                i = n
+                continue
+            m = _END_STRICT_RE.match(html, i)
             if m:
                 emit_data()
                 events.append(("end", m.group(1).lower()))
                 i = m.end()
                 continue
-            data.append("<")
-            i += 1
+            nm = _NAME_TOL_RE.match(html, i + 2)
+            if nm:
+                emit_data()
+                events.append(("end", nm.group(0).lower()))
+                j = html.find(">", nm.end())
+                i = n if j < 0 else j + 1
+                continue
+            emit_data()
+            i = gt + 1
             continue
         m = _START_NAME_RE.match(html, i)
         if m:
             name = m.group(1).lower()
             j = m.end()
             self_closing = False
+            closed = False
+            last_slash = False
+            # attribute walk per the stdlib's tolerant grammar (fuzz
+            # catches r14: '<X">', "<X/='v'>", '<X =\'v>w\'>'): an
+            # attr NAME is [^\s/>][^\s/=>]* — its FIRST char may be
+            # '=' or a quote; a quote delimits a VALUE only after a
+            # name + '='+; unquoted values run to whitespace or '>';
+            # self-closing iff a bare '/' immediately precedes '>'
             while j < n:
                 ch = html[j]
-                if ch in "\"'":
-                    k = html.find(ch, j + 1)
-                    j = n if k < 0 else k + 1
-                    continue
                 if ch == ">":
-                    self_closing = html[j - 1] == "/"
+                    self_closing = last_slash and html[j - 1] == "/"
                     j += 1
+                    closed = True
                     break
+                if ch == "/":
+                    last_slash = True
+                    j += 1
+                    continue
+                if ch in _WS:
+                    j += 1
+                    continue
+                last_slash = False
+                # attr name
                 j += 1
+                while j < n and html[j] not in _WS and html[j] not in "/=>":
+                    j += 1
+                # optional '='+ value
+                k = j
+                while k < n and html[k] in _WS:
+                    k += 1
+                if k < n and html[k] == "=":
+                    while k < n and html[k] == "=":
+                        k += 1
+                    while k < n and html[k] in _WS:
+                        k += 1
+                    if k < n and html[k] in "\"'":
+                        e = html.find(html[k], k + 1)
+                        if e < 0:
+                            j = n  # unterminated value: truncated tag
+                            break
+                        j = e + 1
+                    else:
+                        while k < n and html[k] not in _WS and html[k] != ">":
+                            k += 1
+                        j = k
+            if not closed:
+                # start tag truncated at EOF: the stdlib parser's
+                # recovery emits the raw tail as text (fuzz catch r14)
+                data.append(html[i:])
+                i = n
+                continue
             emit_data()
             events.append(("start", name))
             if self_closing:
