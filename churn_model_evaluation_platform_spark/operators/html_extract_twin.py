@@ -7,7 +7,10 @@ of the ``html_extract`` differential (VERDICT r13 next #3, the
 semantics from a hand-written character-level scanner that shares NO
 tokenization machinery with it — comments, bogus declarations, quoted
 attributes containing ``>``, self-closing tags, CDATA content elements
-(script/style/noscript/template), literal ``<``/``>`` in text, and
+(script/style — exactly the stdlib parser's ``CDATA_CONTENT_ELEMENTS``;
+noscript/template contents are TOKENIZED, with data muted by the
+SKIP_TAGS depth, so block tags nested there flush boundaries in both
+implementations — ADVICE r14), literal ``<``/``>`` in text, and
 character references are all recognized from scratch. DuckDB cannot
 parse HTML, so the differential runs Spark-side: q:
 ``html_extract_adversarial`` parses a deterministically-generated
@@ -29,7 +32,8 @@ inside ignored wholesale), ``<!``/``<?`` bogus markup skipped to the
 next ``>``, the stdlib end-tag ladder (strict ``</name>`` → tolerant
 name → ``</>``/bogus consumed silently), truncated
 tags/declarations at EOF recovered as raw text, unclosed elements,
-``<x/>`` self-closing (start+end), CDATA elements closed by a literal
+``<x/>`` self-closing (start+end), CDATA elements (script/style only)
+closed by a literal
 ``</name`` (or left open to EOF), decimal/hex numeric references with
 OPTIONAL semicolons under the HTML5 value mapping (NUL/C1/surrogate
 remaps), the named references in ``_NAMED`` (semicolons required),
@@ -50,6 +54,14 @@ from typing import Iterable
 from pyspark.sql import DataFrame
 
 from .html_extract import BLOCK_TAGS, BLOCKS_SCHEMA, SKIP_TAGS
+
+# The stdlib parser only enters CDATA mode for these two
+# (HTMLParser.CDATA_CONTENT_ELEMENTS); noscript/template contents are
+# tokenized as normal markup — their character data is muted later by
+# the SKIP_TAGS depth counter, but nested block tags still flush block
+# boundaries (ADVICE r14: the twin used to swallow all four wholesale,
+# diverging from the primary on markup nested in noscript/template).
+_CDATA_TAGS = frozenset(["script", "style"])
 
 _NAMED = {
     "amp": "&",
@@ -268,7 +280,7 @@ def twin_tokens(html: str) -> list:
             if self_closing:
                 events.append(("end", name))
             i = j
-            if name in SKIP_TAGS and not self_closing:
+            if name in _CDATA_TAGS and not self_closing:
                 k = low.find("</" + name, i)
                 # content skipped wholesale; the close tag itself is
                 # consumed by the end-tag branch on the next loop

@@ -133,9 +133,19 @@ def _run_stream_line_dedup(
         bloom_tbl = TxnTable(spark, f"{base}/bloom")
 
         def ingest(batch_df: DataFrame, batch_id: int) -> None:
-            ext = html_extract_text(batch_df).where(
-                F.col("n_blocks_kept") > 0
-            ).select("doc_id", F.col("extracted").alias("text"))
+            # Extraction is MATERIALIZED once per batch (the
+            # stream_image_dedup pattern): each txn append re-evaluates
+            # its input lineage for the data write, so without the cut
+            # the extraction + line-dedup chain re-ran inside every
+            # append — twice per batch here, three times in the bloom
+            # variant. The two output frames are cut too: they share
+            # the dedup joins, which would otherwise re-run per append.
+            ext = (
+                html_extract_text(batch_df)
+                .where(F.col("n_blocks_kept") > 0)
+                .select("doc_id", F.col("extracted").alias("text"))
+                .localCheckpoint(eager=True)
+            )
             seen = (
                 None
                 if state_tbl.latest_version() is None
@@ -150,6 +160,11 @@ def _run_stream_line_dedup(
                 per_doc, new_k = line_dedup_increment_bloom(
                     ext, seen, regs
                 )
+            else:
+                per_doc, new_k = line_dedup_increment(ext, seen)
+            per_doc = per_doc.localCheckpoint(eager=True)
+            new_k = new_k.localCheckpoint(eager=True)
+            if bloom:
                 # BLOOM FIRST: extra bits in the bitmap only force the
                 # exact check (safe); a committed digest whose bit is
                 # missing would later read "definitely new" and let a
@@ -158,8 +173,6 @@ def _run_stream_line_dedup(
                 bloom_tbl.append(
                     bloom_registers(new_k, "k"), batch_id=batch_id
                 )
-            else:
-                per_doc, new_k = line_dedup_increment(ext, seen)
             # docs before digests: a crash between the two commits
             # replays with the digest state still missing this batch,
             # so the recomputed per_doc is identical and the claimed
@@ -497,11 +510,56 @@ WHERE bit_count(xor(f1.fp, f2.fp)) <= 6
 """
 
 
+def _perceptual_ids(spark, base: DataFrame, twin_mod: int) -> DataFrame:
+    """Shared id frame for the perceptual-dedup fixtures: EXPLICIT
+    ``(media_id, src, corrupt)`` columns (ADVICE r14 — the generator
+    id and the corrupt flag used to be magnitude-decoded from
+    ``media_id`` via ``% 1e6`` / ``>= 2e6``, which silently decoded
+    the WRONG source once base ids crossed 1e6 — e.g. bench's slope
+    copies at ``i*1e9`` offsets made every copy-i image an identical
+    corrupt twin of copy 0's, so the slope probe measured fixture
+    aliasing, not the operator). The only remaining id-namespace
+    contract — twin ids at ``src+1M`` / ``src+2M`` must not collide
+    with any real base id, i.e. base ids stay in ``[0, 1e6)`` within
+    each ``1e9`` id block — is pinned by a fail-loud per-row assert
+    folded into the always-consumed media_id output (the
+    text.py:252 discipline: a standalone assert column is prunable)."""
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("media_id") % F.lit(1_000_000_000) < F.lit(_PH_COPY),
+            F.lit(
+                "perceptual fixture: base id collides with the twin "
+                "id namespace (base ids must stay in [0, 1e6) within "
+                "each 1e9 id block)"
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
+    base = base.select((F.col("media_id") + guard).alias("media_id"))
+    twins = base.where(F.col("media_id") % 20 == twin_mod)
+
+    def _ids(df: DataFrame, offset: int, corrupt: bool) -> DataFrame:
+        return df.select(
+            (F.col("media_id") + F.lit(offset)).alias("media_id"),
+            F.col("media_id").alias("src"),
+            F.lit(corrupt).alias("corrupt"),
+        )
+
+    return (
+        _ids(base, 0, False)
+        .unionByName(_ids(twins, _PH_COPY, False))
+        .unionByName(_ids(twins, _PH_PERT, True))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The perceptual-dedup image corpus (shared by the batch and
     streaming queries): noise PNGs for every 4th doc id, plus — for
     every 20th base — a byte-identical re-encode under id+1M and a
-    pixel-(0,0)-corrupted perturbed twin under id+2M."""
+    pixel-(0,0)-corrupted perturbed twin under id+2M. The generator
+    id and corrupt flag ride as explicit columns (see
+    ``_perceptual_ids``)."""
     import pandas as _pd
 
     from ..operators.multimodal import synth_noise_png_bytes
@@ -512,20 +570,7 @@ def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 4 == 0)
         .select(F.col("doc_id").alias("media_id"))
     )
-    twins = base.where(F.col("media_id") % 20 == 0)
-    ids = (
-        base.unionByName(
-            twins.select(
-                (F.col("media_id") + F.lit(_PH_COPY)).alias("media_id")
-            )
-        )
-        .unionByName(
-            twins.select(
-                (F.col("media_id") + F.lit(_PH_PERT)).alias("media_id")
-            )
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    ids = _perceptual_ids(spark, base, twin_mod=0)
 
     def synth(batches):
         for pdf in batches:
@@ -533,11 +578,8 @@ def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "content": [
-                        synth_noise_png_bytes(
-                            int(m) % _PH_COPY,
-                            corrupt=int(m) >= _PH_PERT,
-                        )
-                        for m in pdf["media_id"]
+                        synth_noise_png_bytes(int(s), corrupt=bool(c))
+                        for s, c in zip(pdf["src"], pdf["corrupt"])
                     ],
                 }
             )
@@ -917,20 +959,7 @@ def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 4 == 2)
         .select(F.col("doc_id").alias("media_id"))
     )
-    twins = base.where(F.col("media_id") % 20 == 2)
-    ids = (
-        base.unionByName(
-            twins.select(
-                (F.col("media_id") + F.lit(_PH_COPY)).alias("media_id")
-            )
-        )
-        .unionByName(
-            twins.select(
-                (F.col("media_id") + F.lit(_PH_PERT)).alias("media_id")
-            )
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    ids = _perceptual_ids(spark, base, twin_mod=2)
 
     def synth(batches):
         for pdf in batches:
@@ -938,11 +967,8 @@ def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "content": [
-                        synth_noise_wav_bytes(
-                            int(m) % _PH_COPY,
-                            corrupt=int(m) >= _PH_PERT,
-                        )
-                        for m in pdf["media_id"]
+                        synth_noise_wav_bytes(int(s), corrupt=bool(c))
+                        for s, c in zip(pdf["src"], pdf["corrupt"])
                     ],
                 }
             )

@@ -131,6 +131,33 @@ def test_twin_unknown_named_ref_kept_verbatim():
     )
 
 
+def test_twin_noscript_contents_tokenize_not_cdata():
+    # ADVICE r14: the stdlib parser only CDATAs script/style — block
+    # tags nested in noscript/template flush boundaries (splitting the
+    # surrounding block) even though their data is muted, and an <a>
+    # inside noscript perturbs the link counter. The twin used to
+    # swallow all four wholesale.
+    for html in [
+        "<p>before<noscript><p>hidden</p></noscript>after</p>",
+        "<template><td>t</td></template><p>x</p>",
+        "<div>a<noscript><a href='/x'>L</a></noscript>b</div>",
+        "<noscript><script>var s = '<p>';</p></script></noscript><p>y</p>",
+        "<noscript>never closed <p>still muted",
+        "<p>a<NOSCRIPT/>b</p>",
+    ]:
+        assert twin_extract_blocks_py(html) == extract_blocks_py(html), html
+
+
+def test_twin_noscript_split_shape_pinned():
+    # The concrete shape: the nested <p> flushes "before" as its own
+    # block and retags the accumulator, so "after" lands in a second
+    # block — in BOTH implementations.
+    html = "<p>before<noscript><p>hidden</p></noscript>after</p>"
+    blocks = extract_blocks_py(html)
+    assert [b["text"] for b in blocks] == ["before", "after"]
+    assert twin_extract_blocks_py(html) == blocks
+
+
 def test_documented_divergence_unterminated_comment():
     # The differential's first catch (r14): on a comment left open at
     # EOF the stdlib parser emits the raw tail as TEXT, while the twin
@@ -170,7 +197,7 @@ _TEXT = st.text(
 )
 _TAGS = [
     "p", "div", "td", "SPAN", "b", "TABLE", "li", "h1", "nav", "a",
-    "script",
+    "script", "noscript", "template",
 ]
 _VOIDS = ["br", "hr"]
 
@@ -200,8 +227,22 @@ def _construct() -> st.SearchStrategy:
         st.text("ab<> ", max_size=6),
     )
     link = st.builds(lambda t: f"<a href=\"/x?a>b\">{t}</a>", text)
+    # noscript/template are NOT CDATA elements in the stdlib parser:
+    # their contents tokenize (data muted by SKIP_TAGS depth, block
+    # tags still flush boundaries) — ADVICE r14's divergence hunt.
+    muted = st.builds(
+        lambda t, inner, txt: f"<{t}>{inner}{txt}</{t}>",
+        st.sampled_from(["noscript", "template", "NOSCRIPT"]),
+        st.sampled_from(
+            ["<p>hidden</p>", "<a href='/x'>L</a>", "<td>c</td>",
+             "<script>var s = '<p>';</script>", "<noscript>n</noscript>",
+             ""]
+        ),
+        st.text("ab<>& ", max_size=6),
+    )
     return st.one_of(
-        text, start, end, void, comment, bogus, entity, cdata, link
+        text, start, end, void, comment, bogus, entity, cdata, link,
+        muted,
     )
 
 
