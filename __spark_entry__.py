@@ -36,6 +36,7 @@ from churn_model_evaluation_platform_spark.plans import registry_ext17 as _regis
 from churn_model_evaluation_platform_spark.plans import registry_ext18 as _registry_ext18  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext19 as _registry_ext19  # noqa: F401
 from churn_model_evaluation_platform_spark.plans import registry_ext20 as _registry_ext20  # noqa: F401
+from churn_model_evaluation_platform_spark.plans import registry_ext21 as _registry_ext21  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

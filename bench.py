@@ -273,6 +273,9 @@ HEADLINE = [
     "multimodal_dedup_clusters",
     # streaming curation with the learned gate in append-mode admission
     "stream_curation_classified",
+    # round-15 additions
+    # distributed BPE tokenizer training (12 pair-count+merge rounds)
+    "bpe_train_merges",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place
