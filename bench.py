@@ -276,6 +276,8 @@ HEADLINE = [
     # round-15 additions
     # distributed BPE tokenizer training (12 pair-count+merge rounds)
     "bpe_train_merges",
+    # RFC 3986 URL canonicalization + registered-domain dedup rollup
+    "url_dedup_domains",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -9,6 +9,17 @@ hygiene stages a 100 TB pipeline runs before any text gate:
   materialized-CTE chain, so every learned merge, its count, the
   tie-break order, and the final vocabulary segmentation are
   hash-checked.
+* ``url_normalize`` / ``url_dedup_domains`` /
+  ``domain_blocklist_filter`` — URL canonicalization (RFC 3986
+  syntax normalization + crawl conventions: case, www, default
+  ports, fragments, tracking params, param sort, trailing slashes),
+  registered-domain rollups, and broadcast blocklist filtering. The
+  fixture builds raw URLs from (doc_id, source) with the CONTENT
+  identity keyed on ``doc_id % 60`` and the surface variants (case,
+  www, trailing slash, tracking params, fragments) keyed on
+  ``doc_id % 7`` — so normalization provably collapses the variants
+  (dupes guaranteed) and both engines build identical raw strings
+  while normalizing them through INDEPENDENT regex/list engines.
 """
 
 from __future__ import annotations
@@ -68,4 +79,290 @@ def q_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("bigint").alias("n_tokens"),
             F.countDistinct("word").cast("bigint").alias("n_word_types"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization family — the crawl-frontier hygiene ops. The
+# raw-URL generator is a SHARED closed-form formula over
+# (doc_id, source): content identity (host/path/kept-params/scheme
+# class/port class) is a function of m = doc_id % 60 and the source
+# label; surface noise that normalization must collapse (upper/lower
+# case, www/subdomain prefixes, trailing slashes, tracking params,
+# fragments, default ports) is a function of v = doc_id % 7
+# (coprime to 60, so every content class sees every variant). The
+# NORMALIZERS are two independent implementations of the same spec
+# (operators/urls.py Catalyst vs DuckDB regex/list SQL) — the hash
+# pins the spec, not a shared code path.
+# ---------------------------------------------------------------------------
+
+
+def _url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    m = d % 60
+    v = d % 7
+    k = F.substring(F.col("source"), 4, 8).cast("int")
+    src = F.col("source")
+    scheme = F.when(
+        m % 3 == 2,
+        F.when(v % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+    ).otherwise(
+        F.when(v % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http"))
+    )
+    www = (
+        F.when(v % 3 == 0, F.lit("WWW.cdn."))
+        .when(v % 3 == 1, F.lit("www."))
+        .otherwise(F.lit("blog."))
+    )
+    srccase = F.when(v % 2 == 0, F.upper(src)).otherwise(src)
+    tld = (
+        F.when(k % 3 == 0, F.lit(".com"))
+        .when(k % 3 == 1, F.lit(".net"))
+        .otherwise(F.lit(".org"))
+    )
+    tldcase = F.when(v % 2 == 0, F.upper(tld)).otherwise(tld)
+    host = F.concat(www, srccase, F.lit("site"), tldcase)
+    port = (
+        F.when(
+            m % 5 == 0,
+            F.when(m % 3 == 2, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .when(m % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    trail = (
+        F.when(v % 5 == 0, F.lit("//"))
+        .when(v % 2 == 0, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(m % 11 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/Docs/p"), (m % 12).cast("string"), trail)
+    )
+    kept = (
+        F.when(m % 4 == 0, F.concat(F.lit("id="), (m % 6).cast("string")))
+        .when(
+            m % 4 == 1,
+            F.concat(F.lit("z=2&id="), (m % 6).cast("string")),
+        )
+        .when(m % 4 == 2, F.lit(""))
+        .otherwise(F.lit("q=Ab"))
+    )
+    track = (
+        F.when(v % 3 == 0, F.lit("utm_source=feed"))
+        .when(v % 3 == 1, F.lit("fbclid=xYz"))
+        .otherwise(F.lit(""))
+    )
+    qraw = (
+        F.when((track == "") & (kept == ""), F.lit(""))
+        .when(track == "", F.concat(F.lit("?"), kept))
+        .when(kept == "", F.concat(F.lit("?"), track))
+        .otherwise(F.concat(F.lit("?"), track, F.lit("&"), kept))
+    )
+    frag = F.when(v % 2 == 1, F.lit("#Sec1")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, port, path, qraw, frag)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", url.alias("url_raw")
+    )
+
+
+def _url_raw_sql() -> str:
+    """The identical raw-URL formula in DuckDB SQL (shared generator;
+    normalization is the independent part)."""
+    return """
+SELECT doc_id, source,
+  (CASE WHEN doc_id % 60 % 3 = 2
+        THEN CASE WHEN doc_id % 7 % 2 = 0 THEN 'HTTPS' ELSE 'https' END
+        ELSE CASE WHEN doc_id % 7 % 2 = 0 THEN 'HTTP' ELSE 'http' END
+   END)
+  || '://'
+  || (CASE WHEN doc_id % 7 % 3 = 0 THEN 'WWW.cdn.'
+           WHEN doc_id % 7 % 3 = 1 THEN 'www.' ELSE 'blog.' END)
+  || (CASE WHEN doc_id % 7 % 2 = 0 THEN upper(source) ELSE source END)
+  || 'site'
+  || (CASE WHEN doc_id % 7 % 2 = 0
+        THEN upper(CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+                        THEN '.com'
+                        WHEN CAST(substr(source, 4) AS INT) % 3 = 1
+                        THEN '.net' ELSE '.org' END)
+        ELSE CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+                  THEN '.com'
+                  WHEN CAST(substr(source, 4) AS INT) % 3 = 1
+                  THEN '.net' ELSE '.org' END END)
+  || (CASE WHEN doc_id % 60 % 5 = 0
+        THEN CASE WHEN doc_id % 60 % 3 = 2 THEN ':443' ELSE ':80' END
+        WHEN doc_id % 60 % 5 = 1 THEN ':8080' ELSE '' END)
+  || (CASE WHEN doc_id % 60 % 11 = 0 THEN ''
+        ELSE '/Docs/p' || CAST(doc_id % 60 % 12 AS VARCHAR)
+          || (CASE WHEN doc_id % 7 % 5 = 0 THEN '//'
+                   WHEN doc_id % 7 % 2 = 0 THEN '/' ELSE '' END) END)
+  || (CASE
+       WHEN (CASE WHEN doc_id % 7 % 3 = 0 THEN 'utm_source=feed'
+                  WHEN doc_id % 7 % 3 = 1 THEN 'fbclid=xYz'
+                  ELSE '' END) = ''
+        AND (CASE WHEN doc_id % 60 % 4 = 0
+                  THEN 'id=' || CAST(doc_id % 60 % 6 AS VARCHAR)
+                  WHEN doc_id % 60 % 4 = 1
+                  THEN 'z=2&id=' || CAST(doc_id % 60 % 6 AS VARCHAR)
+                  WHEN doc_id % 60 % 4 = 2 THEN ''
+                  ELSE 'q=Ab' END) = ''
+       THEN ''
+       WHEN (CASE WHEN doc_id % 7 % 3 = 0 THEN 'utm_source=feed'
+                  WHEN doc_id % 7 % 3 = 1 THEN 'fbclid=xYz'
+                  ELSE '' END) = ''
+       THEN '?' || (CASE WHEN doc_id % 60 % 4 = 0
+                  THEN 'id=' || CAST(doc_id % 60 % 6 AS VARCHAR)
+                  WHEN doc_id % 60 % 4 = 1
+                  THEN 'z=2&id=' || CAST(doc_id % 60 % 6 AS VARCHAR)
+                  WHEN doc_id % 60 % 4 = 2 THEN ''
+                  ELSE 'q=Ab' END)
+       WHEN (CASE WHEN doc_id % 60 % 4 = 0
+                  THEN 'id=' || CAST(doc_id % 60 % 6 AS VARCHAR)
+                  WHEN doc_id % 60 % 4 = 1
+                  THEN 'z=2&id=' || CAST(doc_id % 60 % 6 AS VARCHAR)
+                  WHEN doc_id % 60 % 4 = 2 THEN ''
+                  ELSE 'q=Ab' END) = ''
+       THEN '?' || (CASE WHEN doc_id % 7 % 3 = 0 THEN 'utm_source=feed'
+                  WHEN doc_id % 7 % 3 = 1 THEN 'fbclid=xYz'
+                  ELSE '' END)
+       ELSE '?' || (CASE WHEN doc_id % 7 % 3 = 0 THEN 'utm_source=feed'
+                  WHEN doc_id % 7 % 3 = 1 THEN 'fbclid=xYz'
+                  ELSE '' END)
+            || '&'
+            || (CASE WHEN doc_id % 60 % 4 = 0
+                  THEN 'id=' || CAST(doc_id % 60 % 6 AS VARCHAR)
+                  WHEN doc_id % 60 % 4 = 1
+                  THEN 'z=2&id=' || CAST(doc_id % 60 % 6 AS VARCHAR)
+                  WHEN doc_id % 60 % 4 = 2 THEN ''
+                  ELSE 'q=Ab' END)
+     END)
+  || (CASE WHEN doc_id % 7 % 2 = 1 THEN '#Sec1' ELSE '' END)
+  AS url_raw
+FROM documents
+"""
+
+
+def _url_norm_sql_parts() -> dict:
+    from ..operators.urls import url_norm_sql
+
+    return url_norm_sql("url_raw")
+
+
+_URL_NORMALIZE_SQL = f"""
+WITH pages AS MATERIALIZED ({_url_raw_sql()})
+SELECT doc_id, url_raw,
+       {_url_norm_sql_parts()["norm"]} AS url_norm,
+       {_url_norm_sql_parts()["domain"]} AS domain
+FROM pages
+"""
+
+
+@register("url_normalize", _URL_NORMALIZE_SQL)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL + registered domain for every page — map-only,
+    no exchange; the full raw and normalized strings ride in the
+    hashed rows so the generator AND both normalizers are pinned."""
+    from ..operators.urls import normalize_url, registered_domain
+
+    pages = _url_pages(spark, sf_dir)
+    return pages.select(
+        "doc_id",
+        "url_raw",
+        normalize_url(F.col("url_raw")).alias("url_norm"),
+        registered_domain(F.col("url_raw")).alias("domain"),
+    )
+
+
+_URL_DEDUP_SQL = f"""
+WITH pages AS MATERIALIZED ({_url_raw_sql()}),
+norm AS MATERIALIZED (
+  SELECT doc_id,
+         {_url_norm_sql_parts()["norm"]} AS url_norm,
+         {_url_norm_sql_parts()["domain"]} AS domain
+  FROM pages
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+       CAST(count(*) - count(DISTINCT url_norm) AS BIGINT)
+         AS n_dup_pages
+FROM norm
+GROUP BY domain
+"""
+
+
+@register("url_dedup_domains", _URL_DEDUP_SQL)
+def q_url_dedup_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier dedup accounting per registered domain: pages
+    seen vs distinct canonical URLs (the dupes are exactly the
+    surface variants the normalizer collapses). One exchange on
+    domain; the distinct is a partial-aggregated count-distinct."""
+    from ..operators.urls import normalize_url, registered_domain
+
+    pages = _url_pages(spark, sf_dir)
+    norm = pages.select(
+        normalize_url(F.col("url_raw")).alias("url_norm"),
+        registered_domain(F.col("url_raw")).alias("domain"),
+    )
+    return norm.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("url_norm").alias("n_urls"),
+        (F.count(F.lit(1)) - F.countDistinct("url_norm")).alias(
+            "n_dup_pages"
+        ),
+    )
+
+
+_BLOCKLIST_SQL = f"""
+WITH pages AS MATERIALIZED ({_url_raw_sql()}),
+norm AS MATERIALIZED (
+  SELECT doc_id,
+         {_url_norm_sql_parts()["norm"]} AS url_norm,
+         {_url_norm_sql_parts()["domain"]} AS domain
+  FROM pages
+),
+blocked AS (
+  SELECT DISTINCT domain FROM norm
+  WHERE CAST(substr(split_part(domain, 'site', 1), 4) AS INT) % 4 = 1
+)
+SELECT n.domain,
+       CAST(count(*) AS BIGINT) AS n_pages_kept,
+       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls_kept
+FROM norm n ANTI JOIN blocked b ON n.domain = b.domain
+GROUP BY n.domain
+"""
+
+
+@register("domain_blocklist_filter", _BLOCKLIST_SQL)
+def q_domain_blocklist_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Domain blocklist filtering the way a 1000-executor crawl does
+    it: the blocklist is a SMALL frame broadcast to every executor
+    (left_anti hash join, no shuffle of the page side). Here the list
+    is derived deterministically (source number % 4 == 1) so the
+    oracle can rebuild it; a real UT1/operator blocklist swaps in as
+    the same broadcast frame."""
+    from ..operators.urls import normalize_url, registered_domain
+
+    pages = _url_pages(spark, sf_dir)
+    norm = pages.select(
+        normalize_url(F.col("url_raw")).alias("url_norm"),
+        registered_domain(F.col("url_raw")).alias("domain"),
+    )
+    blocked = (
+        norm.select("domain")
+        .distinct()
+        .where(
+            F.split(F.col("domain"), "site")
+            .getItem(0)
+            .substr(4, 8)
+            .cast("int")
+            % 4
+            == 1
+        )
+    )
+    kept = norm.join(F.broadcast(blocked), "domain", "left_anti")
+    return kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages_kept"),
+        F.countDistinct("url_norm").alias("n_urls_kept"),
     )
