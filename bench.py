@@ -278,6 +278,8 @@ HEADLINE = [
     "bpe_train_merges",
     # RFC 3986 URL canonicalization + registered-domain dedup rollup
     "url_dedup_domains",
+    # cluster-canonical keep-best dedup (CC + classifier-margin argmax)
+    "dedup_keep_best",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

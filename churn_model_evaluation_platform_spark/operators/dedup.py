@@ -1308,3 +1308,60 @@ def semantic_dedup_recall(
             F.lit(len(centroids)).cast("int").alias("n_cells"),
         )
     )
+
+
+def keep_best_per_cluster(
+    comp: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "mn",
+) -> DataFrame:
+    """Cluster-CANONICAL selection: given near-dup components and a
+    per-doc INTEGER quality score, keep the argmax-quality member of
+    every cluster (ties broken by lowest id — a total order, so the
+    survivor set is deterministic on any engine). This is the modern
+    curation refinement of min-id canonicalization: near-dup groups
+    keep their BEST copy (SemDeDup §4, the Gopher/FineWeb dedup
+    discipline), not an arbitrary one.
+
+    ``scores`` may be missing rows (e.g. NULL-text docs): absent
+    scores rank below every present one (sentinel fold), and a
+    cluster with no scored member reports NULL as its kept score.
+
+    Scale: one left join on id (broadcastable when scores are a
+    narrow projection) + one groupBy(cluster) whose aggregate is a
+    struct-min — map-side combinable, no window sort; output is one
+    row per CLUSTER, orders of magnitude under the corpus. Integer
+    scores keep the argmax exact (no float tie ambiguity)."""
+    low = -(1 << 62)
+    j = comp.join(
+        scores.select(
+            F.col(id_col),
+            F.col(score_col).cast("bigint").alias("__s"),
+        ),
+        id_col,
+        "left",
+    ).select(
+        cluster_col,
+        id_col,
+        F.coalesce(F.col("__s"), F.lit(low)).alias("__s"),
+    )
+    agg = j.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(
+            F.struct(
+                (-F.col("__s")).alias("neg"),
+                F.col(id_col).alias("kept"),
+            )
+        ).alias("bst"),
+    )
+    return agg.select(
+        cluster_col,
+        F.col("n_members").cast("bigint").alias("n_members"),
+        (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        F.col("bst.kept").alias("kept_" + id_col),
+        F.when(-F.col("bst.neg") == F.lit(low), F.lit(None)).otherwise(
+            -F.col("bst.neg")
+        ).cast("bigint").alias("kept_score"),
+    )

@@ -432,10 +432,14 @@ def quality_classifier_sql(
     id_col: str = "doc_id",
     hash_chars: int = 6,
     bias_num: int = QC_BIAS_NUM,
+    with_margin_num: bool = False,
 ) -> str:
     """DuckDB replay of ``quality_classifier_scores`` — identical
     tokenization, bucketing, pinned-weight formula, and integer
-    margin."""
+    margin. ``with_margin_num`` adds the exact integer numerator as
+    ``margin_num`` (consumed by composing oracles, e.g.
+    dedup_keep_best; off by default to keep the original query's
+    hashed schema unchanged)."""
     tok = (
         f"string_split(trim(regexp_replace(lower({text_col}),"
         " '\\s+', ' ', 'g')), ' ')"
@@ -464,7 +468,9 @@ per AS (
   FROM feats GROUP BY 1
 )
 SELECT {id_col},
-       CAST(n_features AS BIGINT) AS n_features,
+       CAST(n_features AS BIGINT) AS n_features,{
+        f'''
+       CAST(mn AS BIGINT) AS margin_num,''' if with_margin_num else ''}
        CAST(mn AS DOUBLE) / {float(QC_DENOM)} AS margin,
        round(1.0 / (1.0 + exp(-(CAST(mn AS DOUBLE) / {float(QC_DENOM)}))),
              6) AS prob_keep,

@@ -366,3 +366,80 @@ def q_domain_blocklist_filter(
         F.count(F.lit(1)).alias("n_pages_kept"),
         F.countDistinct("url_norm").alias("n_urls_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — cluster-CANONICAL selection: the LSH-verified
+# near-dup components keep their HIGHEST-QUALITY member (the learned
+# classifier's exact integer margin; ties by lowest id), not the
+# arbitrary min-id doc — the SemDeDup/FineWeb refinement of
+# dedup_clusters. Composes three existing proven pieces (LSH-verified
+# pairs → connected components → classifier margin) plus the new
+# argmax-per-cluster aggregate; the oracle replays all three and takes
+# the argmax with a window. Scale: the argmax is a struct-min groupBy
+# (map-side combinable, no window sort); output is one row per
+# cluster.
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_sql() -> str:
+    from ..operators.selection import quality_classifier_sql
+    from .registry_ext5 import _LSH_VERIFIED_SQL
+
+    low = -(1 << 62)
+    return f"""
+WITH RECURSIVE pairs AS ({_LSH_VERIFIED_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+qc AS (
+  SELECT doc_id, margin_num
+  FROM ({quality_classifier_sql(with_margin_num=True)})
+),
+j AS (
+  SELECT c.cluster_id, c.doc_id, coalesce(q.margin_num, {low}) AS mn
+  FROM comp c LEFT JOIN qc q ON q.doc_id = c.doc_id
+),
+r AS (
+  SELECT cluster_id, doc_id, mn,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY mn DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS nm
+  FROM j
+)
+SELECT cluster_id,
+       CAST(nm AS BIGINT) AS n_members,
+       CAST(nm - 1 AS BIGINT) AS n_dropped,
+       doc_id AS kept_doc_id,
+       CAST(NULLIF(mn, {low}) AS BIGINT) AS kept_score
+FROM r WHERE rk = 1
+"""
+
+
+@register("dedup_keep_best", _keep_best_sql())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..operators.graph import connected_components
+    from ..operators.selection import quality_classifier_margin_num
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(docs, n=3, threshold=0.1)
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+        id_col="doc_id",
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    scores = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", quality_classifier_margin_num().alias("mn")
+    )
+    return dedup.keep_best_per_cluster(comp, scores)
