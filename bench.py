@@ -280,6 +280,8 @@ HEADLINE = [
     "url_dedup_domains",
     # cluster-canonical keep-best dedup (CC + classifier-margin argmax)
     "dedup_keep_best",
+    # streaming doc-level MinHash near-dup ingest vs the signature state
+    "stream_minhash_dedup",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -1365,3 +1365,145 @@ def keep_best_per_cluster(
             -F.col("bst.neg")
         ).cast("bigint").alias("kept_score"),
     )
+
+
+def minhash_dedup_increment(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> tuple:
+    """One INCREMENT of doc-level MinHash near-dup ingestion — the
+    signature-state analog of ``line_dedup_increment`` (and the
+    streaming form of ``incremental_dedup``): a new batch is gated
+    against the KEPT corpus's signature table, then the survivors'
+    signatures join the state for the next increment.
+
+    State carries (id, m0..m{k-1}, digest) — FIXED WIDTH per kept doc
+    (k 32-bit mins + a 16-byte digest), never text or shingle sets:
+    that is the scale story, and why the verifier here is the
+    SIGNATURE-AGREEMENT Jaccard estimate (fraction of equal
+    components ≥ ``threshold``) rather than the batch operators'
+    exact shingle intersection. Identical text ⇒ identical signatures
+    ⇒ same bands, so exact duplicates are always candidates; the
+    digest column labels them ``exact_dup`` vs ``near_dup``.
+
+    Gate rule (deterministic, oracle-replayable): a doc is dropped
+    iff some band-colliding doc with agreement ≥ threshold exists
+    among (i) the kept corpus from strictly earlier increments, or
+    (ii) LOWER-id docs of the SAME batch regardless of their own
+    fate — the standard bulk-ingest approximation (within-batch
+    near-dup chains are not fate-resolved; exact-dup chains need no
+    resolution since digest equality is transitive).
+    ``matched_id`` = the smallest such doc id.
+
+    Returns ``(per_doc, new_state)``: per_doc = (id, status,
+    matched_id) for every non-null-text batch doc; new_state = the
+    kept docs' signature rows to append to the state table.
+
+    Scale: the only join is on (band, band_key) buckets — probe side
+    bounded by batch bands, state side prunable to the probed buckets
+    (the ann_dedup_gate discipline); the agreement sum rides the
+    band join so the dedup shuffle carries 3 columns."""
+    sig_cols = [f"m{i}" for i in range(k)]
+    dig = F.md5(normalize_text(F.col(text_col)))
+    # The signature frame appears FOUR times in the downstream plan
+    # (probe bands, the ref union, and the two output joins); without
+    # a cut every evaluation re-runs the k-permutation minhash over
+    # the batch text — measured 37 s of a 40 s increment at sf0.1.
+    # Lazy localCheckpoint: materialized at the first action, reused
+    # by every subsequent subplan (the graph.py discipline).
+    sigs = (
+        minhash_signatures(batch, text_col, id_col, n, k, seed)
+        .join(
+            batch.where(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("__jid"), dig.alias("digest")
+            ),
+            F.col(id_col) == F.col("__jid"),
+        )
+        .drop("__jid")
+        .localCheckpoint(eager=False)
+    )
+    ref = sigs.select(
+        F.col(id_col).alias("rid"),
+        *[F.col(c).alias(f"r_{c}") for c in sig_cols],
+        F.col("digest").alias("r_digest"),
+        F.lit(False).alias("is_state"),
+    )
+    if seen is not None:
+        ref = ref.unionByName(
+            seen.select(
+                F.col(id_col).alias("rid"),
+                *[F.col(c).alias(f"r_{c}") for c in sig_cols],
+                F.col("digest").alias("r_digest"),
+                F.lit(True).alias("is_state"),
+            )
+        )
+    r = k // bands
+
+    def _bands(df: DataFrame, idc: str, prefix: str) -> DataFrame:
+        structs = []
+        for bi in range(bands):
+            key = F.concat_ws(
+                "|",
+                *[
+                    F.col(prefix + c)
+                    for c in sig_cols[bi * r : (bi + 1) * r]
+                ],
+            )
+            structs.append(
+                F.struct(F.lit(bi).alias("band"), key.alias("band_key"))
+            )
+        return df.withColumn(
+            "__b", F.explode(F.array(*structs))
+        ).withColumn("band", F.col("__b.band")).withColumn(
+            "band_key", F.col("__b.band_key")
+        ).drop("__b")
+
+    pb = _bands(sigs, id_col, "")
+    rb = _bands(ref, "rid", "r_")
+    eq_sum = sum(
+        (F.col(c) == F.col(f"r_{c}")).cast("int") for c in sig_cols
+    )
+    cand = (
+        pb.join(
+            rb,
+            ["band", "band_key"],
+        )
+        .where(F.col("is_state") | (F.col("rid") < F.col(id_col)))
+        .select(
+            F.col(id_col),
+            F.col("rid"),
+            (eq_sum / F.lit(float(k))).alias("est"),
+            (F.col("digest") == F.col("r_digest")).alias("dig_eq"),
+        )
+        .distinct()
+    )
+    matches = cand.where(F.col("est") >= F.lit(threshold))
+    # both outputs join against the match table — cut it so the band
+    # join + distinct chain runs once, not twice
+    agg = matches.groupBy(id_col).agg(
+        F.min("rid").alias("matched_id"),
+        F.max(F.col("dig_eq").cast("int")).alias("__anyexact"),
+    ).localCheckpoint(eager=False)
+    per_doc = (
+        sigs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("matched_id").isNull(), F.lit("kept"))
+            .when(F.col("__anyexact") == 1, F.lit("exact_dup"))
+            .otherwise(F.lit("near_dup"))
+            .alias("status"),
+            F.col("matched_id"),
+        )
+    )
+    new_state = sigs.join(
+        agg.select(id_col), id_col, "left_anti"
+    ).select(F.col(id_col), *sig_cols, "digest")
+    return per_doc, new_state

@@ -443,3 +443,149 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", quality_classifier_margin_num().alias("mn")
     )
     return dedup.keep_best_per_cluster(comp, scores)
+
+
+# ---------------------------------------------------------------------------
+# stream_minhash_dedup — STREAMING doc-level near-dup ingestion: the
+# signature-state member of the streaming dedup family (lines r14,
+# images r14, docs here — and the streaming form of the r6 batch
+# incremental_dedup gate). Each micro-batch computes k=16 MinHash
+# signatures + a content digest, band-joins them against the KEPT
+# corpus's signature txn table (+ lower-id docs of the same batch),
+# drops docs whose signature agreement ≥ 1/2, and appends survivors'
+# signatures to the state — both appends claimed under the epoch id.
+# State is FIXED WIDTH per kept doc (16 mins + digest), never text or
+# shingle sets. The oracle replays all three increments unrolled
+# (kept0 gates batch1, kept0∪kept1 gate batch2), so a dropped batch,
+# replay double-apply, out-of-order batches, or a wrong gate rule all
+# break the hash.
+# ---------------------------------------------------------------------------
+
+_SMH_BATCHES = 3
+_SMH_EQ_MIN = 8  # est_jaccard >= 0.5 with k=16 (dyadic — exact both sides)
+
+
+def _stream_minhash_sql() -> str:
+    from .registry_ext import (
+        _BAND_KEYS_SQL,
+        _BAND_MATCH_SQL,
+        _EQ_SUM_SQL,
+        _MINHASH_SELECT,
+        _NORM_SQL,
+        _SHINGLE_HASH_CTE,
+    )
+
+    B = _SMH_BATCHES
+    parts = [
+        f"""{_SHINGLE_HASH_CTE},
+sigs AS ({_MINHASH_SELECT}),
+banded AS MATERIALIZED (
+  SELECT s.*, {_BAND_KEYS_SQL}, d.digest, s.doc_id % {B} AS batch
+  FROM sigs s
+  JOIN (SELECT doc_id, md5({_NORM_SQL}) AS digest
+        FROM documents WHERE text IS NOT NULL) d USING (doc_id)
+)"""
+    ]
+    kept_union = ""
+    for i in range(B):
+        state = (
+            f" OR (b.batch < {i} AND b.doc_id IN ({kept_union}))"
+            if i
+            else ""
+        )
+        parts.append(
+            f"""match{i} AS MATERIALIZED (
+  SELECT a.doc_id AS id, min(b.doc_id) AS matched_id,
+         max(CASE WHEN a.digest = b.digest THEN 1 ELSE 0 END)
+           AS anyexact
+  FROM banded a JOIN banded b
+    ON ({_BAND_MATCH_SQL})
+   AND ((b.batch = {i} AND b.doc_id < a.doc_id){state})
+  WHERE a.batch = {i} AND ({_EQ_SUM_SQL}) >= {_SMH_EQ_MIN}
+  GROUP BY a.doc_id
+),
+kept{i} AS MATERIALIZED (
+  SELECT doc_id FROM banded WHERE batch = {i}
+    AND doc_id NOT IN (SELECT id FROM match{i})
+)"""
+        )
+        kept_union = " UNION ALL ".join(
+            f"SELECT doc_id FROM kept{j}" for j in range(i + 1)
+        )
+    per = "\nUNION ALL ".join(
+        f"""SELECT b.doc_id, CAST({i} AS INT) AS batch_idx,
+       CASE WHEN m.id IS NULL THEN 'kept'
+            WHEN m.anyexact = 1 THEN 'exact_dup'
+            ELSE 'near_dup' END AS status,
+       m.matched_id
+FROM banded b LEFT JOIN match{i} m ON m.id = b.doc_id
+WHERE b.batch = {i}"""
+        for i in range(B)
+    )
+    return ",\n".join(parts) + "\n" + per
+
+
+@register("stream_minhash_dedup", _stream_minhash_sql())
+def q_stream_minhash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import minhash_dedup_increment
+    from ..sources.txnlog import TxnTable
+    from .phases import timed_phase
+    from .registry import drain_stream
+    from .registry_ext12 import _tmp_table_path
+    from .registry_ext18 import write_drop_files
+
+    with timed_phase("stream_minhash_dedup.build"):
+        base = _tmp_table_path(sf_dir, "minhashdedupstream")
+        drops = f"{base}/drops"
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        write_drop_files(
+            (
+                docs.where(F.col("doc_id") % _SMH_BATCHES == i)
+                for i in range(_SMH_BATCHES)
+            ),
+            drops,
+        )
+        docs_tbl = TxnTable(spark, f"{base}/docs")
+        state_tbl = TxnTable(spark, f"{base}/sigs")
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            seen = (
+                None
+                if state_tbl.latest_version() is None
+                else state_tbl.scan()
+            )
+            per_doc, new_state = minhash_dedup_increment(
+                batch_df, seen
+            )
+            per_doc = per_doc.withColumn(
+                "batch_idx", F.lit(batch_id).cast("int")
+            ).localCheckpoint(eager=True)
+            new_state = new_state.localCheckpoint(eager=True)
+            # docs before sigs: crash-replay recomputes against the
+            # unchanged state, so the claimed epoch skips cleanly
+            docs_tbl.append(per_doc, batch_id=batch_id)
+            state_tbl.append(new_state, batch_id=batch_id)
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q)
+    return docs_tbl.scan().select(
+        "doc_id", "batch_idx", "status", "matched_id"
+    )
