@@ -282,6 +282,8 @@ HEADLINE = [
     "dedup_keep_best",
     # streaming doc-level MinHash near-dup ingest vs the signature state
     "stream_minhash_dedup",
+    # WARC crawl-container read (binaryFile -> per-file record parse)
+    "warc_scan",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

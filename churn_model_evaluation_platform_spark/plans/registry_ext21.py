@@ -589,3 +589,83 @@ def q_stream_minhash_dedup(
     return docs_tbl.scan().select(
         "doc_id", "batch_idx", "status", "matched_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# warc_scan — the crawl CONTAINER format read natively: documents are
+# rendered into three deterministic WARC/1.0 files (one per doc_id%3;
+# the third as the per-record-member .warc.gz real crawls ship),
+# response records wrapping each text in a minimal HTTP/1.1 envelope,
+# then read back through sources/warc.py's binaryFile→mapInArrow
+# parser. The oracle predicts every parsed field arithmetically from
+# the documents table (envelope lengths are closed-form, the body md5
+# is DuckDB's own md5 of the text), so a header-scan, Content-Length,
+# HTTP-split, gzip-member, or charset bug anywhere in the parser
+# breaks the hash. Scale: one file per task is THE WARC parallelism
+# model (member-gzip is unsplittable; crawls ship thousands of ~1 GB
+# files).
+# ---------------------------------------------------------------------------
+
+#: HTTP/1.1 envelope the fixture writer prepends to response bodies.
+_WARC_HTTP_HEAD = 44  # "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+
+_WARC_SQL = f"""
+SELECT doc_id,
+       'response' AS warc_type,
+       CAST(200 AS INT) AS http_status,
+       CAST({_WARC_HTTP_HEAD} + octet_length(encode(text)) AS BIGINT)
+         AS content_length,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
+       md5(text) AS body_md5,
+       (doc_id % 3 = 2) AS from_gz
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register("warc_scan", _WARC_SQL)
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.warc import (
+        read_warc,
+        warc_record_bytes,
+        write_warc_file,
+    )
+    from .registry_ext12 import _tmp_table_path
+
+    base = _tmp_table_path(sf_dir, "warcscan")
+    os.makedirs(base, exist_ok=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    )  # fixture generation only — the READ path is the operator
+    for part in range(3):
+        recs = [
+            warc_record_bytes(
+                record_id=f"<urn:uuid:{r['doc_id']:032d}>",
+                target_uri=f"http://example.org/doc/{r['doc_id']}",
+                body=r["text"].encode("utf-8"),
+            )
+            for r in docs
+            if r["doc_id"] % 3 == part
+        ]
+        gz = part == 2
+        write_warc_file(
+            f"{base}/part{part}.warc" + (".gz" if gz else ""),
+            recs,
+            gz=gz,
+        )
+    parsed = read_warc(spark, base)
+    return parsed.select(
+        F.regexp_extract(F.col("target_uri"), "doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "http_status",
+        "content_length",
+        F.length(F.col("body")).cast("bigint").alias("n_body_bytes"),
+        F.md5(F.col("body")).alias("body_md5"),
+        F.col("path").endswith(".gz").alias("from_gz"),
+    )
