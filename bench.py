@@ -284,6 +284,11 @@ HEADLINE = [
     "stream_minhash_dedup",
     # WARC crawl-container read (binaryFile -> per-file record parse)
     "warc_scan",
+    # RFC 9309 robots gating (broadcast rules, longest-match struct-max)
+    "robots_gate",
+    # train->apply composition: tokenize the eval slice via the learned
+    # segmentation (dictionary broadcast join against the trained frame)
+    "bpe_train_encode",
 ]
 
 # Scale-slope probes: re-run representative queries on an in-place

@@ -30,7 +30,7 @@ reference's own surface — training-data-pipeline mandate.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Query parameters dropped by normalization (prefix match for utm_).
@@ -168,3 +168,51 @@ def url_norm_sql(url_expr: str) -> dict:
         "norm": norm,
         "domain": domain,
     }
+
+
+def robots_decisions(
+    pages: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    path_col: str = "path",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """RFC 9309 (robots.txt) path gating: per page, among the rules of
+    its domain whose path-prefix matches, the MOST SPECIFIC (longest
+    prefix) wins; on a length tie ``allow`` wins; no matching rule
+    means allowed. ``rules`` = (domain, prefix, is_allow) — the parsed
+    robots corpus, small enough to broadcast (one site's rule list is
+    bytes; a whole crawl's is ~domains-sized).
+
+    Wildcards (``*``/``$``) are out of scope — prefix rules only (the
+    original 1994 semantics and the overwhelming majority of real
+    rules); a wildcard-bearing robots corpus needs a regex-compile
+    pass in front.
+
+    Scale: broadcast join on domain + prefix filter, then the winner
+    is a struct-max groupBy (map-side combinable, no window); pages
+    with no candidate rule never shuffle at all (left join keeps
+    them)."""
+    cand = pages.join(F.broadcast(rules), domain_col).where(
+        F.col(path_col).startswith(F.col("prefix"))
+    )
+    best = cand.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("l"),
+                F.col("is_allow").alias("a"),
+                F.col("prefix").alias("p"),
+            )
+        ).alias("bst")
+    )
+    return (
+        pages.join(best, id_col, "left")
+        .select(
+            id_col,
+            domain_col,
+            path_col,
+            F.coalesce(F.col("bst.a"), F.lit(True)).alias("allowed"),
+            F.col("bst.p").alias("rule_prefix"),
+            F.col("bst.a").alias("rule_is_allow"),
+        )
+    )

@@ -669,3 +669,155 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("body")).alias("body_md5"),
         F.col("path").endswith(".gz").alias("from_gz"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_encode — the train→apply composition: documents of the
+# eval slice (doc_id % 5 == 0) are tokenized UNDER THE LEARNED
+# SEGMENTATION by joining their words against the trained
+# word-frequency frame (words → final symbol strings — the dictionary
+# broadcast join that is the fast path for applying a trained
+# tokenizer to text drawn from its training distribution; unseen
+# words would fall back to the merge-replay, not needed here since
+# training saw the whole corpus). Per-doc word/token/char counts are
+# hashed; the oracle recomputes them from the same unrolled training
+# chain.
+# ---------------------------------------------------------------------------
+
+_ENCODE_SQL = bpe_train_sql(_BPE_K, merges_select=False) + f""",
+seg AS (
+  SELECT word, len(string_split(sym, ' ')) AS n_sym FROM w{_BPE_K}
+),
+ew AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id % 5 = 0
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+)
+SELECT ew.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(seg.n_sym) AS BIGINT) AS n_tokens,
+       CAST(sum(length(ew.word)) AS BIGINT) AS n_chars
+FROM ew JOIN seg ON seg.word = ew.word
+GROUP BY ew.doc_id
+"""
+
+
+@register("bpe_train_encode", _ENCODE_SQL)
+def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    _merges, wf = bpe_train(docs, k=_BPE_K)
+    seg = wf.select(
+        "word",
+        F.size(F.split(F.col("sym"), " ")).alias("n_sym"),
+    )
+    ew = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        .where(F.col("word").rlike("^[a-z]+$"))
+    )
+    return (
+        ew.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots_gate — RFC 9309 crawl politeness over the URL fixture: each
+# domain's deterministic rule list (a blanket '/Docs/p1' disallow
+# everywhere; a longer '/Docs/p10' allow that re-opens one subtree —
+# the longest-match override the RFC is about; a root '/' disallow on
+# every 4th domain; an extra '/Docs/p2' disallow on the next class)
+# gates the normalized paths: longest matching prefix wins, allow
+# wins length ties, no match ⇒ allowed. The decision, the winning
+# rule, and its polarity ride in the hashed rows for every page.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_SQL = f"""
+WITH pages AS MATERIALIZED ({_url_raw_sql()}),
+norm AS MATERIALIZED (
+  SELECT doc_id,
+         {_url_norm_sql_parts()["path"]} AS path,
+         {_url_norm_sql_parts()["domain"]} AS domain
+  FROM pages
+),
+doms AS (
+  SELECT DISTINCT domain,
+         CAST(substr(split_part(domain, 'site', 1), 4) AS INT) AS k
+  FROM norm
+),
+rules AS (
+  SELECT domain, '/Docs/p1' AS prefix, FALSE AS is_allow FROM doms
+  UNION ALL SELECT domain, '/Docs/p10', TRUE FROM doms
+  UNION ALL SELECT domain, '/', FALSE FROM doms WHERE k % 4 = 0
+  UNION ALL SELECT domain, '/Docs/p2', FALSE FROM doms WHERE k % 4 = 1
+),
+cand AS (
+  SELECT n.doc_id, r.prefix, r.is_allow
+  FROM norm n JOIN rules r
+    ON r.domain = n.domain AND starts_with(n.path, r.prefix)
+),
+best AS (
+  SELECT doc_id, prefix, is_allow FROM (
+    SELECT doc_id, prefix, is_allow,
+           row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY len(prefix) DESC, is_allow DESC, prefix DESC
+           ) AS rk
+    FROM cand
+  ) WHERE rk = 1
+)
+SELECT n.doc_id, n.domain, n.path,
+       coalesce(b.is_allow, TRUE) AS allowed,
+       b.prefix AS rule_prefix,
+       b.is_allow AS rule_is_allow
+FROM norm n LEFT JOIN best b ON b.doc_id = n.doc_id
+"""
+
+
+@register("robots_gate", _ROBOTS_SQL)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.urls import (
+        registered_domain,
+        robots_decisions,
+        url_path_norm,
+    )
+
+    pages = _url_pages(spark, sf_dir).select(
+        "doc_id",
+        url_path_norm(F.col("url_raw")).alias("path"),
+        registered_domain(F.col("url_raw")).alias("domain"),
+    )
+    doms = pages.select("domain").distinct().select(
+        "domain",
+        F.split(F.col("domain"), "site")
+        .getItem(0)
+        .substr(4, 8)
+        .cast("int")
+        .alias("k"),
+    )
+
+    def _r(df: DataFrame, prefix: str, allow: bool) -> DataFrame:
+        return df.select(
+            "domain",
+            F.lit(prefix).alias("prefix"),
+            F.lit(allow).alias("is_allow"),
+        )
+
+    rules = (
+        _r(doms, "/Docs/p1", False)
+        .unionByName(_r(doms, "/Docs/p10", True))
+        .unionByName(_r(doms.where(F.col("k") % 4 == 0), "/", False))
+        .unionByName(
+            _r(doms.where(F.col("k") % 4 == 1), "/Docs/p2", False)
+        )
+    )
+    return robots_decisions(pages, rules)

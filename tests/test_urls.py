@@ -87,3 +87,40 @@ def test_normalize_duckdb_twin(raw, norm, dom):
         f"SELECT {p['norm']}, {p['domain']} FROM (SELECT '{raw}' AS u)"
     ).fetchone()
     assert got == (norm, dom), raw
+
+
+def test_robots_longest_match_and_ties(spark):
+    from churn_model_evaluation_platform_spark.operators.urls import (
+        robots_decisions,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (1, "/a/b/c", "d.com"),  # blocked by /a
+            (2, "/a/b/pub", "d.com"),  # re-allowed by longer /a/b/pub
+            (3, "/other", "d.com"),  # no rule -> allowed
+            (4, "/a", "e.com"),  # other domain: no rules at all
+            (5, "/t", "d.com"),  # length tie allow vs disallow -> allow
+        ],
+        "doc_id long, path string, domain string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("d.com", "/a", False),
+            ("d.com", "/a/b/pub", True),
+            ("d.com", "/t", False),
+            ("d.com", "/t", True),
+        ],
+        "domain string, prefix string, is_allow boolean",
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["rule_prefix"])
+        for r in robots_decisions(pages, rules).collect()
+    }
+    assert got == {
+        1: (False, "/a"),
+        2: (True, "/a/b/pub"),
+        3: (True, None),
+        4: (True, None),
+        5: (True, "/t"),
+    }
