@@ -166,14 +166,22 @@ def audio_fingerprint_bits(
         run, f"{id_col} long, n_samples int, energies array<long>"
     )
     e = F.col("energies")
-    terms = [
-        F.when(
-            F.element_at(e, f + 2) > F.element_at(e, f + 1),
-            F.lit(1 << f),
-        )
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        for f in range(AFP_BITS)
-    ]
-    fp = reduce(lambda a, b: a + b, terms)
+
+    def bit_term(acc, f):
+        return acc + F.when(
+            F.element_at(e, (f + F.lit(2)).cast("int"))
+            > F.element_at(e, (f + F.lit(1)).cast("int")),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), f.cast("int")
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    # ONE aggregate over the bit indices instead of 31 inlined when-
+    # terms (the dhash_bits r14 lesson: inlined terms cost seconds of
+    # codegen per distinct plan)
+    fp = F.aggregate(
+        F.sequence(F.lit(0), F.lit(AFP_BITS - 1)),
+        F.lit(0).cast("bigint"),
+        bit_term,
+    )
     return en.select(id_col, "n_samples", fp.alias("afp"))
