@@ -179,9 +179,14 @@ def bpe_train(
             )
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["pcnt"])
         merges.append((step, a, b, a + b, c))
+        # LAZY checkpoint (optimization r15, guide §1.2): the rewrite
+        # still cuts lineage every round, but it materializes inside
+        # the NEXT round's pair-count/argmax job instead of as its own
+        # eager job — one Spark job per merge instead of two. The last
+        # round's rewrite materializes in the caller's first action.
         wf = wf.withColumn(
             "sym", apply_merge(F.col("sym"), a, b)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     _ = spark
     return merges, wf
 

@@ -258,6 +258,7 @@ def line_dedup_increment(
     seen: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_kept: bool = False,
 ) -> tuple:
     """One INCREMENT of corpus-wide line dedup — the streaming /
     incremental-ingest form of ``line_dedup_corpus`` (the
@@ -281,8 +282,17 @@ def line_dedup_increment(
     state scan prunable by the txn store's file stats. When the state
     outgrows a comfortable shuffle, use ``line_dedup_increment_bloom``:
     same output bit-for-bit, anti-join input pruned by a fixed-size
-    broadcast bitmap."""
-    return _line_dedup_frames(df, text_col, id_col, seen=seen)
+    broadcast bitmap.
+
+    ``materialize_kept`` (optimization r15): localCheckpoint the
+    shared kept-lines frame before deriving the two outputs, so a
+    caller that ACTIONS both (the streaming ingests: one txn append
+    per output) runs the explode + first-occurrence + gate joins once
+    instead of once per action. Off by default — a single-action
+    caller reuses the exchanges within its one plan for free."""
+    return _line_dedup_frames(
+        df, text_col, id_col, seen=seen, materialize_kept=materialize_kept
+    )
 
 
 def line_dedup_increment_bloom(
@@ -291,6 +301,7 @@ def line_dedup_increment_bloom(
     bloom_regs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_kept: bool = False,
 ) -> tuple:
     """``line_dedup_increment`` with the anti-join BLOOM-GATED (the
     scale path when the kept corpus's digest table outgrows a
@@ -308,7 +319,13 @@ def line_dedup_increment_bloom(
     from .sketch import bloom_member_flags
 
     if bloom_regs is None or seen is None:
-        return _line_dedup_frames(df, text_col, id_col, seen=seen)
+        return _line_dedup_frames(
+            df,
+            text_col,
+            id_col,
+            seen=seen,
+            materialize_kept=materialize_kept,
+        )
 
     def gate(first: DataFrame) -> DataFrame:
         flagged = bloom_member_flags(first, "k", bloom_regs)
@@ -322,7 +339,14 @@ def line_dedup_increment_bloom(
             )
         )
 
-    return _line_dedup_frames(df, text_col, id_col, seen=None, gate=gate)
+    return _line_dedup_frames(
+        df,
+        text_col,
+        id_col,
+        seen=None,
+        gate=gate,
+        materialize_kept=materialize_kept,
+    )
 
 
 def _line_dedup_frames(
@@ -331,6 +355,7 @@ def _line_dedup_frames(
     id_col: str,
     seen: DataFrame | None,
     gate=None,
+    materialize_kept: bool = False,
 ) -> tuple:
     """Shared body of the line-dedup family: returns
     ``(per_doc, kept_lines)`` where ``kept_lines`` carries
@@ -381,6 +406,8 @@ def _line_dedup_frames(
         .where(F.struct(F.col("id"), F.col("pos")) == F.col("first_occ"))
         .select("id", "pos", "line", "k")
     )
+    if materialize_kept:
+        kept = kept.localCheckpoint(eager=True)
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
             F.transform(

@@ -392,6 +392,59 @@ def write_drop_files(frames, drops: str) -> None:
         )
 
 
+def write_drop_files_one_pass(
+    df, batch_col, n_batches: int, drops: str, payload_cols=None
+) -> None:
+    """ONE-JOB variant of ``write_drop_files`` for the common case
+    where every drop file is a predicate slice of the SAME source
+    frame: tag each row with its batch index and write all batches in
+    a single partitioned job, then move each partition's part file to
+    ``b{i}.parquet`` with the same deterministic increasing mtimes.
+
+    Why (optimization r15, guide §1.2/§2.4): the per-frame form runs
+    one full source job PER batch, and the batch predicate sits ABOVE
+    any opaque synthesis (mapInPandas PNG/WAV synth, the HTML render)
+    so each job re-derives the WHOLE corpus and keeps one slice — the
+    3-batch fixtures paid the source 3×. Rows whose ``batch_col`` is
+    NULL are dropped (matching the predicate form, where such rows
+    matched no slice). The ``repartition(n, batch)`` exchange moves
+    each payload byte once; every batch value lands in exactly one
+    task, so each partition directory holds exactly one part file."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tagged = df.withColumn("__batch", batch_col.cast("int")).where(
+        F.col("__batch").isNotNull()
+    )
+    if payload_cols is not None:
+        tagged = tagged.select(*payload_cols, "__batch")
+    tmp = f"{drops.rstrip('/')}__stage"
+    (
+        tagged.repartition(n_batches, "__batch")
+        .write.mode("overwrite")
+        .partitionBy("__batch")
+        .parquet(tmp)
+    )
+    os.makedirs(drops, exist_ok=True)
+    for i in range(n_batches):
+        parts = glob.glob(f"{tmp}/__batch={i}/part-*.parquet")
+        if len(parts) != 1:
+            raise ValueError(
+                f"write_drop_files_one_pass: batch {i} produced "
+                f"{len(parts)} part files (empty or multi-file batch "
+                f"slices are not valid drop fixtures)"
+            )
+        shutil.move(parts[0], f"{drops}/b{i}.parquet")
+        os.utime(
+            f"{drops}/b{i}.parquet",
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _make_user_id_drops(spark, sf_dir: str, tag: str) -> str:
     """Shared file-drop fixture for the sketch-ingest streams: claims
     (and rmtree's) the per-run tmp dir ONCE, splits events' user_id
@@ -402,14 +455,21 @@ def _make_user_id_drops(spark, sf_dir: str, tag: str) -> str:
 
     ev = _t(spark, sf_dir, "events")
     base = _tmp_table_path(sf_dir, tag)
-    write_drop_files(
-        (
-            ev.where(
-                (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
-            ).select("user_id")
-            for lo, hi in [(1, 11), (11, 21), (21, 32)]
-        ),
+    day = F.dayofmonth("ts")
+    # same slices as the old per-frame predicates ([1,11), [11,21),
+    # [21,32)); a NULL ts matched none of them and maps to NULL here,
+    # which the one-pass writer drops
+    batch = (
+        F.when((day >= 1) & (day < 11), 0)
+        .when((day >= 11) & (day < 21), 1)
+        .when((day >= 21) & (day < 32), 2)
+    )
+    write_drop_files_one_pass(
+        ev,
+        batch,
+        3,
         f"{base}/drops",
+        payload_cols=["user_id"],
     )
     return base
 

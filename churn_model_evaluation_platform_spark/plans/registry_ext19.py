@@ -427,17 +427,14 @@ def q_stream_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .phases import timed_phase
     from .registry import drain_stream
     from .registry_ext12 import _tmp_table_path
-    from .registry_ext18 import write_drop_files
+    from .registry_ext18 import write_drop_files_one_pass
 
     register_txnlog_source(spark)
     with timed_phase("stream_curation_sink.build"):
         base = _tmp_table_path(sf_dir, "curastream")
         drops = f"{base}/drops"
         pages = _rendered(spark, sf_dir)
-        write_drop_files(
-            (pages.where(F.col("doc_id") % 3 == i) for i in range(3)),
-            drops,
-        )
+        write_drop_files_one_pass(pages, F.col("doc_id") % 3, 3, drops)
         from pyspark.sql import types as T
 
         schema = T.StructType(

@@ -118,16 +118,13 @@ def _run_stream_line_dedup(
     from .phases import timed_phase
     from .registry import drain_stream
     from .registry_ext12 import _tmp_table_path
-    from .registry_ext18 import write_drop_files
+    from .registry_ext18 import write_drop_files_one_pass
 
     with timed_phase(f"{tag}.build"):
         base = _tmp_table_path(sf_dir, tag)
         drops = f"{base}/drops"
         pages = _rendered(spark, sf_dir)
-        write_drop_files(
-            (pages.where(F.col("doc_id") % 3 == i) for i in range(3)),
-            drops,
-        )
+        write_drop_files_one_pass(pages, F.col("doc_id") % 3, 3, drops)
         docs_tbl = TxnTable(spark, f"{base}/docs")
         state_tbl = TxnTable(spark, f"{base}/digests")
         bloom_tbl = TxnTable(spark, f"{base}/bloom")
@@ -138,8 +135,11 @@ def _run_stream_line_dedup(
             # its input lineage for the data write, so without the cut
             # the extraction + line-dedup chain re-ran inside every
             # append — twice per batch here, three times in the bloom
-            # variant. The two output frames are cut too: they share
-            # the dedup joins, which would otherwise re-run per append.
+            # variant. ``materialize_kept`` then cuts ONCE at the
+            # shared kept-lines frame (optimization r15): both outputs
+            # derive from that checkpoint with narrow work, which is
+            # cheaper than the previous two per-output checkpoints
+            # that each re-ran the dedup joins.
             ext = (
                 html_extract_text(batch_df)
                 .where(F.col("n_blocks_kept") > 0)
@@ -158,12 +158,12 @@ def _run_stream_line_dedup(
                     else bloom_tbl.scan()
                 )
                 per_doc, new_k = line_dedup_increment_bloom(
-                    ext, seen, regs
+                    ext, seen, regs, materialize_kept=True
                 )
             else:
-                per_doc, new_k = line_dedup_increment(ext, seen)
-            per_doc = per_doc.localCheckpoint(eager=True)
-            new_k = new_k.localCheckpoint(eager=True)
+                per_doc, new_k = line_dedup_increment(
+                    ext, seen, materialize_kept=True
+                )
             if bloom:
                 # BLOOM FIRST: extra bits in the bitmap only force the
                 # exact check (safe); a committed digest whose bit is
@@ -844,16 +844,13 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .phases import timed_phase
     from .registry import drain_stream
     from .registry_ext12 import _tmp_table_path
-    from .registry_ext18 import write_drop_files
+    from .registry_ext18 import write_drop_files_one_pass
 
     with timed_phase("stream_image_dedup.build"):
         base = _tmp_table_path(sf_dir, "imagededupstream")
         drops = f"{base}/drops"
         media = _phash_media(spark, sf_dir)
-        write_drop_files(
-            (media.where(F.col("media_id") % 3 == i) for i in range(3)),
-            drops,
-        )
+        write_drop_files_one_pass(media, F.col("media_id") % 3, 3, drops)
         docs_tbl = TxnTable(spark, f"{base}/docs")
         state_tbl = TxnTable(spark, f"{base}/fps")
 
@@ -1101,7 +1098,15 @@ def q_multimodal_dedup_clusters(
     from ..operators.graph import connected_components
     from ..operators.multimodal_dedup import DHASH_BITS, dhash_bits
 
-    fps = dhash_bits(_phash_media(spark, sf_dir))
+    # Materialize the tiny fingerprint frame once (≤ ~n_docs/4 rows of
+    # (id, 3 ints)): the PNG synth + decode mapInPandas pass above it
+    # is the expensive part, and without the cut it runs once for the
+    # edge derivation and AGAIN for the vertex set (connected_components
+    # checkpoints each input in its own action, so there is no shared
+    # exchange to reuse) — guide §2.4/§5 (optimization r15).
+    fps = dhash_bits(_phash_media(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     pairs = fingerprint_hamming_pairs(
         fps,
         "dhash",
@@ -1170,17 +1175,14 @@ def q_stream_curation_classified(
     from .phases import timed_phase
     from .registry import drain_stream
     from .registry_ext12 import _tmp_table_path
-    from .registry_ext18 import write_drop_files
+    from .registry_ext18 import write_drop_files_one_pass
 
     register_txnlog_source(spark)
     with timed_phase("stream_curation_classified.build"):
         base = _tmp_table_path(sf_dir, "curaclassified")
         drops = f"{base}/drops"
         pages = _rendered(spark, sf_dir)
-        write_drop_files(
-            (pages.where(F.col("doc_id") % 3 == i) for i in range(3)),
-            drops,
-        )
+        write_drop_files_one_pass(pages, F.col("doc_id") % 3, 3, drops)
         from pyspark.sql import types as T
 
         schema = T.StructType(

@@ -534,18 +534,14 @@ def q_stream_minhash_dedup(
     from .phases import timed_phase
     from .registry import drain_stream
     from .registry_ext12 import _tmp_table_path
-    from .registry_ext18 import write_drop_files
+    from .registry_ext18 import write_drop_files_one_pass
 
     with timed_phase("stream_minhash_dedup.build"):
         base = _tmp_table_path(sf_dir, "minhashdedupstream")
         drops = f"{base}/drops"
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        write_drop_files(
-            (
-                docs.where(F.col("doc_id") % _SMH_BATCHES == i)
-                for i in range(_SMH_BATCHES)
-            ),
-            drops,
+        write_drop_files_one_pass(
+            docs, F.col("doc_id") % _SMH_BATCHES, _SMH_BATCHES, drops
         )
         docs_tbl = TxnTable(spark, f"{base}/docs")
         state_tbl = TxnTable(spark, f"{base}/sigs")

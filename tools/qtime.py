@@ -46,12 +46,21 @@ def main() -> int:
             "overwrite"
         ).save()
 
+    import gc
+
     out: dict[str, float] = {}
     for name in args.queries:
         if name not in qs:
             print(f"{name}: NOT REGISTERED")
             continue
         fn = qs[name]
+        # fresh-session conditions per query: release leaked refs so
+        # the JVM cleaner can drop prior queries' blocks (see bench.py)
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         if not args.no_warm:
             try:
                 spark.sparkContext.setJobDescription(f"warm:{name}")
