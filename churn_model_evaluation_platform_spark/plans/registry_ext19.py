@@ -642,32 +642,42 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.repetition import gopher_repetition_filter
     from ..operators.text import line_dedup_corpus, quality_keep_col
 
-    # The six stage-count aggregates below are separate plan branches,
-    # but they do NOT re-derive the chain: every branch reads the
-    # line-dedup exchange through ReusedExchange (verified in the
-    # executed plan), so the expensive front end runs once. An explicit
-    # persist() of the handoff frames was A/B-measured SLOWER (9.0 s vs
-    # 7.4 s best-of-3 at sf0.1) — the eager cache materialization costs
-    # more than the exchange reuse it would replace. The real r14 win
-    # was upstream: ``_rendered`` now scatters the one-row-group
-    # documents scan so the whole chain runs 32-wide instead of serial.
-    ext = html_extract_text(_rendered(spark, sf_dir)).select(
-        "doc_id",
-        F.col("extracted").alias("text"),
-        F.col("n_blocks_kept"),
+    # Stage handoffs are MATERIALIZED with localCheckpoint (eager) —
+    # optimization r15, guide §7.3/§3.3: the six stage-count branches
+    # DID share the physical work through ReusedExchange (r14's
+    # finding; a persist() A/B was slower), but the LOGICAL plan still
+    # replicated the whole render → extract → dedup → gate chain under
+    # every branch, and the event-log profile showed the driver idle-
+    # planning that seven-way tree for longer than the stages ran
+    # (v5: ~12 s of a 19 s run with no stage active). Checkpointing
+    # each ≤ n_docs-row handoff truncates every branch's plan to a
+    # scan of the materialized frame — each operator is planned AND
+    # run exactly once. At 100 TB the same frames are the pipeline's
+    # natural stage outputs (no bigger than the exchanges already
+    # shuffled); fault-tolerance of the intermediate is not needed
+    # inside one query.
+    ext = (
+        html_extract_text(_rendered(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.col("extracted").alias("text"),
+            F.col("n_blocks_kept"),
+        )
+        .localCheckpoint(eager=True)
     )
     ld = (
         line_dedup_corpus(ext.where(F.col("n_blocks_kept") > 0))
         .where(F.col("n_lines_kept") > 0)
         .select("doc_id", F.col("text_deduped").alias("text"))
+        .localCheckpoint(eager=True)
     )
-    q1 = ld.where(quality_keep_col())
+    q1 = ld.where(quality_keep_col()).localCheckpoint(eager=True)
     q2 = q1.join(
         gopher_repetition_filter(q1)
         .where(F.col("keep"))
         .select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=True)
     counts = bpe_token_count_bytes(
         q2.select("doc_id", "text"), pattern=GPT2_SPLIT_PATTERN_PORTABLE
     )

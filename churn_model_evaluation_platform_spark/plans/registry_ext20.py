@@ -734,29 +734,39 @@ def q_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import line_dedup_corpus, quality_keep_col
     from .registry_ext12 import _t
 
-    ext = html_extract_text(_rendered(spark, sf_dir)).select(
-        "doc_id",
-        F.col("extracted").alias("text"),
-        F.col("n_blocks_kept"),
+    # Stage handoffs MATERIALIZED with localCheckpoint (optimization
+    # r15): same rationale as curation_pipeline_v4 (registry_ext19) —
+    # the event-log profile showed ~12 s of the 19 s run was the
+    # driver planning the seven-way replicated logical chain, not
+    # stages running. Each checkpoint is ≤ n_docs rows of (id, text).
+    ext = (
+        html_extract_text(_rendered(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.col("extracted").alias("text"),
+            F.col("n_blocks_kept"),
+        )
+        .localCheckpoint(eager=True)
     )
     ld = (
         line_dedup_corpus(ext.where(F.col("n_blocks_kept") > 0))
         .where(F.col("n_lines_kept") > 0)
         .select("doc_id", F.col("text_deduped").alias("text"))
+        .localCheckpoint(eager=True)
     )
-    q1 = ld.where(quality_keep_col())
+    q1 = ld.where(quality_keep_col()).localCheckpoint(eager=True)
     q2 = q1.join(
         gopher_repetition_filter(q1)
         .where(F.col("keep"))
         .select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=True)
     q3 = q2.join(
         quality_classifier_scores(q2)
         .where(F.col("keep"))
         .select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=True)
     counts = bpe_token_count_bytes(
         q3.select("doc_id", "text"), pattern=GPT2_SPLIT_PATTERN_PORTABLE
     )
