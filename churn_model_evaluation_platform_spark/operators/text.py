@@ -407,6 +407,12 @@ def _line_dedup_frames(
         .select("id", "pos", "line", "k")
     )
     if materialize_kept:
+        # Eager on purpose: a lazy cut here was tried (r15) and
+        # measured SLOWER (stream_line_dedup 6.4 s -> 9.1 s at sf0.1)
+        # — the first consuming append then drags the whole explode +
+        # first-occurrence chain into its own job where the kept
+        # frame is referenced from several subplans, paying block-lock
+        # waits instead of one clean materialization.
         kept = kept.localCheckpoint(eager=True)
     rebuilt = kept.groupBy("id").agg(
         F.array_join(

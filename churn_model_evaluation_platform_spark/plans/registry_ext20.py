@@ -139,7 +139,9 @@ def _run_stream_line_dedup(
             # shared kept-lines frame (optimization r15): both outputs
             # derive from that checkpoint with narrow work, which is
             # cheaper than the previous two per-output checkpoints
-            # that each re-ran the dedup joins.
+            # that each re-ran the dedup joins. Both cuts stay EAGER:
+            # lazy variants were tried (r15) and measured slower
+            # (6.4 s -> 9.1 s plain / 11.6 s -> 13.3 s bloom).
             ext = (
                 html_extract_text(batch_df)
                 .where(F.col("n_blocks_kept") > 0)
@@ -865,19 +867,24 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_tbl = TxnTable(spark, f"{base}/fps")
 
         def ingest(batch_df: DataFrame, batch_id: int) -> None:
-            # Both per-batch frames are MATERIALIZED once
+            # The fingerprint frame is MATERIALIZED once
             # (localCheckpoint, the ngram_novelty pattern — ≤ batch
-            # rows): each txn append re-evaluates its input lineage
-            # for the data write, so without the cut the decode and
-            # the banded join re-ran inside every append — profiled
-            # 35 s of the drain's 49 s at sf0.1; with it the two
-            # appends cost 6 s total.
+            # rows): it feeds FOUR subplans (ref union, probe, the
+            # per-image left join, the state append), and without the
+            # cut the decode re-ran inside every consumer — profiled
+            # 35 s of the drain's 49 s at sf0.1. LAZY (r15): the
+            # first consuming action materializes it in-place instead
+            # of paying a dedicated checkpoint job per batch; and
+            # per_img needs no checkpoint at all — it is consumed by
+            # exactly one append, whose single data-write pass IS its
+            # one evaluation (an eager cut there just ran the banded
+            # join twice).
             fps = dhash_bits(batch_df).select(
                 "media_id",
                 F.col("dhash"),
                 (F.lit(batch_id) * F.lit(_ARR) + F.col("media_id"))
                 .alias("arrival"),
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             seen = (
                 None
                 if state_tbl.latest_version() is None
@@ -910,7 +917,7 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_earlier_dups"),
                     F.col("n_earlier").isNull().alias("keep"),
                 )
-            ).localCheckpoint(eager=True)
+            )
             docs_tbl.append(per_img, batch_id=batch_id)
             state_tbl.append(
                 fps.select("arrival", "dhash"), batch_id=batch_id

@@ -557,8 +557,13 @@ def q_stream_minhash_dedup(
             )
             per_doc = per_doc.withColumn(
                 "batch_idx", F.lit(batch_id).cast("int")
-            ).localCheckpoint(eager=True)
-            new_state = new_state.localCheckpoint(eager=True)
+            )
+            # No output checkpoints (r15): the expensive shared
+            # subframes (signatures, the band-match aggregate) are
+            # already lazily checkpointed INSIDE the increment, so
+            # each append's single data-write pass evaluates only the
+            # cheap derivation on top of them — an eager cut per
+            # output just doubled those tiny passes.
             # docs before sigs: crash-replay recomputes against the
             # unchanged state, so the claimed epoch skips cleanly
             docs_tbl.append(per_doc, batch_id=batch_id)
