@@ -82,21 +82,42 @@ def repetition_stats(
         toks.alias("__toks"),
     )
 
-    out = base
-    for n in top_ns:
-        ex = base.select(
-            F.col(id_col),
-            F.explode(_ngrams_n(F.col("__toks"), n)).alias("g"),
+    # Narrow scalar left side (optimization r15, guide §2.3): the
+    # joined statistics used to hang off ``base`` itself, so the full
+    # per-doc TOKEN ARRAY was shuffled through every doc-keyed join
+    # below; the scalars are a handful of ints.
+    scal = base.drop("__toks")
+
+    # ONE tagged explode for every top-n order (r15): previously one
+    # explode + two aggregations + one join PER order. Same (doc, n,
+    # gram) count multiset, so the per-order maxima are identical; the
+    # per-order columns come out of a single conditional aggregation.
+    def _tag(n: int):
+        return F.transform(
+            _ngrams_n(F.col("__toks"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
         )
-        top = (
-            ex.groupBy(id_col, "g")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy(id_col)
-            .agg(
-                F.max(F.col("c") * F.length("g")).alias(f"__top{n}_chars")
-            )
+
+    tagged = base.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(F.array(*[_tag(n) for n in top_ns]))
+        ).alias("__ng"),
+    ).select(F.col(id_col), F.col("__ng.n").alias("n"), F.col("__ng.g").alias("g"))
+    top = (
+        tagged.groupBy(id_col, "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("n") == n, F.col("c") * F.length("g"))
+                ).alias(f"__top{n}_chars")
+                for n in top_ns
+            ]
         )
-        out = out.join(top, id_col, "left")
+    )
+    out = scal.join(top, id_col, "left")
 
     pos = base.select(
         F.col(id_col),
@@ -117,11 +138,33 @@ def repetition_stats(
         )
         .distinct()
     )
-    tok_pos = base.select(
-        F.col(id_col), F.posexplode("__toks").alias("cp", "w")
+    # Covered-position char sum via the per-doc token-LENGTH array
+    # (r15): the old shape shuffled EVERY corpus token position with
+    # its word through a (doc, pos)-keyed join; only the covered
+    # positions (duplicated-gram spans, typically a small fraction)
+    # plus one int array per doc move now. element_at is 1-based,
+    # posexplode 0-based — same indexing as the replaced join.
+    lens = base.select(
+        F.col(id_col),
+        F.transform("__toks", lambda w: F.length(w)).alias("__lens"),
     )
-    cov = covered.join(tok_pos, [id_col, "cp"]).groupBy(id_col).agg(
-        F.sum(F.length("w")).alias("__dup_ngram_chars")
+    cov = (
+        covered.groupBy(id_col)
+        .agg(F.collect_list("cp").alias("__cps"))
+        .join(lens, id_col)
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.transform(
+                    "__cps",
+                    lambda cp: F.element_at(
+                        F.col("__lens"), (cp + 1).cast("int")
+                    ),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("__dup_ngram_chars"),
+        )
     )
     out = out.join(cov, id_col, "left")
 

@@ -361,7 +361,7 @@ GROUP BY event_type
 
 
 def _format_pushdown_query(
-    spark: SparkSession, sf_dir: str, tag: str, ingest
+    spark: SparkSession, sf_dir: str, tag: str, ingest=None
 ) -> DataFrame:
     """Shared body of the format-scan oracle pair: six-bucket dd ingest
     via ``ingest(path, slices)`` (the library appends or the native
@@ -370,6 +370,16 @@ def _format_pushdown_query(
     share. ONE definition so the two plans cannot silently diverge
     from the oracle they share (r10 review).
 
+    ``ingest=None`` (optimization r15): the LIBRARY-append ingest is a
+    pure input fixture for the pushed-filter READ this query proves, so
+    it builds once per machine per events-content through
+    ``cached_fixture`` (keyed on the txnlog module source — any write-
+    path change rebuilds it), exactly like the six-bucket table every
+    other txnlog query scans; the query reads the pristine store
+    directly (read-only, no clone — the anngate pattern). The NATIVE
+    SINK twin (txnlog_format_write) keeps its live per-run ingest: the
+    sink writer is the thing that query proves.
+
     day-of-month is carried as a LONG column: the JVM→Python pushdown
     bridge offers integer-family literals (a TIMESTAMP literal never
     reaches pushFilters in this Spark version — kept as a residual
@@ -377,16 +387,38 @@ def _format_pushdown_query(
     from ..sources.txnlog_datasource import register_txnlog_source
 
     register_txnlog_source(spark)
-    with timed_phase(f"fixture_build:{tag}"):
-        path = _tmp_table_path(sf_dir, tag)
+
+    def _slices():
+        # materialized ONCE before slicing (r15): each of the six
+        # slice jobs otherwise re-ran the events scan (+ the size-
+        # adaptive spread exchange) just to keep one bucket
         ev = _t(spark, sf_dir, "events").select(
             "event_type", "value", "ts", F.dayofmonth("ts").alias("dd")
-        )
+        ).localCheckpoint(eager=True)
         bucket = F.floor((F.col("dd") - 1) / 5)
-        ingest(
-            path,
-            [ev.where(bucket == b).coalesce(1) for b in range(6)],
-        )
+        return [ev.where(bucket == b).coalesce(1) for b in range(6)]
+
+    with timed_phase(f"fixture_build:{tag}"):
+        if ingest is None:
+            from ..sources import txnlog as _txnlog_mod
+            from ..sources.txnlog import TxnTable
+            from .fixtures import cached_fixture
+
+            def _build(fpath: str) -> None:
+                t = TxnTable(spark, fpath)
+                for b, s in enumerate(_slices()):
+                    t.append(s, batch_id=b)
+
+            path = cached_fixture(
+                sf_dir,
+                "fmtscan",
+                ["events"],
+                _build,
+                code_modules=(_txnlog_mod,),
+            )
+        else:
+            path = _tmp_table_path(sf_dir, tag)
+            ingest(path, _slices())
     base = (
         spark.read.format("txnlog")
         .load(path)
@@ -405,14 +437,9 @@ def _format_pushdown_query(
 
 @register("txnlog_format_scan", _FMT_SCAN_SQL)
 def q_txnlog_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.txnlog import TxnTable
-
-    def ingest(path, slices):
-        t = TxnTable(spark, path)
-        for b, s in enumerate(slices):
-            t.append(s, batch_id=b)
-
-    return _format_pushdown_query(spark, sf_dir, "txnfmt", ingest)
+    # library-append ingest = cached input fixture (see the shared
+    # body); the measured computation is the pushed-filter scan
+    return _format_pushdown_query(spark, sf_dir, "txnfmt")
 
 
 # ---------------------------------------------------------------------------

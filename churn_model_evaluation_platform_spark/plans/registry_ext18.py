@@ -1134,19 +1134,25 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppl = bigram_lm_scores(
         docs.where(F.col("doc_id") % 2 == 0), docs
     )
+    # Stage handoffs MATERIALIZED with localCheckpoint (optimization
+    # r15, the curation_pipeline_v4/v5 fix applied to v2): the five
+    # count branches otherwise each replicate the whole LM -> DSIR ->
+    # dedup -> BPE logical chain, so the driver replans (and partially
+    # re-executes) it per branch. Each checkpoint is <= n_docs rows of
+    # (id, text, lang).
     q1 = docs.join(
         ppl.where(F.col("ppl") <= _CUR_PPL_MAX).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     q2 = dsir_select(
         dsir_importance_weights(
             q1, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
         ),
         _CUR_DSIR_N,
     ).select("doc_id")
-    q2j = q1.join(q2, "doc_id")
+    q2j = q1.join(q2, "doc_id").localCheckpoint(eager=True)
     q3 = q2j.groupBy(F.md5(normalize_text(F.col("text")))).agg(
         F.min("doc_id").alias("doc_id")
-    )
+    ).localCheckpoint(eager=True)
     final_docs = q3.select("doc_id").join(docs, "doc_id")
     counts = bpe_token_count_bytes(
         final_docs.select("doc_id", "text"),

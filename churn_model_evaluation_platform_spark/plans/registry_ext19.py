@@ -895,16 +895,29 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(shingle_hashes(F.col("text"), 3)).alias("h"),
     )
-    evals = sh.where(F.col("doc_id") % 97 == 0).select("h").distinct()
-    regs = bloom_registers(evals, "h")
-    probe = bloom_probe_counts(sh, regs, "h", ["doc_id"])
-    exact = (
-        sh.join(F.broadcast(evals), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_hits"))
+    # ONE corpus pass instead of four (optimization r15, guide §1.2):
+    # evals, the bloom probe, the exact twin, and the per-doc sizes
+    # each re-derived the full tokenize + shingle explode. Compact the
+    # explode once into (doc_id, h, n_occ) — one exchange over 16-byte
+    # keys — materialize it (a few MB of longs per million shingles),
+    # and derive all four from that frame: occurrence counts are
+    # preserved through n_occ, distinctness through the group key, so
+    # every output value is unchanged.
+    sh2 = (
+        sh.groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=True)
     )
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    evals = sh2.where(F.col("doc_id") % 97 == 0).select("h").distinct()
+    regs = bloom_registers(evals, "h")
+    probe = bloom_probe_counts(sh2, regs, "h", ["doc_id"])
+    exact = (
+        sh2.join(F.broadcast(evals), "h")
+        .groupBy("doc_id")
+        .agg(F.sum("n_occ").cast("bigint").alias("n_exact_hits"))
+    )
+    sizes = sh2.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("bigint").alias("n_sh")
     )
     return (
         probe.where(F.col("n_bloom_hits") >= 5)

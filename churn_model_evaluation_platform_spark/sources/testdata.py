@@ -58,10 +58,71 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # Every registry query flows through here — central hook to make the
     # package importable on Python workers (see ensure_package_shipped).
     ensure_package_shipped(spark)
-    df = spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
+    path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
-    return df
+    return _spread_small_scan(spark, df, path)
+
+
+def _parse_bytes_conf(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728b', '128m', '1g',
+    plain digits) to bytes; unparseable values fall back to the 128 MB
+    default rather than raising."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 128 << 20
+
+
+#: below this on-disk size a table is treated as a broadcast-shaped
+#: dimension (region/nation/supplier/part) and left on its natural
+#: single split — spreading those would add an exchange to every
+#: join that today broadcasts them straight off the scan.
+_SPREAD_MIN_BYTES = 256 << 10
+
+
+def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """SCALE-ADAPTIVE scan parallelism floor (optimization r15, guide
+    §2/§6): the test tables are single-file single-ROW-GROUP parquet,
+    so every scan is ONE task no matter what
+    ``spark.sql.files.maxPartitionBytes`` says (a split can only claim
+    whole row groups) — and all map-side work before the first
+    exchange (tokenization, shingle/minhash hashing, classifier
+    margins, partial aggregation) ran on one core (measured: the
+    quality-classifier margin pass over documents at sf0.1 took 9.8 s
+    single-task vs 0.8 s spread over 32). When the file is too small
+    for the scan to reach the core count on its own, redistribute it
+    once with a round-robin exchange — the moved bytes are bounded by
+    the smallness that triggered the path. At production scale the
+    estimated split count exceeds any core count and this is a no-op;
+    the decision derives from input size and session confs, not from
+    a local constant."""
+    import math
+
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    if size < _SPREAD_MIN_BYTES:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    max_split = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    est_splits = max(1, math.ceil(size / max(1, max_split)))
+    if 2 * est_splits >= cores:
+        return df
+    return df.repartition(cores)
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
