@@ -65,3 +65,37 @@ def test_dedup_clusters_composition(spark):
     assert got[3] == 3
     canonical = sorted(i for i, c in got.items() if i == c)
     assert canonical == [1, 3]
+
+
+def test_random_id_chain_matches_bruteforce(spark):
+    """Pointer-jump chase (r15): a chain whose ids are NOT monotone
+    along the path — the layout that defeats naive distance doubling —
+    must still converge to the exact min-reachable labeling within
+    max_iter, for several shuffled layouts."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        ids = list(range(1, 41))
+        rng.shuffle(ids)
+        # path through the shuffled ids + a second component
+        edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+        edges += [(50, 51), (51, 52)]
+        got = _components(spark, 52, edges)
+        for v in ids:
+            assert got[v] == 1, (seed, v, got[v])
+        assert got[50] == got[51] == got[52] == 50
+        for iso in (41, 42, 49):
+            assert got[iso] == iso
+
+
+def test_chase_labels_stay_in_component(spark):
+    """The chase join must never leak a label across components:
+    two interleaved chains (odd ids / even ids) sharing no edges."""
+    odd = list(range(1, 40, 2))
+    even = list(range(2, 41, 2))
+    edges = [(odd[i], odd[i + 1]) for i in range(len(odd) - 1)]
+    edges += [(even[i], even[i + 1]) for i in range(len(even) - 1)]
+    got = _components(spark, 40, edges)
+    assert all(got[v] == 1 for v in odd)
+    assert all(got[v] == 2 for v in even)
