@@ -90,6 +90,16 @@ def _parse_bytes_conf(v: str) -> int:
 #: join that today broadcasts them straight off the scan.
 _SPREAD_MIN_BYTES = 256 << 10
 
+#: minimum COMPRESSED bytes/row for the spread to engage: wide rows
+#: (document text, embedding vectors) are where per-row map work
+#: dominates and a single-task scan starves the cores; narrow-row
+#: tables (events/orders/lineitem fact rows, ~20 B/row) are
+#: aggregation-shaped — their pre-exchange work is a cheap partial
+#: aggregate, and an added full-table exchange measurably DOUBLED the
+#: small-aggregation queries in the r15 bench (metrics_unpivot 0.23 s
+#: → 0.82 s isolated, agg_rollup 0.46 s → 1.05 s) for no map-side win.
+_SPREAD_MIN_ROW_BYTES = 64
+
 
 def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """SCALE-ADAPTIVE scan parallelism floor (optimization r15, guide
@@ -100,13 +110,14 @@ def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFra
     exchange (tokenization, shingle/minhash hashing, classifier
     margins, partial aggregation) ran on one core (measured: the
     quality-classifier margin pass over documents at sf0.1 took 9.8 s
-    single-task vs 0.8 s spread over 32). When the file is too small
-    for the scan to reach the core count on its own, redistribute it
-    once with a round-robin exchange — the moved bytes are bounded by
-    the smallness that triggered the path. At production scale the
+    single-task vs 0.8 s spread over 32). When the file is WIDE-ROW
+    (payload tables — see ``_SPREAD_MIN_ROW_BYTES``) and too small for
+    the scan to reach the core count on its own, redistribute it once
+    with a round-robin exchange — the moved bytes are bounded by the
+    smallness that triggered the path. At production scale the
     estimated split count exceeds any core count and this is a no-op;
-    the decision derives from input size and session confs, not from
-    a local constant."""
+    the decision derives from input size, row width (parquet footer
+    metadata), and session confs, not from a local constant."""
     import math
 
     try:
@@ -114,6 +125,14 @@ def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFra
     except OSError:
         return df
     if size < _SPREAD_MIN_BYTES:
+        return df
+    try:
+        import pyarrow.parquet as _pq
+
+        n_rows = _pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return df
+    if n_rows <= 0 or size / n_rows < _SPREAD_MIN_ROW_BYTES:
         return df
     cores = spark.sparkContext.defaultParallelism
     max_split = _parse_bytes_conf(

@@ -45,8 +45,12 @@ def test_spread_triggers_above_floor_and_preserves_rows(spark, tmp_path):
     import pyspark.sql.functions as F
 
     path = str(tmp_path / "big.parquet")
+    # wide-row payload: six DISTINCT uuids/row (repeat() of one uuid
+    # compresses to ~36 B) keeps compressed bytes/row well above the
+    # _SPREAD_MIN_ROW_BYTES=64 payload threshold
     df = spark.range(0, 120_000).selectExpr(
-        "id", "repeat(uuid(), 4) AS payload"
+        "id",
+        "concat(uuid(), uuid(), uuid(), uuid(), uuid(), uuid()) AS payload",
     )
     df.coalesce(1).write.mode("overwrite").parquet(path)
     part = [
