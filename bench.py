@@ -328,12 +328,62 @@ BENCH_BUDGET = 60
 FIXED_N = 27  # the round-1 headline prefix — never rotated out
 
 
+def _pinned_rotation(headline: list, history: dict, run_idx: int):
+    """Env-pinned active set (optimization r16, VERDICT r15 next #1):
+    the LRU rotation advances every run, so consecutive driver runs
+    (round-over-round, or 32- vs 8-core in the same round) measure
+    DISJOINT slices and PERF_r15.json came back with n_common=0 and an
+    empty scaling block. Two overrides let the caller re-run the SAME
+    slice:
+
+    - ``SPARK_GRAFT_BENCH_QUERIES=name,name,...`` (or ``all``) — an
+      explicit active list (names outside HEADLINE are ignored);
+    - ``SPARK_GRAFT_ROTATION_IDX=<n>`` — the deterministic slice n:
+      the fixed r1 prefix plus a (BUDGET-FIXED_N)-wide window over the
+      rest of HEADLINE starting at ``(n * window) % len(rest)``, a pure
+      function of (n, HEADLINE) — stable across runs and core counts.
+
+    A pinned run does NOT advance ``bench_history``/``bench_run_idx``,
+    so unpinned runs resume their LRU cycle exactly where it was.
+    Returns None when neither variable is set.
+    """
+    names_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    idx_env = os.environ.get("SPARK_GRAFT_ROTATION_IDX")
+    if names_env:
+        if names_env.strip().lower() == "all":
+            active = list(headline)
+        else:
+            known = set(headline)
+            active, seen = [], set()
+            for raw in names_env.split(","):
+                n = raw.strip()
+                if n in known and n not in seen:
+                    active.append(n)
+                    seen.add(n)
+    elif idx_env is not None:
+        rest = headline[FIXED_N:]
+        slots = min(max(BENCH_BUDGET - FIXED_N, 0), len(rest))
+        start = (int(idx_env) * slots) % len(rest) if rest else 0
+        active = headline[:FIXED_N] + [
+            rest[(start + j) % len(rest)] for j in range(slots)
+        ]
+    else:
+        return None
+    deferred = [n for n in headline if n not in set(active)]
+    return active, deferred, history, run_idx
+
+
 def select_rotation(
     headline: list, prev_detail: dict
 ) -> tuple[list, list, dict, int]:
     """Returns (active, deferred, history, run_idx). ``history`` is
     already updated for this run's active set."""
     history = dict(prev_detail.get("bench_history") or {})
+    pinned = _pinned_rotation(
+        headline, history, int(prev_detail.get("bench_run_idx") or 0)
+    )
+    if pinned is not None:
+        return pinned
     run_idx = int(prev_detail.get("bench_run_idx") or 0) + 1
     if not history:
         # seed from the pre-rotation era: anything measured last round
@@ -756,6 +806,13 @@ def main() -> None:
             "n_active": len(active),
             "n_deferred": len(deferred),
             "deferred": deferred,
+            # pin provenance (r16): which env override, if any, chose
+            # this run's active set — pinned runs don't advance the LRU
+            "pinned": (
+                "list"
+                if os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+                else os.environ.get("SPARK_GRAFT_ROTATION_IDX")
+            ),
         },
         # the load-normalization index for NEXT round's flags: the
         # probe's best time this round (start/end kept for drift

@@ -84,3 +84,40 @@ def test_every_query_benched_within_a_few_rounds():
     max_gap = -(-pool // slots) + 1
     assert max(gaps) <= max_gap
     assert min(seen.values()) > 0  # nothing starved entirely
+
+
+def test_rotation_idx_pin_is_deterministic_and_stable(monkeypatch):
+    """SPARK_GRAFT_ROTATION_IDX=n must pick the SAME slice regardless of
+    prior history, and must not advance the LRU state (r16, VERDICT r15
+    next #1 — the driver re-runs one slice round-over-round and at both
+    core counts)."""
+    monkeypatch.setenv("SPARK_GRAFT_ROTATION_IDX", "3")
+    prev_a = _detail(history={n: 7 for n in bench.HEADLINE}, run_idx=9)
+    prev_b = _detail(queries={n: 1.0 for n in bench.HEADLINE})
+    a = bench.select_rotation(bench.HEADLINE, prev_a)
+    b = bench.select_rotation(bench.HEADLINE, prev_b)
+    assert a[0] == b[0]  # same active slice from different states
+    assert a[0][: bench.FIXED_N] == bench.HEADLINE[: bench.FIXED_N]
+    assert len(a[0]) == bench.BENCH_BUDGET
+    # history/run_idx untouched: unpinned runs resume where they were
+    assert a[2] == {n: 7 for n in bench.HEADLINE}
+    assert a[3] == 9
+    # a different index picks a different (still fixed-prefix) slice
+    monkeypatch.setenv("SPARK_GRAFT_ROTATION_IDX", "4")
+    c = bench.select_rotation(bench.HEADLINE, prev_a)
+    assert c[0][: bench.FIXED_N] == a[0][: bench.FIXED_N]
+    assert c[0] != a[0]
+
+
+def test_bench_queries_env_list_and_all(monkeypatch):
+    want = [bench.HEADLINE[40], bench.HEADLINE[2], "not_a_query"]
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_QUERIES", ",".join(want))
+    active, deferred, hist, idx = bench.select_rotation(
+        bench.HEADLINE, _detail(history={"x": 1}, run_idx=5)
+    )
+    assert active == [bench.HEADLINE[40], bench.HEADLINE[2]]
+    assert idx == 5 and hist == {"x": 1}
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_QUERIES", "all")
+    active, deferred, *_ = bench.select_rotation(bench.HEADLINE, _detail())
+    assert active == list(bench.HEADLINE)
+    assert deferred == []
