@@ -624,10 +624,18 @@ def embedding_neardup_pairs(
         # — the registry query does.
         dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
+    # per-row norm computed once before the bucket self-join — the
+    # verification cosine then folds only the dot per pair; division /
+    # multiply order matches cosine_expr so every similarity is
+    # bit-identical (optimization r16, guide §2.3 — the
+    # semantic_dedup_clustered rationale)
+    from .similarity import _dot, _norm
+
     b = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bk"),
+        _norm(F.col(vec_col)).alias("nv"),
     )
     pairs = b.alias("a").join(
         b.alias("b"),
@@ -636,7 +644,10 @@ def embedding_neardup_pairs(
     return pairs.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+        (
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nv") * F.col("b.nv"))
+        ).alias("cosine_sim"),
     ).where(F.col("cosine_sim") >= F.lit(threshold))
 
 
@@ -684,10 +695,12 @@ def semantic_dedup_clustered(
     )
     # distance² to the OWN centroid, by array lookup on the broadcast
     # centroid literals — same dot-identity form as the assignment
-    cvecs = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    dcc = F.array(*[F.lit(_pydot(c, c)) for c in centroids])
+    # nested-literal arrays in ONE py4j call each (optimization r16):
+    # the unrolled F.array(*[F.lit(x) ...]) form paid C×d literal
+    # round-trips of plan-construction driver time per run — see
+    # similarity._centroid_dists; values and schema are identical
+    cvecs = F.lit([[float(x) for x in c] for c in centroids])
+    dcc = F.lit([_pydot(c, c) for c in centroids])
     own = F.element_at(cvecs, F.col("cluster_id") + 1)
     d2 = (
         _dot(F.col("v"), F.col("v"))
@@ -702,20 +715,32 @@ def semantic_dedup_clustered(
             )
         ),
     )
-    earlier = ranked.select(
+    # Per-row norm computed ONCE before the pair join (optimization
+    # r16, guide §2.3): cosine_expr inside the Σ|cluster|² join
+    # re-folded BOTH norms per pair — 2 of its 3 array folds were
+    # row-constant (measured ~2× on the pair stage). The pair now
+    # evaluates one dot fold and reuses the norms; the division and
+    # multiply order is cosine_expr's exactly (dot / (norm_a * norm_b))
+    # so every similarity is bit-identical.
+    from .similarity import _norm
+
+    nranked = ranked.withColumn("nv", _norm(F.col("v")))
+    earlier = nranked.select(
         "cluster_id",
         F.col("rnk").alias("rnk_a"),
         F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     sims = (
-        ranked.select("cluster_id", "id", "rnk", "v")
+        nranked.select("cluster_id", "id", "rnk", "v", "nv")
         .join(earlier, "cluster_id")
         .where(F.col("rnk_a") < F.col("rnk"))
         .groupBy("id")
         .agg(
-            F.max(cosine_expr(F.col("va"), F.col("v"))).alias(
-                "max_sim_prior"
-            )
+            F.max(
+                _dot(F.col("va"), F.col("v"))
+                / (F.col("na") * F.col("nv"))
+            ).alias("max_sim_prior")
         )
     )
     return ranked.join(sims, "id", "left").select(
