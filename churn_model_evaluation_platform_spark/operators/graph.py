@@ -149,8 +149,16 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "src")
+    # ONE explicit src-hash exchange over the checkpointed edges,
+    # ReusedExchange-shared by the degree aggregate AND every
+    # iteration's contribution join (optimization r16, guide §2.4):
+    # the checkpoint RDD carries no outputPartitioning, so without
+    # this each iteration re-shuffled the EDGE side of its join — the
+    # one frame that is big at 100 TB. With it, the per-iteration
+    # edge-sized exchanges are exactly the partial-aggregated
+    # (dst, contribution) shuffle — the fundamental one.
+    e_s = e.repartition("src")
+    deg = e_s.groupBy("src").agg(F.count("*").alias("deg"))
     verts = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
@@ -165,12 +173,19 @@ def pagerank(
     base = teleport / n
     pr = verts.select("id", F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):
+        # pr/deg is a per-SOURCE value: join the two VERTEX-sized
+        # frames first and attach the ready contribution to the edges
+        # in one join, instead of dragging deg through an edge-sized
+        # join every iteration (r16; the per-edge addend pr/deg is the
+        # same double either way — results bit-identical).
+        contrib = (
+            pr.withColumnRenamed("id", "src")
+            .join(deg, "src")
+            .select("src", (F.col("pr") / F.col("deg")).alias("c"))
+        )
         inflow = (
-            ed.join(pr.withColumnRenamed("id", "src"), "src")
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("pr") / F.col("deg")).alias("c"),
-            )
+            e_s.join(contrib, "src")
+            .select(F.col("dst").alias("id"), "c")
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
