@@ -2,40 +2,68 @@
 near-duplicate PAIRS into duplicate CLUSTERS (and canonical
 representatives) a 100 TB dedup pipeline can act on.
 
-Algorithm: iterative min-label propagation (the GraphX/GraphFrames
-baseline) with POINTER JUMPING (label shortcutting — the classic
-Shiloach-Vishkin / hash-to-min acceleration): every vertex starts
-labeled with its own id; each round every vertex takes the min of its
-own label, its neighbors' labels, AND its label's label
-(``label[label[v]]`` — a label value is always the id of a vertex in
-the same component, so chasing it one hop is reachability-safe).
-Neighbor propagation alone converges in O(graph diameter) rounds,
-which bites on chain-shaped near-dup graphs (measured: the 63-bit
-dHash background graph at sf0.1 has diameter ≈ 22 → 22 rounds,
-~10-19 s of driver-looped shuffles); the chase join extends the
-distance covered per round (doubling on id-monotone chains, a
-constant factor on random id layouts — measured on the dHash graph:
-22 rounds → 17, loop 16.4 s → 10.5 s, identical labels;
-optimization r15). ``max_iter`` caps pathological cases.
+Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond", SoCC 2014): each round rewrites the edge set —
+large-star connects every neighbor larger than ``u`` to the minimum
+of ``u``'s closed neighborhood, small-star connects the smaller
+neighbors (and ``u`` itself) to that minimum — until the edge set is
+a fixpoint, at which point it is a forest of stars whose centers are
+the component minima. Convergence is O(log n) ROUNDS regardless of
+graph diameter; the min-label-propagation loop this replaces
+(optimization r16) was O(diameter) rounds even with a pointer-jump
+chase — measured on the sf0.1 dHash background graph (1,750
+vertices, diameter ≈ 22): 17 label rounds → 5 star rounds, loop
+6.9 s → 3.8 s warm, labels bit-identical across all consumers.
 
 Scale notes:
-- Each round is one shuffle of (vertex, label) pairs on the vertex id
-  for the neighbor min, plus one (label, label) self-lookup shuffle
-  for the chase — never the document payloads. The extra exchange per
-  round is repaid by the exponentially fewer rounds on any graph of
-  diameter > ~4; on star/clique graphs (1-2 rounds either way) it
-  costs one tiny additional join.
-- ``localCheckpoint(eager)`` truncates lineage each round: without it
-  the plan doubles per iteration and Catalyst analysis dominates.
-- The convergence check is a count aggregate per round (a driver action
-  on an already-materialized frame — the standard iterative-algorithm
-  pattern, not a per-row collect).
+- Each round is two phases; a phase is one groupBy(min) + one join on
+  the grouping key + a distinct over (u, v) id pairs — never the
+  document payloads. The edge set never exceeds original + n rows
+  (paper, Lemma 2), so per-round shuffle volume is bounded by the
+  input.
+- ``localCheckpoint(eager)`` truncates lineage each phase; the frame
+  is then REBASED off its checkpoint RDD (``_without_origin_stats``)
+  because checkpoint-carried size estimates otherwise COMPOUND
+  multiplicatively round over round — see the helper's docstring for
+  the measured blowup this prevents.
+- The convergence check is an exact symmetric-difference count per
+  round (a count aggregate over the two materialized edge sets — the
+  standard iterative-algorithm pattern, not a per-row collect).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _without_origin_stats(df: DataFrame) -> DataFrame:
+    """Rebase a checkpointed frame onto its own RDD, dropping the
+    checkpoint-carried ORIGIN STATISTICS (optimization r16 — the r15
+    "chase2 blowup" root cause, found via driver thread dump §7.3):
+    ``localCheckpoint`` preserves the origin plan's *estimated*
+    ``sizeInBytes``, and a loop that checkpoints a multi-join plan of
+    the previous round's checkpoint compounds those estimates —
+    ``visitJoin`` multiplies children, so the BigInteger exponent
+    DOUBLES per round with one chase join (measured: E+22 → E+105503
+    by round 13) and triples with two (E+41 → E+23062897, where every
+    stats walk did arithmetic on 23-million-digit integers and rounds
+    went 6 s → 17 s → 78 s of pure driver time). Rebuilding the frame
+    as a fresh LogicalRDD over the SAME checkpointed rows (zero row
+    conversion, lineage still cut) resets the estimate to the
+    conservative default every round — measured flat ~0.4 s/round at
+    any depth, byte-identical results. Fail-open: if the internal
+    constructor is unavailable, return the frame unchanged (the loop
+    then merely re-grows the old estimates)."""
+    try:
+        jdf = df._jdf
+        j2 = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(j2, df.sparkSession)
+    except Exception:
+        return df
 
 
 def connected_components(
@@ -49,62 +77,73 @@ def connected_components(
     """(id, component) — component = min vertex id reachable from
     ``id`` through ``edges`` (undirected). Vertices absent from every
     edge become singleton components labeled with their own id."""
-    sym = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return _without_origin_stats(df.localCheckpoint(eager=True))
+
+    # working edge set as directed (u, v) pairs; self-loops never
+    # affect components and would survive every star rewrite, so they
+    # are dropped up front
+    E = _cut(
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
-                labels.select(
-                    F.col("id").alias("b"), F.col("label").alias("b_label")
-                ),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("b_label").alias("nbr_label"))
-            .select(F.col("a").alias("id"), "nbr_label")
+        # LARGE-STAR: for every vertex u, connect each neighbor v > u
+        # to min(N(u) ∪ {u}). Emitted edges all point (larger →
+        # smaller), which small-star relies on.
+        sym = E.unionAll(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        # The old label is already on the row here, so the convergence
-        # flag rides along in the SAME select — no extra self-join +
-        # rescan per iteration (labels are min-monotone: changed iff
-        # the round found anything strictly smaller).
-        prop = labels.join(nbr_min, "id", "left").select(
-            "id",
-            "label",
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", F.col("label"))
-            ).alias("lab1"),
+        mn = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv"))
+        L = _cut(
+            sym.join(mn, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .distinct()
         )
-        # Pointer jump: lab1 is the id of a same-component vertex, so
-        # its CURRENT label is also reachable — chasing it one hop per
-        # round extends the propagation distance beyond the one-hop
-        # neighbor min (see module docstring for measured effect). The
-        # lookup is a left join purely defensively: every label value
-        # is a vertex id, so the key always resolves.
-        chase = labels.select(
-            F.col("id").alias("lab1"), F.col("label").alias("chase_label")
+        # SMALL-STAR: for every vertex u over its smaller neighbors N
+        # (all of them, since large-star oriented every edge downward),
+        # connect each member of N ∪ {u} except the minimum itself to
+        # min(N).
+        mn2 = L.groupBy("u").agg(F.min("v").alias("m2"))
+        j = L.join(mn2, "u")
+        S = _cut(
+            j.where(F.col("v") != F.col("m2"))
+            .select(F.col("v").alias("u"), F.col("m2").alias("v"))
+            .unionAll(j.select("u", F.col("m2").alias("v")))
+            .distinct()
         )
-        new_label = F.least(
-            F.col("lab1"), F.coalesce("chase_label", F.col("lab1"))
+        # exact symmetric difference: both sides are distinct sets, so
+        # a pair appearing once is in exactly one of them
+        ndiff = (
+            S.unionAll(E)
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("c"))
+            .where("c = 1")
+            .count()
         )
-        new_labels = (
-            prop.join(chase, "lab1", "left")
-            .select(
-                "id",
-                new_label.alias("label"),
-                (new_label < F.col("label")).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.where("changed").count()  # checkpointed scan
-        labels = new_labels.drop("changed")
-        if changed == 0:
+        E = S
+        if ndiff == 0:
             break
-    return labels.select("id", F.col("label").alias("component"))
+    # At the fixpoint E is a star forest centered at component minima:
+    # every non-center vertex carries exactly one (vertex, center)
+    # edge. The min() aggregate is exact there and keeps the labeling
+    # deterministic even if max_iter truncated a pathological input.
+    centers = E.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(
+            centers.select(F.col("u").alias("id"), "component"),
+            "id",
+            "left",
+        )
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )
 
 
 def pagerank(

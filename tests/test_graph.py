@@ -99,3 +99,39 @@ def test_chase_labels_stay_in_component(spark):
     got = _components(spark, 40, edges)
     assert all(got[v] == 1 for v in odd)
     assert all(got[v] == 2 for v in even)
+
+
+def test_checkpoint_stats_do_not_compound(spark):
+    """_without_origin_stats (r16): localCheckpoint preserves the
+    origin plan's ESTIMATED sizeInBytes, and an iterative loop that
+    checkpoints joins of the previous checkpoint compounds the
+    estimate multiplicatively (the r15 'chase2 blowup': BigInteger
+    exponents doubling per round until stats walks took minutes of
+    driver time). The rebased frame must keep a bounded estimate and
+    identical rows."""
+    from pyspark.sql import functions as F
+
+    from churn_model_evaluation_platform_spark.operators.graph import (
+        _without_origin_stats,
+    )
+
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    cur = _without_origin_stats(df.localCheckpoint(eager=True))
+    for _ in range(4):
+        nxt = (
+            cur.alias("a")
+            .join(cur.alias("b"), "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("c"))
+            .join(cur, "k")
+            .select("id", "k")
+            .distinct()
+        )
+        cur = _without_origin_stats(nxt.localCheckpoint(eager=True))
+        stats = cur._jdf.queryExecution().optimizedPlan().stats().toString()
+        # bounded: the conservative default (EiB range), never an
+        # astronomical compounded product (E+NNN scientific form)
+        assert "E+" not in stats, stats
+    assert cur.count() == 50
