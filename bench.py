@@ -664,6 +664,19 @@ def main() -> None:
     import gc as _gc
 
     def _release():
+        # r16 (VERDICT r15 next #8): EXPLICITLY unpersist every block
+        # still registered — a finished query's localCheckpoint RDDs
+        # (one per CC round / pipeline handoff) otherwise linger until
+        # a driver GC lets the ContextCleaner at them, which is the
+        # measured session-aging source. Safe between queries: every
+        # query (re)creates its own caches per call; nothing here is
+        # shared across queries. Runs OUTSIDE every timed region.
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist(False)
+        except Exception:
+            pass
         _gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()

@@ -319,7 +319,13 @@ def test_native_session_window_matches_manual_gap_model(spark, secs):
     )
     want = []
     for s in sorted(secs):
-        if want and s < want[-1][1]:  # strictly inside [start, last+30)
+        # Spark merges an event landing EXACTLY at the session's end
+        # (start + gap) into that session — the boundary is inclusive
+        # for merging (verified: events at 0 and 30 with a 30 s gap
+        # yield ONE session [0, 60)). The old strict-< model asserted
+        # a false general claim that hypothesis eventually falsified
+        # with an exact-boundary pair (r16).
+        if want and s <= want[-1][1]:
             start, _, n = want[-1]
             want[-1] = (start, s + 30, n + 1)
         else:

@@ -54,8 +54,16 @@ def main() -> int:
             print(f"{name}: NOT REGISTERED")
             continue
         fn = qs[name]
-        # fresh-session conditions per query: release leaked refs so
-        # the JVM cleaner can drop prior queries' blocks (see bench.py)
+        # fresh-session conditions per query: unpersist leftover blocks
+        # (a finished query's localCheckpoint RDDs — the measured
+        # session-aging source, r16) and release leaked refs so the JVM
+        # cleaner can drop prior queries' state (see bench.py)
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist(False)
+        except Exception:
+            pass
         gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()
